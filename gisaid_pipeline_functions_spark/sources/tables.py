@@ -1,0 +1,86 @@
+"""Table scans (SURVEY §2.1, S1–S9).
+
+The reference reads TSV/CSV with implicit positional schemas and the string
+``"-"`` as its NULL sentinel (SURVEY §1.1.3; reference Time_Series.py:478,
+481; MSA_Reader.py:65). Here every scan has an explicit ``StructType`` so
+Catalyst can prune columns and push predicates into the file scan, and the
+``"-"`` sentinel becomes a real NULL at the boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+_NANO_TS_COLS: dict[str, tuple[str, ...]] = {}
+
+
+def _nano_ts_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet timestamp[ns] — Spark can't map them to
+    TimestampType natively ([PARQUET_TYPE_ILLEGAL]); we read them as long
+    nanos and rebuild timestamps."""
+    if path not in _NANO_TS_COLS:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pat
+
+        schema = pq.read_schema(path)
+        _NANO_TS_COLS[path] = tuple(
+            f.name
+            for f in schema
+            if pat.is_timestamp(f.type) and f.type.unit == "ns"
+        )
+    return _NANO_TS_COLS[path]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one driver testdata table (S1/S5/S6 analog).
+
+    Parquet + explicit column references downstream give free predicate
+    pushdown and column pruning (visible as PushedFilters / ReadSchema in
+    ``.explain``).
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    nano_cols = _nano_ts_cols(path)
+    if nano_cols:
+        # Runtime-settable legacy conf: timestamp[ns] arrives as long nanos.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nano_cols:
+        # floor-divide to micros, matching DuckDB's truncation when it
+        # surfaces TIMESTAMP_NS values at microsecond precision
+        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+def read_headerless_tsv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """S4 — headerless TSV with positional schema (reference
+    Time_Series.py:473–478 assigns names by position after the read)."""
+    return spark.read.csv(path, sep="\t", header=False, schema=schema)
+
+
+def read_tsv_all_string(
+    spark: SparkSession, path: str, null_sentinel: str = "-"
+) -> DataFrame:
+    """S5 — TSV read all-string with the reference's ``"-"`` NULL sentinel
+    normalized to real NULLs (reference Time_Series.py:481 reads
+    ``dtype="object"`` and leaves ``-`` in place; MSA_Reader.py:65 writes it).
+    """
+    df = spark.read.csv(path, sep="\t", header=True, inferSchema=False)
+    for c in df.columns:
+        df = df.withColumn(c, F.when(F.col(c) == null_sentinel, None).otherwise(F.col(c)))
+    return df
