@@ -1,0 +1,164 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): the reference's
+pipeline *presupposes* an external dereplication step (USEARCH cluster
+files consumed at Time_Series.py:471–478 but never produced in-repo);
+these operators make dedup native.
+
+Design for 100 TB:
+- All hashing is ``md5`` (JVM-side, codegen'd) — portable across engines
+  (the DuckDB oracle computes identical values), no Python in the path.
+- Exact dedup: one hash-groupBy — the canonical map-side-combinable
+  aggregation; shuffles only (hash, count) pairs, never document bodies.
+- MinHash: shingles explode once, ONE groupBy computes all H min-hashes
+  as H aggregate expressions (no H-fold re-scan).
+- LSH: band signatures → self-equi-join on (band, signature). The join is
+  on a high-cardinality hash key, so it shuffles evenly; candidate pairs
+  are a vanishing fraction of n².
+- SimHash: bit votes via generated native expressions over the exploded
+  words; no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct word k-gram shingles, one row per (id, shingle)."""
+    w = F.split(F.col(text_col), " ")
+    # guard: sequence(0, negative) would generate a DESCENDING range for
+    # docs shorter than k words — emit an empty array instead
+    shingle = F.when(F.size(w) >= k, F.transform(
+        F.sequence(F.lit(0), F.size(w) - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(shingle).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one group per distinct text,
+    keeper = min id, n_copies = group size."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(shingles: DataFrame, n_hashes: int = 8) -> DataFrame:
+    """H min-hashes per id in ONE grouped pass.
+
+    Hash family: ``md5(seed || '|' || shingle)`` — min over the hex string
+    (lexicographic min of a uniform hash ≡ numeric min). Seeded by index so
+    the H functions are independent.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("shingle")))).alias(f"mh{h}")
+        for h in range(n_hashes)
+    ]
+    return shingles.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_bands: int = 2, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded LSH: docs sharing any band signature become candidate pairs.
+
+    Collision threshold ≈ (1/B)^(1/R) — B=2, R=4 targets jaccard ≳ 0.84,
+    i.e. true near-duplicates, keeping the candidate set tiny relative to
+    n² even at 10⁹ documents.
+    """
+    bands = []
+    for b in range(n_bands):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        bands.append(
+            signatures.select(
+                "id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("sig"),
+            )
+        )
+    stacked = bands[0]
+    for df in bands[1:]:
+        stacked = stacked.unionByName(df)
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def jaccard_pairs(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact n-gram Jaccard for a bounded candidate-pair set: shared-shingle
+    counts via a two-sided join, |A∪B| = |A|+|B|−|A∩B|."""
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa = shingles.alias("sa")
+    sb = shingles.alias("sb")
+    inter = (
+        pairs.join(sa, F.col("sa.id") == F.col("id_a"))
+        .join(
+            sb,
+            (F.col("sb.id") == F.col("id_b"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill(0, ["n_inter"])
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "nb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash per document, fully native expressions.
+
+    Bit i's vote comes from hex digit i of each word's md5: digits 8..f
+    (high bit set) vote +1, else −1; the fingerprint bit is 1 when the
+    summed vote is positive. Explodes words once; 16 conditional-sum
+    aggregates in one grouped pass.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    hashed = words.select("id", F.md5("w").alias("h"))
+    votes = [
+        F.sum(
+            F.when(
+                F.instr(F.lit("89abcdef"), F.substring("h", i + 1, 1)) > 0, 1
+            ).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(16)
+    ]
+    agg = hashed.groupBy("id").agg(*votes)
+    sim = None
+    for i in range(16):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select("id", sim.cast("long").alias("simhash"))

@@ -1,0 +1,70 @@
+"""Join-family operators (SURVEY §2.5 J1–J9).
+
+Strategy by shape, chosen for 100 TB:
+- big×big equi-joins (J1) → let AQE pick sort-merge + skew splitting; we
+  only guarantee the join keys are the shuffle keys and columns are pruned
+  before the join.
+- small dimensions (J2/J3/J4/J7) → explicit ``broadcast()`` hints.
+- the range/interval join (J6) → broadcast non-equi join against the tiny
+  region list + first-match-wins via ``row_number`` over region priority,
+  ``Other`` fallback (reference Plotting_Functions.py:76–169 loops a Python
+  list per row).
+- the 2×2 contingency "join" (J9) → the reference runs four complementary
+  containment filters over the whole table (Plotting_Functions.py:1243–1315);
+  one ``groupBy(flagA, flagB)`` pass replaces all four.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def annotate_ranges(
+    df: DataFrame,
+    value_col: str,
+    regions: DataFrame,
+    name_col: str = "name",
+    start_col: str = "start",
+    end_col: str = "end",
+    other: str = "Other",
+) -> DataFrame:
+    """J6 — closed-interval lookup, first match wins, unmatched → ``other``
+    (reference check_position, Plotting_Functions.py:96–103: iterates the
+    region list in order and returns on first hit).
+
+    ``regions`` must carry a ``priority`` column defining "first". The join
+    is a broadcast nested-loop (non-equi) against a dimension of a few
+    rows — no shuffle of the fact side.
+    """
+    v = F.col(value_col)
+    # unique row handle so overlapping regions dedupe per input row, not per
+    # distinct value tuple
+    tagged = df.withColumn("_row_id", F.monotonically_increasing_id())
+    joined = tagged.join(
+        F.broadcast(regions),
+        (v >= F.col(start_col)) & (v <= F.col(end_col)),
+        "left",
+    )
+    w = Window.partitionBy("_row_id").orderBy(F.col("priority").asc_nulls_last())
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .withColumn("region_name", F.coalesce(F.col(name_col), F.lit(other)))
+        .drop("_rn", "_row_id", name_col, start_col, end_col, "priority")
+    )
+
+
+def contingency_2x2(
+    df: DataFrame, flag_a, flag_b, weight_col: str | None = None
+) -> DataFrame:
+    """J9 — one grouped pass over (A, B) membership flags, summing the
+    weight (reference sums Cluster_Size across four separate filters,
+    Plotting_Functions.py:1279–1307; their grand-total reconciliation at
+    :1307 is free here — the four groups partition the input)."""
+    w = F.sum(weight_col) if weight_col else F.count(F.lit(1))
+    return (
+        df.select(flag_a.alias("has_a"), flag_b.alias("has_b"), *( [F.col(weight_col)] if weight_col else []))
+        .groupBy("has_a", "has_b")
+        .agg(w.alias("total"))
+    )

@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (beyond-reference op;
+BASELINE.json north star).
+
+Vector math is pure Spark SQL higher-order functions (``zip_with`` +
+``aggregate``) over ``array<float>`` cast to double — JVM-side, no Python.
+For the oracle-comparable paths, cosines are rounded to 6 decimals before
+any ranking/thresholding so float-summation-order differences between
+engines can't flip a rank or a threshold.
+
+Scale paths:
+- brute-force top-k: queries × corpus join — correct baseline; viable when
+  one side is small enough to broadcast (queries usually are).
+- IVF (probe=1): partition the corpus by a coarse quantizer (here: the
+  given label as the cell id, centroids computed per cell), route each
+  query to its nearest centroid, search only that cell — the join key
+  becomes (cell), turning an n×m cross join into per-cell joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _to_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _to_double(a), _to_double(b)
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Baseline exact top-k: broadcast the (small) query side against the
+    corpus, rank per query by rounded cosine with id tie-break."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def label_centroids(
+    corpus: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """IVF coarse quantizer: per-cell centroid via posexplode + grouped avg
+    + rebuild (array_agg ordered by position)."""
+    dims = corpus.select(
+        F.col(label_col).alias("cell"),
+        F.posexplode(_to_double(F.col(vec_col))).alias("pos", "x"),
+    )
+    per_dim = dims.groupBy("cell", "pos").agg(F.avg("x").alias("mean_x"))
+    return per_dim.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean_x"))),
+            lambda s: s["mean_x"],
+        ).alias("centroid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+) -> DataFrame:
+    """IVF probe=1: route each query to its nearest centroid, then exact
+    top-k within that cell only."""
+    from pyspark.sql import Window
+
+    cents = label_centroids(corpus, label_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    routed = q.join(F.broadcast(cents)).select(
+        "query_id",
+        "qvec",
+        "cell",
+        F.round(cosine(F.col("qvec"), F.col("centroid")), 6).alias("ccos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    assigned = (
+        routed.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "qvec", "cell")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col(label_col).alias("cell"),
+    )
+    scored = c.join(F.broadcast(assigned), "cell").filter(
+        F.col("cand_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "cand_id",
+        F.col("cell"),
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )

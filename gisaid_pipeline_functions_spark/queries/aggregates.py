@@ -1,1 +1,201 @@
-"""(placeholder — queries registered incrementally)"""
+"""Aggregation-family query registrations (SURVEY §2.6 A1–A13)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load_table
+
+
+@register(
+    "agg_collect_list",
+    # A1 — group-collect of codes per cluster (Time_Series.py:513–554).
+    # The reference keeps file order (nondeterministic distributed); we sort
+    # within the list (SURVEY §7 risk note) — serialized to a string so the
+    # value hash is representation-independent.
+    """
+    SELECT l_orderkey,
+           string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_partkey, l_linenumber) AS parts,
+           count(*) AS n_items
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def agg_collect_list(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("l_partkey", "l_linenumber"))
+                ),
+                lambda s: s["l_partkey"].cast("string"),
+            ),
+            ",",
+        ).alias("parts"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "agg_explode_count",
+    # A2 — explode + value_counts (Time_Series.py:724–729, 753): word
+    # frequency per language over documents.
+    """
+    SELECT lang, word, count(*) AS n
+    FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE length(word) > 0
+    GROUP BY lang, word
+    """,
+)
+def agg_explode_count(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "agg_first_per_key",
+    # A3 — first-row-per-key dedupe (Time_Series.py:412, 573), made
+    # deterministic with min_by on an explicit ordering column instead of
+    # the reference's file-order ``groupby(...).first()``.
+    # (l_linenumber is NOT unique per order in this data — composite
+    # ordering key makes the tie-break deterministic on both engines)
+    """
+    SELECT l_orderkey,
+           arg_min(l_partkey, l_linenumber * 10000000 + l_partkey) AS first_partkey,
+           CAST(min(l_linenumber) AS INT) AS first_line
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def agg_first_per_key(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    ordkey = F.col("l_linenumber").cast("long") * 10000000 + F.col("l_partkey")
+    return li.groupBy("l_orderkey").agg(
+        F.min_by("l_partkey", ordkey).alias("first_partkey"),
+        F.min("l_linenumber").alias("first_line"),
+    )
+
+
+@register(
+    "agg_group_sum",
+    # A4/A5 — grouped sums + grand-total shares (MSA_Reader.py:863–867,
+    # 1079–1091), TPC-H Q1 shape.
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_group_sum(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_pivot_position_counts",
+    # A7 — per-position × type pivot with a generated position spine so
+    # zero rows appear (MSA_Reader.py:1107–1162 emits every residue 1..L).
+    # Spine 1..10 deliberately exceeds the max linenumber to force zeros.
+    """
+    WITH spine AS (SELECT unnest(generate_series(1, 10)) AS pos),
+    c AS (
+      SELECT l_linenumber AS pos,
+             count(*) FILTER (l_returnflag = 'A') AS a_cnt,
+             count(*) FILTER (l_returnflag = 'N') AS n_cnt,
+             count(*) FILTER (l_returnflag = 'R') AS r_cnt,
+             count(*) AS total
+      FROM lineitem GROUP BY l_linenumber
+    )
+    SELECT CAST(s.pos AS INT) AS pos,
+           coalesce(a_cnt, 0) AS a_cnt, coalesce(n_cnt, 0) AS n_cnt,
+           coalesce(r_cnt, 0) AS r_cnt, coalesce(total, 0) AS total,
+           round(coalesce(total, 0) * 1.0 / sum(coalesce(total, 0)) OVER (), 6) AS pct
+    FROM spine s LEFT JOIN c ON s.pos = c.pos
+    """,
+)
+def agg_pivot_position_counts(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = (
+        li.groupBy(F.col("l_linenumber").alias("pos"))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.count(F.lit(1)))
+        .withColumnRenamed("A", "a_cnt")
+        .withColumnRenamed("N", "n_cnt")
+        .withColumnRenamed("R", "r_cnt")
+    )
+    spine = spark.range(1, 11).select(F.col("id").cast("int").alias("pos"))
+    out = (
+        spine.join(counts, "pos", "left")
+        .na.fill(0, ["a_cnt", "n_cnt", "r_cnt"])
+        .withColumn("total", F.col("a_cnt") + F.col("n_cnt") + F.col("r_cnt"))
+    )
+    grand = F.sum("total").over(Window.partitionBy())
+    return out.withColumn("pct", F.round(F.col("total") / grand, 6))
+
+
+@register(
+    "agg_describe",
+    # A9 — descriptive stats (Seq_Tools.py:90–111 via scipy.describe).
+    """
+    SELECT CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(stddev_samp(l_quantity), 6) AS std_qty,
+           count(*) AS n
+    FROM lineitem
+    """,
+)
+def agg_describe(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_mode",
+    # A9 — mode as groupBy+count, desc, deterministic tie-break by value
+    # (Seq_Tools.py:106–108).
+    """
+    SELECT CAST(l_quantity AS DOUBLE) AS mode_qty, count(*) AS n
+    FROM lineitem GROUP BY l_quantity
+    ORDER BY n DESC, l_quantity ASC LIMIT 1
+    """,
+)
+def agg_mode(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_quantity").alias("mode_qty"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("mode_qty"))
+        .limit(1)
+    )
+
+
+@register(
+    "agg_distinct",
+    # A6 — distinct values (Time_Series.py:507–509; MSA_Reader.py:795–803).
+    "SELECT DISTINCT event_type, user_id FROM events WHERE value > 100",
+)
+def agg_distinct(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("value") > 100).select("event_type", "user_id").distinct()

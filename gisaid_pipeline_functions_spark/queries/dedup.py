@@ -1,1 +1,142 @@
-"""(placeholder — queries registered incrementally)"""
+"""Deduplication query registrations (beyond-reference LLM-pipeline ops).
+
+Every hash is md5 so the DuckDB oracle computes bit-identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash16,
+    word_shingles,
+)
+from ..registry import register
+from ..sources.tables import load_table
+
+# word 3-gram shingles, shared by the minhash/jaccard oracles
+_SHINGLES = """
+  sh AS (
+    SELECT DISTINCT doc_id AS id,
+           unnest([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])
+             AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  )
+"""
+
+_MINHASH = (
+    "mh AS (SELECT id, "
+    + ", ".join(f"min(md5('{h}|' || shingle)) AS mh{h}" for h in range(8))
+    + " FROM sh GROUP BY id)"
+)
+
+_BANDS = """
+  bands AS (
+    SELECT id, 0 AS band, md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3) AS sig FROM mh
+    UNION ALL
+    SELECT id, 1 AS band, md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7) AS sig FROM mh
+  )
+"""
+
+
+@register(
+    "dedup_exact",
+    # Exact dedup = content-hash groupBy; keeper = min id (the native
+    # analog of the reference's presupposed USEARCH dereplication,
+    # Time_Series.py:471–478).
+    """
+    SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_duplicates(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_minhash_lsh",
+    # MinHash (H=8) + banded LSH (B=2, R=4 → jaccard ≳ 0.84 threshold):
+    # candidate near-duplicate pairs.
+    f"""
+    WITH {_SHINGLES}, {_MINHASH}, {_BANDS}
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+    GROUP BY 1, 2
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", k=3)
+    sig = minhash_signatures(sh, n_hashes=8)
+    return lsh_candidate_pairs(sig, n_bands=2, rows_per_band=4)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    # Exact n-gram Jaccard over source-blocked candidate pairs (blocking
+    # bounds the pair count; the full-corpus path goes through LSH above).
+    f"""
+    WITH {_SHINGLES},
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM documents a JOIN documents b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT p.id_a, p.id_b, count(*) AS n_inter
+      FROM pairs p
+      JOIN sh sa ON sa.id = p.id_a
+      JOIN sh sb ON sb.id = p.id_b AND sa.shingle = sb.shingle
+      GROUP BY 1, 2
+    )
+    SELECT p.id_a, p.id_b,
+           round(coalesce(i.n_inter, 0) * 1.0
+                 / (za.n + zb.n - coalesce(i.n_inter, 0)), 6) AS jaccard
+    FROM pairs p
+    LEFT JOIN inter i ON p.id_a = i.id_a AND p.id_b = i.id_b
+    JOIN sizes za ON za.id = p.id_a
+    JOIN sizes zb ON zb.id = p.id_b
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", k=3)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
+    pairs = a.join(
+        b, (F.col("src_a") == F.col("src_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+    return jaccard_pairs(sh, pairs)
+
+
+_SIMHASH_SQL = (
+    """
+    WITH wds AS (
+      SELECT id, md5(w) AS h FROM (
+        SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents
+      ) WHERE length(w) > 0
+    ),
+    votes AS (SELECT id, """
+    + ", ".join(
+        f"sum(CASE WHEN strpos('89abcdef', substr(h, {i + 1}, 1)) > 0 "
+        f"THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(16)
+    )
+    + " FROM wds GROUP BY id) SELECT id, CAST("
+    + " + ".join(f"(CASE WHEN v{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(16))
+    + " AS BIGINT) AS simhash FROM votes"
+)
+
+
+@register("dedup_simhash", _SIMHASH_SQL)
+def dedup_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash16(docs, "doc_id", "text")

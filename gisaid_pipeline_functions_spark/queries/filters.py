@@ -1,1 +1,132 @@
-"""(placeholder — queries registered incrementally)"""
+"""Filter-family query registrations (SURVEY §2.4, §2.6 A8/A12)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.filters import bucket_histogram, quality_filter_tally
+from ..registry import register
+from ..sources.tables import load_table
+
+
+@register(
+    "filter_quality_tally",
+    # Reference Sequence_Filter.py:92–156 — branch order matters (first
+    # failing test is the recorded reason).
+    """
+    SELECT reason, count(*) AS n FROM (
+      SELECT CASE
+        WHEN lang <> 'en' THEN 'wrong_lang'
+        WHEN n_chars < 100 THEN 'too_short'
+        WHEN n_chars >= 1500 THEN 'too_long'
+        WHEN (length(text) - length(replace(text, 'x', ''))) * 1.0
+             / length(text) > 0.05 THEN 'too_ambiguous'
+        ELSE 'pass' END AS reason
+      FROM documents
+    ) GROUP BY reason
+    """,
+)
+def filter_quality_tally(spark, sf_dir):
+    return quality_filter_tally(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "filter_regex",
+    # F3 ISO-date-regex analog (Time_Series.py:625–639): regex row filter
+    # + per-key count.
+    """
+    SELECT event_type, count(*) AS n
+    FROM events
+    WHERE regexp_matches(props, '"k": [0-9]{2}\\}')
+    GROUP BY event_type
+    """,
+)
+def filter_regex(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("props").rlike('"k": [0-9]{2}\\}'))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "filter_membership",
+    # F6 — isin subset (Plotting_Functions.py:45–49).
+    """
+    SELECT l_returnflag, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    GROUP BY l_returnflag
+    """,
+)
+def filter_membership(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_returnflag").isin("A", "R"))
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "filter_bucket_histogram",
+    # A8/F9 — uneven bins + overflow + percentage (Seq_Tools.py:113–155).
+    """
+    WITH b AS (
+      SELECT CASE
+        WHEN o_totalprice < 1000 THEN '<1000'
+        WHEN o_totalprice >= 1000 AND o_totalprice < 5000 THEN '[1000,5000)'
+        WHEN o_totalprice >= 5000 AND o_totalprice < 20000 THEN '[5000,20000)'
+        WHEN o_totalprice >= 20000 AND o_totalprice < 50000 THEN '[20000,50000)'
+        ELSE '>=50000' END AS bucket
+      FROM orders
+    ), c AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket)
+    SELECT bucket, n, round(n * 1.0 / sum(n) OVER (), 6) AS pct FROM c
+    """,
+)
+def filter_bucket_histogram(spark, sf_dir):
+    return bucket_histogram(
+        load_table(spark, sf_dir, "orders"), "o_totalprice", [1000, 5000, 20000, 50000]
+    )
+
+
+@register(
+    "filter_motif_substring",
+    # F12 — aligned-slice motif equality (alignment_tools.py:62–68).
+    """
+    SELECT lang, count(*) AS n
+    FROM documents WHERE substr(text, 1, 4) = 'the '
+    GROUP BY lang
+    """,
+)
+def filter_motif_substring(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.substring("text", 1, 4) == "the ")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "filter_x_content",
+    # A12 — per-row ambiguity fraction count(ch)/len (Seq_Tools.py:18–34),
+    # as a scalar expression (no UDF), thresholded like Sequence_Filter.py:130.
+    """
+    SELECT doc_id,
+           round((length(text) - length(replace(text, 'e', ''))) * 1.0
+                 / length(text), 6) AS x_ratio
+    FROM documents
+    WHERE (length(text) - length(replace(text, 'e', ''))) * 1.0
+          / length(text) > 0.04
+    """,
+)
+def filter_x_content(spark, sf_dir):
+    from ..functions.strings import x_content
+
+    docs = load_table(spark, sf_dir, "documents")
+    ratio = x_content(F.col("text"), "e")
+    return docs.filter(ratio > 0.04).select(
+        "doc_id", F.round(ratio, 6).alias("x_ratio")
+    )

@@ -1,1 +1,155 @@
-"""(placeholder — queries registered incrementally)"""
+"""Join-family query registrations (SURVEY §2.5 J1–J9, F13)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.joins import annotate_ranges, contingency_2x2
+from ..registry import register
+from ..sources.tables import load_table
+
+
+@register(
+    "join_large_equi",
+    # J1 — big×big inner equi-join (Time_Series.py:497 metadata⋈clusters).
+    # Shuffle on the join key; revenue rounded so sum order is hash-stable.
+    """
+    SELECT o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_large_equi(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "join_broadcast_dims",
+    # J2/J3/J4 — small-dimension chain, both hops broadcast
+    # (Time_Series.py:613–623, 579; Plotting_Functions.py:62–71).
+    """
+    SELECT r.r_name, count(*) AS n_customers,
+           round(avg(c.c_acctbal), 6) AS avg_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def join_broadcast_dims(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_range_regions",
+    # J6 — interval lookup, first-match-wins, 'Other' fallback
+    # (Plotting_Functions.py:76–169). Size bands deliberately overlap at
+    # [10,15] to exercise the priority rule; 40+ is uncovered → Other.
+    """
+    WITH regions(name, start, "end", priority) AS (
+      VALUES ('tiny', 1, 10, 1), ('small', 10, 15, 2),
+             ('medium', 16, 30, 3), ('large', 31, 40, 4)
+    ), annotated AS (
+      SELECT p.p_partkey,
+             coalesce((SELECT r.name FROM regions r
+                       WHERE p.p_size >= r.start AND p.p_size <= r."end"
+                       ORDER BY r.priority LIMIT 1), 'Other') AS region_name
+      FROM part p
+    )
+    SELECT region_name, count(*) AS n FROM annotated GROUP BY region_name
+    """,
+)
+def join_range_regions(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_size")
+    regions = spark.createDataFrame(
+        [("tiny", 1, 10, 1), ("small", 10, 15, 2), ("medium", 16, 30, 3), ("large", 31, 40, 4)],
+        "name string, start int, end int, priority int",
+    )
+    return (
+        annotate_ranges(part, "p_size", regions)
+        .groupBy("region_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "join_contingency_2x2",
+    # J9 — 2×2 containment contingency in one grouped pass
+    # (Plotting_Functions.py:1243–1315).
+    """
+    SELECT contains(text, 'spark') AS has_a, contains(text, 'join') AS has_b,
+           CAST(sum(n_chars) AS BIGINT) AS total
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def join_contingency_2x2(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return contingency_2x2(
+        docs,
+        F.col("text").contains("spark"),
+        F.col("text").contains("join"),
+        "n_chars",
+    )
+
+
+@register(
+    "join_anti_orphans",
+    # F13 — orphan check as a left-anti join (Time_Series.py:619–622 warns
+    # on clusters with no variant list).
+    """
+    SELECT c.c_nationkey, count(*) AS n_orphans
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+)
+def join_anti_orphans(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+
+
+@register(
+    "join_semi_membership",
+    # F6 as a semi join — keys present on the other side, no multiplication.
+    """
+    SELECT DISTINCT n.n_name
+    FROM nation n
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 5000)
+    """,
+)
+def join_semi_membership(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    return n.join(c, n.n_nationkey == c.c_nationkey, "left_semi").select("n_name").distinct()

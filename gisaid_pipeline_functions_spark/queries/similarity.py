@@ -1,1 +1,128 @@
-"""(placeholder — queries registered incrementally)"""
+"""Similarity-search query registrations (beyond-reference ops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.similarity import brute_force_topk, cosine, ivf_topk
+from ..registry import register
+from ..sources.tables import load_table
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Cosine in DuckDB with the same double arithmetic as the Spark side."""
+    def sq(v: str) -> str:
+        return (
+            f"sqrt(list_sum(list_transform({v}, x -> "
+            f"CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        )
+
+    dot = (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    return f"({dot} / ({sq(a)} * {sq(b)}))"
+
+
+@register(
+    "sim_bruteforce_topk",
+    # Exact cosine top-k baseline: queries (vec_id<5) × corpus, ranked on
+    # ROUNDED cosine + id tie-break so float sum order can't flip ranks.
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+               WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cand_id, embedding AS cvec FROM embeddings),
+    scored AS (
+      SELECT query_id, cand_id, round({_cos_sql('qvec', 'cvec')}, 6) AS cos
+      FROM q JOIN c ON query_id <> cand_id
+    )
+    SELECT query_id, cand_id, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def sim_bruteforce_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+@register(
+    "sim_ivf_topk",
+    # IVF probe=1: label cells, per-cell centroids, route query to nearest
+    # centroid, exact search within the cell only.
+    f"""
+    WITH dims AS (
+      SELECT label AS cell,
+             unnest(range(1, len(embedding) + 1)) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT cell, list(avg_x ORDER BY pos) AS centroid FROM (
+        SELECT cell, pos, avg(x) AS avg_x FROM dims GROUP BY cell, pos
+      ) GROUP BY cell
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+          WHERE vec_id < 5),
+    routed AS (
+      SELECT query_id, qvec, cell,
+             round({_cos_sql('qvec', 'centroid')}, 6) AS ccos
+      FROM q CROSS JOIN cents
+    ),
+    assigned AS (
+      SELECT query_id, qvec, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ccos DESC, cell) AS rn
+        FROM routed
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT a.query_id, e.vec_id AS cand_id, a.cell,
+             round({_cos_sql('a.qvec', 'e.embedding')}, 6) AS cos
+      FROM assigned a JOIN embeddings e
+        ON e.label = a.cell AND e.vec_id <> a.query_id
+    )
+    SELECT query_id, cand_id, cell, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def sim_ivf_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+@register(
+    "sim_neardup_cosine_blocked",
+    # Embedding-cosine near-dup pairs, blocked by label (the cell bounds
+    # the pair count); threshold on the ROUNDED cosine on both sides.
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.3
+    """,
+)
+def sim_neardup_cosine_blocked(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("vec_a"),
+        F.col("label").alias("lbl_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vec_b"),
+        F.col("label").alias("lbl_b"),
+    )
+    cos = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+    return (
+        a.join(b, (F.col("lbl_a") == F.col("lbl_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= 0.3)
+    )

@@ -1,1 +1,183 @@
-"""(placeholder — queries registered incrementally)"""
+"""Time-series query registrations (SURVEY §2.7 W1–W7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.timeseries import (
+    counts_by_region_rollup,
+    weekly_combination_frequency,
+    weekly_frequency,
+    weekly_percentage,
+    weekly_totals,
+    with_week_labels,
+)
+from ..registry import register
+from ..sources.tables import load_table
+
+# DuckDB Sunday-anchored week start: dayofweek() is 0=Sunday..6=Saturday.
+_WEEK = "CAST({ts} AS DATE) - CAST(dayofweek({ts}) AS INTEGER)"
+
+
+@register(
+    "ts_weekly_freq_matrix",
+    # W2 — per-week per-key frequency plus the synthetic Total_Genomes row
+    # (Time_Series.py:731–788, 738), long form; one grouped pass + a tiny
+    # union instead of the reference's per-week rescan loop.
+    f"""
+    WITH base AS (
+      SELECT {_WEEK.format(ts='ts')} AS week_start, event_type AS key FROM events
+    )
+    SELECT week_start, key, count(*) AS freq FROM base GROUP BY 1, 2
+    UNION ALL
+    SELECT week_start, 'Total_Genomes' AS key, count(*) AS freq
+    FROM base GROUP BY 1
+    """,
+)
+def ts_weekly_freq_matrix(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    freq = weekly_frequency(events, "ts", "event_type")
+    totals = weekly_totals(events, "ts").select(
+        "week_start", F.lit("Total_Genomes").alias("key"), F.col("total").alias("freq")
+    )
+    return freq.unionByName(totals)
+
+
+@register(
+    "ts_weekly_percentage",
+    # W4 — window-aggregate normalization with zero-guard
+    # (Time_Series.py:790–811).
+    f"""
+    WITH freq AS (
+      SELECT {_WEEK.format(ts='ts')} AS week_start, event_type AS key,
+             count(*) AS freq
+      FROM events GROUP BY 1, 2
+    )
+    SELECT week_start, key, freq,
+           round(CASE WHEN sum(freq) OVER (PARTITION BY week_start) = 0 THEN 0.0
+                 ELSE freq * 1.0 / sum(freq) OVER (PARTITION BY week_start) END,
+                 6) AS pct
+    FROM freq
+    """,
+)
+def ts_weekly_percentage(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    out = weekly_percentage(weekly_frequency(events, "ts", "event_type"))
+    return out.withColumn("pct", F.round("pct", 6))
+
+
+@register(
+    "ts_weekly_combinations",
+    # W3 — per-week combination frequencies keyed by the comma-joined
+    # sorted set of a user's event types that week (Time_Series.py:927–987).
+    f"""
+    WITH per_user AS (
+      SELECT {_WEEK.format(ts='ts')} AS week_start, user_id,
+             array_to_string(list_sort(list(DISTINCT event_type)), ',') AS combo
+      FROM events GROUP BY 1, 2
+    )
+    SELECT week_start, combo, count(*) AS freq
+    FROM per_user GROUP BY 1, 2
+    """,
+)
+def ts_weekly_combinations(spark, sf_dir):
+    from ..functions.weeks import sunday_week_start
+
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy(
+        sunday_week_start(F.col("ts")).alias("week_start"), "user_id"
+    ).agg(F.collect_set("event_type").alias("types"))
+    return weekly_combination_frequency(per_user, "week_start", "types")
+
+
+@register(
+    "ts_region_rollup",
+    # W5 — counts per region per week + Worldwide rollup in one grouped
+    # pass (Time_Series.py:839–909's per-continent loop → grouping sets).
+    f"""
+    WITH base AS (
+      SELECT r.r_name AS region,
+             {_WEEK.format(ts='o.o_orderdate')} AS week_start
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    )
+    SELECT coalesce(region, 'Worldwide') AS region, week_start,
+           count(*) AS n
+    FROM base GROUP BY GROUPING SETS ((region, week_start), (week_start))
+    """,
+)
+def ts_region_rollup(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("r_name").alias("region"), F.col("o_orderdate").alias("ts"))
+    )
+    return counts_by_region_rollup(base, "ts", "region", total_label="Worldwide")
+
+
+@register(
+    "ts_week_labels_trimmed",
+    # W6/W7 — dense week numbering, the reference's label format
+    # (Time_Series.py:772), and leading/trailing-week trim
+    # (Sequence_Counter.py:229–238).
+    f"""
+    WITH freq AS (
+      SELECT {_WEEK.format(ts='ts')} AS week_start, count(*) AS freq
+      FROM events GROUP BY 1
+    ), numbered AS (
+      SELECT week_start, freq,
+             CAST(dense_rank() OVER (ORDER BY week_start) AS INT) AS week_number
+      FROM freq
+    )
+    SELECT week_start, freq, week_number,
+           format('Week{{}} ({{}}-{{}})', week_number,
+                  strftime(week_start, '%m/%d/%Y'),
+                  strftime(week_start + 6, '%m/%d/%Y')) AS week_label
+    FROM numbered
+    WHERE week_number > 1 AND week_number < (SELECT max(week_number) FROM numbered)
+    """,
+)
+def ts_week_labels_trimmed(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    labeled = with_week_labels(weekly_totals(events, "ts").withColumnRenamed("total", "freq"))
+    max_week = labeled.agg(F.max("week_number")).collect()[0][0]
+    return labeled.filter(
+        (F.col("week_number") > 1) & (F.col("week_number") < max_week)
+    ).select("week_start", "freq", "week_number", "week_label")
+
+
+@register(
+    "ts_zero_week_spine",
+    # W1 + zero-count weeks — generated Sunday spine over a fixed range,
+    # left join, coalesce 0 (Time_Series.py:707–715, 757–761). The range
+    # extends past the data on both ends to force zero rows.
+    f"""
+    WITH spine AS (
+      SELECT unnest(generate_series(
+        DATE '2023-12-01' - CAST(dayofweek(DATE '2023-12-01') AS INTEGER),
+        DATE '2024-03-31', INTERVAL 7 DAY))::DATE AS week_start
+    ), freq AS (
+      SELECT {_WEEK.format(ts='ts')} AS week_start, count(*) AS freq
+      FROM events GROUP BY 1
+    )
+    SELECT s.week_start, coalesce(f.freq, 0) AS freq
+    FROM spine s LEFT JOIN freq f ON s.week_start = f.week_start
+    """,
+)
+def ts_zero_week_spine(spark, sf_dir):
+    from ..functions.weeks import week_spine
+
+    events = load_table(spark, sf_dir, "events")
+    spine = week_spine(spark, "2023-12-01", "2024-03-31")
+    freq = weekly_totals(events, "ts").withColumnRenamed("total", "freq")
+    return (
+        spine.join(freq, "week_start", "left")
+        .select("week_start", F.coalesce("freq", F.lit(0)).alias("freq"))
+    )

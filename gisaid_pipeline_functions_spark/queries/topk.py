@@ -1,1 +1,100 @@
-"""(placeholder — queries registered incrementally)"""
+"""Sort/limit/top-k query registrations (SURVEY §2.8 O1–O6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.strings import natural_sort_key
+from ..operators.topk import paginate, top_k
+from ..registry import register
+from ..sources.tables import load_table
+
+
+@register(
+    "topk_by_revenue",
+    # O4 — top-10 by aggregate, deterministic tie-break
+    # (Plotting_Functions.py:626–641). Planned as TakeOrderedAndProject —
+    # no global sort shuffle.
+    """
+    SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem GROUP BY l_partkey
+    ORDER BY revenue DESC, l_partkey ASC LIMIT 10
+    """,
+)
+def topk_by_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    return top_k(rev, [F.desc("revenue"), F.asc("l_partkey")], 10)
+
+
+@register(
+    "topk_natural_sort",
+    # O1 — natural sort by embedded number (natsorted, MSA_Reader.py:782):
+    # rank materialized so the order itself is hash-checked.
+    """
+    WITH k AS (
+      SELECT c_name, CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS num
+      FROM customer
+    )
+    SELECT c_name, num,
+           CAST(row_number() OVER (ORDER BY num, c_name) AS BIGINT) AS rank
+    FROM k
+    """,
+)
+def topk_natural_sort(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    keyed = c.select("c_name", natural_sort_key(F.col("c_name")).alias("num"))
+    return keyed.withColumn(
+        "rank", F.row_number().over(Window.orderBy("num", "c_name")).cast("long")
+    )
+
+
+@register(
+    "topk_first_seen_order",
+    # O2 — keys ordered by first appearance (min position)
+    # (MSA_Reader.py:845–852): rank by min(ts).
+    """
+    WITH f AS (SELECT event_type, min(ts) AS first_ts FROM events GROUP BY event_type)
+    SELECT event_type, first_ts,
+           CAST(row_number() OVER (ORDER BY first_ts, event_type) AS BIGINT) AS rank
+    FROM f
+    """,
+)
+def topk_first_seen_order(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("event_type").agg(F.min("ts").alias("first_ts"))
+    return firsts.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy("first_ts", "event_type")).cast("long"),
+    )
+
+
+@register(
+    "topk_pagination",
+    # O6 — page slicing for multi-page outputs
+    # (Plotting_Functions.py:1059–1073).
+    """
+    WITH p AS (
+      SELECT p_partkey,
+             CAST(floor((row_number() OVER (ORDER BY p_partkey) - 1) / 25)
+                  AS INT) AS page
+      FROM part
+    )
+    SELECT page, count(*) AS n, min(p_partkey) AS first_key,
+           max(p_partkey) AS last_key
+    FROM p GROUP BY page
+    """,
+)
+def topk_pagination(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    paged = paginate(part, "p_partkey", 25)
+    return paged.groupBy("page").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("p_partkey").alias("first_key"),
+        F.max("p_partkey").alias("last_key"),
+    )

@@ -61,9 +61,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nano_cols:
-        # floor-divide to micros, matching DuckDB's truncation when it
-        # surfaces TIMESTAMP_NS values at microsecond precision
-        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        # INTEGER-divide to micros (epoch nanos ~1.7e18 exceed double's
+        # 53-bit mantissa — float division rounds some values up 1µs),
+        # matching DuckDB's truncation of TIMESTAMP_NS to µs precision
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 
