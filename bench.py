@@ -1,0 +1,77 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop sink (full computation of every
+column, no driver collect bottleneck).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "flagship_weekly_prevalence_topn",
+    "join_large_equi",
+    "agg_group_sum",
+    "agg_collect_list",
+    "ts_region_rollup",
+    "ts_weekly_combinations",
+    "topk_by_revenue",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_bruteforce_topk",
+    "text_quality_score",
+    "variant_call_kernel",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from gisaid_pipeline_functions_spark.session import get_spark
+    from gisaid_pipeline_functions_spark import registry
+
+    spark = get_spark("gisaid-pipeline-bench", cpus=cpus)
+    qs = registry.queries()
+
+    # warm the executor pool + parquet footer caches + Python UDF workers
+    # once, outside timing (workers are reused across queries afterwards)
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.range(0, cpus, 1, cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

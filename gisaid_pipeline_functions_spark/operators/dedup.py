@@ -26,8 +26,15 @@ from pyspark.sql import functions as F
 
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Distinct word k-gram shingles, one row per (id, shingle)."""
-    w = F.split(F.col(text_col), " ")
+    """Distinct word k-gram shingles, one row per (id, shingle).
+
+    The word array is materialized as a column FIRST so the shingle lambda
+    references an attribute, not the ``split()`` expression — otherwise
+    every ``element_at`` re-evaluates the split (3k× per doc)."""
+    words = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("w")
+    )
+    w = F.col("w")
     # guard: sequence(0, negative) would generate a DESCENDING range for
     # docs shorter than k words — emit an empty array instead
     shingle = F.when(F.size(w) >= k, F.transform(
@@ -37,7 +44,7 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
         ),
     )).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(shingle).alias("shingle"))
+        words.select("id", F.explode(shingle).alias("shingle"))
         .filter(F.length("shingle") > 0)
         .distinct()
     )

@@ -49,24 +49,39 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Composite quality score from length / punctuation / stopword
-    signals, each normalized to [0,1]."""
+    signals, each normalized to [0,1].
+
+    The word array is materialized once as a column — referencing the
+    ``split()`` expression from five derived expressions would re-tokenize
+    the text five times per row."""
     text = F.col(text_col)
-    w = words(text)
-    len_score = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
-    stop = stopword_ratio(text)
-    punct = punct_ratio(text)
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.length(text).alias("n"),
+        words(text).alias("w"),
+        punct_ratio(text).alias("punct"),
+    )
+    w = F.col("w")
+    n_stop = F.size(F.filter(w, lambda x: F.lower(x).isin(*STOPWORDS)))
+    stop = F.when(F.size(w) == 0, F.lit(0.0)).otherwise(n_stop / F.size(w))
+    len_score = F.least(F.col("n") / F.lit(500.0), F.lit(1.0))
     avg_wlen = F.when(F.size(w) == 0, F.lit(0.0)).otherwise(
         F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x)) / F.size(w)
     )
-    score = len_score * 0.4 + F.least(stop * 10, F.lit(1.0)) * 0.3 + (1 - F.least(punct * 10, F.lit(1.0))) * 0.3
-    return df.select(
-        F.col(id_col).alias("id"),
+    staged = staged.select(
+        "id",
         F.round(len_score, 6).alias("len_score"),
         F.round(stop, 6).alias("stop_ratio"),
-        F.round(punct, 6).alias("punct_ratio"),
+        F.round(F.col("punct"), 6).alias("punct_ratio"),
         F.round(avg_wlen, 6).alias("avg_word_len"),
-        F.round(score, 6).alias("quality"),
+        F.round(
+            len_score * 0.4
+            + F.least(stop * 10, F.lit(1.0)) * 0.3
+            + (1 - F.least(F.col("punct") * 10, F.lit(1.0))) * 0.3,
+            6,
+        ).alias("quality"),
     )
+    return staged
 
 
 def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -263,7 +263,13 @@ def call_variants(aligned: DataFrame, references: dict[str, str]) -> DataFrame:
             yield pd.DataFrame(out)
 
     cols = ["protein", "cluster_id", "cluster_size", "aligned_seq"]
-    return aligned.select(*cols).mapInPandas(run, VARIANT_SCHEMA)
+    inp = aligned.select(*cols)
+    # the kernel is CPU-bound Python; a single-file parquet scan arrives as
+    # ONE partition — spread it across the executor pool first
+    target = aligned.sparkSession.sparkContext.defaultParallelism
+    if inp.rdd.getNumPartitions() < target:
+        inp = inp.repartition(target)
+    return inp.mapInPandas(run, VARIANT_SCHEMA)
 
 
 def break_up_deletions(variants: DataFrame) -> DataFrame:
