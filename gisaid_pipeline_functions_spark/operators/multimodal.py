@@ -1,0 +1,140 @@
+"""Multimodal column plumbing (beyond-reference; BASELINE.json north star).
+
+Images / audio / video ride through the engine as opaque ``binary``
+columns plus a typed metadata struct. Decode / feature-extraction run as
+Arrow-batched ``mapInPandas`` stages — the Spark-side plumbing (schemas,
+batch iteration, partition spreading) is real and tested; the actual codec
+calls are STUBBED because this container ships no image/audio libraries:
+
+- ``decode_stub=None``  → raises NotImplementedError at plan execution
+  (the marked integration point for PIL/torchaudio/ffmpeg).
+- ``deterministic_fake`` → a pure-Python stand-in (byte-histogram
+  "features", size-derived "dimensions") so the distributed pipeline can
+  be exercised end-to-end deterministically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),      # image | audio | video
+        StructField("content", BinaryType()),   # opaque payload
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", LongType()),       # fake dims from the stub
+        StructField("height", LongType()),
+        StructField("features", ArrayType(FloatType())),  # 16-bin byte histogram
+    ]
+)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from ``documents``: the text bytes
+    play the opaque payload (the driver testdata has no real binaries)."""
+    content = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        content.alias("content"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.length(content).cast("long").alias("n_bytes"),
+    )
+
+
+def deterministic_fake(content: bytes) -> dict:
+    """Stub 'decoder': 16-bin byte histogram as features, size-derived
+    dimensions. Pure, deterministic, dependency-free."""
+    hist = [0] * 16
+    for b in content:
+        hist[b >> 4] += 1
+    n = max(len(content), 1)
+    return {
+        "width": len(content) % 640,
+        "height": len(content) % 480,
+        "features": [h / n for h in hist],
+    }
+
+
+def extract_features(
+    media: DataFrame,
+    decode: Callable[[bytes], dict] | None = deterministic_fake,
+) -> DataFrame:
+    """Arrow-batched decode/feature-extract over the binary column.
+
+    This is the real production shape: batches arrive as pandas frames,
+    the decoder runs per payload, output rows carry typed features. Swap
+    ``decode`` for a real codec (PIL etc.) at the marked point."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if decode is None:
+                raise NotImplementedError(
+                    "media decode requires an image/audio library not present "
+                    "in this container — inject a real `decode` callable"
+                )
+            feats = [decode(bytes(c)) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["n_bytes"],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "features": [f["features"] for f in feats],
+                }
+            )
+
+    target = media.sparkSession.sparkContext.defaultParallelism
+    inp = media
+    if inp.rdd.getNumPartitions() < target:
+        inp = inp.repartition(target)  # decode is CPU-bound
+    return inp.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """'Frame sampling' plumbing: slice the payload at fixed strides —
+    natively, no UDF (``substring`` on binary). Stands in for video
+    keyframe extraction; one output row per sample."""
+    n_frames = F.floor(F.col("n_bytes") / every_n_bytes).cast("int")
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
+                    lambda i: F.substring(
+                        F.col("content"), (i * every_n_bytes + 1).cast("int"), every_n_bytes
+                    ),
+                )
+            ).alias("frame_no", "frame_bytes"),
+        )
+    )

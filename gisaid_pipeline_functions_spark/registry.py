@@ -62,6 +62,7 @@ def _load_all() -> None:
         filters,
         flagship,
         joins,
+        misc,
         similarity,
         text,
         timeseries,

@@ -1,0 +1,59 @@
+"""Multimodal plumbing tests: binary columns, Arrow-batched decode stubs,
+frame sampling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gisaid_pipeline_functions_spark.operators.multimodal import (
+    deterministic_fake,
+    documents_as_media,
+    extract_features,
+    frame_sample,
+)
+from gisaid_pipeline_functions_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    return documents_as_media(load_table(spark, sf_dir, "documents"))
+
+
+def test_media_table_shape(media):
+    row = media.first()
+    assert isinstance(row["content"], (bytes, bytearray))
+    assert row["kind"] in ("image", "audio", "video")
+    assert row["n_bytes"] == len(row["content"])
+
+
+def test_extract_features_deterministic(media):
+    out = extract_features(media).orderBy("media_id")
+    rows = out.collect()
+    assert len(rows) == media.count()
+    r0 = rows[0]
+    assert len(r0["features"]) == 16
+    assert abs(sum(r0["features"]) - 1.0) < 1e-6  # histogram normalizes
+    # cross-check one row against the pure-Python stub
+    payload = media.filter(F.col("media_id") == r0["media_id"]).first()["content"]
+    expected = deterministic_fake(bytes(payload))
+    assert r0["width"] == expected["width"]
+    assert [round(x, 5) for x in r0["features"]] == [
+        round(x, 5) for x in expected["features"]
+    ]
+
+
+def test_decode_stub_raises_without_codec(media):
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        extract_features(media, decode=None).collect()
+
+
+def test_frame_sampling(media):
+    frames = frame_sample(media, every_n_bytes=64)
+    rows = frames.groupBy("media_id").count().collect()
+    assert len(rows) > 0
+    one = frames.first()
+    assert len(one["frame_bytes"]) <= 64
+    # every sampled media is a video
+    kinds = frames.join(media, "media_id").select("kind").distinct().collect()
+    assert [k["kind"] for k in kinds] == ["video"]
