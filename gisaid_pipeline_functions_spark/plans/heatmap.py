@@ -1,0 +1,30 @@
+"""K5 — styled Excel heatmap sink (reference Time_Series.py:813–837).
+
+Presentation, not engine: the reference collects the percentage pivot into
+pandas and writes a ``Styler.background_gradient`` .xlsx. Same here — the
+pivot is computed distributed, only the (small) wide table collects to the
+driver. openpyxl is not in this container, so the writer degrades to CSV
+with a warning instead of failing the pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_heatmap_xlsx(wide_pivot: DataFrame, path: str, cmap: str = "Reds") -> str:
+    """Collect the (sink-side, already-pivoted) table and write a styled
+    .xlsx; falls back to ``<path>.csv`` when openpyxl is unavailable.
+    Returns the path actually written."""
+    pdf = wide_pivot.toPandas()
+    value_cols = [c for c in pdf.columns if c != pdf.columns[0]]
+    try:
+        import openpyxl  # noqa: F401
+
+        styler = pdf.style.background_gradient(cmap=cmap, subset=value_cols)
+        styler.to_excel(path, index=False)
+        return path
+    except ImportError:
+        fallback = path.rsplit(".", 1)[0] + ".csv"
+        pdf.to_csv(fallback, index=False)
+        return fallback

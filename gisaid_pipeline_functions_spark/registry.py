@@ -63,6 +63,7 @@ def _load_all() -> None:
         flagship,
         joins,
         misc,
+        reshape,
         similarity,
         text,
         timeseries,

@@ -1,0 +1,78 @@
+"""Physical-plan assertions (SURVEY §4): predicate pushdown, column
+pruning, broadcast-join selection, and no-Python-in-the-hot-path must
+survive refactors. These are the plan properties the 100 TB design relies
+on; a regression here is a performance bug even while results stay
+correct."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from gisaid_pipeline_functions_spark import registry
+
+QUERIES = registry.queries()
+
+
+def formatted_plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = formatted_plan(spark, sf_dir, "filter_membership")
+    assert "In(l_returnflag, [A,R])" in plan  # PushedFilters
+
+
+def test_column_pruning_in_join(spark, sf_dir):
+    plan = formatted_plan(spark, sf_dir, "join_large_equi")
+    # lineitem scan must read only the 3 needed columns of 11
+    assert "l_orderkey:bigint,l_extendedprice:double,l_discount:double" in plan
+    assert "l_quantity" not in plan
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    plan = formatted_plan(spark, sf_dir, "join_broadcast_dims")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_join_is_broadcast_not_cartesian(spark, sf_dir):
+    plan = formatted_plan(spark, sf_dir, "join_range_regions")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_no_python_udf_in_native_queries(spark, sf_dir):
+    # every operator family except the variant kernel and multimodal decode
+    # must stay JVM-side (no BatchEvalPython / ArrowEvalPython nodes)
+    for name in [
+        "flagship_weekly_prevalence_topn",
+        "text_quality_score",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "sim_bruteforce_topk",
+        "ts_region_rollup",
+    ]:
+        plan = formatted_plan(spark, sf_dir, name)
+        assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = formatted_plan(spark, sf_dir, "topk_by_revenue")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rollup_single_expand_pass(spark, sf_dir):
+    import re
+
+    plan = formatted_plan(spark, sf_dir, "ts_region_rollup")
+    # grouping sets compile to ONE Expand + one aggregation, not N scans
+    # (each node appears once in the detail section as "(n) NodeName")
+    assert len(re.findall(r"\(\d+\) Expand", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 4  # orders + 3 dims
