@@ -161,13 +161,18 @@ def _deletion_event(ref, ref_pos, var, i_start, i_end):
 
 def _insertion_event(ref, ref_pos, var, i_start, i_end, i_cflank):
     # N-flank: nearest reference residue strictly before the region.
-    # Index 0 deliberately counts as "no flank" — reference truthiness
-    # quirk (MSA_Reader.py:367) kept for parity.
+    # Index 0 counts as "no flank" — reference truthiness quirk
+    # (MSA_Reader.py:367) kept for parity — EXCEPT when there is also no
+    # C-flank: there the reference crashes outright (instype never set →
+    # UnboundLocalError); we deviate and emit the C-terminal extension
+    # the index-0 flank implies.
     i_nflank = None
-    for idx in range(i_start - 1, 0, -1):
+    for idx in range(i_start - 1, -1, -1):
         if ref[idx] != GAP:
             i_nflank = idx
             break
+    if i_nflank == 0 and i_cflank is not None:
+        i_nflank = None  # the parity quirk
 
     var_aa = (
         var[i_start]
