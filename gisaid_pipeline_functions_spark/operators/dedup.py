@@ -144,28 +144,32 @@ def jaccard_pairs(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
 
 
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """16-bit SimHash per document, fully native expressions.
+    """16-bit SimHash per document, fully native expressions and fully
+    MAP-SIDE — no explode, no shuffle.
 
     Bit i's vote comes from hex digit i of each word's md5: digits 8..f
     (high bit set) vote +1, else −1; the fingerprint bit is 1 when the
-    summed vote is positive. Explodes words once; 16 conditional-sum
-    aggregates in one grouped pass.
-    """
-    words = df.select(
-        F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("w")
-    ).filter(F.length("w") > 0)
-    hashed = words.select("id", F.md5("w").alias("h"))
-    votes = [
-        F.sum(
-            F.when(
-                F.instr(F.lit("89abcdef"), F.substring("h", i + 1, 1)) > 0, 1
-            ).otherwise(-1)
-        ).alias(f"v{i}")
-        for i in range(16)
-    ]
-    agg = hashed.groupBy("id").agg(*votes)
+    summed vote is positive. The word hashes are materialized once per row
+    (``transform``), then one ``aggregate`` folds them into a 16-long vote
+    vector with ``zip_with`` — per-document work only, which is exactly
+    what a per-document fingerprint should be at 100 TB."""
+    hashes = F.transform(
+        F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0),
+        lambda w: F.md5(w),
+    )
+    zeros = F.array_repeat(F.lit(0), 16)
+    bitvotes = lambda h: F.transform(
+        F.sequence(F.lit(1), F.lit(16)),
+        lambda i: F.when(
+            F.instr(F.lit("89abcdef"), F.substring(h, i.cast("int"), 1)) > 0, 1
+        ).otherwise(-1),
+    )
+    votes = F.aggregate(
+        hashes, zeros, lambda acc, h: F.zip_with(acc, bitvotes(h), lambda a, b: a + b)
+    )
+    staged = df.select(F.col(id_col).alias("id"), votes.alias("v"))
     sim = None
     for i in range(16):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        bit = F.when(F.element_at(F.col("v"), i + 1) > 0, F.lit(2**i)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
-    return agg.select("id", sim.cast("long").alias("simhash"))
+    return staged.select("id", sim.cast("long").alias("simhash"))

@@ -85,3 +85,20 @@ def read_tsv_all_string(
     for c in df.columns:
         df = df.withColumn(c, F.when(F.col(c) == null_sentinel, None).otherwise(F.col(c)))
     return df
+
+
+def write_tsv_with_sentinel(
+    df: DataFrame, path: str, null_sentinel: str = "-", sep: str = "\t"
+) -> None:
+    """K1/K2 — TSV sink preserving the reference's file format: real NULLs
+    become the ``"-"`` sentinel on disk (the reverse of
+    ``read_tsv_all_string``; the reference writes ``-`` explicitly,
+    MSA_Reader.py:65–97). One distributed write, no per-row appends."""
+    df.write.csv(
+        path,
+        sep=sep,
+        header=True,
+        mode="overwrite",
+        nullValue=null_sentinel,
+        emptyValue="",
+    )
