@@ -143,6 +143,48 @@ def jaccard_pairs(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def mllib_minhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    jaccard_distance_threshold: float = 0.9,
+    num_hash_tables: int = 8,
+    vocab_size: int = 1 << 18,
+) -> DataFrame:
+    """Spark MLlib's built-in MinHashLSH as the alternative near-dup path:
+    word-shingle sets → HashingTF sparse vectors → approxSimilarityJoin.
+
+    Results aren't oracle-comparable (MLlib's hash family is
+    JVM-internal), so this registers as a rows-only check; the
+    md5-portable pipeline above is the hash-matched one. Kept because at
+    cluster scale the MLlib estimator gives bucketed join pruning with
+    zero custom code — the idiomatic first reach."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = word_shingles(df, id_col, text_col).groupBy("id").agg(
+        F.collect_list("shingle").alias("shingles")
+    )
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=vocab_size, binary=True
+    )
+    feats = tf.transform(sh).filter(F.expr("size(shingles) > 0"))
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
+    )
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, jaccard_distance_threshold, distCol="jaccard_dist"
+    )
+    return (
+        pairs.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.round(1 - F.col("jaccard_dist"), 6).alias("jaccard_sim"),
+        )
+    )
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash per document, fully native expressions and fully
     MAP-SIDE — no explode, no shuffle.

@@ -140,3 +140,11 @@ _SIMHASH_SQL = (
 def dedup_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return simhash16(docs, "doc_id", "text")
+
+
+@register("dedup_mllib_minhash")  # rows-only: MLlib hash family is JVM-internal
+def dedup_mllib_minhash(spark, sf_dir):
+    from ..operators.dedup import mllib_minhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mllib_minhash_pairs(docs, "doc_id", "text")
