@@ -65,15 +65,24 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def minhash_signatures(shingles: DataFrame, n_hashes: int = 8) -> DataFrame:
     """H min-hashes per id in ONE grouped pass.
 
-    Hash family: ``md5(seed || '|' || shingle)`` — min over the hex string
-    (lexicographic min of a uniform hash ≡ numeric min). Seeded by index so
-    the H functions are independent.
+    Hash family: each seeded ``md5(seed || '|' || shingle)`` yields FOUR
+    independent 32-bit hashes (8-hex chunks), so H hashes cost ⌈H/4⌉ md5
+    evaluations per shingle instead of H. Min over the hex chunk
+    (lexicographic min of a uniform hash ≡ numeric min).
     """
+    n_md5 = (n_hashes + 3) // 4
+    seeded = shingles.select(
+        "id",
+        *[
+            F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle"))).alias(f"h{s}")
+            for s in range(n_md5)
+        ],
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("shingle")))).alias(f"mh{h}")
+        F.min(F.substring(f"h{h // 4}", (h % 4) * 8 + 1, 8)).alias(f"mh{h}")
         for h in range(n_hashes)
     ]
-    return shingles.groupBy("id").agg(*aggs)
+    return seeded.groupBy("id").agg(*aggs)
 
 
 def lsh_candidate_pairs(

@@ -28,10 +28,15 @@ _SHINGLES = """
   )
 """
 
+# 8 hashes from 2 seeded md5s, 4 independent 8-hex chunks each (matches
+# operators.dedup.minhash_signatures)
 _MINHASH = (
-    "mh AS (SELECT id, "
-    + ", ".join(f"min(md5('{h}|' || shingle)) AS mh{h}" for h in range(8))
-    + " FROM sh GROUP BY id)"
+    "seeded AS (SELECT id, md5('0|' || shingle) AS h0, md5('1|' || shingle) AS h1"
+    " FROM sh), mh AS (SELECT id, "
+    + ", ".join(
+        f"min(substr(h{h // 4}, {(h % 4) * 8 + 1}, 8)) AS mh{h}" for h in range(8)
+    )
+    + " FROM seeded GROUP BY id)"
 )
 
 _BANDS = """
