@@ -1,0 +1,149 @@
+"""Advanced analytic operators beyond the reference's surface: TF-IDF
+vectorization, gap-based sessionization, and an as-of join — the window/
+temporal operators a training-data pipeline needs that the reference
+(which has no lag/rank at all, SURVEY §2.7 note) never had."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load_table
+
+
+@register(
+    "text_tfidf",
+    # TF-IDF per (doc, word): tf = in-doc count, idf = ln(N / df),
+    # smooth-free to keep both engines' math identical; top terms only to
+    # bound output.
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), w AS (SELECT doc_id, word FROM words WHERE length(word) > 0),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+    df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM w)
+    SELECT tf.doc_id, tf.word,
+           CAST(tf.tf AS BIGINT) AS tf,
+           round(ln(n.n * 1.0 / df.df), 6) AS idf,
+           round(tf.tf * ln(n.n * 1.0 / df.df), 6) AS tfidf
+    FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+    WHERE tf.tf >= 3
+    """,
+)
+def text_tfidf(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = w.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    n = w.select(F.count_distinct("doc_id").alias("n"))
+    idf = F.log(F.col("n") * 1.0 / F.col("df"))
+    return (
+        tf.join(F.broadcast(df_), "word")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("tf") >= 3)
+        .select(
+            "doc_id",
+            "word",
+            F.col("tf").cast("long").alias("tf"),
+            F.round(idf, 6).alias("idf"),
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "ts_sessionize",
+    # Gap-based sessionization: a >30-minute silence per user starts a new
+    # session; per-session row counts + value sums. lag + cumulative sum —
+    # the analytic-window family the reference never used.
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start,
+             event_id
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_no
+    """,
+)
+def ts_sessionize(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_start = F.when(
+        gap.isNull() | (gap > 30 * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    sessions = ev.withColumn("is_start", is_start).withColumn(
+        "session_no",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "join_asof",
+    # As-of join: each event matched to the user's most recent prior order
+    # (o_orderdate <= ts, latest wins). Spark has no native ASOF — express
+    # as a ranged join + row_number; DuckDB verifies with its native ASOF
+    # JOIN. Custom-operator slot (a) from the brief: composition of
+    # existing DataFrame ops.
+    # right side deduplicated to one row per (customer, date) — with ties
+    # on the as-of key, ASOF's pick is engine-arbitrary
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           o.o_orderkey AS last_orderkey, o.o_orderdate AS last_orderdate
+    FROM events e
+    ASOF JOIN o
+      ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    """,
+)
+def join_asof(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    joined = ev.join(
+        o,
+        (ev.user_id == o.o_custkey) & (o.o_orderdate <= ev.ts),
+        "inner",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_orderdate").alias("last_orderdate"),
+        )
+    )

@@ -57,6 +57,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from .queries import (  # noqa: F401
+        advanced,
         aggregates,
         dedup,
         filters,
