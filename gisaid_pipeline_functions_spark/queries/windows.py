@@ -1,0 +1,74 @@
+"""Window-frame and percentile/approximate aggregates — engine
+capabilities beyond the reference (which used no analytic windows at all,
+SURVEY §2.7 note)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load_table
+
+_WEEK = "CAST(ts AS DATE) - CAST(dayofweek(ts) AS INTEGER)"
+
+
+@register(
+    "window_moving_average",
+    # 3-week centered moving average of weekly event counts per type —
+    # ROWS frame over an ordered window.
+    f"""
+    WITH freq AS (
+      SELECT event_type AS key, {_WEEK} AS week_start, count(*) AS freq
+      FROM events GROUP BY 1, 2
+    )
+    SELECT key, week_start, freq,
+           round(avg(freq) OVER (PARTITION BY key ORDER BY week_start
+                                 ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING),
+                 6) AS ma3
+    FROM freq
+    """,
+)
+def window_moving_average(spark, sf_dir):
+    from ..functions.weeks import sunday_week_start
+
+    ev = load_table(spark, sf_dir, "events")
+    freq = ev.groupBy(
+        F.col("event_type").alias("key"),
+        sunday_week_start(F.col("ts")).alias("week_start"),
+    ).agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("key").orderBy("week_start").rowsBetween(-1, 1)
+    return freq.withColumn("ma3", F.round(F.avg("freq").over(w), 6))
+
+
+@register(
+    "agg_exact_percentiles",
+    # exact percentiles with linear interpolation — Spark `percentile` ≡
+    # DuckDB `quantile_cont`.
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+           round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS price_p50
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_exact_percentiles(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("price_p50"),
+    )
+
+
+@register("agg_approx_distinct")  # rows-only: sketch implementations differ
+def agg_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ distinct counts — the approximate-aggregate slot.
+    Sketches aren't cross-engine comparable; the pytest invariant asserts
+    ≤5% error vs exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )

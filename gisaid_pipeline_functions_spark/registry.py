@@ -70,6 +70,7 @@ def _load_all() -> None:
         timeseries,
         topk,
         variants,
+        windows,
     )
 
     _LOADED = True

@@ -31,3 +31,11 @@ def test_skew_profile_shares_sum_below_one(spark, sf_dir):
     prof = key_skew_profile(li, "l_returnflag", top=3).collect()
     assert len(prof) == 3
     assert all(0 < r["share"] <= 1 for r in prof)
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    from gisaid_pipeline_functions_spark import registry
+
+    rows = registry.queries()["agg_approx_distinct"](spark, sf_dir).collect()
+    for r in rows:
+        assert abs(r["approx_parts"] - r["exact_parts"]) <= 0.05 * r["exact_parts"]
