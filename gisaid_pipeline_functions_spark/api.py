@@ -1,0 +1,136 @@
+"""User-facing API mirroring the reference's entry points, so a user of
+wish1832/GISAID_Pipeline_Functions can switch with familiar call shapes:
+
+  reference                              here
+  ---------                              ----
+  MSA_Reader.read_msa_all                read_msa_all
+  Time_Series.TS_All_Proteins            ts_all_proteins
+  Sequence_Counter.pipeline_seq_counts   pipeline_seq_counts
+  Sequence_Filter.filter_sequences       filter_sequences
+  Protein_File_Splitter (main)           split_by_protein
+
+Each wrapper composes the engine's plans/operators; per-protein loops are
+columns, disk handoffs are one DAG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.strings import x_content
+from .operators.timeseries import (
+    counts_by_region_rollup,
+    weekly_combination_frequency,
+    weekly_frequency,
+    weekly_percentage,
+    weekly_totals,
+)
+from .plans.msa_reader import MsaReaderOutputs, run_msa_reader
+from .plans.time_series import (
+    link_and_clean,
+    prepare_metadata,
+    top_combinations,
+    variant_list_by_cluster,
+)
+from .sources.fasta import parse_headers, read_fasta, write_fasta, write_fasta_partitioned
+
+
+def read_msa_all(
+    aligned: DataFrame,
+    references: dict[str, str],
+    totals: dict[str, int],
+    ref_lengths: dict[str, int],
+) -> dict[str, MsaReaderOutputs]:
+    """MSA_Reader.read_msa_all (MSA_Reader.py:1292–1329): the full report
+    suite for every protein. The reference loops proteins sequentially;
+    the per-protein slices here are partitions of ONE DataFrame, and each
+    protein's reports share one cached kernel pass."""
+    return {
+        protein: run_msa_reader(
+            aligned.filter(F.col("protein") == protein),
+            {protein: ref},
+            total_seq=totals[protein],
+            ref_length=ref_lengths[protein],
+        )
+        for protein, ref in references.items()
+    }
+
+
+def ts_all_proteins(
+    clusters: DataFrame,
+    metadata: DataFrame,
+    variants: DataFrame,
+    ref_cluster: str | None = None,
+    top_n_combinations: int = 10,
+) -> dict[str, DataFrame]:
+    """Time_Series.TS_All_Proteins → time_series_pipeline
+    (Time_Series.py:13–373): Steps 1–5a as one lazy DAG. Returns the named
+    tables the reference writes as files."""
+    meta = prepare_metadata(clusters, metadata)
+    lists = variant_list_by_cluster(variants, ref_cluster=ref_cluster)
+    linked = link_and_clean(meta, lists)
+    exploded = linked.select(
+        "date", "region", F.explode("Variants").alias("code")
+    )
+    freq = weekly_frequency(exploded, "date", "code")
+    combos = weekly_combination_frequency(
+        linked.select("date", F.col("Variants").alias("items")), "date", "items"
+    )
+    return {
+        "metadata_linked": linked,
+        "variant_lists": lists,
+        "top_combinations": top_combinations(lists, top_n_combinations),
+        "ts_freq": freq,
+        "ts_percent": weekly_percentage(freq),
+        "ts_totals": weekly_totals(linked, "date"),
+        "ts_combinations": combos,
+        "n_by_continent": counts_by_region_rollup(linked, "date", "region"),
+    }
+
+
+def pipeline_seq_counts(stages: dict[str, DataFrame], key_col: str = "protein") -> DataFrame:
+    """Sequence_Counter.pipeline_seq_counts (Sequence_Counter.py:19–114):
+    per-key row counts at each named pipeline stage, aligned on the key —
+    the funnel audit. Pass the stages as named DataFrames; each is counted
+    once and the counts join on the key."""
+    out: DataFrame | None = None
+    for name, df in stages.items():
+        c = df.groupBy(key_col).agg(F.count(F.lit(1)).alias(name))
+        out = c if out is None else out.join(c, key_col, "full")
+    assert out is not None, "no stages given"
+    return out.na.fill(0)
+
+
+def filter_sequences(
+    records: DataFrame,
+    out_path: str | None = None,
+    lower_bound: int = 0,
+    upper_bound: int = 10**9,
+    cutoff: float = 0.05,
+    host: str = "Human",
+) -> tuple[DataFrame, DataFrame]:
+    """Sequence_Filter.filter_sequences (Sequence_Filter.py:92–156):
+    host / length / ambiguity filter with the rejection tally, in ONE
+    pass. Returns (passing records, tally); optionally writes the FASTA
+    (refusing overwrite, like the reference)."""
+    seq_len = F.length("seq")
+    reason = (
+        F.when(F.col("host") != host, "non_human")
+        .when(seq_len < lower_bound, "too_short")
+        .when(seq_len >= upper_bound, "too_long")
+        .when(x_content(F.col("seq"), "X") > cutoff, "too_ambiguous")
+        .otherwise("pass")
+    )
+    tagged = records.withColumn("_reason", reason)
+    tally = tagged.groupBy("_reason").agg(F.count(F.lit(1)).alias("n"))
+    passing = tagged.filter(F.col("_reason") == "pass").drop("_reason")
+    if out_path is not None:
+        write_fasta(passing, out_path)
+    return passing, tally
+
+
+def split_by_protein(spark: SparkSession, fasta_path: str, out_dir: str) -> None:
+    """Protein_File_Splitter main (Protein_File_Splitter.py:40–120): one
+    FASTA → one output per protein, as a single partitioned write."""
+    write_fasta_partitioned(parse_headers(read_fasta(spark, fasta_path)), out_dir)

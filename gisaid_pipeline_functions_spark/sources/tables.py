@@ -59,6 +59,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if nano_cols:
         # Runtime-settable legacy conf: timestamp[ns] arrives as long nanos.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp_micros() interprets the long as a UTC instant; a
+        # non-UTC session TZ would shift the rebuilt wall-clock away from
+        # DuckDB's naive reading of the same values
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for c in nano_cols:
         # INTEGER-divide to micros (epoch nanos ~1.7e18 exceed double's
