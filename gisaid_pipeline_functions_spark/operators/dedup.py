@@ -152,6 +152,57 @@ def jaccard_pairs(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Transitive dedup clusters: connected components over a near-dup
+    pair graph by iterative min-label propagation.
+
+    Input: ``(id_a, id_b)`` undirected edges. Output: ``(id, component)``
+    with component = min id reachable. Iterates to fixpoint (checked per
+    round with a count — an *iterative algorithm*, the one place a driver
+    loop is the algorithm, not an anti-pattern). Label propagation
+    converges in O(graph diameter) rounds; near-dup graphs are
+    overwhelmingly tiny cliques, so 2–3 rounds in practice. For web-scale
+    graphs swap in the large-star/small-star contraction — same loop
+    skeleton, fewer rounds.
+    """
+    both = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = (
+        both.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            both.join(labels, both.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "id")
+            .filter(F.col("o.component") != F.col("n.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def mllib_minhash_pairs(
     df: DataFrame,
     id_col: str,

@@ -147,6 +147,41 @@ def dedup_simhash(spark, sf_dir):
     return simhash16(docs, "doc_id", "text")
 
 
+@register(
+    "dedup_connected_components",
+    # Transitive near-dup clusters over the LSH pair graph. Spark: iterative
+    # min-label propagation to fixpoint; oracle: recursive CTE reachability.
+    f"""
+    WITH RECURSIVE {_SHINGLES}, {_MINHASH}, {_BANDS},
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT src, src FROM und
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN und e ON e.src = r.node
+    )
+    SELECT node AS id, CAST(min(label) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_connected_components(spark, sf_dir):
+    from ..operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", k=3)
+    sig = minhash_signatures(sh, n_hashes=8)
+    pairs = lsh_candidate_pairs(sig, n_bands=2, rows_per_band=4).select("id_a", "id_b")
+    return connected_components(pairs)
+
+
 @register("dedup_mllib_minhash")  # rows-only: MLlib hash family is JVM-internal
 def dedup_mllib_minhash(spark, sf_dir):
     from ..operators.dedup import mllib_minhash_pairs
