@@ -134,3 +134,14 @@ def split_by_protein(spark: SparkSession, fasta_path: str, out_dir: str) -> None
     """Protein_File_Splitter main (Protein_File_Splitter.py:40–120): one
     FASTA → one output per protein, as a single partitioned write."""
     write_fasta_partitioned(parse_headers(read_fasta(spark, fasta_path)), out_dir)
+
+
+def sort_fasta(spark: SparkSession, in_path: str, out_path: str) -> None:
+    """alignment_tools.sort_FASTA (alignment_tools.py:101–106): rewrite a
+    FASTA with records in natural cluster order (``Uniq2`` before
+    ``Uniq10``; split-on-'Uniq' int sort, alignment_tools.py:22–26)."""
+    from .functions.strings import natural_sort_key
+
+    recs = read_fasta(spark, in_path)
+    ordered = recs.orderBy(natural_sort_key(F.col("header")), "header").coalesce(1)
+    write_fasta(ordered, out_path, overwrite=True)

@@ -96,3 +96,15 @@ def test_split_by_protein(spark, tmp_path):
     import glob
 
     assert {p.split("=")[-1] for p in glob.glob(f"{out}/protein=*")} == {"Spike", "NSP5"}
+
+
+def test_sort_fasta(spark, tmp_path):
+    f = tmp_path / "unsorted.fasta"
+    f.write_text(">Uniq10;size=2;\nAA\n>Uniq2;size=5;\nCC\n>Uniq1;size=9;\nGG\n")
+    out = str(tmp_path / "sorted")
+    api.sort_fasta(spark, str(f), out)
+    import glob
+
+    text = "".join(open(p).read() for p in sorted(glob.glob(f"{out}/part-*.txt")))
+    headers = [l for l in text.splitlines() if l.startswith(">")]
+    assert headers == [">Uniq1;size=9;", ">Uniq2;size=5;", ">Uniq10;size=2;"]
