@@ -54,9 +54,29 @@ def read_fasta(spark: SparkSession, path: str) -> DataFrame:
         )
         .filter(F.length(F.trim("line")) > 0)
     )
-    w = Window.partitionBy("file").orderBy("bs", "off")
-    recs = lines.withColumn(
-        "rec", F.sum(F.when(F.col("line").startswith(">"), 1).otherwise(0)).over(w)
+    is_header = F.when(F.col("line").startswith(">"), 1).otherwise(0)
+
+    # Record numbering scales per BLOCK, not per file: a running header
+    # count within each (file, block) window — bounded by split size, fully
+    # parallel — plus a broadcast prefix of header counts from all earlier
+    # blocks of the same file. A window partitioned by file alone would
+    # funnel a single multi-TB FASTA through ONE task. Lines before the
+    # first header of a block get in-block count 0, so prefix alone lands
+    # them on the PREVIOUS block's last record — boundary-spanning records
+    # stitch correctly.
+    per_block = lines.groupBy("file", "bs").agg(F.sum(is_header).alias("cnt"))
+    w_prefix = (
+        Window.partitionBy("file")
+        .orderBy("bs")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefixes = per_block.select(
+        "file", "bs", F.coalesce(F.sum("cnt").over(w_prefix), F.lit(0)).alias("prefix")
+    )
+    w_block = Window.partitionBy("file", "bs").orderBy("off")
+    recs = (
+        lines.join(F.broadcast(prefixes), ["file", "bs"])
+        .withColumn("rec", F.col("prefix") + F.sum(is_header).over(w_block))
     )
     return (
         recs.groupBy("file", "rec")

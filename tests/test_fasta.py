@@ -93,3 +93,27 @@ def test_quality_filter_on_fasta(spark, fasta_path):
     }
     assert tally == {"pass": 1, "too_short": 1, "non_human": 1}
     assert sum(tally.values()) == parsed.count()  # funnel conservation
+
+
+def test_read_fasta_across_block_splits(spark, tmp_path):
+    # force tiny file splits so records straddle block boundaries — the
+    # per-block numbering + prefix stitch must reassemble them exactly
+    import random
+
+    random.seed(3)
+    path = tmp_path / "big.fasta"
+    expected = {}
+    with open(path, "w") as f:
+        for i in range(500):
+            header = f"P{i % 7}|iso{i}|d|EPI_{i}|a|b|Human"
+            seq = "".join(random.choice("ACDEFGHIKLMNPQRSTVWY") for _ in range(120))
+            # write the sequence over multiple lines
+            f.write(f">{header}\n{seq[:50]}\n{seq[50:90]}\n{seq[90:]}\n")
+            expected[header] = seq
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+        recs = {r["header"]: r["seq"] for r in read_fasta(spark, str(path)).collect()}
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert recs == expected
