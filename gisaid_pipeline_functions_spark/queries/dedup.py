@@ -182,6 +182,28 @@ def dedup_connected_components(spark, sf_dir):
     return connected_components(pairs)
 
 
+@register(
+    "dedup_keep_first",
+    # The dedup OUTPUT itself: the corpus with only the min-id copy of
+    # each distinct text kept — what a training pipeline actually feeds
+    # downstream (semi join against the keeper set).
+    """
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    JOIN (SELECT min(doc_id) AS keeper FROM documents GROUP BY md5(text)) k
+      ON d.doc_id = k.keeper
+    """,
+)
+def dedup_keep_first(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = exact_duplicates(docs, "doc_id", "text").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    return docs.join(keepers, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 @register("dedup_mllib_minhash")  # rows-only: MLlib hash family is JVM-internal
 def dedup_mllib_minhash(spark, sf_dir):
     from ..operators.dedup import mllib_minhash_pairs

@@ -62,6 +62,40 @@ def agg_exact_percentiles(spark, sf_dir):
     )
 
 
+@register(
+    "ts_cumulative_totals",
+    # Batch running totals per key ordered by time — the batch-parity twin
+    # of streaming/stateful.running_totals (cumulative window frame).
+    """
+    WITH daily AS (
+      SELECT event_type AS key, CAST(ts AS DATE) AS day,
+             count(*) AS n, round(sum(value), 6) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT key, day,
+           CAST(sum(n) OVER (PARTITION BY key ORDER BY day
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_events,
+           round(sum(v) OVER (PARTITION BY key ORDER BY day
+                              ROWS UNBOUNDED PRECEDING), 6) AS cum_value
+    FROM daily
+    """,
+)
+def ts_cumulative_totals(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("key"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("v"))
+    w = Window.partitionBy("key").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return daily.select(
+        "key",
+        "day",
+        F.sum("n").over(w).cast("long").alias("cum_events"),
+        F.round(F.sum("v").over(w), 6).alias("cum_value"),
+    )
+
+
 @register("agg_approx_distinct")  # rows-only: sketch implementations differ
 def agg_approx_distinct(spark, sf_dir):
     """HyperLogLog++ distinct counts — the approximate-aggregate slot.
