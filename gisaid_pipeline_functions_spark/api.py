@@ -26,7 +26,8 @@ from .operators.timeseries import (
     weekly_percentage,
     weekly_totals,
 )
-from .plans.msa_reader import MsaReaderOutputs, run_msa_reader
+from .operators.variant_caller import call_variants
+from .plans.msa_reader import MsaReaderOutputs, reports_from_variants
 from .plans.time_series import (
     link_and_clean,
     prepare_metadata,
@@ -43,17 +44,19 @@ def read_msa_all(
     ref_lengths: dict[str, int],
 ) -> dict[str, MsaReaderOutputs]:
     """MSA_Reader.read_msa_all (MSA_Reader.py:1292–1329): the full report
-    suite for every protein. The reference loops proteins sequentially;
-    the per-protein slices here are partitions of ONE DataFrame, and each
-    protein's reports share one cached kernel pass."""
+    suite for every protein. The reference loops proteins sequentially
+    (P kernel passes, each rescanning); here the kernel runs ONCE over the
+    whole multi-protein table (it already takes the full references dict),
+    the event table is cached, and each protein's report suite is a filter
+    slice of that one cached pass."""
+    variants = call_variants(aligned, references).cache()
     return {
-        protein: run_msa_reader(
-            aligned.filter(F.col("protein") == protein),
-            {protein: ref},
+        protein: reports_from_variants(
+            variants.filter(F.col("protein") == protein),
             total_seq=totals[protein],
             ref_length=ref_lengths[protein],
         )
-        for protein, ref in references.items()
+        for protein in references
     }
 
 
@@ -136,12 +139,31 @@ def split_by_protein(spark: SparkSession, fasta_path: str, out_dir: str) -> None
     write_fasta_partitioned(parse_headers(read_fasta(spark, fasta_path)), out_dir)
 
 
-def sort_fasta(spark: SparkSession, in_path: str, out_path: str) -> None:
+def sort_fasta(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    single_file: str | None = None,
+) -> None:
     """alignment_tools.sort_FASTA (alignment_tools.py:101–106): rewrite a
     FASTA with records in natural cluster order (``Uniq2`` before
-    ``Uniq10``; split-on-'Uniq' int sort, alignment_tools.py:22–26)."""
+    ``Uniq10``; split-on-'Uniq' int sort, alignment_tools.py:22–26).
+
+    The sort is Spark's range-partitioned total order — every task sorts
+    one key range and writes one part file, so part files concatenated in
+    name order ARE the global order (no ``coalesce(1)`` single-task sort).
+    Pass ``single_file`` to also produce the reference's one-file output;
+    only that final byte concat is serialized, not the sort."""
     from .functions.strings import natural_sort_key
 
     recs = read_fasta(spark, in_path)
-    ordered = recs.orderBy(natural_sort_key(F.col("header")), "header").coalesce(1)
+    ordered = recs.orderBy(natural_sort_key(F.col("header")), "header")
     write_fasta(ordered, out_path, overwrite=True)
+    if single_file is not None:
+        import glob
+        import shutil
+
+        with open(single_file, "wb") as w:
+            for p in sorted(glob.glob(f"{out_path}/part-*")):
+                with open(p, "rb") as r:
+                    shutil.copyfileobj(r, w)

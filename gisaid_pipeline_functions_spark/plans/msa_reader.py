@@ -40,16 +40,13 @@ class MsaReaderOutputs:
     variant_counts: DataFrame        # Part 4 position × type table
 
 
-def run_msa_reader(
-    aligned: DataFrame,
-    references: dict[str, str],
-    total_seq: int,
-    ref_length: int,
+def reports_from_variants(
+    variants: DataFrame, total_seq: int, ref_length: int
 ) -> MsaReaderOutputs:
-    """Run the full report suite over one protein's alignment (pass a
-    pre-filtered ``aligned`` and that protein's reference; multi-protein
-    callers keep `protein` as a column and group the reports by it)."""
-    variants = call_variants(aligned, references).cache()
+    """Build the full report suite from an already-computed event table —
+    lets multi-protein callers (``api.read_msa_all``) run the kernel ONCE
+    and slice the cached events per protein instead of re-running the
+    kernel per protein."""
     return MsaReaderOutputs(
         variants_raw=variants,
         by_cluster=variants_by_cluster(variants),
@@ -61,3 +58,16 @@ def run_msa_reader(
         all_by_code=mutation_csv(variants, total_seq),
         variant_counts=mutation_count_table(variants, ref_length, total_seq),
     )
+
+
+def run_msa_reader(
+    aligned: DataFrame,
+    references: dict[str, str],
+    total_seq: int,
+    ref_length: int,
+) -> MsaReaderOutputs:
+    """Run the full report suite over one protein's alignment (pass a
+    pre-filtered ``aligned`` and that protein's reference; multi-protein
+    callers keep `protein` as a column and group the reports by it)."""
+    variants = call_variants(aligned, references).cache()
+    return reports_from_variants(variants, total_seq, ref_length)

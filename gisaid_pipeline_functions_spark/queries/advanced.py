@@ -85,9 +85,13 @@ def text_tfidf(spark, sf_dir):
 def ts_sessionize(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # unix_micros = full TimestampType precision; a cast-to-long gap would
+    # truncate to whole seconds and mis-classify gaps that straddle the
+    # 30-minute boundary with sub-second components (the oracle compares
+    # full-precision intervals).
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     is_start = F.when(
-        gap.isNull() | (gap > 30 * 60), F.lit(1)
+        gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
     sessions = ev.withColumn("is_start", is_start).withColumn(
         "session_no",
@@ -105,9 +109,13 @@ def ts_sessionize(spark, sf_dir):
     "join_asof",
     # As-of join: each event matched to the user's most recent prior order
     # (o_orderdate <= ts, latest wins). Spark has no native ASOF — express
-    # as a ranged join + row_number; DuckDB verifies with its native ASOF
-    # JOIN. Custom-operator slot (a) from the brief: composition of
-    # existing DataFrame ops.
+    # as a tagged union of both streams sorted by (user, time, tag) with a
+    # last_value-IGNORE-NULLS running carry-forward: ONE shuffle, no
+    # intermediate fan-out. (A ranged join + row_number would materialize
+    # events × all-prior-orders-per-user — the scale-killer shape at deep
+    # per-user histories.) DuckDB verifies with its native ASOF JOIN.
+    # Custom-operator slot (a) from the brief: composition of existing
+    # DataFrame ops.
     # right side deduplicated to one row per (customer, date) — with ties
     # on the as-of key, ASOF's pick is engine-arbitrary
     """
@@ -129,21 +137,35 @@ def join_asof(spark, sf_dir):
         .groupBy("o_custkey", "o_orderdate")
         .agg(F.max("o_orderkey").alias("o_orderkey"))
     )
-    joined = ev.join(
-        o,
-        (ev.user_id == o.o_custkey) & (o.o_orderdate <= ev.ts),
-        "inner",
+    # Tag streams: orders sort BEFORE events at an equal instant (tag 0 < 1)
+    # so an order dated exactly at the event timestamp is matched (<=).
+    o_tag = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey"),
+        F.col("o_orderdate"),
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
+    e_tag = ev.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("tag"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("date").alias("o_orderdate"),
     )
-    return (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "event_id",
-            "user_id",
-            F.col("o_orderkey").alias("last_orderkey"),
-            F.col("o_orderdate").alias("last_orderdate"),
-        )
+    w = Window.partitionBy("user_id").orderBy("t", "tag").rowsBetween(
+        Window.unboundedPreceding, 0
     )
+    merged = o_tag.unionByName(e_tag).select(
+        "event_id",
+        "user_id",
+        "tag",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("last_orderkey"),
+        F.last("o_orderdate", ignorenulls=True).over(w).alias("last_orderdate"),
+    )
+    # inner-ASOF semantics: events with no prior order drop out
+    return merged.filter(
+        (F.col("tag") == 1) & F.col("last_orderkey").isNotNull()
+    ).select("event_id", "user_id", "last_orderkey", "last_orderdate")

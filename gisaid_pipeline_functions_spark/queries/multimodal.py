@@ -1,0 +1,46 @@
+"""Multimodal query registrations (beyond-reference; BASELINE.json north
+star). The decode path is a stubbed injection point (operators/multimodal.py),
+but the Spark-side plumbing — binary payload column, typed metadata, kind
+partitioning — is real; ``multimodal_stats`` gives it a driver-checkable
+oracle row: per-kind byte-size statistics over the binary column, computed
+from the same deterministic documents→media derivation on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import documents_as_media
+from ..registry import register
+from ..sources.tables import load_table
+
+
+@register(
+    "multimodal_stats",
+    # media derivation mirrors operators/multimodal.py:documents_as_media —
+    # kind from doc_id % 3, payload = utf-8 text bytes (strlen = bytes in
+    # DuckDB; the testdata text is ASCII so this equals Spark's
+    # length(encode(text,'utf-8'))).
+    """
+    WITH media AS (
+      SELECT CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             CAST(strlen(text) AS BIGINT) AS n_bytes
+      FROM documents
+    )
+    SELECT kind, count(*) AS n_media,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           round(avg(n_bytes), 6) AS avg_bytes,
+           min(n_bytes) AS min_bytes, max(n_bytes) AS max_bytes
+    FROM media GROUP BY kind
+    """,
+)
+def multimodal_stats(spark, sf_dir):
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return media.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("n_bytes"), 6).alias("avg_bytes"),
+        F.min("n_bytes").alias("min_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+    )

@@ -10,32 +10,25 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..sources.tables import load_table
 
-# events span Jan 2024 at every SF → the five Sunday-anchored week labels
-# are static (verified for sf0.001/0.01/0.1)
-_WEEKS = ["2023-12-31", "2024-01-07", "2024-01-14", "2024-01-21", "2024-01-28"]
-
-
-_PIVOT_COLS = ", ".join(
-    'coalesce(sum(freq) FILTER (week = \'{w}\'), 0) AS "{w}"'.format(w=w)
-    for w in _WEEKS
-)
-
-
 @register(
     "reshape_pivot_wide",
     # K2/W2 sink-side pivot: long (key, week, freq) → wide key×weeks
     # (Time_Series.py:731–788's matrix layout). Long stays canonical; the
-    # pivot happens only at the sink (SURVEY §1.1.5).
-    f"""
-    WITH freq AS (
+    # pivot happens only at the sink (SURVEY §1.1.5). Week columns are
+    # derived from the data on BOTH sides (DuckDB dynamic PIVOT / Spark
+    # pivot without a values list) so any sf dir's date range works.
+    # `max(freq)` ≡ sum here (one row per key×week after the groupBy) and,
+    # unlike DuckDB's sum, does NOT widen BIGINT→HUGEINT — keeping the cell
+    # type LongType on both engines (registry convention). Missing key×week
+    # cells are NULL on both sides.
+    """
+    PIVOT (
       SELECT event_type AS key,
              CAST(CAST(ts AS DATE) - CAST(dayofweek(ts) AS INTEGER) AS VARCHAR)
                AS week,
              count(*) AS freq
       FROM events GROUP BY 1, 2
-    )
-    SELECT key, {_PIVOT_COLS}
-    FROM freq GROUP BY key
+    ) ON week USING max(freq)
     """,
 )
 def reshape_pivot_wide(spark, sf_dir):
@@ -49,9 +42,10 @@ def reshape_pivot_wide(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    return freq.groupBy("key").pivot("week", _WEEKS).agg(
-        F.coalesce(F.sum("freq"), F.lit(0))
-    ).na.fill(0)
+    # pivot width = distinct weeks in the data — bounded (weeks, not rows),
+    # so the value-discovery job Spark runs here is a tiny agg, not a scan
+    # of the wide table.
+    return freq.groupBy("key").pivot("week").agg(F.max("freq"))
 
 
 @register(

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators.timeseries import (
@@ -147,10 +148,15 @@ def ts_region_rollup(spark, sf_dir):
 def ts_week_labels_trimmed(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     labeled = with_week_labels(weekly_totals(events, "ts").withColumnRenamed("total", "freq"))
-    max_week = labeled.agg(F.max("week_number")).collect()[0][0]
-    return labeled.filter(
-        (F.col("week_number") > 1) & (F.col("week_number") < max_week)
-    ).select("week_start", "freq", "week_number", "week_label")
+    # global-max via an empty-partition window keeps the trim inside ONE
+    # lazy plan (no driver .collect() action). The unpartitioned window is
+    # fine here: its input is the per-week aggregate (weeks, not rows).
+    w_all = Window.partitionBy()
+    return (
+        labeled.withColumn("_max_wn", F.max("week_number").over(w_all))
+        .filter((F.col("week_number") > 1) & (F.col("week_number") < F.col("_max_wn")))
+        .select("week_start", "freq", "week_number", "week_label")
+    )
 
 
 @register(

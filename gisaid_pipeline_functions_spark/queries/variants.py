@@ -23,8 +23,15 @@ from ..sources.tables import load_table
 _SEQ_LEN = 60
 
 
-def _derived_alignment(spark, sf_dir, gap_char: str | None = None):
-    """(aligned_df_excluding_refs, {protein: ref_seq}) from documents."""
+def _derived_alignment(
+    spark, sf_dir, gap_char: str | None = None, variants_only: bool = False
+):
+    """(aligned_df_excluding_refs, {protein: ref_seq}) from documents.
+
+    ``variants_only=True`` plants gaps only in the non-reference rows —
+    the reference stays gap-free, so every gap region is a pure deletion
+    (the SQL-expressible degenerate case ``variant_single_dels`` exploits).
+    """
     docs = load_table(spark, sf_dir, "documents")
     letters = F.regexp_replace("text", "[^a-z]", "")
     seqs = (
@@ -35,7 +42,7 @@ def _derived_alignment(spark, sf_dir, gap_char: str | None = None):
             F.upper(F.substring(letters, 1, _SEQ_LEN)).alias("seq"),
         )
     )
-    if gap_char is not None:
+    if gap_char is not None and not variants_only:
         seqs = seqs.withColumn(
             "seq", F.replace(F.col("seq"), F.lit(gap_char), F.lit("-"))
         )
@@ -49,6 +56,9 @@ def _derived_alignment(spark, sf_dir, gap_char: str | None = None):
     ref_id_df = spark.createDataFrame(
         [(p, i) for p, i in ref_ids.items()], "protein string, ref_id long"
     )
+    variant_seq = F.col("seq")
+    if gap_char is not None and variants_only:
+        variant_seq = F.replace(F.col("seq"), F.lit(gap_char), F.lit("-"))
     aligned = (
         seqs.join(F.broadcast(ref_id_df), "protein")
         .filter(F.col("doc_id") != F.col("ref_id"))
@@ -56,7 +66,7 @@ def _derived_alignment(spark, sf_dir, gap_char: str | None = None):
             "protein",
             F.col("doc_id").cast("string").alias("cluster_id"),
             F.lit(1).cast("long").alias("cluster_size"),
-            F.col("seq").alias("aligned_seq"),
+            variant_seq.alias("aligned_seq"),
         )
     )
     return aligned, refs
@@ -102,6 +112,88 @@ def variant_substitutions(spark, sf_dir):
         F.col("Var_Residues").alias("var_aa"),
         F.col("AA_Start_Ref").alias("pos"),
         F.col("Code").alias("code"),
+    )
+
+
+@register(
+    "variant_single_dels",
+    # Deletion-branch oracle (MSA_Reader.py:202–266 gap handling): gaps are
+    # planted ONLY in the variant rows ('E' → '-'), so the reference stays
+    # gap-free and every gap region degenerates to a pure deletion — which
+    # IS SQL-expressible: maximal '-' runs via gaps-and-islands
+    # (i - row_number), single-run → "{R}{pos}del", multi-run →
+    # "{R}{a}_{R}{b}del". Substitutions come along for free. The Spark side
+    # runs the REAL kernel; the oracle recomputes both event kinds
+    # independently.
+    f"""
+    WITH seqs AS (
+      SELECT doc_id, source,
+             upper(substr(regexp_replace(text, '[^a-z]', '', 'g'), 1, {_SEQ_LEN})) AS seq
+      FROM documents
+      WHERE length(regexp_replace(text, '[^a-z]', '', 'g')) >= {_SEQ_LEN}
+    ),
+    refs AS (
+      SELECT source, arg_min(seq, doc_id) AS ref_seq, min(doc_id) AS ref_id
+      FROM seqs GROUP BY source
+    ),
+    pairs AS (
+      SELECT s.source AS protein, s.doc_id, r.ref_seq,
+             replace(s.seq, 'E', '-') AS var
+      FROM seqs s JOIN refs r ON s.source = r.source AND s.doc_id <> r.ref_id
+    ),
+    pos AS (SELECT unnest(generate_series(1, {_SEQ_LEN})) AS i),
+    subs AS (
+      SELECT p.protein, p.doc_id,
+             substr(p.ref_seq, CAST(i AS INT), 1) AS rc,
+             substr(p.var, CAST(i AS INT), 1) AS vc, i
+      FROM pairs p CROSS JOIN pos
+      WHERE substr(p.ref_seq, CAST(i AS INT), 1) <> substr(p.var, CAST(i AS INT), 1)
+        AND substr(p.var, CAST(i AS INT), 1) <> '-'
+    ),
+    gapspos AS (
+      SELECT p.protein, p.doc_id, p.ref_seq, i,
+             i - row_number() OVER (PARTITION BY p.doc_id ORDER BY i) AS grp
+      FROM pairs p CROSS JOIN pos
+      WHERE substr(p.var, CAST(i AS INT), 1) = '-'
+    ),
+    runs AS (
+      SELECT protein, doc_id, any_value(ref_seq) AS ref_seq,
+             min(i) AS a, max(i) AS b
+      FROM gapspos GROUP BY protein, doc_id, grp
+    )
+    SELECT protein, CAST(doc_id AS VARCHAR) AS cluster_id, 'sub' AS type,
+           rc || i || vc AS code, rc AS ref_aa, vc AS var_aa,
+           CAST(i AS BIGINT) AS msa_start, CAST(NULL AS BIGINT) AS msa_end,
+           CAST(i AS BIGINT) AS pos_start, CAST(NULL AS BIGINT) AS pos_end
+    FROM subs
+    UNION ALL
+    SELECT protein, CAST(doc_id AS VARCHAR) AS cluster_id, 'del' AS type,
+           CASE WHEN a = b THEN substr(ref_seq, CAST(a AS INT), 1) || a || 'del'
+                ELSE substr(ref_seq, CAST(a AS INT), 1) || a || '_'
+                     || substr(ref_seq, CAST(b AS INT), 1) || b || 'del' END AS code,
+           substr(ref_seq, CAST(a AS INT), CAST(b - a + 1 AS INT)) AS ref_aa,
+           CAST(NULL AS VARCHAR) AS var_aa,
+           CAST(a AS BIGINT) AS msa_start,
+           CASE WHEN a = b THEN CAST(NULL AS BIGINT) ELSE CAST(b AS BIGINT) END AS msa_end,
+           CAST(a AS BIGINT) AS pos_start,
+           CASE WHEN a = b THEN CAST(NULL AS BIGINT) ELSE CAST(b AS BIGINT) END AS pos_end
+    FROM runs
+    """,
+)
+def variant_single_dels(spark, sf_dir):
+    aligned, refs = _derived_alignment(spark, sf_dir, gap_char="E", variants_only=True)
+    out = call_variants(aligned, refs)
+    return out.select(
+        "protein",
+        F.col("Cluster_ID").alias("cluster_id"),
+        F.col("Type").alias("type"),
+        F.col("Code").alias("code"),
+        F.col("Ref_Residues").alias("ref_aa"),
+        F.col("Var_Residues").alias("var_aa"),
+        F.col("AA_Start_MSA").alias("msa_start"),
+        F.col("AA_End_MSA").alias("msa_end"),
+        F.col("AA_Start_Ref").alias("pos_start"),
+        F.col("AA_End_Ref").alias("pos_end"),
     )
 
 

@@ -52,25 +52,33 @@ _LOADED = False
 
 
 def _load_all() -> None:
-    """Import every module that registers queries (import = registration)."""
+    """Import every module that registers queries (import = registration).
+
+    Import order = registration order = the order the driver iterates.
+    CORRECTNESS_r01 recorded exactly the first 50 registered queries and
+    dropped the trailing modules, so the signature families (time series,
+    variants, top-k, windows) plus the round-1 hash-fail (reshape) register
+    FIRST — if the driver caps or budgets its sweep again, these get rows.
+    """
     global _LOADED
     if _LOADED:
         return
     from .queries import (  # noqa: F401
+        flagship,
+        timeseries,
+        variants,
+        topk,
+        windows,
+        reshape,
         advanced,
         aggregates,
         dedup,
         filters,
-        flagship,
         joins,
         misc,
-        reshape,
+        multimodal,
         similarity,
         text,
-        timeseries,
-        topk,
-        variants,
-        windows,
     )
 
     _LOADED = True

@@ -44,11 +44,17 @@ def read_fasta(spark: SparkSession, path: str) -> DataFrame:
     # monotonically_increasing_id alone is NOT file-ordered — Spark packs
     # file splits by size, not offset — but block_start anchors each split
     # and ids ascend within it.
+    # File key = xxhash64 of the FULL path — basename alone collides when
+    # distinct files share a name (e.g. part-NNNNN files under different
+    # partition dirs), which would merge their record numbering. An 8-byte
+    # hash also keeps the shuffle key small vs carrying the path per line.
+    # CRLF inputs: strip the trailing \r explicitly (trim only strips
+    # spaces) so headers and sequence parts stay clean.
     lines = (
         spark.read.text(path)
         .select(
-            F.col("value").alias("line"),
-            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"),
+            F.regexp_replace(F.col("value"), "\r$", "").alias("line"),
+            F.xxhash64(F.input_file_name()).alias("file"),
             F.expr("input_file_block_start()").alias("bs"),
             F.monotonically_increasing_id().alias("off"),
         )

@@ -108,3 +108,48 @@ def test_sort_fasta(spark, tmp_path):
     text = "".join(open(p).read() for p in sorted(glob.glob(f"{out}/part-*.txt")))
     headers = [l for l in text.splitlines() if l.startswith(">")]
     assert headers == [">Uniq1;size=9;", ">Uniq2;size=5;", ">Uniq10;size=2;"]
+
+
+def test_read_msa_all_single_kernel_pass(spark):
+    # the multi-protein wrapper must run ONE kernel over the whole table —
+    # every per-protein report plan contains exactly one MapInPandas stage
+    # (a per-protein kernel loop would rescan P times)
+    import contextlib
+    import io
+
+    aligned = spark.createDataFrame(
+        [
+            ("Spike", "Uniq1", 3, "MSKTPAQTLV"),
+            ("NSP5", "Uniq1", 2, "AAKTPAQTLV"),
+        ],
+        "protein string, cluster_id string, cluster_size long, aligned_seq string",
+    )
+    refs = {"Spike": "MSKLPAQTLV", "NSP5": "AAKLPAQTLV"}
+    outs = api.read_msa_all(
+        aligned,
+        refs,
+        totals={"Spike": 3, "NSP5": 2},
+        ref_lengths={"Spike": 10, "NSP5": 10},
+    )
+    assert set(outs) == set(refs)
+    assert outs["Spike"].variants_raw.count() == 1
+    assert outs["NSP5"].variants_raw.count() == 1
+    for p in refs:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            outs[p].variants_raw.explain()  # simple mode: one tree line per node
+        plan = buf.getvalue()
+        assert plan.count("MapInPandas") == 1, p
+        assert "InMemoryTableScan" in plan, p  # slice of the ONE cached pass
+
+
+def test_sort_fasta_single_file_concat(spark, tmp_path):
+    f = tmp_path / "unsorted.fasta"
+    f.write_text(">Uniq10;size=2;\nAA\n>Uniq2;size=5;\nCC\n>Uniq1;size=9;\nGG\n")
+    out = str(tmp_path / "sorted")
+    single = str(tmp_path / "sorted.fasta")
+    api.sort_fasta(spark, str(f), out, single_file=single)
+    headers = [
+        l for l in open(single).read().splitlines() if l.startswith(">")
+    ]
+    assert headers == [">Uniq1;size=9;", ">Uniq2;size=5;", ">Uniq10;size=2;"]

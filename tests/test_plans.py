@@ -76,3 +76,22 @@ def test_rollup_single_expand_pass(spark, sf_dir):
     # (each node appears once in the detail section as "(n) NodeName")
     assert len(re.findall(r"\(\d+\) Expand", plan)) == 1
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 4  # orders + 3 dims
+
+
+def test_week_trim_is_lazy(spark, sf_dir):
+    # the leading/trailing-week trim must be ONE lazy plan — the round-1
+    # version .collect()ed the max week number during construction.
+    # Parquet-footer schema inference in load_table legitimately runs a
+    # metadata job, so compare against a known-lazy query with the SAME
+    # events scan: the trim may not launch any extra jobs beyond it.
+    st = spark.sparkContext.statusTracker()
+
+    def jobs_during(name):
+        before = set(st.getJobIdsForGroup(None))
+        QUERIES[name](spark, sf_dir)
+        return len(set(st.getJobIdsForGroup(None)) - before)
+
+    base = jobs_during("ts_weekly_freq_matrix")
+    trim = jobs_during("ts_week_labels_trimmed")
+    assert trim <= base, "week trim ran an action during query construction"
+    assert QUERIES["ts_week_labels_trimmed"](spark, sf_dir).count() > 0
