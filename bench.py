@@ -24,6 +24,9 @@ HEADLINE = [
     "agg_collect_list",
     "ts_region_rollup",
     "ts_weekly_combinations",
+    "ts_weekly_freq_matrix",
+    "reshape_pivot_wide",
+    "join_asof",
     "topk_by_revenue",
     "dedup_minhash_lsh",
     "dedup_simhash",
