@@ -24,13 +24,20 @@ _SEQ_LEN = 60
 
 
 def _derived_alignment(
-    spark, sf_dir, gap_char: str | None = None, variants_only: bool = False
+    spark,
+    sf_dir,
+    gap_char: str | None = None,
+    variants_only: bool = False,
+    ref_only: bool = False,
 ):
     """(aligned_df_excluding_refs, {protein: ref_seq}) from documents.
 
     ``variants_only=True`` plants gaps only in the non-reference rows —
     the reference stays gap-free, so every gap region is a pure deletion
     (the SQL-expressible degenerate case ``variant_single_dels`` exploits).
+    ``ref_only=True`` plants gaps only in the REFERENCE row — variants
+    stay gap-free, so every gap region is a pure insertion/extension
+    (``variant_single_ins``).
     """
     docs = load_table(spark, sf_dir, "documents")
     letters = F.regexp_replace("text", "[^a-z]", "")
@@ -42,7 +49,7 @@ def _derived_alignment(
             F.upper(F.substring(letters, 1, _SEQ_LEN)).alias("seq"),
         )
     )
-    if gap_char is not None and not variants_only:
+    if gap_char is not None and not variants_only and not ref_only:
         seqs = seqs.withColumn(
             "seq", F.replace(F.col("seq"), F.lit(gap_char), F.lit("-"))
         )
@@ -52,6 +59,8 @@ def _derived_alignment(
         .collect()
     )
     refs = {r["protein"]: r["ref_seq"] for r in refs_rows}
+    if gap_char is not None and ref_only:
+        refs = {p: s.replace(gap_char, "-") for p, s in refs.items()}
     ref_ids = {r["protein"]: r["ref_id"] for r in refs_rows}
     ref_id_df = spark.createDataFrame(
         [(p, i) for p, i in ref_ids.items()], "protein string, ref_id long"
@@ -182,6 +191,115 @@ def variant_substitutions(spark, sf_dir):
 )
 def variant_single_dels(spark, sf_dir):
     aligned, refs = _derived_alignment(spark, sf_dir, gap_char="E", variants_only=True)
+    out = call_variants(aligned, refs)
+    return out.select(
+        "protein",
+        F.col("Cluster_ID").alias("cluster_id"),
+        F.col("Type").alias("type"),
+        F.col("Code").alias("code"),
+        F.col("Ref_Residues").alias("ref_aa"),
+        F.col("Var_Residues").alias("var_aa"),
+        F.col("AA_Start_MSA").alias("msa_start"),
+        F.col("AA_End_MSA").alias("msa_end"),
+        F.col("AA_Start_Ref").alias("pos_start"),
+        F.col("AA_End_Ref").alias("pos_end"),
+    )
+
+
+@register(
+    "variant_single_ins",
+    # Insertion/extension-branch oracle (MSA_Reader.py:340–420 flank logic,
+    # incl. the index-0 N-flank truthiness quirk): gaps are planted ONLY in
+    # the REFERENCE ('E' → '-'), variants stay gap-free, so every gap
+    # region is a pure insertion — and since the gap runs live in the
+    # per-protein reference, the regions are computed ONCE per protein and
+    # cross-applied to every doc. Cases: both flanks → ins
+    # "{N}{p}_{C}{q}ins{v}"; N-flank at MSA column 1 counts as NO flank
+    # when a C-flank exists (quirk) → N-ext "{C}1ext{v}"; no C-flank →
+    # C-ext "{N}{p}ext{v}". Substitutions at non-gap columns use the
+    # gap-skipping reference numbering (running non-gap count).
+    f"""
+    WITH seqs AS (
+      SELECT doc_id, source,
+             upper(substr(regexp_replace(text, '[^a-z]', '', 'g'), 1, {_SEQ_LEN})) AS seq
+      FROM documents
+      WHERE length(regexp_replace(text, '[^a-z]', '', 'g')) >= {_SEQ_LEN}
+    ),
+    refs AS (
+      SELECT source, replace(arg_min(seq, doc_id), 'E', '-') AS ref,
+             min(doc_id) AS ref_id
+      FROM seqs GROUP BY source
+    ),
+    pairs AS (
+      SELECT s.source AS protein, s.doc_id, s.seq
+      FROM seqs s JOIN refs r ON s.source = r.source AND s.doc_id <> r.ref_id
+    ),
+    pos AS (SELECT unnest(generate_series(1, {_SEQ_LEN})) AS i),
+    refchars AS (
+      SELECT r.source, i, substr(r.ref, CAST(i AS INT), 1) AS rc,
+             sum(CASE WHEN substr(r.ref, CAST(i AS INT), 1) <> '-' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY r.source ORDER BY i) AS refpos,
+             max(CASE WHEN substr(r.ref, CAST(i AS INT), 1) <> '-' THEN i END)
+               OVER (PARTITION BY r.source ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_i
+      FROM refs r CROSS JOIN pos
+    ),
+    subs AS (
+      SELECT p.protein, p.doc_id, rch.rc, substr(p.seq, CAST(rch.i AS INT), 1) AS vc,
+             rch.i, rch.refpos
+      FROM pairs p JOIN refchars rch ON rch.source = p.protein
+      WHERE rch.rc <> '-' AND substr(p.seq, CAST(rch.i AS INT), 1) <> rch.rc
+    ),
+    runs AS (
+      SELECT source, min(i) AS a, max(i) AS b
+      FROM (SELECT source, i,
+                   i - row_number() OVER (PARTITION BY source ORDER BY i) AS grp
+            FROM refchars WHERE rc = '-')
+      GROUP BY source, grp
+    ),
+    regions AS (
+      SELECT r.source, r.a, r.b,
+             ra.prev_i,
+             nf.rc AS nf_c, nf.refpos AS nf_p,
+             cf.rc AS cf_c, cf.refpos AS cf_p, cf.i AS cf_i
+      FROM runs r
+      JOIN refchars ra ON ra.source = r.source AND ra.i = r.a
+      LEFT JOIN refchars nf ON nf.source = r.source AND nf.i = ra.prev_i
+      LEFT JOIN refchars cf ON cf.source = r.source AND cf.i = r.b + 1
+    ),
+    ins AS (
+      SELECT p.protein, p.doc_id, g.a, g.b,
+             substr(p.seq, CAST(g.a AS INT), CAST(g.b - g.a + 1 AS INT)) AS var_aa,
+             CASE WHEN g.prev_i IS NOT NULL
+                   AND NOT (g.prev_i = 1 AND g.cf_i IS NOT NULL)
+                  THEN 1 ELSE 0 END AS has_nf,
+             g.nf_c, g.nf_p, g.cf_c, g.cf_p, g.cf_i
+      FROM pairs p JOIN regions g ON g.source = p.protein
+    )
+    SELECT protein, CAST(doc_id AS VARCHAR) AS cluster_id, 'sub' AS type,
+           rc || refpos || vc AS code, rc AS ref_aa, vc AS var_aa,
+           CAST(i AS BIGINT) AS msa_start, CAST(NULL AS BIGINT) AS msa_end,
+           CAST(refpos AS BIGINT) AS pos_start, CAST(NULL AS BIGINT) AS pos_end
+    FROM subs
+    UNION ALL
+    SELECT protein, CAST(doc_id AS VARCHAR) AS cluster_id,
+           CASE WHEN has_nf = 1 AND cf_i IS NOT NULL THEN 'ins' ELSE 'ext' END AS type,
+           CASE WHEN has_nf = 1 AND cf_i IS NOT NULL
+                  THEN nf_c || nf_p || '_' || cf_c || cf_p || 'ins' || var_aa
+                WHEN cf_i IS NOT NULL
+                  THEN cf_c || '1ext' || var_aa
+                ELSE nf_c || nf_p || 'ext' || var_aa END AS code,
+           CAST(NULL AS VARCHAR) AS ref_aa, var_aa,
+           CAST(a AS BIGINT) AS msa_start,
+           CASE WHEN a = b THEN CAST(NULL AS BIGINT) ELSE CAST(b AS BIGINT) END AS msa_end,
+           CASE WHEN has_nf = 1 OR cf_i IS NULL
+                THEN CAST(nf_p AS BIGINT) ELSE CAST(NULL AS BIGINT) END AS pos_start,
+           CAST(cf_p AS BIGINT) AS pos_end
+    FROM ins
+    """,
+)
+def variant_single_ins(spark, sf_dir):
+    aligned, refs = _derived_alignment(spark, sf_dir, gap_char="E", ref_only=True)
     out = call_variants(aligned, refs)
     return out.select(
         "protein",

@@ -117,3 +117,28 @@ def test_read_fasta_across_block_splits(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
     assert recs == expected
+
+
+def test_read_fasta_same_basename_across_dirs(spark, tmp_path):
+    # regression: two distinct files sharing a basename (the shape
+    # write_fasta_partitioned emits: protein=X/part-00000) must NOT have
+    # their record numbering merged — the file key is the full path hash,
+    # not the basename
+    for sub, recs in [
+        ("protein=A", ">A1|x\nMMMM\n>A2|x\nKKKK\n"),
+        ("protein=B", ">B1|y\nFFFF\n"),
+    ]:
+        d = tmp_path / sub
+        d.mkdir()
+        (d / "part-00000.txt").write_text(recs)
+    out = read_fasta(spark, str(tmp_path / "*" / "part-00000.txt"))
+    got = {r["header"]: r["seq"] for r in out.collect()}
+    assert got == {"A1|x": "MMMM", "A2|x": "KKKK", "B1|y": "FFFF"}
+
+
+def test_read_fasta_crlf(spark, tmp_path):
+    f = tmp_path / "crlf.fasta"
+    f.write_bytes(b">H1|x\r\nMMK\r\nKKL\r\n>H2|y\r\nFF\r\n")
+    out = read_fasta(spark, str(f))
+    got = {r["header"]: r["seq"] for r in out.collect()}
+    assert got == {"H1|x": "MMKKKL", "H2|y": "FF"}
