@@ -170,6 +170,12 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     ).unionByName(
         edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
+    # materialize the edge list ONCE: without this every iteration re-runs
+    # the whole upstream pipeline that produced the edges (for near-dup
+    # dedup that's the full MinHash+LSH join) — rounds × pipeline cost.
+    # Standard practice for iterative graph algorithms; the edge list is
+    # the small post-candidate-generation set, not the corpus.
+    both = both.localCheckpoint(eager=True)
     labels = (
         both.select(F.col("src").alias("id"))
         .distinct()

@@ -1,0 +1,125 @@
+"""Training-data pipeline operators (beyond-reference; BASELINE.json north
+star): deterministic sampling, paragraph-level dedup prep, and sequence
+packing — the corpus-shaping steps between dedup and training.
+
+Scale posture:
+- Sampling is a map-side filter / per-group window on an 8-hex md5 prefix
+  (portable across engines, lexicographic = numeric compare) — no RNG
+  state, reproducible under retries/speculation, shuffle only for exact
+  k-per-group (on the group key).
+- Text chunking is a native higher-order function (transform + slice) —
+  no Python, no shuffle; the explode feeds a hash-groupBy that shuffles
+  16-byte fingerprints, not chunk text.
+- Packing is the one genuinely sequential-per-shard step (next-fit needs
+  the running fill); it runs as applyInPandas per group — sequential
+  WITHIN a shard, parallel ACROSS shards, which is exactly how packing
+  runs in production (each output shard is packed independently).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def hex_uniform(col: Column) -> Column:
+    """Deterministic pseudo-uniform draw: first 8 hex chars of
+    ``md5(string(col))``. Fixed-width lowercase hex compares
+    lexicographically = numerically in both Spark and DuckDB, so a rate
+    ``r`` is the hex threshold ``format('%08x', floor(r * 2^32))`` — no
+    integer conversion needed on either engine."""
+    return F.substring(F.md5(col.cast("string")), 1, 8)
+
+
+def rate_to_hex_threshold(rate: float) -> str:
+    """Rate in [0,1] → 8-hex threshold string for ``hex_uniform``."""
+    return format(min(int(rate * 2**32), 2**32 - 1), "08x")
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, threshold: Column
+) -> DataFrame:
+    """Keep rows whose ``hex_uniform(id)`` falls under a (possibly
+    per-stratum) hex threshold column. Map-side filter: reproducible,
+    shuffle-free, safe under task retries — unlike ``df.sample`` whose
+    output changes with partitioning."""
+    return df.filter(hex_uniform(F.col(id_col)) < threshold)
+
+
+def sample_k_per_group(
+    df: DataFrame, group_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Exactly min(k, n) rows per group, chosen by hash order — the
+    deterministic equivalent of per-group reservoir sampling. One shuffle
+    on the group key; the hash order makes the choice independent of
+    physical row order."""
+    w = Window.partitionBy(group_col).orderBy(
+        hex_uniform(F.col(id_col)), id_col
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def chunk_text(df: DataFrame, text_col: str, chunk_words: int) -> Column:
+    """Array of fixed-word-count chunks of a whitespace-tokenized text —
+    the unit for paragraph/passage-level dedup. Native higher-order
+    functions only (split is materialized once per row, then sliced)."""
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / chunk_words).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i * chunk_words + 1, chunk_words)
+        ),
+    )
+
+
+PACK_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("bin_id", LongType()),
+    ]
+)
+
+
+def pack_next_fit(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 50,
+) -> DataFrame:
+    """Next-fit sequence packing: walk each group's docs in id order,
+    appending to the current bin while the token budget holds, else open
+    a new bin. The running fill makes this inherently sequential per
+    group — applyInPandas keeps groups parallel while the walk stays a
+    tight pandas loop. A doc larger than the budget gets its own bin."""
+
+    def pack(pdf):
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins = []
+        bin_id, fill = 0, 0
+        for t in pdf[tokens_col]:
+            t = int(t)
+            if bin_id == 0 or fill + t > budget:
+                bin_id += 1
+                fill = t
+            else:
+                fill += t
+            bins.append(bin_id)
+        pdf["bin_id"] = bins
+        return pdf[[group_col, id_col, tokens_col, "bin_id"]]
+
+    inp = df.select(group_col, id_col, F.col(tokens_col).cast("long"))
+    return inp.groupBy(group_col).applyInPandas(pack, PACK_SCHEMA)

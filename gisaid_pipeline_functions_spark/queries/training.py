@@ -1,0 +1,139 @@
+"""Training-data pipeline query registrations (beyond-reference):
+deterministic sampling, paragraph-level dedup, and sequence packing over
+the ``documents`` table, each with a DuckDB oracle (the packing oracle is
+a recursive CTE replaying the same next-fit walk)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.training import (
+    chunk_text,
+    pack_next_fit,
+    rate_to_hex_threshold,
+    stratified_sample,
+)
+from ..operators.training import sample_k_per_group as _sample_k_per_group
+from ..registry import register
+from ..sources.tables import load_table
+
+# per-stratum rates: keep half of 'en' docs, a quarter of everything else
+_EN_T = rate_to_hex_threshold(0.5)
+_OTHER_T = rate_to_hex_threshold(0.25)
+
+_CHUNK_WORDS = 10
+_PACK_BUDGET = 50
+
+
+@register(
+    "sample_stratified",
+    # Deterministic stratified Bernoulli sample: md5-prefix draw per doc,
+    # per-language threshold. Reproducible under retries/partitioning —
+    # the property df.sample lacks.
+    f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+          < CASE WHEN lang = 'en' THEN '{_EN_T}' ELSE '{_OTHER_T}' END
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    threshold = F.when(F.col("lang") == "en", F.lit(_EN_T)).otherwise(
+        F.lit(_OTHER_T)
+    )
+    return stratified_sample(docs, "doc_id", threshold).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "sample_k_per_group",
+    # Exact k-per-group by hash order — deterministic per-group reservoir.
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+             ) AS rk
+      FROM documents)
+    WHERE rk <= 5
+    """,
+)
+def sample_k_per_group(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return _sample_k_per_group(docs, "source", "doc_id", 5).select(
+        "doc_id", "source"
+    )
+
+
+@register(
+    "dedup_paragraph",
+    # Passage-level exact dedup (the C4/RefinedWeb step below doc-level):
+    # 10-word chunks → md5 fingerprint → corpus-wide duplicate groups.
+    # Shuffles 16-byte fingerprints, never chunk text.
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    c AS (
+      SELECT doc_id,
+             unnest([array_to_string(words[(k*{_CHUNK_WORDS}+1):(k*{_CHUNK_WORDS}+{_CHUNK_WORDS})], ' ')
+                     FOR k IN range(0, CAST(ceil(len(words)/{_CHUNK_WORDS}.0) AS INT))]) AS chunk
+      FROM w
+    )
+    SELECT md5(chunk) AS fingerprint, count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+    FROM c GROUP BY md5(chunk) HAVING count(*) > 1
+    """,
+)
+def dedup_paragraph(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id", F.explode(chunk_text(docs, "text", _CHUNK_WORDS)).alias("chunk")
+    )
+    return (
+        chunks.groupBy(F.md5("chunk").alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )
+
+
+@register(
+    "pack_sequences",
+    # Next-fit sequence packing per source shard; the oracle replays the
+    # identical sequential walk with a recursive CTE. Genuinely stateful
+    # custom operator (applyInPandas) with an exact cross-engine gate.
+    f"""
+    WITH RECURSIVE docs2 AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tokens, rn,
+             CAST(1 AS BIGINT) AS bin_id, n_tokens AS fill
+      FROM docs2 WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+             CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET}
+                  THEN p.bin_id ELSE p.bin_id + 1 END,
+             CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET}
+                  THEN p.fill + d.n_tokens ELSE d.n_tokens END
+      FROM docs2 d JOIN packed p ON d.source = p.source AND d.rn = p.rn + 1
+    )
+    SELECT source, doc_id, n_tokens, bin_id FROM packed
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source", "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return pack_next_fit(
+        sized, "source", "doc_id", "n_tokens", budget=_PACK_BUDGET
+    )

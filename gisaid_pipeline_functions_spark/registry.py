@@ -70,6 +70,7 @@ def _load_all() -> None:
         topk,
         windows,
         reshape,
+        training,
         advanced,
         aggregates,
         dedup,

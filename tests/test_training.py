@@ -1,0 +1,88 @@
+"""Training-data operators: deterministic sampling, chunking, packing
+(operators/training.py). The corpus-scale parity runs in the oracle
+harness; these pin the edge-case semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gisaid_pipeline_functions_spark.operators.training import (
+    chunk_text,
+    hex_uniform,
+    pack_next_fit,
+    rate_to_hex_threshold,
+    sample_k_per_group,
+    stratified_sample,
+)
+
+
+def test_stratified_sample_is_deterministic(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    t = F.lit(rate_to_hex_threshold(0.3))
+    a = {r["doc_id"] for r in stratified_sample(df, "doc_id", t).collect()}
+    b = {
+        r["doc_id"]
+        for r in stratified_sample(df.repartition(7), "doc_id", t).collect()
+    }
+    assert a == b  # partition-invariant, unlike df.sample
+    assert 0.2 < len(a) / 1000 < 0.4
+
+
+def test_rate_threshold_bounds():
+    assert rate_to_hex_threshold(0.0) == "00000000"
+    assert rate_to_hex_threshold(1.0) == "ffffffff"
+    assert len(rate_to_hex_threshold(0.123)) == 8
+
+
+def test_sample_k_per_group_exact_and_small_groups(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(10)] + [("b", 100), ("b", 101)],
+        "grp string, doc_id long",
+    )
+    out = sample_k_per_group(df, "grp", "doc_id", 3)
+    counts = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"a": 3, "b": 2}  # min(k, group size)
+
+
+def test_chunk_text_boundaries(spark):
+    df = spark.createDataFrame(
+        [("w0 w1 w2 w3 w4",), ("only two three",)], "text string"
+    )
+    out = df.select(chunk_text(df, "text", 2).alias("chunks")).collect()
+    assert out[0]["chunks"] == ["w0 w1", "w2 w3", "w4"]  # short tail kept
+    assert out[1]["chunks"] == ["only two", "three"]
+
+
+def test_pack_next_fit_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            ("s", 1, 30),
+            ("s", 2, 30),  # 30+30 > 50 -> new bin
+            ("s", 3, 20),  # fits with 30 -> bin 2
+            ("s", 4, 90),  # oversized doc -> own bin 3
+            ("s", 5, 10),  # after oversized: fill 90+10 > 50 -> bin 4
+            ("t", 9, 5),   # other group packs independently
+        ],
+        "source string, doc_id long, n_tokens long",
+    )
+    out = {
+        r["doc_id"]: r["bin_id"]
+        for r in pack_next_fit(df, budget=50).collect()
+    }
+    assert out == {1: 1, 2: 2, 3: 2, 4: 3, 5: 4, 9: 1}
+
+
+def test_hex_uniform_matches_duckdb(spark):
+    import duckdb
+
+    df = spark.range(0, 50).withColumnRenamed("id", "doc_id")
+    got = {
+        r["doc_id"]: r["h"]
+        for r in df.select("doc_id", hex_uniform(F.col("doc_id")).alias("h")).collect()
+    }
+    want = dict(
+        duckdb.sql(
+            "SELECT i, substr(md5(CAST(i AS VARCHAR)), 1, 8) FROM range(50) t(i)"
+        ).fetchall()
+    )
+    assert got == want
