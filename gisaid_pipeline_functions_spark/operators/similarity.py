@@ -89,6 +89,80 @@ def label_centroids(
     )
 
 
+def hyperplane_signs(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic Rademacher hyperplanes for sign-LSH: sign(p,d) = ±1
+    from the first hex digit of md5(f"{p}|{d}") — portable (pure Python
+    at plan-build time, literal constants in BOTH engines' plans, so the
+    bucketing is bit-identical across Spark and the DuckDB oracle)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0], 16) >= 8 else -1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def hyperplane_lsh_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 2,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Cosine near-dup pairs via random-hyperplane (sign) LSH — the
+    embedding-side analog of MinHash LSH: P sign bits per vector, banded
+    into ``bands`` buckets; only same-(band, signature) vectors become
+    candidates (a high-cardinality uniform join key, never all-pairs),
+    then exact cosine (rounded to 6) filters candidates.
+
+    P(bit match) = 1 - angle/pi, so with P=16, bands=2 (8 bits/band) a
+    random pair collides with p≈0.008 while cos≈0.99 pairs collide with
+    p≈0.9 — candidates stay O(n · collision rate), not O(n²)."""
+    signs = hyperplane_signs(n_planes, dim)
+    r = n_planes // bands
+    v = _to_double(F.col(vec_col))
+    bits = [
+        (dot(v, F.array(*[F.lit(s) for s in row])) >= 0).cast("int").cast("string")
+        for row in signs
+    ]
+    band_sigs = [
+        F.concat_ws("", *bits[b * r : (b + 1) * r]) for b in range(bands)
+    ]
+    banded = corpus.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        F.posexplode(F.array(*band_sigs)).alias("band", "sig"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])  # a pair can collide in 2 bands
+    )
+    cos = F.round(
+        dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb"))), 6
+    )
+    return (
+        cand.select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -126,3 +126,60 @@ def sim_neardup_cosine_blocked(spark, sf_dir):
         .select("id_a", "id_b", cos.alias("cos"))
         .filter(F.col("cos") >= 0.3)
     )
+
+
+def _hyperplane_oracle() -> str:
+    """Generate the sign-LSH oracle with the SAME literal hyperplanes the
+    Spark plan embeds — bucketing is bit-identical across engines."""
+    from ..operators.similarity import hyperplane_signs
+
+    P, B, D = 16, 2, 64
+    signs = hyperplane_signs(P, D)
+    r = P // B
+
+    def bit(row):
+        arr = "[" + ", ".join(f"{s:.1f}" for s in row) + "]"
+        return (
+            "(CASE WHEN list_sum(list_transform(list_zip(v, "
+            f"{arr}), p -> CAST(p[1] AS DOUBLE) * p[2])) >= 0 "
+            "THEN '1' ELSE '0' END)"
+        )
+
+    bands = [
+        " || ".join(bit(row) for row in signs[b * r : (b + 1) * r])
+        for b in range(B)
+    ]
+    sigsel = ", ".join(f"({e}) AS s{i}" for i, e in enumerate(bands))
+    bunion = " UNION ALL ".join(
+        f"SELECT vec_id, v, {i} AS band, s{i} AS sig FROM sigs" for i in range(B)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    sigs AS (SELECT vec_id, v, {sigsel} FROM e),
+    b AS ({bunion}),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+             FROM b a JOIN b b2
+               ON a.band = b2.band AND a.sig = b2.sig AND a.vec_id < b2.vec_id)
+    SELECT id_a, id_b, cos FROM (
+      SELECT c.id_a, c.id_b, round({_cos_sql('ea.v', 'eb.v')}, 6) AS cos
+      FROM cand c JOIN e ea ON ea.vec_id = c.id_a
+                  JOIN e eb ON eb.vec_id = c.id_b)
+    WHERE cos >= 0.3
+    """
+
+
+@register(
+    "sim_hyperplane_lsh",
+    # Random-hyperplane (sign) LSH near-dup pairs — the embedding analog of
+    # MinHash LSH: 16 md5-derived Rademacher hyperplanes → 2 bands of 8
+    # sign bits; same-(band, signature) vectors are the only candidates
+    # (~0.9% of all pairs here), exact rounded cosine filters them.
+    _hyperplane_oracle(),
+)
+def sim_hyperplane_lsh(spark, sf_dir):
+    from ..operators.similarity import hyperplane_lsh_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_pairs(
+        emb, dim=64, n_planes=16, bands=2, threshold=0.3
+    )

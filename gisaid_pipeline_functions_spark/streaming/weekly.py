@@ -45,15 +45,16 @@ def streaming_weekly_frequency(
 
 
 def run_stream_to_memory(
-    spark, source_df_stream: DataFrame, table_name: str
+    spark, source_df_stream: DataFrame, table_name: str, output_mode: str = "complete"
 ) -> DataFrame:
     """Drive a streaming aggregation to completion over a bounded backlog
     (Trigger.AvailableNow) and return the result as a DataFrame — used by
-    tests to prove batch/stream parity."""
+    tests to prove batch/stream parity. Session-window aggregations don't
+    support complete mode — pass ``output_mode='update'`` for those."""
     q = (
         source_df_stream.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -37,3 +37,84 @@ def test_stream_matches_batch(spark, sf_dir):
 
     assert stream == batch
     assert len(stream) > 0
+
+
+def test_streaming_sessions_match_batch(spark, sf_dir, tmp_path):
+    # gap-based sessionization: native session_window over the stream must
+    # produce the same (user, start, end, n, total) sessions as the batch
+    # lag+cumsum query (queries/advanced.py:ts_sessionize). Session-window
+    # streaming aggregations are append-mode only: a session emits once the
+    # watermark (event-time max - 1h, computed per batch) passes its end —
+    # so drive TWO time-ordered micro-batches and check (a) every emitted
+    # session matches the batch result exactly and (b) every batch session
+    # safely older than the final watermark was emitted.
+    import datetime
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gisaid_pipeline_functions_spark.registry import queries
+    from gisaid_pipeline_functions_spark.streaming.sessions import (
+        streaming_sessions,
+    )
+    from gisaid_pipeline_functions_spark.streaming.weekly import (
+        run_stream_to_memory,
+    )
+
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in queries()["ts_sessionize"](spark, sf_dir).collect()
+    }
+
+    # split events into two time-ordered files so AvailableNow runs two
+    # micro-batches (one file per trigger) and the second batch runs with
+    # the first half's watermark
+    t = pq.read_table(f"{sf_dir}/events.parquet").sort_by("ts")
+    half = t.num_rows // 2
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    pq.write_table(t.slice(0, half), src_dir / "part-0.parquet")
+    time.sleep(1.1)  # file-source batches order by modification time
+    pq.write_table(t.slice(half), src_dir / "part-1.parquet")
+    half1_max = max(t.column("ts").slice(0, half).to_pylist())  # pandas Timestamp
+
+    stream_src = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = run_stream_to_memory(
+        spark,
+        streaming_sessions(stream_src),
+        "sessions_stream_test",
+        output_mode="append",
+    )
+    stream = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in out.collect()
+    }
+
+    assert len(stream) > 0
+    for k, v in stream.items():
+        assert batch[k] == v, k  # every emitted session exact
+
+    # completeness horizon: sessions whose window end (last event + 30 min
+    # gap) is safely before batch 2's watermark (half-1 max ts - 1 h) must
+    # all have emitted; 1 s margin keeps boundary semantics out of scope
+    horizon = half1_max.to_pydatetime() - datetime.timedelta(
+        hours=1, minutes=30, seconds=1
+    )
+    must_emit = {k for k in batch if k[2] < horizon}
+    assert must_emit, "test data produced no closable sessions"
+    missing = must_emit - set(stream)
+    assert not missing, f"{len(missing)} closable sessions never emitted"
