@@ -125,7 +125,13 @@ def hyperplane_lsh_pairs(
     p≈0.9 — candidates stay O(n · collision rate), not O(n²)."""
     signs = hyperplane_signs(n_planes, dim)
     r = n_planes // bands
-    v = _to_double(F.col(vec_col))
+    # materialize the double-cast vector ONCE — 16 bit expressions over the
+    # raw float column would each re-run the element-wise cast (the
+    # split()-rematerialization trap from SCALING.md)
+    base = corpus.select(
+        F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
+    )
+    v = F.col("v")
     bits = [
         (dot(v, F.array(*[F.lit(s) for s in row])) >= 0).cast("int").cast("string")
         for row in signs
@@ -133,9 +139,9 @@ def hyperplane_lsh_pairs(
     band_sigs = [
         F.concat_ws("", *bits[b * r : (b + 1) * r]) for b in range(bands)
     ]
-    banded = corpus.select(
-        F.col(id_col).alias("id"),
-        v.alias("v"),
+    banded = base.select(
+        "id",
+        "v",
         F.posexplode(F.array(*band_sigs)).alias("band", "sig"),
     )
     a, b = banded.alias("a"), banded.alias("b")

@@ -315,15 +315,225 @@ def variant_single_ins(spark, sf_dir):
     )
 
 
-@register("variant_call_kernel")  # rows-only: full del/ins/delins machinery
+_KERNEL_ORACLE = f"""
+    WITH seqs AS (
+      SELECT doc_id, source,
+             upper(substr(regexp_replace(text, '[^a-z]', '', 'g'), 1, {_SEQ_LEN})) AS seq
+      FROM documents
+      WHERE length(regexp_replace(text, '[^a-z]', '', 'g')) >= {_SEQ_LEN}
+    ),
+    refs AS (
+      SELECT source, replace(arg_min(seq, doc_id), 'U', '-') AS ref,
+             min(doc_id) AS ref_id
+      FROM seqs GROUP BY source
+    ),
+    pairs AS (
+      SELECT s.source AS protein, s.doc_id, replace(s.seq, 'U', '-') AS var
+      FROM seqs s JOIN refs r ON s.source = r.source AND s.doc_id <> r.ref_id
+    ),
+    pos AS (SELECT unnest(generate_series(1, {_SEQ_LEN})) AS i),
+    refchars AS (
+      SELECT r.source, i, substr(r.ref, CAST(i AS INT), 1) AS rc,
+             sum(CASE WHEN substr(r.ref, CAST(i AS INT), 1) <> '-' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY r.source ORDER BY i) AS refpos,
+             max(CASE WHEN substr(r.ref, CAST(i AS INT), 1) <> '-' THEN i END)
+               OVER (PARTITION BY r.source ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_i
+      FROM refs r CROSS JOIN pos
+    ),
+    varcols AS (
+      SELECT p.protein, p.doc_id, rch.i, rch.rc, rch.refpos, rch.prev_i,
+             substr(p.var, CAST(rch.i AS INT), 1) AS vc
+      FROM pairs p JOIN refchars rch ON rch.source = p.protein
+    ),
+    gisl AS (
+      SELECT *, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM varcols WHERE rc = '-' OR vc = '-'
+    ),
+    runs AS (
+      SELECT protein, doc_id, grp, max(i) AS g_b,
+             min(i) FILTER (rc <> vc) AS a,
+             max(i) FILTER (rc <> vc) AS e,
+             bool_or(rc <> '-' AND vc = '-') AS has_del,
+             bool_or(rc = '-' AND vc <> '-') AS has_ins,
+             min(i) FILTER (rc <> '-') AS i_first,
+             max(i) FILTER (rc <> '-') AS i_last
+      FROM gisl GROUP BY protein, doc_id, grp
+      HAVING min(i) FILTER (rc <> vc) IS NOT NULL
+    ),
+    ev AS (
+      SELECT r2.protein, r2.doc_id, r2.a, r2.e, r2.has_del, r2.has_ins,
+             ra.prev_i, nf.rc AS nf_c, nf.refpos AS nf_p,
+             cf.rc AS cf_c, cf.refpos AS cf_p, cf.i AS cf_i,
+             fi.rc AS fi_c, fi.refpos AS fi_p,
+             la.rc AS la_c, la.refpos AS la_p, r2.i_first, r2.i_last,
+             substr(rr.ref, CAST(r2.a AS INT), CAST(r2.e - r2.a + 1 AS INT)) AS ref_slice,
+             substr(p.var, CAST(r2.a AS INT), CAST(r2.e - r2.a + 1 AS INT)) AS var_slice
+      FROM runs r2
+      JOIN refchars ra ON ra.source = r2.protein AND ra.i = r2.a
+      LEFT JOIN refchars nf ON nf.source = r2.protein AND nf.i = ra.prev_i
+      LEFT JOIN refchars cf ON cf.source = r2.protein AND cf.i = r2.g_b + 1
+      LEFT JOIN refchars fi ON fi.source = r2.protein AND fi.i = r2.i_first
+      LEFT JOIN refchars la ON la.source = r2.protein AND la.i = r2.i_last
+      JOIN refs rr ON rr.source = r2.protein
+      JOIN pairs p ON p.doc_id = r2.doc_id
+    )
+    SELECT protein, CAST(doc_id AS VARCHAR) AS cluster_id, 'sub' AS type,
+           rc || refpos || vc AS code, rc AS ref_aa, vc AS var_aa,
+           CAST(i AS BIGINT) AS msa_start, CAST(NULL AS BIGINT) AS msa_end,
+           CAST(refpos AS BIGINT) AS pos_start, CAST(NULL AS BIGINT) AS pos_end
+    FROM varcols WHERE rc <> '-' AND vc <> '-' AND rc <> vc
+    UNION ALL
+    SELECT protein, CAST(doc_id AS VARCHAR) AS cluster_id,
+           CASE WHEN has_del AND has_ins THEN 'delins'
+                WHEN has_del THEN 'del'
+                WHEN prev_i IS NOT NULL
+                     AND NOT (prev_i = 1 AND cf_i IS NOT NULL)
+                     AND cf_i IS NOT NULL THEN 'ins'
+                ELSE 'ext' END AS type,
+           CASE WHEN has_del AND has_ins THEN
+                  CASE WHEN i_first <> i_last
+                       THEN fi_c || fi_p || '_' || la_c || la_p || 'delins'
+                            || replace(var_slice, '-', '')
+                       ELSE fi_c || fi_p || 'delins' || replace(var_slice, '-', '')
+                  END
+                WHEN has_del THEN
+                  CASE WHEN a = e THEN fi_c || fi_p || 'del'
+                       ELSE fi_c || fi_p || '_' || la_c || la_p || 'del' END
+                WHEN prev_i IS NOT NULL
+                     AND NOT (prev_i = 1 AND cf_i IS NOT NULL)
+                     AND cf_i IS NOT NULL
+                  THEN nf_c || nf_p || '_' || cf_c || cf_p || 'ins'
+                       || replace(var_slice, '-', '')
+                WHEN cf_i IS NOT NULL
+                  THEN cf_c || '1ext' || replace(var_slice, '-', '')
+                ELSE nf_c || nf_p || 'ext' || replace(var_slice, '-', '')
+           END AS code,
+           CASE WHEN has_del AND has_ins THEN ref_slice
+                WHEN has_del THEN replace(ref_slice, '-', '')
+                ELSE NULL END AS ref_aa,
+           CASE WHEN has_del AND has_ins THEN var_slice
+                WHEN has_del THEN NULL
+                ELSE replace(var_slice, '-', '') END AS var_aa,
+           CAST(a AS BIGINT) AS msa_start,
+           CASE WHEN has_del AND has_ins THEN CAST(e AS BIGINT)
+                WHEN a = e THEN CAST(NULL AS BIGINT)
+                ELSE CAST(e AS BIGINT) END AS msa_end,
+           CASE WHEN has_del AND has_ins THEN CAST(fi_p AS BIGINT)
+                WHEN has_del THEN CAST(fi_p AS BIGINT)
+                WHEN (prev_i IS NOT NULL
+                      AND NOT (prev_i = 1 AND cf_i IS NOT NULL)
+                      AND cf_i IS NOT NULL)
+                     OR cf_i IS NULL
+                  THEN CAST(nf_p AS BIGINT)
+                ELSE CAST(NULL AS BIGINT) END AS pos_start,
+           CASE WHEN has_del AND has_ins THEN
+                  CASE WHEN i_first <> i_last THEN CAST(la_p AS BIGINT)
+                       ELSE CAST(NULL AS BIGINT) END
+                WHEN has_del THEN
+                  CASE WHEN a = e THEN CAST(NULL AS BIGINT)
+                       ELSE CAST(la_p AS BIGINT) END
+                ELSE CAST(cf_p AS BIGINT) END AS pos_end
+    FROM ev
+    """
+
+
+@register(
+    "variant_call_kernel",
+    # FULL-kernel oracle — every branch of the event classifier
+    # (MSA_Reader.py:116–622: sub / del / ins / N-ext / C-ext / delins).
+    # 'U' → '-' plants gaps in BOTH the reference and the variants, so gap
+    # regions mix del and ins columns and exercise the delins machinery.
+    # The oracle recomputes the classification independently: a region is
+    # a maximal per-doc run of columns where either strand is gapped
+    # (gaps-and-islands); its event columns (exactly one strand gapped)
+    # decide del-only / ins-only / mixed→delins; leading/trailing
+    # shared-gap columns are outside [a..e] exactly as the kernel skips
+    # and trims them. delins keeps RAW gap-dash slices in ref_aa/var_aa
+    # (the reference's parity quirk, MSA_Reader.py:614–616); insertion
+    # flank logic incl. the MSA-column-1 truthiness quirk matches
+    # variant_single_ins.
+    _KERNEL_ORACLE,
+)
 def variant_call_kernel(spark, sf_dir):
     # mapping 'U' → '-' plants gaps in BOTH reference and variants, driving
     # the deletion / insertion / delins / extension branches at data scale
     aligned, refs = _derived_alignment(spark, sf_dir, gap_char="U")
-    return call_variants(aligned, refs)
+    out = call_variants(aligned, refs)
+    return out.select(
+        "protein",
+        F.col("Cluster_ID").alias("cluster_id"),
+        F.col("Type").alias("type"),
+        F.col("Code").alias("code"),
+        F.col("Ref_Residues").alias("ref_aa"),
+        F.col("Var_Residues").alias("var_aa"),
+        F.col("AA_Start_MSA").alias("msa_start"),
+        F.col("AA_End_MSA").alias("msa_end"),
+        F.col("AA_Start_Ref").alias("pos_start"),
+        F.col("AA_End_Ref").alias("pos_end"),
+    )
 
 
-@register("variant_mutation_counts")  # rows-only: kernel → break_up → pivot
+@register(
+    "variant_mutation_counts",
+    # Part-4 count table oracle (MSA_Reader.py:1038–1162): reuse the full
+    # kernel oracle for protein src0, replay break_up_deletions (multi-dels
+    # explode to one row per deleted residue at positions start+1..end; the
+    # original row keeps its start position), pivot type counts over the
+    # full 1..ref_length spine (zero rows included; N-ext rows with NULL
+    # start drop out, as in the reference's get_ref_start subsetting), and
+    # format Percent_Variants as the reference's "x.xxxx%" string.
+    f"""
+    WITH kernel AS (
+      SELECT * FROM ({_KERNEL_ORACLE}) WHERE protein = 'src0'
+    ),
+    seqs2 AS (
+      SELECT doc_id, source,
+             upper(substr(regexp_replace(text, '[^a-z]', '', 'g'), 1, {_SEQ_LEN})) AS seq
+      FROM documents
+      WHERE length(regexp_replace(text, '[^a-z]', '', 'g')) >= {_SEQ_LEN}
+        AND source = 'src0'
+    ),
+    scalars AS (
+      SELECT length(replace(arg_min(seq, doc_id), 'U', '')) AS ref_length,
+             count(*) - 1 AS total_seq
+      FROM seqs2
+    ),
+    typed AS (
+      SELECT pos_start AS pos, type FROM kernel WHERE pos_start IS NOT NULL
+      UNION ALL
+      SELECT unnest(generate_series(pos_start + 1, pos_end)) AS pos, 'del'
+      FROM kernel WHERE type = 'del' AND pos_end IS NOT NULL
+    ),
+    counts AS (
+      SELECT pos,
+             count(*) FILTER (type = 'sub') AS subs,
+             count(*) FILTER (type = 'ins') AS ins,
+             count(*) FILTER (type = 'del') AS dels,
+             count(*) FILTER (type = 'ext') AS exts,
+             count(*) FILTER (type = 'delins') AS delins
+      FROM typed GROUP BY pos
+    ),
+    spine AS (
+      SELECT unnest(generate_series(1, (SELECT ref_length FROM scalars)))
+        AS "Residue_Number"
+    )
+    SELECT CAST(s."Residue_Number" AS BIGINT) AS "Residue_Number",
+           CAST(coalesce(subs,0) + coalesce(ins,0) + coalesce(dels,0)
+                + coalesce(exts,0) + coalesce(delins,0) AS BIGINT)
+             AS "Total_Variants",
+           printf('%.4f%%',
+                  (coalesce(subs,0) + coalesce(ins,0) + coalesce(dels,0)
+                   + coalesce(exts,0) + coalesce(delins,0)) * 100.0
+                  / (SELECT total_seq FROM scalars)) AS "Percent_Variants",
+           CAST(coalesce(subs, 0) AS BIGINT) AS "Substitutions",
+           CAST(coalesce(ins, 0) AS BIGINT) AS "Insertions",
+           CAST(coalesce(dels, 0) AS BIGINT) AS "Deletions",
+           CAST(coalesce(exts, 0) AS BIGINT) AS "Extensions",
+           CAST(coalesce(delins, 0) AS BIGINT) AS "Indels"
+    FROM spine s LEFT JOIN counts c ON c.pos = s."Residue_Number"
+    """,
+)
 def variant_mutation_counts(spark, sf_dir):
     aligned, refs = _derived_alignment(spark, sf_dir, gap_char="U")
     one = aligned.filter(F.col("protein") == "src0")
