@@ -95,3 +95,24 @@ def test_week_trim_is_lazy(spark, sf_dir):
     trim = jobs_during("ts_week_labels_trimmed")
     assert trim <= base, "week trim ran an action during query construction"
     assert QUERIES["ts_week_labels_trimmed"](spark, sf_dir).count() > 0
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    # a filter on a partition column must become a PartitionFilter (prune
+    # directories), not a post-scan Filter over all partitions
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "parts")
+    spark.range(100).withColumn(
+        "p", (F.col("id") % 5).cast("string")
+    ).write.partitionBy("p").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("p") == "3")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "(p" in plan.split("PartitionFilters", 1)[1][:120]
+    assert df.count() == 20
