@@ -137,3 +137,87 @@ def pack_sequences(spark, sf_dir):
     return pack_next_fit(
         sized, "source", "doc_id", "n_tokens", budget=_PACK_BUDGET
     )
+
+
+@register(
+    "sample_mixture_balance",
+    # Data-mixing rebalance: downsample every language to ≈ the smallest
+    # language's row count (uniform mixture; en is 3× over-represented in
+    # this corpus) with the same deterministic
+    # md5-prefix draw. Per-source rate → 8-hex threshold; the float
+    # product/division order is IDENTICAL on both engines so floor() can't
+    # disagree. lower() because to_hex/hex are uppercase but md5 is lower.
+    """
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    th AS (
+      SELECT lang,
+             lower(lpad(to_hex(CAST(least(
+               floor((SELECT min(n) FROM c) * 4294967296.0 / n),
+               4294967295) AS BIGINT)), 8, '0')) AS threshold
+      FROM c
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN th ON d.lang = th.lang
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < th.threshold
+    """,
+)
+def sample_mixture_balance(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.training import hex_uniform
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    # min over an empty-partition window: input is the per-lang counts
+    # (languages, not rows) — tiny by construction
+    counts = counts.withColumn(
+        "target", F.min("n").over(Window.partitionBy())
+    )
+    threshold = F.lower(
+        F.lpad(
+            F.hex(
+                F.least(
+                    F.floor(F.col("target") * F.lit(4294967296.0) / F.col("n")),
+                    F.lit(4294967295),
+                ).cast("long")
+            ),
+            8,
+            "0",
+        )
+    )
+    th = counts.select("lang", threshold.alias("threshold"))
+    return (
+        docs.join(F.broadcast(th), "lang")
+        .filter(hex_uniform(F.col("doc_id")) < F.col("threshold"))
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "filter_length_quantiles",
+    # Quantile-based length filter (drop the tails a quality pipeline
+    # trims): keep docs with n_chars within [p5, p95]. Exact interpolated
+    # percentiles — Spark `percentile` ≡ DuckDB `quantile_cont` (the
+    # agg_exact_percentiles precedent), so the cutoffs are bit-identical.
+    """
+    WITH q AS (
+      SELECT quantile_cont(n_chars, 0.05) AS lo,
+             quantile_cont(n_chars, 0.95) AS hi
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars
+    FROM documents, q
+    WHERE n_chars >= q.lo AND n_chars <= q.hi
+    """,
+)
+def filter_length_quantiles(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(q))
+        .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .select("doc_id", "source", "n_chars")
+    )
