@@ -70,6 +70,7 @@ def _load_all() -> None:
         topk,
         windows,
         reshape,
+        multimodal,
         training,
         advanced,
         aggregates,
@@ -77,7 +78,6 @@ def _load_all() -> None:
         filters,
         joins,
         misc,
-        multimodal,
         similarity,
         text,
     )
