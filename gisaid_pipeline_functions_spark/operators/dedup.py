@@ -209,6 +209,72 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     return labels
 
 
+def connected_components_star(
+    edges: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Web-scale connected components: alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — converges in O(log n) rounds vs label propagation's
+    O(diameter), which is the difference between 5 rounds and thousands on
+    chain-shaped graphs.
+
+    large-star: every node's neighbors LARGER than it re-point to its
+    minimum (neighbor ∪ self). small-star: on the resulting big→small
+    edges, every node's smaller neighbors (and itself) point to its
+    minimum. The fixpoint is a star forest rooted at each component's
+    minimum id. Same output contract as ``connected_components``:
+    (id, component=min reachable id) for every node appearing in an edge.
+    """
+    # canonical undirected pair set (small, big), materialized per round
+    e = (
+        edges.select(
+            F.least("id_a", "id_b").alias("s"), F.greatest("id_a", "id_b").alias("b")
+        )
+        .filter(F.col("s") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        # large-star over the symmetric view: m(u) = min(Γ(u) ∪ {u});
+        # emit (v, m(u)) for v ∈ Γ(u), v > u
+        sym = e.select(F.col("s").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("s").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star on the big→small edges: m(u) = min(Γ(u) ∪ {u});
+        # emit (v, m(u)) for the small neighbors plus (u, m(u))
+        mins2 = ls.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        ss = (
+            ls.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+        )
+        new_e = (
+            ss.select(
+                F.least("u", "v").alias("s"), F.greatest("u", "v").alias("b")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_e.exceptAll(e).limit(1).count() + e.exceptAll(new_e).limit(1).count()
+        )
+        e = new_e
+        if changed == 0:
+            break
+    # fixpoint is a star forest: (b → s) with s the component min
+    return e.select(F.col("b").alias("id"), F.col("s").alias("component")).unionByName(
+        e.select(F.col("s").alias("id"), F.col("s").alias("component")).distinct()
+    )
+
+
 def mllib_minhash_pairs(
     df: DataFrame,
     id_col: str,

@@ -147,11 +147,7 @@ def dedup_simhash(spark, sf_dir):
     return simhash16(docs, "doc_id", "text")
 
 
-@register(
-    "dedup_connected_components",
-    # Transitive near-dup clusters over the LSH pair graph. Spark: iterative
-    # min-label propagation to fixpoint; oracle: recursive CTE reachability.
-    f"""
+_CC_ORACLE = f"""
     WITH RECURSIVE {_SHINGLES}, {_MINHASH}, {_BANDS},
     pairs AS (
       SELECT a.id AS id_a, b.id AS id_b
@@ -170,7 +166,14 @@ def dedup_simhash(spark, sf_dir):
     )
     SELECT node AS id, CAST(min(label) AS BIGINT) AS component
     FROM reach GROUP BY node
-    """,
+    """
+
+
+@register(
+    "dedup_connected_components",
+    # Transitive near-dup clusters over the LSH pair graph. Spark: iterative
+    # min-label propagation to fixpoint; oracle: recursive CTE reachability.
+    _CC_ORACLE,
 )
 def dedup_connected_components(spark, sf_dir):
     from ..operators.dedup import connected_components
@@ -210,3 +213,21 @@ def dedup_mllib_minhash(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return mllib_minhash_pairs(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_cc_large_star",
+    # Same cluster semantics, web-scale algorithm: alternating large-star /
+    # small-star contraction (O(log n) rounds vs label propagation's
+    # O(diameter)) over the same LSH pair graph, against the same
+    # recursive-CTE reachability oracle.
+    _CC_ORACLE,
+)
+def dedup_cc_large_star(spark, sf_dir):
+    from ..operators.dedup import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", k=3)
+    sig = minhash_signatures(sh, n_hashes=8)
+    pairs = lsh_candidate_pairs(sig, n_bands=2, rows_per_band=4).select("id_a", "id_b")
+    return connected_components_star(pairs)

@@ -153,3 +153,38 @@ def join_semi_membership(spark, sf_dir):
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
     return n.join(c, n.n_nationkey == c.c_nationkey, "left_semi").select("n_name").distinct()
+
+
+@register(
+    "join_salted_skew",
+    # Salted skew join (operators/skew.py): the salt scatters hot keys
+    # across R reducers but may not change the RESULT — the oracle is the
+    # plain join + aggregate, so any salt leakage (lost/duplicated rows)
+    # hash-fails. Salt assignment uses rand(seed) per partition; the
+    # output is partition-invariant because every salt bucket joins the
+    # same replicated small side.
+    """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_salted_skew(spark, sf_dir):
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, o, "l_orderkey", salt_buckets=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )

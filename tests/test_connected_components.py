@@ -1,0 +1,47 @@
+"""Connected-components variants: label propagation (default; O(diameter)
+rounds, right for near-dup clique graphs) vs large-star/small-star
+contraction (O(log n) rounds, the web-scale path promised in SCALING.md).
+Both must produce identical (id, component=min reachable) labelings."""
+
+from __future__ import annotations
+
+import random
+
+from gisaid_pipeline_functions_spark.operators.dedup import (
+    connected_components,
+    connected_components_star,
+)
+
+
+def _labels(df):
+    return {(r["id"], r["component"]) for r in df.collect()}
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def test_star_matches_label_propagation_random(spark):
+    rng = random.Random(7)
+    # several small cliques + noise edges, the near-dup graph shape
+    pairs = []
+    for base in range(0, 60, 10):
+        ids = list(range(base, base + rng.randint(2, 6)))
+        pairs += [(a, b) for a in ids for b in ids if a < b]
+    pairs += [(3, 57), (21, 44)]  # cross-component merges
+    e = _edges_df(spark, pairs)
+    assert _labels(connected_components_star(e)) == _labels(connected_components(e))
+
+
+def test_star_handles_long_chain(spark):
+    # a 64-node chain needs 63 label-propagation rounds — past the default
+    # iteration cap — but large/small-star contracts it in O(log n)
+    chain = [(i, i + 1) for i in range(63)]
+    out = _labels(connected_components_star(_edges_df(spark, chain)))
+    assert out == {(i, 0) for i in range(64)}
+
+
+def test_star_two_components_and_duplicates(spark):
+    pairs = [(5, 9), (9, 5), (9, 12), (100, 101), (101, 100)]
+    out = _labels(connected_components_star(_edges_df(spark, pairs)))
+    assert out == {(5, 5), (9, 5), (12, 5), (100, 100), (101, 100)}
