@@ -260,3 +260,28 @@ def report_mutation_csv(spark, sf_dir):
     total = aligned.count()
     variants = call_variants(aligned, refs)
     return mutation_csv(variants, total_prot_seq=total, group_cols=("protein",))
+
+
+@register(
+    "sql_api_weekly_freq",
+    # The pure-SQL entry point: the same W2 weekly frequency matrix driven
+    # through spark.sql over registered views (sources/tables.py:
+    # register_views) instead of the DataFrame API — Catalyst plans both
+    # identically; this row proves the SQL surface stays in parity.
+    """
+    SELECT CAST(ts AS DATE) - CAST(dayofweek(ts) AS INTEGER) AS week_start,
+           event_type AS key, count(*) AS freq
+    FROM events GROUP BY 1, 2
+    """,
+)
+def sql_api_weekly_freq(spark, sf_dir):
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT date_sub(CAST(ts AS DATE), dayofweek(ts) - 1) AS week_start,
+               event_type AS key, count(*) AS freq
+        FROM events GROUP BY 1, 2
+        """
+    )

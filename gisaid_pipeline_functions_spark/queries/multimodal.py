@@ -44,3 +44,32 @@ def multimodal_stats(spark, sf_dir):
         F.min("n_bytes").alias("min_bytes"),
         F.max("n_bytes").alias("max_bytes"),
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    # Frame-sampling plumbing row: fixed-stride slices of the binary
+    # payload (native substring on binary, no UDF), decoded back to text
+    # for the cross-engine compare (payload = utf-8 text bytes by
+    # construction). Mirrors operators/multimodal.py:frame_sample incl.
+    # the short-payload edge (payloads under one stride still emit frame 0).
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id, text
+      FROM documents WHERE CAST(doc_id % 3 AS INT) = 2  -- 'video'
+    )
+    SELECT media_id, CAST(k AS INT) AS frame_no,
+           substr(text, CAST(k * 64 + 1 AS INT), 64) AS frame_text
+    FROM media, LATERAL unnest(generate_series(
+      0, greatest(CAST(floor(strlen(text) / 64) AS BIGINT) - 1, 0))) t(k)
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    from ..operators.multimodal import frame_sample
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return frame_sample(media, every_n_bytes=64).select(
+        "media_id",
+        "frame_no",
+        F.decode(F.col("frame_bytes"), "utf-8").alias("frame_text"),
+    )

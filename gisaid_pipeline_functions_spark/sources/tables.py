@@ -72,6 +72,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (through
+    ``load_table``, so the timestamp[ns] rebuild and UTC session still
+    apply) — the `spark.sql(...)` entry point for users who drive the
+    engine with SQL instead of the DataFrame API."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
 def read_headerless_tsv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     """S4 — headerless TSV with positional schema (reference
     Time_Series.py:473–478 assigns names by position after the read)."""
