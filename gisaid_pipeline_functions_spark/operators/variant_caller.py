@@ -235,36 +235,67 @@ def call_variants(aligned: DataFrame, references: dict[str, str]) -> DataFrame:
     function once per executor).
     """
     ref_pos = {p: reference_positions(r) for p, r in references.items()}
+    # vectorized fast path per protein: byte array of the reference when it
+    # is gap-free — then any gap-free variant row diffs in ONE numpy
+    # compare (events ≪ length on real MSAs: ~10 subs across 1273 AA, so
+    # the per-char Python scan is the at-scale bottleneck, not the event
+    # assembly)
+    import numpy as np
+
+    ref_bytes = {
+        p: np.frombuffer(r.encode("ascii"), dtype=np.uint8)
+        for p, r in references.items()
+        if GAP not in r
+    }
 
     def run(batches):
         import pandas as pd
 
         for pdf in batches:
             out: dict[str, list] = {f.name: [] for f in VARIANT_SCHEMA.fields}
+
+            def emit(protein, cid, csize, ev):
+                out["protein"].append(protein)
+                out["Cluster_ID"].append(cid)
+                out["Cluster_Size"].append(int(csize))
+                for name, val in zip(
+                    [
+                        "Type",
+                        "Code",
+                        "Ref_Residues",
+                        "Var_Residues",
+                        "AA_Start_MSA",
+                        "AA_End_MSA",
+                        "AA_Start_Ref",
+                        "AA_End_Ref",
+                    ],
+                    ev,
+                ):
+                    out[name].append(val)
+
             for protein, cid, csize, seq in zip(
                 pdf["protein"], pdf["cluster_id"], pdf["cluster_size"], pdf["aligned_seq"]
             ):
                 ref = references.get(protein)
                 if ref is None:
                     continue
+                rb = ref_bytes.get(protein)
+                if rb is not None and GAP not in seq and len(seq) == len(ref):
+                    # pure-substitution row: vectorized positional diff;
+                    # gap-free ref ⇒ ref numbering == MSA column
+                    vb = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+                    for i in np.nonzero(rb != vb)[0]:
+                        pos = int(i) + 1
+                        r, v = ref[i], seq[i]
+                        emit(
+                            protein,
+                            cid,
+                            csize,
+                            ("sub", f"{r}{pos}{v}", r, v, pos, None, pos, None),
+                        )
+                    continue
                 for ev in call_variants_row(ref, ref_pos[protein], seq):
-                    out["protein"].append(protein)
-                    out["Cluster_ID"].append(cid)
-                    out["Cluster_Size"].append(int(csize))
-                    for name, val in zip(
-                        [
-                            "Type",
-                            "Code",
-                            "Ref_Residues",
-                            "Var_Residues",
-                            "AA_Start_MSA",
-                            "AA_End_MSA",
-                            "AA_Start_Ref",
-                            "AA_End_Ref",
-                        ],
-                        ev,
-                    ):
-                        out[name].append(val)
+                    emit(protein, cid, csize, ev)
             yield pd.DataFrame(out)
 
     cols = ["protein", "cluster_id", "cluster_size", "aligned_seq"]

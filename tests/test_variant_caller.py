@@ -185,3 +185,38 @@ def test_n_ext_excluded_from_count_table(variants_df):
         variants_df.filter("protein = 'N'"), ref_length=3, total_seq=7
     )
     assert [r["Total_Variants"] for r in out.orderBy("Residue_Number").collect()] == [0, 0, 0]
+
+
+def test_fast_path_matches_scan_path(spark):
+    # the numpy fast path (gap-free ref + gap-free row) must emit exactly
+    # what the region-scan path emits for the same rows
+    import random
+
+    from gisaid_pipeline_functions_spark.operators.variant_caller import (
+        call_variants_row,
+        reference_positions,
+    )
+
+    rng = random.Random(11)
+    alpha = "ACDEFGHIKLMNPQRSTVWY"
+    ref = "".join(rng.choice(alpha) for _ in range(200))
+    rows = []
+    for _ in range(20):
+        s = list(ref)
+        for _ in range(rng.randint(0, 12)):
+            i = rng.randrange(len(s))
+            s[i] = rng.choice(alpha)
+        rows.append(("P", f"c{len(rows)}", 1, "".join(s)))
+    aligned = spark.createDataFrame(
+        rows, "protein string, cluster_id string, cluster_size long, aligned_seq string"
+    )
+    got = {
+        (r["Cluster_ID"], r["Code"], r["AA_Start_MSA"], r["AA_Start_Ref"])
+        for r in call_variants(aligned, {"P": ref}).collect()
+    }
+    rp = reference_positions(ref)
+    want = set()
+    for _, cid, _, seq in rows:
+        for ev in call_variants_row(ref, rp, seq):
+            want.add((cid, ev[1], ev[4], ev[6]))
+    assert got == want
