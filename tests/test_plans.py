@@ -116,3 +116,13 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "(p" in plan.split("PartitionFilters", 1)[1][:120]
     assert df.count() == 20
+
+
+def test_asof_join_is_single_pass_no_join(spark, sf_dir):
+    # the as-of rewrite must stay a tagged-union + window carry-forward:
+    # NO join node (a ranged join would fan out events × prior orders) and
+    # at most two shuffles (orders pre-dedup agg + the user/time window)
+    plan = formatted_plan(spark, sf_dir, "join_asof")
+    assert "Join" not in plan
+    assert plan.count("Exchange (") <= 2
+    assert "Window" in plan
