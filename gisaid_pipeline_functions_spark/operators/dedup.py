@@ -234,6 +234,17 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+    def _sig(df):
+        # bit_xor: order-independent and overflow-free (ANSI mode throws
+        # on a long SUM overflow)
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("s", "b")).alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
+    prev_sig = _sig(e)
     for _ in range(max_iterations):
         # large-star over the symmetric view: m(u) = min(Γ(u) ∪ {u});
         # emit (v, m(u)) for v ∈ Γ(u), v > u
@@ -263,12 +274,14 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_e.exceptAll(e).limit(1).count() + e.exceptAll(new_e).limit(1).count()
-        )
+        # convergence via a one-job aggregate signature (count + hash xor)
+        # instead of two exceptAll shuffles; a collision only costs one
+        # wrong early exit with astronomically low probability
+        new_sig = _sig(new_e)
         e = new_e
-        if changed == 0:
+        if new_sig == prev_sig:
             break
+        prev_sig = new_sig
     # fixpoint is a star forest: (b → s) with s the component min
     return e.select(F.col("b").alias("id"), F.col("s").alias("component")).unionByName(
         e.select(F.col("s").alias("id"), F.col("s").alias("component")).distinct()

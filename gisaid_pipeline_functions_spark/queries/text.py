@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..operators.text import STOPWORDS, TOKEN_REGEX, fingerprints, language_id, quality_score, token_counts
 from ..registry import register
 from ..sources.tables import load_table
@@ -79,3 +81,39 @@ def text_token_counts(spark, sf_dir):
 )
 def text_fingerprints(spark, sf_dir):
     return fingerprints(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "text_unigram_logprob",
+    # Corpus-LM quality score (the CCNet/perplexity-filter shape with a
+    # unigram model): p(w) from corpus counts, per-doc mean -ln p(w) —
+    # high = rare-word-heavy docs. The corpus-wide word table broadcasts
+    # (vocab, not rows); everything stays native expressions.
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), wf AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+    tot AS (SELECT sum(n) AS total FROM wf)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-ln(wf.n * 1.0 / tot.total)), 6) AS mean_neg_logprob
+    FROM w JOIN wf ON w.word = wf.word CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    wf = w.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    tot = wf.agg(F.sum("n").alias("total"))
+    return (
+        w.join(F.broadcast(wf), "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("n") * 1.0 / F.col("total"))), 6).alias(
+                "mean_neg_logprob"
+            ),
+        )
+    )

@@ -221,3 +221,72 @@ def filter_length_quantiles(spark, sf_dir):
         .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
         .select("doc_id", "source", "n_chars")
     )
+
+
+@register(
+    "text_boilerplate_strip",
+    # C4-style boilerplate removal: any 10-word chunk appearing in >2
+    # distinct docs is boilerplate; docs are rebuilt from their kept
+    # chunks in order. The boilerplate fingerprint set broadcasts
+    # (distinct chunks, not rows); reassembly is a grouped ordered concat.
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    c AS (
+      SELECT doc_id, k,
+             array_to_string(words[(k*{_CHUNK_WORDS}+1):(k*{_CHUNK_WORDS}+{_CHUNK_WORDS})], ' ') AS chunk
+      FROM w, LATERAL unnest(generate_series(0,
+        CAST(ceil(len(words)/{_CHUNK_WORDS}.0) AS INT) - 1)) t(k)
+    ),
+    boiler AS (
+      SELECT md5(chunk) AS fp FROM c GROUP BY md5(chunk)
+      HAVING count(DISTINCT doc_id) > 2
+    ),
+    kept AS (
+      SELECT doc_id, k, chunk FROM c
+      WHERE md5(chunk) NOT IN (SELECT fp FROM boiler)
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_chunks FROM c GROUP BY doc_id),
+    rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(chunk, ' ' ORDER BY k) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(t.n_chunks - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped,
+           coalesce(r.clean_text, '') AS clean_text
+    FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    """,
+)
+def text_boilerplate_strip(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(chunk_text(docs, "text", _CHUNK_WORDS)).alias("k", "chunk"),
+    )
+    boiler = (
+        chunks.groupBy(F.md5("chunk").alias("fp"))
+        .agg(F.count_distinct("doc_id").alias("d"))
+        .filter(F.col("d") > 2)
+        .select("fp")
+    )
+    kept = chunks.join(
+        F.broadcast(boiler), F.md5(F.col("chunk")) == F.col("fp"), "left_anti"
+    )
+    totals = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+        ).alias("clean_text"),
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
