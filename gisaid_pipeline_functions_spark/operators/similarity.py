@@ -212,3 +212,44 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+def dim_min_max(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension corpus min/max as two aligned arrays (one row) — the
+    scalar-quantization grid. posexplode + grouped agg + ordered rebuild;
+    the result is dimension-sized and broadcasts."""
+    dims = corpus.select(
+        F.posexplode(_to_double(F.col(vec_col))).alias("pos", "x")
+    )
+    per_dim = dims.groupBy("pos").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    return per_dim.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "lo"))), lambda s: s["lo"]
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "hi"))), lambda s: s["hi"]
+        ).alias("maxs"),
+    )
+
+
+def quantize_int8(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Scalar int8 quantization: q_i = floor((x_i - min_i) * 255 /
+    (max_i - min_i) + 0.5) — explicit half-up so both engines floor the
+    SAME double (library round() tie rules differ). 4× smaller vectors
+    for ANN candidate generation; exact re-rank stays on the originals."""
+    grid = dim_min_max(corpus, vec_col)
+    v = _to_double(F.col(vec_col))
+    scaled = F.zip_with(
+        F.zip_with(v, F.col("mins"), lambda x, lo: x - lo),
+        F.zip_with(F.col("maxs"), F.col("mins"), lambda hi, lo: hi - lo),
+        lambda d, r: F.when(r > 0, F.floor(d * 255.0 / r + 0.5)).otherwise(
+            F.lit(0)
+        ).cast("long"),
+    )
+    return corpus.crossJoin(F.broadcast(grid)).select(
+        F.col(id_col), scaled.alias("q")
+    )

@@ -183,3 +183,33 @@ def sim_hyperplane_lsh(spark, sf_dir):
     return hyperplane_lsh_pairs(
         emb, dim=64, n_planes=16, bands=2, threshold=0.3
     )
+
+
+@register(
+    "sim_quantize_int8",
+    # Scalar int8 quantization of the embedding column against the
+    # per-dimension corpus min/max grid; explicit floor(x+0.5) half-up on
+    # both engines (round() tie rules differ between libraries). Output:
+    # the full quantized code array per vector.
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dims AS (
+      SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
+      FROM e, LATERAL unnest(generate_series(1, 64)) t(i)
+      GROUP BY i
+    ),
+    grid AS (
+      SELECT list(lo ORDER BY i) AS mins, list(hi ORDER BY i) AS maxs FROM dims
+    )
+    SELECT vec_id,
+           [CASE WHEN (maxs[i] - mins[i]) > 0
+                 THEN CAST(floor((v[i] - mins[i]) * 255.0 / (maxs[i] - mins[i]) + 0.5) AS BIGINT)
+                 ELSE 0 END FOR i IN generate_series(1, 64)] AS q
+    FROM e, grid
+    """,
+)
+def sim_quantize_int8(spark, sf_dir):
+    from ..operators.similarity import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_int8(emb)
