@@ -213,3 +213,55 @@ def sim_quantize_int8(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return quantize_int8(emb)
+
+
+@register(
+    "sim_ivf_multiprobe",
+    # IVF probe=2: the recall knob — search the two nearest cells per
+    # query (probe=1 misses neighbors across cell boundaries). Note the
+    # candidate set spans both cells, so the final rank drops the cell
+    # column (a candidate's rank is global across probed cells).
+    f"""
+    WITH dims AS (
+      SELECT label AS cell,
+             unnest(range(1, len(embedding) + 1)) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT cell, list(avg_x ORDER BY pos) AS centroid FROM (
+        SELECT cell, pos, avg(x) AS avg_x FROM dims GROUP BY cell, pos
+      ) GROUP BY cell
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+          WHERE vec_id < 5),
+    routed AS (
+      SELECT query_id, qvec, cell,
+             round({_cos_sql('qvec', 'centroid')}, 6) AS ccos
+      FROM q CROSS JOIN cents
+    ),
+    assigned AS (
+      SELECT query_id, qvec, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ccos DESC, cell) AS rn
+        FROM routed
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT a.query_id, e.vec_id AS cand_id,
+             round({_cos_sql('a.qvec', 'e.embedding')}, 6) AS cos
+      FROM assigned a JOIN embeddings e
+        ON e.label = a.cell AND e.vec_id <> a.query_id
+    )
+    SELECT query_id, cand_id, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def sim_ivf_multiprobe(spark, sf_dir):
+    from ..operators.similarity import ivf_topk_multiprobe
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk_multiprobe(emb, emb.filter(F.col("vec_id") < 5), k=3, probes=2)

@@ -106,3 +106,64 @@ def agg_approx_distinct(spark, sf_dir):
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
         F.count_distinct("l_partkey").alias("exact_parts"),
     )
+
+
+@register(
+    "window_lag_lead_delta",
+    # lag/lead surface: per-user event-to-event value delta and the next
+    # event's type; deterministic (ts, event_id) ordering. Each user's
+    # first event (no predecessor) is dropped so the float column stays
+    # null-free for the value-hash compare.
+    """
+    SELECT event_id, user_id, delta_prev, next_type FROM (
+      SELECT event_id, user_id,
+             round(value - lag(value) OVER w, 6) AS delta_prev,
+             lead(event_type) OVER w AS next_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) WHERE delta_prev IS NOT NULL
+    """,
+)
+def window_lag_lead_delta(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("delta_prev").isNotNull())
+
+
+@register(
+    "window_ntile_quartiles",
+    # ntile surface: revenue quartile per customer within their nation;
+    # deterministic tie-break on the id so both engines tile identically.
+    """
+    WITH spend AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             round(sum(o.o_totalprice), 2) AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    )
+    SELECT o_custkey, c_nationkey, revenue,
+           CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                               ORDER BY revenue DESC, o_custkey) AS INT)
+             AS quartile
+    FROM spend
+    """,
+)
+def window_ntile_quartiles(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("revenue"), F.asc("o_custkey")
+    )
+    return spend.select(
+        "o_custkey", "c_nationkey", "revenue", F.ntile(4).over(w).alias("quartile")
+    )
