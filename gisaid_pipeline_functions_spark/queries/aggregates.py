@@ -199,3 +199,41 @@ def agg_mode(spark, sf_dir):
 def agg_distinct(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return ev.filter(F.col("value") > 100).select("event_type", "user_id").distinct()
+
+
+@register(
+    "agg_cube_region_priority",
+    # Full CUBE (all four grouping combinations incl. grand total) in ONE
+    # Expand + shuffle — the reference's nested per-continent/per-priority
+    # loops collapse into a single pass (same family as the W5 grouping
+    # sets, SURVEY §2.6).
+    """
+    SELECT coalesce(r.r_name, 'ALL') AS region,
+           coalesce(o.o_orderpriority, 'ALL') AS priority,
+           count(*) AS n
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY CUBE (r.r_name, o.o_orderpriority)
+    """,
+)
+def agg_cube_region_priority(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        base.cube("r_name", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )

@@ -231,3 +231,30 @@ def dedup_cc_large_star(spark, sf_dir):
     sig = minhash_signatures(sh, n_hashes=8)
     pairs = lsh_candidate_pairs(sig, n_bands=2, rows_per_band=4).select("id_a", "id_b")
     return connected_components_star(pairs)
+
+
+@register(
+    "dedup_near_keep_first",
+    # The near-dup pipeline's OUTPUT: the corpus with only each connected
+    # component's min-id member kept (exact-duplicate doc of dedup_keep_first
+    # but over the transitive NEAR-dup graph). Non-min members drop via an
+    # anti join against the component table.
+    f"""
+    WITH cc AS ({_CC_ORACLE})
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE id <> component)
+    """,
+)
+def dedup_near_keep_first(spark, sf_dir):
+    from ..operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", k=3)
+    sig = minhash_signatures(sh, n_hashes=8)
+    pairs = lsh_candidate_pairs(sig, n_bands=2, rows_per_band=4).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    drop = cc.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id", "source")

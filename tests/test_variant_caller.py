@@ -220,3 +220,38 @@ def test_fast_path_matches_scan_path(spark):
         for ev in call_variants_row(ref, rp, seq):
             want.add((cid, ev[1], ev[4], ev[6]))
     assert got == want
+
+
+def test_kernel_realistic_msa_length(spark):
+    # realistic MSA scale per row (Spike ≈ 1273 AA; here 5000 columns with
+    # sparse events incl. a gap region) — pins that both the numpy fast
+    # path and the region-scan path handle long sequences, where the
+    # event count stays decoupled from the sequence length
+    import random
+
+    rng = random.Random(3)
+    alpha = "ACDEFGHIKLMNPQRSTVWY"
+    L = 5000
+    ref = "".join(rng.choice(alpha) for _ in range(L))
+    subs_only = list(ref)
+    for i in (10, 999, 4998):
+        subs_only[i] = "W" if ref[i] != "W" else "Y"
+    gapped = list(ref)
+    gapped[100:103] = "---"  # 3-residue deletion
+    rows = [
+        ("P", "fast", 1, "".join(subs_only)),
+        ("P", "scan", 1, "".join(gapped)),
+    ]
+    aligned = spark.createDataFrame(
+        rows, "protein string, cluster_id string, cluster_size long, aligned_seq string"
+    )
+    out = call_variants(aligned, {"P": ref}).collect()
+    by_cid = {}
+    for r in out:
+        by_cid.setdefault(r["Cluster_ID"], []).append(r)
+    assert len(by_cid["fast"]) == 3
+    assert all(r["Type"] == "sub" for r in by_cid["fast"])
+    assert {r["AA_Start_Ref"] for r in by_cid["fast"]} == {11, 1000, 4999}
+    assert len(by_cid["scan"]) == 1
+    dele = by_cid["scan"][0]
+    assert dele["Type"] == "del" and dele["AA_Start_Ref"] == 101 and dele["AA_End_Ref"] == 103
