@@ -38,14 +38,49 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
+# Queries that already have a GREEN hash row in CORRECTNESS_r01.json.
+# The round-1 driver recorded only the first 50 registered entries, so the
+# public dict ordering puts every not-yet-driver-proven query FIRST (in
+# registration order) and these proven ones last — if the sweep is capped
+# again, the unproven surface gets its rows.
+_R01_PROVEN = frozenset(
+    {
+        "text_tfidf", "ts_sessionize", "join_asof", "agg_collect_list",
+        "agg_explode_count", "agg_first_per_key", "agg_group_sum",
+        "agg_pivot_position_counts", "agg_describe", "agg_mode",
+        "agg_distinct", "dedup_exact", "dedup_minhash_lsh",
+        "dedup_ngram_jaccard", "dedup_simhash", "dedup_connected_components",
+        "dedup_keep_first", "filter_quality_tally", "filter_regex",
+        "filter_membership", "filter_bucket_histogram",
+        "filter_motif_substring", "filter_x_content",
+        "flagship_weekly_prevalence_topn", "join_large_equi",
+        "join_broadcast_dims", "join_range_regions", "join_contingency_2x2",
+        "join_anti_orphans", "join_semi_membership", "proj_split_extract",
+        "proj_display_label", "proj_type_label_map", "union_stack_tables",
+        "union_synthetic_rows", "funnel_stage_counts",
+        "bucket_selection_strings", "report_mutation_csv",
+        "patch_motif_overlay", "prevalence_share", "region_rank_by_mean",
+        "sim_bruteforce_topk", "sim_ivf_topk", "sim_neardup_cosine_blocked",
+        "text_language_id", "text_quality_score", "text_token_counts",
+        "text_fingerprints", "dedup_mllib_minhash",
+    }
+)
+
+
+def _ordered(d: dict) -> dict:
+    unproven = {k: v for k, v in d.items() if k not in _R01_PROVEN}
+    proven = {k: v for k, v in d.items() if k in _R01_PROVEN}
+    return {**unproven, **proven}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all()
-    return dict(_QUERIES)
+    return _ordered(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     _load_all()
-    return dict(_ORACLES)
+    return _ordered(_ORACLES)
 
 
 _LOADED = False
