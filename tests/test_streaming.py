@@ -118,3 +118,74 @@ def test_streaming_sessions_match_batch(spark, sf_dir, tmp_path):
     assert must_emit, "test data produced no closable sessions"
     missing = must_emit - set(stream)
     assert not missing, f"{len(missing)} closable sessions never emitted"
+
+
+def test_weekly_watermark_drops_late_data(spark, tmp_path):
+    # Late-data guarantee, tested the way it actually engages: the
+    # late-events watermark is the PREVIOUS RUN's committed watermark, so
+    # within a single fresh run nothing is "late" yet (late filter = query
+    # start). Run 1 commits watermark = max ts - 14d; run 2 (same
+    # checkpoint) then receives an event 26 days behind it — the stateful
+    # operator must drop it (numRowsDroppedByWatermark) and the append
+    # sink must contain only fresh windows.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gisaid_pipeline_functions_spark.streaming.weekly import (
+        streaming_weekly_frequency,
+    )
+
+    def tbl(rows):
+        return pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array([r[2] for r in rows]),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+
+    day_ns = 86_400_000_000_000
+    base = 1_704_067_200_000_000_000  # 2024-01-01 UTC
+    src = tmp_path / "late_src"
+    src.mkdir()
+    cp = str(tmp_path / "cp")
+    out = str(tmp_path / "out")
+
+    def run():
+        stream_src = (
+            spark.readStream.schema(
+                "event_id long, ts long, user_id long, event_type string, value double, props string"
+            )
+            .parquet(str(src))
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+        q = (
+            streaming_weekly_frequency(stream_src, watermark="14 days")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    pq.write_table(
+        tbl([(i, base + i * day_ns, "fresh") for i in range(0, 41, 5)]),
+        src / "part-0.parquet",
+    )
+    run()  # commits watermark = day 40 - 14d
+    pq.write_table(tbl([(100, base, "late")]), src / "part-1.parquet")
+    q2 = run()
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q2.recentProgress
+        for so in p["stateOperators"]
+    )
+    assert dropped == 1, "the 26-days-late event was not dropped"
+    rows = spark.read.parquet(out).collect()
+    assert rows and {r["key"] for r in rows} == {"fresh"}
