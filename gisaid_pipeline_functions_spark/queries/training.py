@@ -290,3 +290,134 @@ def text_boilerplate_strip(spark, sf_dir):
         (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+@register(
+    "flagship_corpus_pipeline",
+    # The corpus-shaping pipeline END-TO-END as one lazy DAG: p5–p95
+    # length filter → exact-dedup keep-first (min doc_id per text hash) →
+    # per-language mixture rebalance (thresholds derived from the
+    # SURVIVING docs) → next-fit packing per source. The oracle replays
+    # every stage in CTEs, so a drift anywhere in the chain hash-fails.
+    f"""
+    WITH RECURSIVE q AS (
+      SELECT quantile_cont(n_chars, 0.05) AS lo,
+             quantile_cont(n_chars, 0.95) AS hi
+      FROM documents
+    ),
+    filtered AS (
+      SELECT d.* FROM documents d, q WHERE d.n_chars >= q.lo AND d.n_chars <= q.hi
+    ),
+    keepers AS (
+      SELECT min(doc_id) AS doc_id FROM filtered GROUP BY md5(text)
+    ),
+    deduped AS (
+      SELECT f.* FROM filtered f JOIN keepers k ON f.doc_id = k.doc_id
+    ),
+    c AS (SELECT lang, count(*) AS n FROM deduped GROUP BY lang),
+    th AS (
+      SELECT lang,
+             lower(lpad(to_hex(CAST(least(
+               floor((SELECT min(n) FROM c) * 4294967296.0 / n),
+               4294967295) AS BIGINT)), 8, '0')) AS threshold
+      FROM c
+    ),
+    balanced AS (
+      SELECT d.* FROM deduped d JOIN th ON d.lang = th.lang
+      WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < th.threshold
+    ),
+    docs2 AS (
+      SELECT source, doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM balanced
+    ),
+    packed AS (
+      SELECT source, doc_id, lang, n_tokens, rn,
+             CAST(1 AS BIGINT) AS bin_id, n_tokens AS fill
+      FROM docs2 WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.doc_id, d.lang, d.n_tokens, d.rn,
+             CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET}
+                  THEN p.bin_id ELSE p.bin_id + 1 END,
+             CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET}
+                  THEN p.fill + d.n_tokens ELSE d.n_tokens END
+      FROM docs2 d JOIN packed p ON d.source = p.source AND d.rn = p.rn + 1
+    )
+    SELECT source, doc_id, lang, n_tokens, bin_id FROM packed
+    """,
+)
+def flagship_corpus_pipeline(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.training import hex_uniform
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
+    )
+    filtered = docs.crossJoin(F.broadcast(q)).filter(
+        (F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi"))
+    )
+    keepers = filtered.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    deduped = filtered.join(
+        keepers.select("doc_id"), "doc_id", "left_semi"
+    )
+    counts = deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    counts = counts.withColumn("target", F.min("n").over(Window.partitionBy()))
+    threshold = F.lower(
+        F.lpad(
+            F.hex(
+                F.least(
+                    F.floor(F.col("target") * F.lit(4294967296.0) / F.col("n")),
+                    F.lit(4294967295),
+                ).cast("long")
+            ),
+            8,
+            "0",
+        )
+    )
+    th = counts.select("lang", threshold.alias("threshold"))
+    balanced = deduped.join(F.broadcast(th), "lang").filter(
+        hex_uniform(F.col("doc_id")) < F.col("threshold")
+    )
+    sized = balanced.select(
+        "source",
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins = []
+        bin_id, fill = 0, 0
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if bin_id == 0 or fill + t > _PACK_BUDGET:
+                bin_id += 1
+                fill = t
+            else:
+                fill += t
+            bins.append(bin_id)
+        pdf["bin_id"] = bins
+        return pdf[["source", "doc_id", "lang", "n_tokens", "bin_id"]]
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("source", StringType()),
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("n_tokens", LongType()),
+            StructField("bin_id", LongType()),
+        ]
+    )
+    return sized.groupBy("source").applyInPandas(pack, schema)
