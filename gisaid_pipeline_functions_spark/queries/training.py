@@ -357,13 +357,19 @@ def flagship_corpus_pipeline(spark, sf_dir):
         F.percentile("n_chars", F.lit(0.05)).alias("lo"),
         F.percentile("n_chars", F.lit(0.95)).alias("hi"),
     )
+    # filtered feeds BOTH the keeper-set aggregate and the semi join;
+    # deduped feeds BOTH the per-lang counts and the balance filter —
+    # persist the reused stages or each branch re-executes the whole
+    # upstream subtree (~4× the scan+filter cost). At 100 TB the same
+    # boundary is where a real pipeline materializes stage output to
+    # storage; MEMORY_AND_DISK persist is the single-job equivalent.
     filtered = docs.crossJoin(F.broadcast(q)).filter(
         (F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi"))
-    )
+    ).persist()
     keepers = filtered.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
     deduped = filtered.join(
         keepers.select("doc_id"), "doc_id", "left_semi"
-    )
+    ).persist()
     counts = deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     counts = counts.withColumn("target", F.min("n").over(Window.partitionBy()))
     threshold = F.lower(
