@@ -163,7 +163,16 @@ def sort_fasta(
         import glob
         import shutil
 
+        # local-filesystem only: Spark may have written out_path to HDFS/S3,
+        # where glob sees nothing — fail loudly instead of silently
+        # producing an empty single_file
+        parts = sorted(glob.glob(f"{out_path}/part-*"))
+        if not parts:
+            raise FileNotFoundError(
+                f"no part files under {out_path!r} on the local filesystem — "
+                "single_file concat requires a local out_path"
+            )
         with open(single_file, "wb") as w:
-            for p in sorted(glob.glob(f"{out_path}/part-*")):
+            for p in parts:
                 with open(p, "rb") as r:
                     shutil.copyfileobj(r, w)

@@ -234,6 +234,21 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # nodes appearing ONLY in self-loop edges would vanish with the s != b
+    # filter, diverging from connected_components (which emits (id, id) for
+    # them) — remember them and union back at the end
+    self_only = (
+        edges.filter(F.col("id_a") == F.col("id_b"))
+        .select(F.col("id_a").alias("id"))
+        .distinct()
+        .join(
+            e.select(F.col("s").alias("id"))
+            .unionByName(e.select(F.col("b").alias("id")))
+            .distinct(),
+            "id",
+            "left_anti",
+        )
+    )
 
     def _sig(df):
         # bit_xor: order-independent and overflow-free (ANSI mode throws
@@ -283,8 +298,12 @@ def connected_components_star(
             break
         prev_sig = new_sig
     # fixpoint is a star forest: (b → s) with s the component min
-    return e.select(F.col("b").alias("id"), F.col("s").alias("component")).unionByName(
-        e.select(F.col("s").alias("id"), F.col("s").alias("component")).distinct()
+    return (
+        e.select(F.col("b").alias("id"), F.col("s").alias("component"))
+        .unionByName(
+            e.select(F.col("s").alias("id"), F.col("s").alias("component")).distinct()
+        )
+        .unionByName(self_only.select("id", F.col("id").alias("component")))
     )
 
 

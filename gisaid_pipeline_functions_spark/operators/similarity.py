@@ -132,8 +132,14 @@ def hyperplane_lsh_pairs(
         F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
     )
     v = F.col("v")
+    # round the projection to 6dp before the sign test: Spark's aggregate
+    # fold and DuckDB's list_sum can sum in different orders, so an
+    # unrounded dot within float-epsilon of 0 could flip a bit on one
+    # engine only (the repo-wide 6-decimal parity convention)
     bits = [
-        (dot(v, F.array(*[F.lit(s) for s in row])) >= 0).cast("int").cast("string")
+        (F.round(dot(v, F.array(*[F.lit(s) for s in row])), 6) >= 0)
+        .cast("int")
+        .cast("string")
         for row in signs
     ]
     band_sigs = [

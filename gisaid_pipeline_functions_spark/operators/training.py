@@ -83,9 +83,21 @@ def chunk_text(df: DataFrame, text_col: str, chunk_words: int) -> Column:
     )
 
 
+def shard_bucket(col: Column, n_buckets: int) -> Column:
+    """Portable deterministic shard in [0, n_buckets): index of the first
+    hex digit of ``md5(col)`` in '0123456789abcdef', mod n_buckets. The
+    identical expression exists in DuckDB (``strpos``), so oracles replay
+    the exact sharding — unlike xxhash64, which is Spark-internal."""
+    first_hex = F.substring(F.md5(col.cast("string")), 1, 1)
+    return ((F.instr(F.lit("0123456789abcdef"), first_hex) - 1) % n_buckets).cast(
+        "long"
+    )
+
+
 PACK_SCHEMA = StructType(
     [
         StructField("source", StringType()),
+        StructField("shard", LongType()),
         StructField("doc_id", LongType()),
         StructField("n_tokens", LongType()),
         StructField("bin_id", LongType()),
@@ -99,12 +111,20 @@ def pack_next_fit(
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
     budget: int = 50,
+    shards: int = 8,
 ) -> DataFrame:
-    """Next-fit sequence packing: walk each group's docs in id order,
+    """Next-fit sequence packing: walk each shard's docs in id order,
     appending to the current bin while the token budget holds, else open
     a new bin. The running fill makes this inherently sequential per
-    group — applyInPandas keeps groups parallel while the walk stays a
-    tight pandas loop. A doc larger than the budget gets its own bin."""
+    shard — applyInPandas keeps shards parallel while the walk stays a
+    tight pandas loop. A doc larger than the budget gets its own bin.
+
+    The shard key is COMPOSITE — ``(group, shard_bucket(id, shards))`` —
+    not the raw group: web corpora are dominated by one source, and
+    grouping on source alone would serialize the dominant source's walk
+    onto a single core and a single task's memory (VERDICT.md r2 #3).
+    Bin ids are local to their shard; ``(group, shard, bin_id)`` is the
+    global bin identity."""
 
     def pack(pdf):
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
@@ -119,7 +139,12 @@ def pack_next_fit(
                 fill += t
             bins.append(bin_id)
         pdf["bin_id"] = bins
-        return pdf[[group_col, id_col, tokens_col, "bin_id"]]
+        return pdf[[group_col, "shard", id_col, tokens_col, "bin_id"]]
 
-    inp = df.select(group_col, id_col, F.col(tokens_col).cast("long"))
-    return inp.groupBy(group_col).applyInPandas(pack, PACK_SCHEMA)
+    inp = df.select(
+        group_col,
+        shard_bucket(F.col(id_col), shards).alias("shard"),
+        id_col,
+        F.col(tokens_col).cast("long"),
+    )
+    return inp.groupBy(group_col, "shard").applyInPandas(pack, PACK_SCHEMA)

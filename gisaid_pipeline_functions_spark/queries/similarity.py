@@ -140,8 +140,8 @@ def _hyperplane_oracle() -> str:
     def bit(row):
         arr = "[" + ", ".join(f"{s:.1f}" for s in row) + "]"
         return (
-            "(CASE WHEN list_sum(list_transform(list_zip(v, "
-            f"{arr}), p -> CAST(p[1] AS DOUBLE) * p[2])) >= 0 "
+            "(CASE WHEN round(list_sum(list_transform(list_zip(v, "
+            f"{arr}), p -> CAST(p[1] AS DOUBLE) * p[2])), 6) >= 0 "
             "THEN '1' ELSE '0' END)"
         )
 
@@ -189,30 +189,33 @@ def sim_hyperplane_lsh(spark, sf_dir):
     "sim_quantize_int8",
     # Scalar int8 quantization of the embedding column against the
     # per-dimension corpus min/max grid; explicit floor(x+0.5) half-up on
-    # both engines (round() tie rules differ between libraries). Output:
-    # the full quantized code array per vector.
+    # both engines (round() tie rules differ between libraries). Output is
+    # LONG FORM (vec_id, pos, q) — the driver canonicalizer sorts/hashes
+    # scalar cells, so the code array is posexploded on both engines
+    # (r2's array-typed `q` crashed pandas sort_values; VERDICT.md #1).
     """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     dims AS (
       SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
       FROM e, LATERAL unnest(generate_series(1, 64)) t(i)
       GROUP BY i
-    ),
-    grid AS (
-      SELECT list(lo ORDER BY i) AS mins, list(hi ORDER BY i) AS maxs FROM dims
     )
-    SELECT vec_id,
-           [CASE WHEN (maxs[i] - mins[i]) > 0
-                 THEN CAST(floor((v[i] - mins[i]) * 255.0 / (maxs[i] - mins[i]) + 0.5) AS BIGINT)
-                 ELSE 0 END FOR i IN generate_series(1, 64)] AS q
-    FROM e, grid
+    SELECT e.vec_id, CAST(d.i - 1 AS BIGINT) AS pos,
+           CASE WHEN (d.hi - d.lo) > 0
+                THEN CAST(floor((e.v[d.i] - d.lo) * 255.0 / (d.hi - d.lo) + 0.5) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS q
+    FROM e CROSS JOIN dims d
     """,
 )
 def sim_quantize_int8(spark, sf_dir):
     from ..operators.similarity import quantize_int8
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return quantize_int8(emb)
+    codes = quantize_int8(emb)
+    exploded = codes.select("vec_id", F.posexplode("q").alias("pos", "q"))
+    return exploded.select(
+        "vec_id", F.col("pos").cast("long").alias("pos"), "q"
+    )
 
 
 @register(

@@ -102,31 +102,50 @@ def dedup_paragraph(spark, sf_dir):
     )
 
 
+_N_SHARDS = 8
+# portable shard expression — identical semantics to operators.training
+# .shard_bucket (first md5 hex digit → 0..15, mod shards)
+_SHARD_SQL = (
+    "CAST((strpos('0123456789abcdef', "
+    "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % "
+    f"{_N_SHARDS} AS BIGINT)"
+)
+
+
 @register(
     "pack_sequences",
-    # Next-fit sequence packing per source shard; the oracle replays the
-    # identical sequential walk with a recursive CTE. Genuinely stateful
-    # custom operator (applyInPandas) with an exact cross-engine gate.
+    # Next-fit sequence packing per (source, hash-shard) — the composite
+    # key keeps a dominant source parallel across cores (VERDICT r2 #3);
+    # the oracle replays the identical per-shard sequential walk with a
+    # recursive CTE. Genuinely stateful custom operator (applyInPandas)
+    # with an exact cross-engine gate.
     f"""
-    WITH RECURSIVE docs2 AS (
+    WITH RECURSIVE sharded AS (
       SELECT source, doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+             {_SHARD_SQL} AS shard
       FROM documents
     ),
+    docs2 AS (
+      SELECT source, shard, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY source, shard
+                                ORDER BY doc_id) AS rn
+      FROM sharded
+    ),
     packed AS (
-      SELECT source, doc_id, n_tokens, rn,
+      SELECT source, shard, doc_id, n_tokens, rn,
              CAST(1 AS BIGINT) AS bin_id, n_tokens AS fill
       FROM docs2 WHERE rn = 1
       UNION ALL
-      SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+      SELECT d.source, d.shard, d.doc_id, d.n_tokens, d.rn,
              CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET}
                   THEN p.bin_id ELSE p.bin_id + 1 END,
              CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET}
                   THEN p.fill + d.n_tokens ELSE d.n_tokens END
-      FROM docs2 d JOIN packed p ON d.source = p.source AND d.rn = p.rn + 1
+      FROM docs2 d JOIN packed p
+        ON d.source = p.source AND d.shard = p.shard AND d.rn = p.rn + 1
     )
-    SELECT source, doc_id, n_tokens, bin_id FROM packed
+    SELECT source, shard, doc_id, n_tokens, bin_id FROM packed
     """,
 )
 def pack_sequences(spark, sf_dir):
@@ -135,7 +154,8 @@ def pack_sequences(spark, sf_dir):
         "source", "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
     return pack_next_fit(
-        sized, "source", "doc_id", "n_tokens", budget=_PACK_BUDGET
+        sized, "source", "doc_id", "n_tokens",
+        budget=_PACK_BUDGET, shards=_N_SHARDS,
     )
 
 
@@ -326,25 +346,32 @@ def text_boilerplate_strip(spark, sf_dir):
       SELECT d.* FROM deduped d JOIN th ON d.lang = th.lang
       WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < th.threshold
     ),
-    docs2 AS (
+    sharded AS (
       SELECT source, doc_id, lang,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+             {_SHARD_SQL} AS shard
       FROM balanced
     ),
+    docs2 AS (
+      SELECT source, shard, doc_id, lang, n_tokens,
+             row_number() OVER (PARTITION BY source, shard
+                                ORDER BY doc_id) AS rn
+      FROM sharded
+    ),
     packed AS (
-      SELECT source, doc_id, lang, n_tokens, rn,
+      SELECT source, shard, doc_id, lang, n_tokens, rn,
              CAST(1 AS BIGINT) AS bin_id, n_tokens AS fill
       FROM docs2 WHERE rn = 1
       UNION ALL
-      SELECT d.source, d.doc_id, d.lang, d.n_tokens, d.rn,
+      SELECT d.source, d.shard, d.doc_id, d.lang, d.n_tokens, d.rn,
              CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET}
                   THEN p.bin_id ELSE p.bin_id + 1 END,
              CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET}
                   THEN p.fill + d.n_tokens ELSE d.n_tokens END
-      FROM docs2 d JOIN packed p ON d.source = p.source AND d.rn = p.rn + 1
+      FROM docs2 d JOIN packed p
+        ON d.source = p.source AND d.shard = p.shard AND d.rn = p.rn + 1
     )
-    SELECT source, doc_id, lang, n_tokens, bin_id FROM packed
+    SELECT source, shard, doc_id, lang, n_tokens, bin_id FROM packed
     """,
 )
 def flagship_corpus_pipeline(spark, sf_dir):
@@ -388,8 +415,11 @@ def flagship_corpus_pipeline(spark, sf_dir):
     balanced = deduped.join(F.broadcast(th), "lang").filter(
         hex_uniform(F.col("doc_id")) < F.col("threshold")
     )
+    from ..operators.training import shard_bucket
+
     sized = balanced.select(
         "source",
+        shard_bucket(F.col("doc_id"), _N_SHARDS).alias("shard"),
         "doc_id",
         "lang",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
@@ -408,7 +438,7 @@ def flagship_corpus_pipeline(spark, sf_dir):
                 fill += t
             bins.append(bin_id)
         pdf["bin_id"] = bins
-        return pdf[["source", "doc_id", "lang", "n_tokens", "bin_id"]]
+        return pdf[["source", "shard", "doc_id", "lang", "n_tokens", "bin_id"]]
 
     from pyspark.sql.types import (
         LongType,
@@ -420,10 +450,11 @@ def flagship_corpus_pipeline(spark, sf_dir):
     schema = StructType(
         [
             StructField("source", StringType()),
+            StructField("shard", LongType()),
             StructField("doc_id", LongType()),
             StructField("lang", StringType()),
             StructField("n_tokens", LongType()),
             StructField("bin_id", LongType()),
         ]
     )
-    return sized.groupBy("source").applyInPandas(pack, schema)
+    return sized.groupBy("source", "shard").applyInPandas(pack, schema)

@@ -96,15 +96,34 @@ def ts_cumulative_totals(spark, sf_dir):
     )
 
 
-@register("agg_approx_distinct")  # rows-only: sketch implementations differ
+@register(
+    "agg_approx_distinct",
+    # HLL sketch internals aren't cross-engine comparable, so the gate is
+    # a bounded-error CONTRACT: Spark emits its exact distinct count plus
+    # a boolean comparing its own HLL estimate to that exact count; the
+    # oracle emits (exact, TRUE). The hash matches iff the sketch is in
+    # bound — a hard gate instead of the r2 `no_oracle` row.
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark, sf_dir):
     """HyperLogLog++ distinct counts — the approximate-aggregate slot.
-    Sketches aren't cross-engine comparable; the pytest invariant asserts
-    ≤5% error vs exact."""
+    rsd=0.01 keeps the estimate well inside the 5% contract bound."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
         F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+    within = (
+        F.abs(F.col("approx_parts") - F.col("exact_parts"))
+        <= F.lit(0.05) * F.col("exact_parts")
+    )
+    return agg.select(
+        "l_returnflag", "exact_parts", within.alias("within_5pct")
     )
 
 

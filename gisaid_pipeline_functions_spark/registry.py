@@ -38,39 +38,76 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
-# Queries that already have a GREEN hash row in CORRECTNESS_r01.json.
-# The round-1 driver recorded only the first 50 registered entries, so the
-# public dict ordering puts every not-yet-driver-proven query FIRST (in
-# registration order) and these proven ones last — if the sweep is capped
-# again, the unproven surface gets its rows.
-_R01_PROVEN = frozenset(
+# Re-verification rotation under the driver's ~50-entries-per-round cap.
+#
+# A green driver row ages the moment the query's code (or a shared
+# operator under it) changes, so registration order — the order the
+# driver's capped sweep consumes — is computed EVERY round as:
+#   1. queries whose implementation changed this round (_RECHECK_FIRST,
+#      maintained by hand alongside the code change) and queries with no
+#      green row in ANY recorded round (new or previously failing);
+#   2. then ascending by last-green round (stalest evidence first);
+#   3. registration order breaks ties.
+# The CORRECTNESS_r*.json files at the repo root are the source of truth
+# for "last green"; if none are present (fresh checkout) the order
+# degrades gracefully to plain registration order.
+
+# Queries whose implementation or transitive operator code changed in the
+# CURRENT round — forced to the front regardless of prior green rows.
+_RECHECK_FIRST = frozenset(
     {
-        "text_tfidf", "ts_sessionize", "join_asof", "agg_collect_list",
-        "agg_explode_count", "agg_first_per_key", "agg_group_sum",
-        "agg_pivot_position_counts", "agg_describe", "agg_mode",
-        "agg_distinct", "dedup_exact", "dedup_minhash_lsh",
-        "dedup_ngram_jaccard", "dedup_simhash", "dedup_connected_components",
-        "dedup_keep_first", "filter_quality_tally", "filter_regex",
-        "filter_membership", "filter_bucket_histogram",
-        "filter_motif_substring", "filter_x_content",
-        "flagship_weekly_prevalence_topn", "join_large_equi",
-        "join_broadcast_dims", "join_range_regions", "join_contingency_2x2",
-        "join_anti_orphans", "join_semi_membership", "proj_split_extract",
-        "proj_display_label", "proj_type_label_map", "union_stack_tables",
-        "union_synthetic_rows", "funnel_stage_counts",
-        "bucket_selection_strings", "report_mutation_csv",
-        "patch_motif_overlay", "prevalence_share", "region_rank_by_mean",
-        "sim_bruteforce_topk", "sim_ivf_topk", "sim_neardup_cosine_blocked",
-        "text_language_id", "text_quality_score", "text_token_counts",
-        "text_fingerprints", "dedup_mllib_minhash",
+        # round 3 changes:
+        "sim_quantize_int8",      # output reshaped to long form
+        "agg_approx_distinct",    # oracle-gated via bounded-error boolean
+        "sim_hyperplane_lsh",     # 6dp rounding before the sign test
+        "pack_sequences",         # composite shard key (de-skew)
+        "flagship_corpus_pipeline",  # same packing change
+        "dedup_cc_large_star",    # self-loop-only node handling
+        "dedup_near_keep_first",  # consumes star CC
     }
 )
 
 
+def _last_green_round() -> dict[str, int]:
+    """Each query's most recent round with a green driver row, scanned
+    from repo-root CORRECTNESS_r*.json (a recorded rows-only row counts —
+    it is the strongest evidence that query can ever get)."""
+    import json
+    import re
+    from pathlib import Path
+
+    out: dict[str, int] = {}
+    root = Path(__file__).resolve().parents[1]
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)$", p.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True or row.get("err") == "no_oracle":
+                out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
 def _ordered(d: dict) -> dict:
-    unproven = {k: v for k, v in d.items() if k not in _R01_PROVEN}
-    proven = {k: v for k, v in d.items() if k in _R01_PROVEN}
-    return {**unproven, **proven}
+    last_green = _last_green_round()
+    names = sorted(
+        d,
+        key=lambda n, _idx={k: i for i, k in enumerate(d)}: (
+            0 if n in _RECHECK_FIRST else 1,
+            last_green.get(n, -1),
+            _idx[n],
+        ),
+    )
+    return {n: d[n] for n in names}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -45,3 +45,14 @@ def test_star_two_components_and_duplicates(spark):
     pairs = [(5, 9), (9, 5), (9, 12), (100, 101), (101, 100)]
     out = _labels(connected_components_star(_edges_df(spark, pairs)))
     assert out == {(5, 5), (9, 5), (12, 5), (100, 100), (101, 100)}
+
+
+def test_star_self_loop_only_nodes_match_label_propagation(spark):
+    # a node appearing ONLY in self-loop edges must still be emitted as its
+    # own singleton component — both variants, identical output (the
+    # ADVICE r2 divergence: star's s != b filter silently dropped node 7)
+    pairs = [(1, 2), (7, 7), (2, 2)]
+    e = _edges_df(spark, pairs)
+    star = _labels(connected_components_star(e))
+    assert star == _labels(connected_components(e))
+    assert (7, 7) in star

@@ -54,6 +54,7 @@ def test_chunk_text_boundaries(spark):
 
 
 def test_pack_next_fit_semantics(spark):
+    # shards=1 pins the sequential walk itself (one walk per source)
     df = spark.createDataFrame(
         [
             ("s", 1, 30),
@@ -67,9 +68,43 @@ def test_pack_next_fit_semantics(spark):
     )
     out = {
         r["doc_id"]: r["bin_id"]
-        for r in pack_next_fit(df, budget=50).collect()
+        for r in pack_next_fit(df, budget=50, shards=1).collect()
     }
     assert out == {1: 1, 2: 2, 3: 2, 4: 3, 5: 4, 9: 1}
+
+
+def test_pack_next_fit_shards_dominant_source(spark):
+    """The 100 TB posture: one source dominating the corpus must spread
+    across multiple (source, shard) walks, not serialize on one core —
+    and each shard's walk must still satisfy next-fit invariants."""
+    from gisaid_pipeline_functions_spark.operators.training import shard_bucket
+
+    rows = [("big", i, 7) for i in range(400)] + [("small", 1000, 7)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    out = pack_next_fit(df, budget=50, shards=8)
+    pdf = out.toPandas()
+
+    big = pdf[pdf["source"] == "big"]
+    assert big["shard"].nunique() > 4  # dominant source actually spread
+
+    # shard assignment matches the portable expression
+    expected = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", shard_bucket(F.col("doc_id"), 8).alias("s")
+        ).collect()
+    }
+    assert all(expected[d] == s for d, s in zip(pdf["doc_id"], pdf["shard"]))
+
+    # per-shard next-fit invariants: bins contiguous from 1, fill <= budget,
+    # and consecutive bins couldn't have been merged (next-fit property)
+    for (_, _), grp in pdf.groupby(["source", "shard"]):
+        grp = grp.sort_values("doc_id")
+        fills = grp.groupby("bin_id")["n_tokens"].sum()
+        assert list(fills.index) == list(range(1, len(fills) + 1))
+        assert (fills <= 50).all() or (grp.groupby("bin_id").size() == 1).any()
+        ordered_bins = grp["bin_id"].tolist()
+        assert ordered_bins == sorted(ordered_bins)  # walk never reopens a bin
 
 
 def test_hex_uniform_matches_duckdb(spark):
