@@ -67,6 +67,48 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def media_with_header(docs: DataFrame) -> DataFrame:
+    """Media table whose payload carries a real self-describing binary
+    header — 2-byte magic ``GP``, 4-byte big-endian width, 4-byte
+    big-endian height, then the body bytes. Built natively (``unhex`` of
+    zero-padded hex, no UDF), so the decode stage has a genuine binary
+    format to parse instead of the deterministic fake."""
+    width = (F.col("doc_id") % 640 + 1).cast("long")
+    height = (F.col("doc_id") % 480 + 1).cast("long")
+    body = F.encode(F.col("text"), "utf-8")
+    content = F.concat(
+        F.unhex(F.lit("4750")),  # magic 'GP'
+        F.unhex(F.lpad(F.hex(width), 8, "0")),
+        F.unhex(F.lpad(F.hex(height), 8, "0")),
+        body,
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        content.alias("content"),
+        F.lit("application/x-gp").alias("mime"),
+        F.length(content).cast("long").alias("n_bytes"),
+    )
+
+
+def decode_gp_header(content: bytes) -> dict:
+    """REAL (non-stub) decode branch for the ``GP`` format: parse the
+    binary header with ``struct.unpack`` — the codec injection point of
+    ``extract_features`` exercised with an actual parser. A real image
+    library slots in exactly here (same signature, same batch shape)."""
+    import struct
+
+    if content[:2] != b"GP":
+        raise ValueError("bad GP magic: %r" % content[:2])
+    width, height = struct.unpack(">II", content[2:10])
+    body = content[10:]
+    hist = [0] * 16
+    for b in body:
+        hist[b >> 4] += 1
+    n = max(len(body), 1)
+    return {"width": width, "height": height, "features": [h / n for h in hist]}
+
+
 def deterministic_fake(content: bytes) -> dict:
     """Stub 'decoder': 16-bin byte histogram as features, size-derived
     dimensions. Pure, deterministic, dependency-free."""

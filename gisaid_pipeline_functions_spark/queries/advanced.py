@@ -106,6 +106,39 @@ def ts_sessionize(spark, sf_dir):
 
 
 @register(
+    "ts_session_totals",
+    # Driver hash behind the STREAMING parity claim: this is exactly the
+    # output shape of streaming/sessions.py:streaming_sessions (per-user
+    # gap sessions keyed by (user, start, end) — no batch-only session_no),
+    # and tests/test_streaming.py asserts the streaming session_window
+    # emits these very tuples. Green here + the pytest parity = the
+    # streaming surface is transitively oracle-gated.
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start,
+             event_id
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    )
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 6) AS total_value,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_no
+    """,
+)
+def ts_session_totals(spark, sf_dir):
+    return ts_sessionize(spark, sf_dir).drop("session_no")
+
+
+@register(
     "join_asof",
     # As-of join: each event matched to the user's most recent prior order
     # (o_orderdate <= ts, latest wins). Spark has no native ASOF — express

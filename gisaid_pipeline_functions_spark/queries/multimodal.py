@@ -73,3 +73,36 @@ def multimodal_frame_sample(spark, sf_dir):
         "frame_no",
         F.decode(F.col("frame_bytes"), "utf-8").alias("frame_text"),
     )
+
+
+@register(
+    "multimodal_decode_dims",
+    # The decode path run through a NON-stub branch: payloads carry a real
+    # binary header (magic + big-endian dims, built natively with unhex),
+    # and the Arrow-batched mapInPandas stage parses it with struct.unpack
+    # — the same injection point a PIL/ffmpeg decoder would use. The
+    # oracle recomputes the dims from the arithmetic that framed them and
+    # the body length from the text (ASCII testdata: strlen = bytes).
+    """
+    SELECT doc_id AS media_id,
+           CAST(doc_id % 640 + 1 AS BIGINT) AS width,
+           CAST(doc_id % 480 + 1 AS BIGINT) AS height,
+           CAST(strlen(text) AS BIGINT) AS body_bytes
+    FROM documents
+    """,
+)
+def multimodal_decode_dims(spark, sf_dir):
+    from ..operators.multimodal import (
+        decode_gp_header,
+        extract_features,
+        media_with_header,
+    )
+
+    media = media_with_header(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(media, decode=decode_gp_header)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        (F.col("n_bytes") - 10).alias("body_bytes"),
+    )

@@ -1,0 +1,110 @@
+"""File-format round-trip query registrations — driver evidence for the
+source/sink layer (SURVEY §2.1 S1/S3/S5, §2.2 K1/K3).
+
+The reference's real contract is its file formats: '-'-sentinel TSVs
+(reference MSA_Reader.py:65–97, Time_Series.py:478–481) and per-protein
+FASTA files (Protein_File_Splitter.py:96–109). Until round 3 those paths
+had only pytest coverage; these queries put driver hashes on them by
+writing the format INSIDE the plan to a scratch dir, reading it back with
+the matching source, and returning the read-back data — while the oracle
+computes the same result from the original parquet, so any corruption in
+the write → read cycle (sentinel handling, record assembly, partition
+layout) hash-fails.
+
+Scratch output goes to a per-invocation temp dir: the queries are
+re-runnable and never touch the repo or the testdata.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.fasta import (
+    parse_headers,
+    read_fasta,
+    write_fasta_partitioned,
+)
+from ..sources.tables import (
+    load_table,
+    read_tsv_all_string,
+    write_tsv_with_sentinel,
+)
+
+
+@register(
+    "sink_tsv_roundtrip",
+    # Oracle computes the aggregate straight from parquet — the Spark side
+    # must survive double → text → double and NULL → '-' → NULL round
+    # trips to match. The NULL group row IS the sentinel evidence: it only
+    # hashes equal if '-' came back as a real NULL.
+    """
+    SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 6) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def sink_tsv_roundtrip(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    # punch deterministic NULLs so the sentinel path is actually exercised
+    out = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        "value",
+    )
+    tmp = tempfile.mkdtemp(prefix="gisaid_tsv_roundtrip_")
+    write_tsv_with_sentinel(out, tmp)  # K1: NULL -> '-' on disk
+    back = read_tsv_all_string(spark, tmp)  # S5: '-' -> NULL on read
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("double")), 6).alias("sum_value"),
+    )
+
+
+@register(
+    "source_fasta_roundtrip",
+    # FASTA records assembled from documents, written one-directory-per-
+    # protein (K3, the engine-native Protein_File_Splitter), re-read with
+    # the distributed record-stitching scan (S1/S3) and header parse. The
+    # oracle builds the same tuples directly from parquet — every record
+    # must survive assembly, the partitioned write, and re-parsing intact.
+    """
+    SELECT 'P' || CAST(doc_id % 5 AS VARCHAR) AS protein,
+           'iso' || CAST(doc_id AS VARCHAR) AS isolate,
+           'EPI' || CAST(doc_id AS VARCHAR) AS accession,
+           upper(substr(md5(text), 1, 32)) AS seq
+    FROM documents
+    """,
+)
+def source_fasta_roundtrip(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    # 7-field reference header layout (FIXTURES.md §1):
+    # protein|isolate|date|accession|_|_|host
+    header = F.concat_ws(
+        "|",
+        F.concat(F.lit("P"), (F.col("doc_id") % 5).cast("string")),
+        F.concat(F.lit("iso"), F.col("doc_id").cast("string")),
+        F.lit("2021-01-01"),
+        F.concat(F.lit("EPI"), F.col("doc_id").cast("string")),
+        F.lit("x"),
+        F.lit("x"),
+        F.lit("Human"),
+    )
+    recs = docs.select(
+        header.alias("header"),
+        F.upper(F.substring(F.md5("text"), 1, 32)).alias("seq"),
+    )
+    tmp = tempfile.mkdtemp(prefix="gisaid_fasta_roundtrip_")
+    write_fasta_partitioned(parse_headers(recs), tmp)
+    back = parse_headers(read_fasta(spark, f"{tmp}/protein=*"))
+    return back.select(
+        "protein",
+        "isolate",
+        F.col("gisaid_epi_isl").alias("accession"),
+        "seq",
+    )

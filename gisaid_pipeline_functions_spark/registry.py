@@ -150,6 +150,7 @@ def _load_all() -> None:
         filters,
         joins,
         misc,
+        roundtrip,
         similarity,
         text,
     )

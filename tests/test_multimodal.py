@@ -57,3 +57,32 @@ def test_frame_sampling(media):
     # every sampled media is a video
     kinds = frames.join(media, "media_id").select("kind").distinct().collect()
     assert [k["kind"] for k in kinds] == ["video"]
+
+
+def test_gp_header_decode_roundtrip(spark):
+    """media_with_header frames real binary headers natively; the non-stub
+    decode branch must recover the exact dims via struct.unpack."""
+    from gisaid_pipeline_functions_spark.operators.multimodal import (
+        decode_gp_header,
+        extract_features,
+        media_with_header,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "text for doc %d" % i) for i in (0, 1, 639, 640, 1000)],
+        "doc_id long, text string",
+    )
+    media = media_with_header(docs)
+    out = {
+        r["media_id"]: (r["width"], r["height"], r["n_bytes"])
+        for r in extract_features(media, decode=decode_gp_header).collect()
+    }
+    for i in (0, 1, 639, 640, 1000):
+        w, h, n = out[i]
+        assert w == i % 640 + 1 and h == i % 480 + 1
+        assert n == 10 + len("text for doc %d" % i)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bad GP magic"):
+        decode_gp_header(b"XXsomething")

@@ -67,7 +67,7 @@ def test_streaming_sessions_match_batch(spark, sf_dir, tmp_path):
             r["n_events"],
             r["total_value"],
         )
-        for r in queries()["ts_sessionize"](spark, sf_dir).collect()
+        for r in queries()["ts_session_totals"](spark, sf_dir).collect()
     }
 
     # split events into two time-ordered files so AvailableNow runs two
