@@ -240,14 +240,15 @@ def dim_min_max(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
-def quantize_int8(
-    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+def quantize_with_grid(
+    df: DataFrame,
+    grid: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
-    """Scalar int8 quantization: q_i = floor((x_i - min_i) * 255 /
-    (max_i - min_i) + 0.5) — explicit half-up so both engines floor the
-    SAME double (library round() tie rules differ). 4× smaller vectors
-    for ANN candidate generation; exact re-rank stays on the originals."""
-    grid = dim_min_max(corpus, vec_col)
+    """Quantize against an EXPLICIT (mins, maxs) grid — the grid must come
+    from the corpus, not the vectors being quantized, or query codes live
+    on a different lattice than the corpus codes they're compared to."""
     v = _to_double(F.col(vec_col))
     scaled = F.zip_with(
         F.zip_with(v, F.col("mins"), lambda x, lo: x - lo),
@@ -256,8 +257,79 @@ def quantize_int8(
             F.lit(0)
         ).cast("long"),
     )
-    return corpus.crossJoin(F.broadcast(grid)).select(
-        F.col(id_col), scaled.alias("q")
+    return df.crossJoin(F.broadcast(grid)).select(F.col(id_col), scaled.alias("q"))
+
+
+def quantize_int8(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Scalar int8 quantization: q_i = floor((x_i - min_i) * 255 /
+    (max_i - min_i) + 0.5) — explicit half-up so both engines floor the
+    SAME double (library round() tie rules differ). 4× smaller vectors
+    for ANN candidate generation; exact re-rank stays on the originals."""
+    return quantize_with_grid(
+        corpus, dim_min_max(corpus, vec_col), id_col, vec_col
+    )
+
+
+def quantized_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    shortlist: int = 10,
+) -> DataFrame:
+    """The int8 codes USED, not just produced: approximate top-`shortlist`
+    by integer quantized dot product (4× less data scanned per candidate,
+    and the integer arithmetic is EXACT cross-engine — no float rounding
+    in the shortlist), then exact rounded-cosine re-rank of the shortlist
+    on the original vectors. The standard two-stage ANN shape: cheap
+    wide scan → exact narrow re-rank; at scale only the codes column
+    streams through stage one, the full vectors are fetched for
+    `shortlist` rows per query."""
+    from pyspark.sql import Window
+
+    grid = dim_min_max(corpus, vec_col)
+    codes = quantize_with_grid(corpus, grid, id_col, vec_col).select(
+        F.col(id_col).alias("cand_id"), F.col("q").alias("cq")
+    )
+    qcodes = quantize_with_grid(queries, grid, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("q").alias("qq")
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("cq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes.join(F.broadcast(qcodes), F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", qdot.alias("qscore"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("qscore"), F.asc("cand_id"))
+    short = (
+        scored.withColumn("srank", F.row_number().over(ws))
+        .filter(F.col("srank") <= shortlist)
+        .select("query_id", "cand_id", "qscore")
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    # the shortlist is queries × shortlist rows — broadcast it against the
+    # corpus scan (shuffling the corpus on cand_id to meet a tiny table
+    # would be the scale mistake)
+    exact = (
+        c.join(F.broadcast(short), "cand_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            "qscore",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return exact.withColumn("rank", F.row_number().over(wr).cast("long")).filter(
+        F.col("rank") <= k
     )
 
 

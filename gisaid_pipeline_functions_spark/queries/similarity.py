@@ -219,6 +219,66 @@ def sim_quantize_int8(spark, sf_dir):
 
 
 @register(
+    "sim_quantized_rerank",
+    # Two-stage ANN with the int8 codes doing real work: shortlist by
+    # INTEGER quantized dot product (exact cross-engine — no float in
+    # stage one), then exact rounded-cosine re-rank of the shortlist on
+    # the original vectors. Queries quantize against the CORPUS grid.
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dims AS (
+      SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
+      FROM e, LATERAL unnest(generate_series(1, 64)) t(i)
+      GROUP BY i
+    ),
+    grid AS (
+      SELECT list(lo ORDER BY i) AS mins, list(hi ORDER BY i) AS maxs FROM dims
+    ),
+    codes AS (
+      SELECT vec_id,
+             [CASE WHEN (maxs[i] - mins[i]) > 0
+                   THEN CAST(floor((v[i] - mins[i]) * 255.0 / (maxs[i] - mins[i]) + 0.5) AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END FOR i IN generate_series(1, 64)] AS q
+      FROM e, grid
+    ),
+    qc AS (SELECT vec_id AS query_id, q AS qq FROM codes WHERE vec_id < 5),
+    cc AS (SELECT vec_id AS cand_id, q AS cq FROM codes),
+    scored AS (
+      SELECT query_id, cand_id,
+             CAST(list_sum(list_transform(list_zip(qq, cq),
+                                          p -> p[1] * p[2])) AS BIGINT) AS qscore
+      FROM qc JOIN cc ON query_id <> cand_id
+    ),
+    short AS (
+      SELECT query_id, cand_id, qscore FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY qscore DESC, cand_id) AS srank
+        FROM scored
+      ) WHERE srank <= 10
+    ),
+    exact AS (
+      SELECT s.query_id, s.cand_id, s.qscore,
+             round({_cos_sql('eq.v', 'ec.v')}, 6) AS cos
+      FROM short s JOIN e eq ON eq.vec_id = s.query_id
+                   JOIN e ec ON ec.vec_id = s.cand_id
+    )
+    SELECT query_id, cand_id, qscore, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, cand_id) AS rank
+      FROM exact
+    ) WHERE rank <= 3
+    """,
+)
+def sim_quantized_rerank(spark, sf_dir):
+    from ..operators.similarity import quantized_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantized_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=3, shortlist=10
+    )
+
+
+@register(
     "sim_ivf_multiprobe",
     # IVF probe=2: the recall knob — search the two nearest cells per
     # query (probe=1 misses neighbors across cell boundaries). Note the

@@ -128,6 +128,35 @@ def agg_approx_distinct(spark, sf_dir):
 
 
 @register(
+    "agg_approx_percentile",
+    # Same bounded-error contract as agg_approx_distinct: the sketch
+    # (KLL-style quantile summary) isn't cross-engine comparable, so
+    # Spark emits its EXACT p50 plus a boolean asserting its own
+    # approx_percentile(accuracy=1000 → rank error ≤ 0.1%) landed inside
+    # the generous [p48, p52] exact-value window; the oracle emits
+    # (exact, TRUE). Hash matches iff the sketch honors its bound.
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS exact_p50,
+           TRUE AS within_rank_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_percentile(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(1000)).alias("ap"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("exact_p50"),
+        F.percentile("l_quantity", F.lit(0.48)).alias("lo"),
+        F.percentile("l_quantity", F.lit(0.52)).alias("hi"),
+    )
+    within = (F.col("ap") >= F.col("lo")) & (F.col("ap") <= F.col("hi"))
+    return agg.select(
+        "l_returnflag", "exact_p50", within.alias("within_rank_bound")
+    )
+
+
+@register(
     "window_lag_lead_delta",
     # lag/lead surface: per-user event-to-event value delta and the next
     # event's type; deterministic (ts, event_id) ordering. Each user's
