@@ -161,6 +161,52 @@ def extract_features(
     return inp.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("out_w", LongType()),
+        StructField("out_h", LongType()),
+        StructField("out_bytes", LongType()),
+        StructField("out_md5", StringType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Resize plumbing over GP-framed payloads (``media_with_header``):
+    parse the header, stride-downsample the body by ``factor`` (the
+    byte-level stand-in for pixel decimation — a real image resample
+    slots into the same loop), and emit the new dims plus an md5 of the
+    resized body so the CONTENT of the transform is hash-checkable, not
+    just its shape. Arrow-batched ``mapInPandas``, same partition
+    spreading as the decode stage."""
+    import math
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "out_w", "out_h", "out_bytes", "out_md5")}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content)
+                feats = decode_gp_header(raw)
+                body = raw[10:][::factor]
+                out["media_id"].append(int(mid))
+                out["out_w"].append(math.ceil(feats["width"] / factor))
+                out["out_h"].append(math.ceil(feats["height"] / factor))
+                out["out_bytes"].append(len(body))
+                out["out_md5"].append(hashlib.md5(body).hexdigest())
+            yield pd.DataFrame(out)
+
+    target = media.sparkSession.sparkContext.defaultParallelism
+    inp = media
+    if inp.rdd.getNumPartitions() < target:
+        inp = inp.repartition(target)  # decode+resample is CPU-bound
+    return inp.mapInPandas(run, RESIZE_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' plumbing: slice the payload at fixed strides —
     natively, no UDF (``substring`` on binary). Stands in for video

@@ -106,3 +106,28 @@ def multimodal_decode_dims(spark, sf_dir):
         "height",
         (F.col("n_bytes") - 10).alias("body_bytes"),
     )
+
+
+@register(
+    "multimodal_resize",
+    # Resize plumbing under a CONTENT hash: stride-2 byte decimation of
+    # the GP-framed body, new dims = ceil(dim/2), plus md5 of the resized
+    # body — the oracle reconstructs the identical strided string from the
+    # source text (ASCII testdata: bytes = chars), so a wrong stride, a
+    # header-length slip, or dropped tail bytes all hash-fail.
+    """
+    SELECT doc_id AS media_id,
+           CAST(ceil((doc_id % 640 + 1) / 2.0) AS BIGINT) AS out_w,
+           CAST(ceil((doc_id % 480 + 1) / 2.0) AS BIGINT) AS out_h,
+           CAST(ceil(strlen(text) / 2.0) AS BIGINT) AS out_bytes,
+           md5(array_to_string(
+             [substr(text, i, 1) FOR i IN generate_series(1, strlen(text), 2)],
+             '')) AS out_md5
+    FROM documents
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    from ..operators.multimodal import media_with_header, resize_media
+
+    media = media_with_header(load_table(spark, sf_dir, "documents"))
+    return resize_media(media, factor=2)

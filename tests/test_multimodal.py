@@ -86,3 +86,24 @@ def test_gp_header_decode_roundtrip(spark):
 
     with _pytest.raises(ValueError, match="bad GP magic"):
         decode_gp_header(b"XXsomething")
+
+
+def test_resize_media_stride_and_hash(spark):
+    import hashlib
+    import math
+
+    from gisaid_pipeline_functions_spark.operators.multimodal import (
+        media_with_header,
+        resize_media,
+    )
+
+    texts = {0: "abcdefghij", 3: "odd", 7: "x"}
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = {r["media_id"]: r for r in resize_media(media_with_header(docs), factor=2).collect()}
+    for i, t in texts.items():
+        body = t.encode()[::2]
+        r = out[i]
+        assert r["out_w"] == math.ceil((i % 640 + 1) / 2)
+        assert r["out_h"] == math.ceil((i % 480 + 1) / 2)
+        assert r["out_bytes"] == len(body)
+        assert r["out_md5"] == hashlib.md5(body).hexdigest()
