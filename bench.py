@@ -33,6 +33,9 @@ HEADLINE = [
     "sim_bruteforce_topk",
     "text_quality_score",
     "variant_call_kernel",
+    # round 3 (sf0.1 costs checked before adding: 2.06 s / 1.18 s)
+    "flagship_corpus_pipeline",
+    "sim_quantized_rerank",
 ]
 
 

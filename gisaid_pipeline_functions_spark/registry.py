@@ -52,8 +52,11 @@ def register(name: str, sql: str | None = None):
 # for "last green"; if none are present (fresh checkout) the order
 # degrades gracefully to plain registration order.
 
-# Queries whose implementation or transitive operator code changed in the
-# CURRENT round — forced to the front regardless of prior green rows.
+# Queries whose implementation or transitive operator code changed, and
+# the round the change was made in — forced to the front until a green
+# driver row from that round (or later) exists, then they rotate back
+# into the normal staleness order automatically.
+_RECHECK_ROUND = 3
 _RECHECK_FIRST = frozenset(
     {
         # round 3 changes:
@@ -99,10 +102,14 @@ def _last_green_round() -> dict[str, int]:
 
 def _ordered(d: dict) -> dict:
     last_green = _last_green_round()
+
+    def force_first(n: str) -> bool:
+        return n in _RECHECK_FIRST and last_green.get(n, -1) < _RECHECK_ROUND
+
     names = sorted(
         d,
         key=lambda n, _idx={k: i for i, k in enumerate(d)}: (
-            0 if n in _RECHECK_FIRST else 1,
+            0 if force_first(n) else 1,
             last_green.get(n, -1),
             _idx[n],
         ),
