@@ -26,3 +26,11 @@ def natural_sort_key(col: Column) -> Column:
     """Numeric key for natural sort of IDs like ``Uniq10`` (reference uses
     natsort, MSA_Reader.py:782; split-on-'Uniq' int sort, Time_Series.py:549)."""
     return F.regexp_extract(col, r"(\d+)", 1).cast("long")
+
+
+def uniq_sort_key(col: Column) -> Column:
+    """SURVEY §2 O3 — the reference's literal split-on-'Uniq' int sort
+    (alignment_tools.py:22–26: ``int(header.split('Uniq')[1])``): the
+    text after the 'Uniq' marker as the numeric key, regardless of any
+    digits appearing before it."""
+    return F.split(col, "Uniq").getItem(1).cast("long")

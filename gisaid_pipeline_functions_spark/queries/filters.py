@@ -130,3 +130,22 @@ def filter_x_content(spark, sf_dir):
     return docs.filter(ratio > 0.04).select(
         "doc_id", F.round(ratio, 6).alias("x_ratio")
     )
+
+
+@register(
+    "filter_singleton_exclusion",
+    # F2 — drop single-member groups before analysis (the reference
+    # excludes variants seen once, Time_Series.py singleton rule): one
+    # grouped pass with a HAVING, never a per-group subquery loop.
+    """
+    SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+    """,
+)
+def filter_singleton_exclusion(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items") > 1)
+    )

@@ -108,3 +108,48 @@ def source_fasta_roundtrip(spark, sf_dir):
         F.col("gisaid_epi_isl").alias("accession"),
         "seq",
     )
+
+
+@register(
+    "source_headerless_tsv_roundtrip",
+    # S4 — headerless TSV with positional schema (reference
+    # Time_Series.py:473-478 assigns names by position): written with no
+    # header inside the plan, read back by POSITION — a column-order slip
+    # on either side hash-fails against the parquet-derived oracle.
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           round(sum(o_totalprice), 6) AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def source_headerless_tsv_roundtrip(spark, sf_dir):
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..sources.tables import read_headerless_tsv
+
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="gisaid_headerless_tsv_")
+    orders.select("o_orderkey", "o_orderpriority", "o_totalprice").write.csv(
+        tmp, sep="\t", header=False, mode="overwrite"
+    )
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_orderpriority", StringType()),
+            StructField("o_totalprice", DoubleType()),
+        ]
+    )
+    back = read_headerless_tsv(spark, tmp, schema)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.round(F.sum("o_totalprice"), 6).alias("total"),
+    )

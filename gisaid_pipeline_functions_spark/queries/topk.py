@@ -98,3 +98,39 @@ def topk_pagination(spark, sf_dir):
         F.min("p_partkey").alias("first_key"),
         F.max("p_partkey").alias("last_key"),
     )
+
+
+@register(
+    "sort_uniq_labels",
+    # O3 — the reference's literal split-on-'Uniq' int sort
+    # (alignment_tools.py:22-26): numeric order of the text AFTER the
+    # 'Uniq' marker, NOT lexicographic and NOT first-digit-run order (the
+    # 2Cluster prefix digit would fool a generic natural sort). The rank
+    # window's input is the distinct label set — aggregate-sized.
+    """
+    WITH labels AS (
+      SELECT DISTINCT '2Cluster_Uniq' || CAST(p_partkey % 137 AS VARCHAR) AS label
+      FROM part
+    )
+    SELECT label,
+           CAST(row_number() OVER (
+             ORDER BY CAST(string_split(label, 'Uniq')[2] AS BIGINT), label
+           ) AS BIGINT) AS rank
+    FROM labels
+    """,
+)
+def sort_uniq_labels(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..functions.strings import uniq_sort_key
+
+    part = load_table(spark, sf_dir, "part")
+    labels = part.select(
+        F.concat(
+            F.lit("2Cluster_Uniq"), (F.col("p_partkey") % 137).cast("string")
+        ).alias("label")
+    ).distinct()
+    w = Window.orderBy(uniq_sort_key(F.col("label")), "label")
+    return labels.select(
+        "label", F.row_number().over(w).cast("long").alias("rank")
+    )
