@@ -153,3 +153,59 @@ def source_headerless_tsv_roundtrip(spark, sf_dir):
         F.min("o_orderkey").alias("min_key"),
         F.round(F.sum("o_totalprice"), 6).alias("total"),
     )
+
+
+@register(
+    "config_broadcast_roundtrip",
+    # S7 + J7 — the two-column headerless where_reference.tsv written
+    # inside the plan, read back via read_where_reference (literal 'NA'
+    # entries dropped, reference MSA_Reader.py:1249-1290), and applied as
+    # a broadcast literal-map lookup — the engine's shape for the
+    # reference's protein -> cluster dict. The oracle replays the config
+    # derivation and the NA rule with a LEFT JOIN, so a lost dict entry,
+    # a kept 'NA', or a key-type slip hash-fails.
+    """
+    WITH cfg AS (
+      SELECT CAST(r_regionkey AS VARCHAR) AS k,
+             CASE WHEN r_regionkey % 2 = 0
+                  THEN 'C' || CAST(r_regionkey AS VARCHAR) END AS cluster
+      FROM region
+    )
+    SELECT c.cluster, CAST(count(*) AS BIGINT) AS n
+    FROM nation n LEFT JOIN cfg c ON CAST(n.n_regionkey AS VARCHAR) = c.k
+    GROUP BY c.cluster
+    """,
+)
+def config_broadcast_roundtrip(spark, sf_dir):
+    from ..plans.reference_clusters import read_where_reference
+
+    region = load_table(spark, sf_dir, "region")
+    cfg = region.select(
+        F.col("r_regionkey").cast("string").alias("k"),
+        F.when(
+            F.col("r_regionkey") % 2 == 0,
+            F.concat(F.lit("C"), F.col("r_regionkey").cast("string")),
+        )
+        .otherwise(F.lit("NA"))  # the R script's literal NA sentinel
+        .alias("cluster"),
+    )
+    tmp = tempfile.mkdtemp(prefix="gisaid_where_reference_")
+    cfg.write.csv(tmp, sep="\t", header=False, mode="overwrite")
+    lookup = read_where_reference(spark, tmp)  # S7: dict, NA entries absent
+    mapping = (
+        F.create_map(
+            *[F.lit(x) for kv in sorted(lookup.items()) for x in kv]
+        )
+        if lookup
+        else F.create_map()
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.select(
+            F.element_at(
+                mapping, F.col("n_regionkey").cast("string")
+            ).alias("cluster")
+        )
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
