@@ -220,6 +220,69 @@ def ivf_topk(
     )
 
 
+def _nearest_cell(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest centroid by squared L2, rounded
+    to 6dp before the argmin (sum-order differences between engines must
+    not flip an assignment), ties broken by cell id."""
+    from pyspark.sql import Window
+
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
+    return (
+        base.join(F.broadcast(cents))
+        .select("vec_id", "v", "cell", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Learned IVF coarse quantizer: Lloyd's k-means as a fixed number of
+    DataFrame iterations — init from the first ``k`` vector ids
+    (deterministic, no RNG), assign by rounded squared L2, recompute
+    centroids as per-dim means ROUNDED to 6dp each round. The rounding
+    puts every iteration's centroids on a lattice both engines agree on,
+    so a DuckDB oracle can replay the exact same iterations CTE by CTE —
+    the iterative-algorithm analog of the repo's 6-decimal convention.
+
+    Each iteration is one broadcast join (k centroid rows) + one
+    dimension-keyed aggregation; nothing shuffles the vectors themselves
+    beyond the k×dim-sized centroid recompute."""
+    base = corpus.select(
+        F.col(id_col).alias("vec_id"), _to_double(F.col(vec_col)).alias("v")
+    )
+    cents = base.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell"),
+        F.transform("v", lambda x: F.round(x, 6)).alias("c"),
+    )
+    for _ in range(iterations):
+        assigned = _nearest_cell(base, cents)
+        per_dim = assigned.select(
+            "cell", F.posexplode("v").alias("pos", "x")
+        ).groupBy("cell", "pos").agg(F.round(F.avg("x"), 6).alias("m"))
+        cents = per_dim.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("c")
+        )
+    return _nearest_cell(base, cents).select("vec_id", "cell", "dist")
+
+
 def dim_min_max(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-dimension corpus min/max as two aligned arrays (one row) — the
     scalar-quantization grid. posexplode + grouped agg + ordered rebuild;

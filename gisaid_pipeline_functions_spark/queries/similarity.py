@@ -218,6 +218,67 @@ def sim_quantize_int8(spark, sf_dir):
     )
 
 
+def _kmeans_oracle(k: int = 4, iterations: int = 2, dim: int = 64) -> str:
+    """Replay the exact Lloyd iterations of ``kmeans_assign`` CTE by CTE:
+    the 6dp-rounded centroids put every round on a shared lattice, so
+    assignment and recompute are engine-identical."""
+    d2 = (
+        "round(list_sum(list_transform(list_zip(e.v, cc.c), "
+        "p -> (p[1]-p[2])*(p[1]-p[2]))), 6)"
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cell, list_transform(v, x -> round(x, 6)) AS c "
+        f"FROM e WHERE vec_id < {k})",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""a{i} AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, cc.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2}, cc.cell) AS rn
+        FROM e CROSS JOIN c{i - 1} cc
+      ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""c{i} AS (
+      SELECT cell, list(m ORDER BY pos) AS c FROM (
+        SELECT cell, i AS pos, round(avg(v[i]), 6) AS m
+        FROM a{i}, LATERAL unnest(generate_series(1, {dim})) t(i)
+        GROUP BY cell, i
+      ) GROUP BY cell
+    )"""
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT vec_id, cell, dist FROM (
+      SELECT e.vec_id, cc.cell, {d2} AS dist,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {d2}, cc.cell) AS rn
+      FROM e CROSS JOIN c{iterations} cc
+    ) WHERE rn = 1
+    """
+    )
+
+
+@register(
+    "sim_kmeans_cells",
+    # Learned IVF coarse quantizer: 2 Lloyd iterations from the first-k
+    # init, centroids rounded to 6dp each round so the oracle replays the
+    # SAME iterations (the iterative-algorithm analog of the repo's
+    # rounding convention — like the CC fixpoint, but with float state).
+    _kmeans_oracle(k=4, iterations=2, dim=64),
+)
+def sim_kmeans_cells(spark, sf_dir):
+    from ..operators.similarity import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=4, iterations=2)
+
+
 @register(
     "sim_quantized_rerank",
     # Two-stage ANN with the int8 codes doing real work: shortlist by
