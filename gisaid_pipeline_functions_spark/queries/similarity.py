@@ -218,10 +218,11 @@ def sim_quantize_int8(spark, sf_dir):
     )
 
 
-def _kmeans_oracle(k: int = 4, iterations: int = 2, dim: int = 64) -> str:
-    """Replay the exact Lloyd iterations of ``kmeans_assign`` CTE by CTE:
-    the 6dp-rounded centroids put every round on a shared lattice, so
-    assignment and recompute are engine-identical."""
+def _kmeans_ctes(k: int = 4, iterations: int = 2, dim: int = 64) -> str:
+    """CTE chain replaying the exact Lloyd iterations of
+    ``kmeans_assign`` (6dp-rounded centroids put every round on a shared
+    lattice, so assignment and recompute are engine-identical). Ends with
+    ``fin(vec_id, cell, dist)`` — the final assignment."""
     d2 = (
         "round(list_sum(list_transform(list_zip(e.v, cc.c), "
         "p -> (p[1]-p[2])*(p[1]-p[2]))), 6)"
@@ -251,17 +252,17 @@ def _kmeans_oracle(k: int = 4, iterations: int = 2, dim: int = 64) -> str:
       ) GROUP BY cell
     )"""
         )
-    return (
-        ",\n    ".join(parts)
-        + f"""
-    SELECT vec_id, cell, dist FROM (
-      SELECT e.vec_id, cc.cell, {d2} AS dist,
-             row_number() OVER (PARTITION BY e.vec_id
-                                ORDER BY {d2}, cc.cell) AS rn
-      FROM e CROSS JOIN c{iterations} cc
-    ) WHERE rn = 1
-    """
+    parts.append(
+        f"""fin AS (
+      SELECT vec_id, cell, dist FROM (
+        SELECT e.vec_id, cc.cell, {d2} AS dist,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2}, cc.cell) AS rn
+        FROM e CROSS JOIN c{iterations} cc
+      ) WHERE rn = 1
+    )"""
     )
+    return ",\n    ".join(parts)
 
 
 @register(
@@ -270,13 +271,69 @@ def _kmeans_oracle(k: int = 4, iterations: int = 2, dim: int = 64) -> str:
     # init, centroids rounded to 6dp each round so the oracle replays the
     # SAME iterations (the iterative-algorithm analog of the repo's
     # rounding convention — like the CC fixpoint, but with float state).
-    _kmeans_oracle(k=4, iterations=2, dim=64),
+    _kmeans_ctes(k=4, iterations=2, dim=64)
+    + "\n    SELECT vec_id, cell, dist FROM fin",
 )
 def sim_kmeans_cells(spark, sf_dir):
     from ..operators.similarity import kmeans_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_assign(emb, k=4, iterations=2)
+
+
+@register(
+    "sim_ivf_learned",
+    # End-to-end learned-index ANN: k-means cells (replayed iteration by
+    # iteration in the CTEs) feed the SAME IVF routing/search shape as
+    # sim_ivf_topk — query routes to its nearest learned centroid, exact
+    # top-k within that cell only.
+    _kmeans_ctes(k=4, iterations=2, dim=64)
+    + f""",
+    lab AS (SELECT e.vec_id, e.v, f.cell FROM e JOIN fin f ON e.vec_id = f.vec_id),
+    dims2 AS (
+      SELECT cell, i AS pos, v[i] AS x
+      FROM lab, LATERAL unnest(generate_series(1, 64)) t(i)
+    ),
+    cents AS (
+      SELECT cell, list(avg_x ORDER BY pos) AS centroid FROM (
+        SELECT cell, pos, avg(x) AS avg_x FROM dims2 GROUP BY cell, pos
+      ) GROUP BY cell
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id < 5),
+    routed AS (
+      SELECT query_id, qvec, cell,
+             round({_cos_sql('qvec', 'centroid')}, 6) AS ccos
+      FROM q CROSS JOIN cents
+    ),
+    assigned AS (
+      SELECT query_id, qvec, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ccos DESC, cell) AS rn
+        FROM routed
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT a.query_id, l.vec_id AS cand_id, a.cell,
+             round({_cos_sql('a.qvec', 'l.v')}, 6) AS cos
+      FROM assigned a JOIN lab l
+        ON l.cell = a.cell AND l.vec_id <> a.query_id
+    )
+    SELECT query_id, cand_id, cell, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def sim_ivf_learned(spark, sf_dir):
+    from ..operators.similarity import ivf_topk, kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = kmeans_assign(emb, k=4, iterations=2).select("vec_id", "cell")
+    labeled = emb.join(cells, "vec_id")
+    return ivf_topk(
+        labeled, emb.filter(F.col("vec_id") < 5), label_col="cell", k=3
+    )
 
 
 @register(

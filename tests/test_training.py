@@ -121,3 +121,41 @@ def test_hex_uniform_matches_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_shard_bucket_matches_duckdb_on_arbitrary_ids(spark):
+    """shard_bucket's portability claim, property-tested: for arbitrary
+    ids and bucket counts the Spark expression and the verbatim DuckDB
+    expression land in the same bucket."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gisaid_pipeline_functions_spark.operators.training import shard_bucket
+
+    ids = st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        min_size=1, max_size=30, unique=True,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(ids=ids, b=st.sampled_from([1, 2, 7, 8, 16]))
+    def check(ids, b):
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        got = {
+            r["doc_id"]: r["s"]
+            for r in df.select(
+                "doc_id", shard_bucket(F.col("doc_id"), b).alias("s")
+            ).collect()
+        }
+        want = dict(
+            duckdb.sql(
+                "SELECT i, (strpos('0123456789abcdef', "
+                "substr(md5(CAST(i AS VARCHAR)), 1, 1)) - 1) % "
+                f"{b} FROM (SELECT unnest({list(ids)}::BIGINT[]) AS i)"
+            ).fetchall()
+        )
+        assert got == want
+        assert all(0 <= s < b for s in got.values())
+
+    check()
