@@ -72,6 +72,22 @@ def reference_positions(ref: str) -> list[int | None]:
     return out
 
 
+def _diff_indices(ref: str, var: str):
+    """Columns where ref and var disagree — vectorized byte compare for
+    ASCII alignments (the real alphabet), per-char fallback otherwise
+    (multi-byte chars would misalign byte indices with char indices)."""
+    try:
+        rb = ref.encode("ascii")
+        vb = var.encode("ascii")
+    except UnicodeEncodeError:
+        return [i for i in range(len(ref)) if ref[i] != var[i]]
+    import numpy as np
+
+    return np.nonzero(
+        np.frombuffer(rb, dtype=np.uint8) != np.frombuffer(vb, dtype=np.uint8)
+    )[0]
+
+
 def call_variants_row(
     ref: str, ref_pos: list[int | None], var: str
 ) -> Iterator[tuple]:
@@ -79,22 +95,30 @@ def call_variants_row(
 
     Each event: (Type, Code, Ref_Residues, Var_Residues,
     AA_Start_MSA, AA_End_MSA, AA_Start_Ref, AA_End_Ref).
+
+    The scan is DIFF-DRIVEN: numpy locates the mismatch columns in one
+    vectorized compare and the classifier only runs there, so per-row
+    cost is O(events + gap-region lengths), not O(alignment length) —
+    events ≪ length on real MSAs (~10 subs across 1273 AA). Match and
+    shared-gap columns never reach Python. The event classification and
+    all parity quirks are untouched: a gap region is scanned forward
+    from its first mismatch column exactly as before.
     """
     L = len(ref)
     if len(var) != L:
         raise ValueError(
             f"aligned sequence length {len(var)} != reference length {L}"
         )
-    i = 0
-    while i < L:
-        r, v = ref[i], var[i]
-        if r == v:  # match or shared gap column
-            i += 1
+    resume = 0
+    for i in _diff_indices(ref, var):
+        i = int(i)
+        if i < resume:  # inside a region already consumed
             continue
+        r, v = ref[i], var[i]
         if r != GAP and v != GAP:  # substitution
             pos = ref_pos[i]
             yield ("sub", f"{r}{pos}{v}", r, v, i + 1, None, pos, None)
-            i += 1
+            resume = i + 1
             continue
 
         # A gap region: scan forward until both strands have a residue
@@ -130,10 +154,9 @@ def call_variants_row(
         else:
             yield _insertion_event(ref, ref_pos, var, i_start, i_end, i_cflank)
 
-        i = i_cflank if i_cflank is not None else L
-
-    # (the C-flank column itself is a match or substitution; handled when
-    # the outer loop resumes at i_cflank)
+        # the C-flank column itself is a match or substitution; it is the
+        # next diff index processed when the loop resumes past the region
+        resume = i_cflank if i_cflank is not None else L
 
 
 def _strip_gaps(s: str) -> str:
@@ -235,18 +258,10 @@ def call_variants(aligned: DataFrame, references: dict[str, str]) -> DataFrame:
     function once per executor).
     """
     ref_pos = {p: reference_positions(r) for p, r in references.items()}
-    # vectorized fast path per protein: byte array of the reference when it
-    # is gap-free — then any gap-free variant row diffs in ONE numpy
-    # compare (events ≪ length on real MSAs: ~10 subs across 1273 AA, so
-    # the per-char Python scan is the at-scale bottleneck, not the event
-    # assembly)
-    import numpy as np
-
-    ref_bytes = {
-        p: np.frombuffer(r.encode("ascii"), dtype=np.uint8)
-        for p, r in references.items()
-        if GAP not in r
-    }
+    # the row kernel is diff-driven (one vectorized numpy compare locates
+    # the mismatch columns; Python runs only at events), so EVERY row —
+    # gapped or not — costs O(events + gap-region lengths), not
+    # O(alignment length); no per-shape special casing needed here
 
     def run(batches):
         import pandas as pd
@@ -278,21 +293,6 @@ def call_variants(aligned: DataFrame, references: dict[str, str]) -> DataFrame:
             ):
                 ref = references.get(protein)
                 if ref is None:
-                    continue
-                rb = ref_bytes.get(protein)
-                if rb is not None and GAP not in seq and len(seq) == len(ref):
-                    # pure-substitution row: vectorized positional diff;
-                    # gap-free ref ⇒ ref numbering == MSA column
-                    vb = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
-                    for i in np.nonzero(rb != vb)[0]:
-                        pos = int(i) + 1
-                        r, v = ref[i], seq[i]
-                        emit(
-                            protein,
-                            cid,
-                            csize,
-                            ("sub", f"{r}{pos}{v}", r, v, pos, None, pos, None),
-                        )
                     continue
                 for ev in call_variants_row(ref, ref_pos[protein], seq):
                     emit(protein, cid, csize, ev)

@@ -67,6 +67,12 @@ _RECHECK_FIRST = frozenset(
         "flagship_corpus_pipeline",  # same packing change
         "dedup_cc_large_star",    # self-loop-only node handling
         "dedup_near_keep_first",  # consumes star CC
+        # kernel scan rewritten diff-driven (same events, same quirks):
+        "variant_substitutions",
+        "variant_single_dels",
+        "variant_single_ins",
+        "variant_call_kernel",
+        "variant_mutation_counts",
     }
 )
 
