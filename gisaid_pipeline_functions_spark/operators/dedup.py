@@ -225,12 +225,15 @@ def connected_components_star(
     minimum id. Same output contract as ``connected_components``:
     (id, component=min reachable id) for every node appearing in an edge.
     """
-    # canonical undirected pair set (small, big), materialized per round
+    # canonicalize ONCE and materialize: everything below (the round-0
+    # edge set AND the self-loop node audit) derives from this checkpoint,
+    # so the upstream pair-generation pipeline — for near-dup dedup the
+    # full MinHash+LSH join — runs exactly one time
+    pairs = edges.select(
+        F.least("id_a", "id_b").alias("s"), F.greatest("id_a", "id_b").alias("b")
+    ).localCheckpoint(eager=True)
     e = (
-        edges.select(
-            F.least("id_a", "id_b").alias("s"), F.greatest("id_a", "id_b").alias("b")
-        )
-        .filter(F.col("s") != F.col("b"))
+        pairs.filter(F.col("s") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -238,8 +241,8 @@ def connected_components_star(
     # filter, diverging from connected_components (which emits (id, id) for
     # them) — remember them and union back at the end
     self_only = (
-        edges.filter(F.col("id_a") == F.col("id_b"))
-        .select(F.col("id_a").alias("id"))
+        pairs.filter(F.col("s") == F.col("b"))
+        .select(F.col("s").alias("id"))
         .distinct()
         .join(
             e.select(F.col("s").alias("id"))

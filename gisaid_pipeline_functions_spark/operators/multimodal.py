@@ -184,6 +184,7 @@ def resize_media(media: DataFrame, factor: int = 2) -> DataFrame:
 
     def run(batches: Iterator) -> Iterator:
         import hashlib
+        import struct
 
         import pandas as pd
 
@@ -191,11 +192,15 @@ def resize_media(media: DataFrame, factor: int = 2) -> DataFrame:
             out = {k: [] for k in ("media_id", "out_w", "out_h", "out_bytes", "out_md5")}
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 raw = bytes(content)
-                feats = decode_gp_header(raw)
+                # header-only parse — decode_gp_header's body histogram
+                # would be O(body) Python work discarded here
+                if raw[:2] != b"GP":
+                    raise ValueError("bad GP magic: %r" % raw[:2])
+                width, height = struct.unpack(">II", raw[2:10])
                 body = raw[10:][::factor]
                 out["media_id"].append(int(mid))
-                out["out_w"].append(math.ceil(feats["width"] / factor))
-                out["out_h"].append(math.ceil(feats["height"] / factor))
+                out["out_w"].append(math.ceil(width / factor))
+                out["out_h"].append(math.ceil(height / factor))
                 out["out_bytes"].append(len(body))
                 out["out_md5"].append(hashlib.md5(body).hexdigest())
             yield pd.DataFrame(out)

@@ -265,9 +265,16 @@ def kmeans_assign(
     base = corpus.select(
         F.col(id_col).alias("vec_id"), _to_double(F.col(vec_col)).alias("v")
     )
-    cents = base.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cell"),
-        F.transform("v", lambda x: F.round(x, 6)).alias("c"),
+    # init = the k SMALLEST ids (not `id < k`, which silently returns an
+    # empty/under-clustered result for sparse or non-0-based id spaces);
+    # orderBy+limit plans as a distributed TakeOrderedAndProject
+    cents = (
+        base.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.transform("v", lambda x: F.round(x, 6)).alias("c"),
+        )
     )
     for _ in range(iterations):
         assigned = _nearest_cell(base, cents)

@@ -84,25 +84,17 @@ def chunk_text(df: DataFrame, text_col: str, chunk_words: int) -> Column:
 
 
 def shard_bucket(col: Column, n_buckets: int) -> Column:
-    """Portable deterministic shard in [0, n_buckets): index of the first
-    hex digit of ``md5(col)`` in '0123456789abcdef', mod n_buckets. The
-    identical expression exists in DuckDB (``strpos``), so oracles replay
-    the exact sharding — unlike xxhash64, which is Spark-internal."""
-    first_hex = F.substring(F.md5(col.cast("string")), 1, 1)
-    return ((F.instr(F.lit("0123456789abcdef"), first_hex) - 1) % n_buckets).cast(
-        "long"
-    )
-
-
-PACK_SCHEMA = StructType(
-    [
-        StructField("source", StringType()),
-        StructField("shard", LongType()),
-        StructField("doc_id", LongType()),
-        StructField("n_tokens", LongType()),
-        StructField("bin_id", LongType()),
-    ]
-)
+    """Portable deterministic shard in [0, n_buckets): the first TWO hex
+    digits of ``md5(col)`` as a value in [0, 256), mod n_buckets — so up
+    to 256 distinct buckets (one digit capped the lattice at 16), uniform
+    whenever n_buckets divides 256. The identical expression exists in
+    DuckDB (``strpos``), so oracles replay the exact sharding — unlike
+    xxhash64, which is Spark-internal."""
+    h = F.md5(col.cast("string"))
+    hexdigits = F.lit("0123456789abcdef")
+    idx1 = F.instr(hexdigits, F.substring(h, 1, 1)) - 1
+    idx2 = F.instr(hexdigits, F.substring(h, 2, 1)) - 1
+    return ((idx1 * 16 + idx2) % n_buckets).cast("long")
 
 
 def pack_next_fit(
@@ -112,6 +104,7 @@ def pack_next_fit(
     tokens_col: str = "n_tokens",
     budget: int = 50,
     shards: int = 8,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Next-fit sequence packing: walk each shard's docs in id order,
     appending to the current bin while the token budget holds, else open
@@ -124,7 +117,20 @@ def pack_next_fit(
     grouping on source alone would serialize the dominant source's walk
     onto a single core and a single task's memory (VERDICT.md r2 #3).
     Bin ids are local to their shard; ``(group, shard, bin_id)`` is the
-    global bin identity."""
+    global bin identity. ``extra_cols`` ride through unchanged (string
+    columns carried per doc, e.g. a language tag) so pipelines don't have
+    to re-join them after packing."""
+    out_cols = [group_col, "shard", *extra_cols, id_col, tokens_col, "bin_id"]
+    schema = StructType(
+        [
+            StructField(group_col, StringType()),
+            StructField("shard", LongType()),
+            *[StructField(c, StringType()) for c in extra_cols],
+            StructField(id_col, LongType()),
+            StructField(tokens_col, LongType()),
+            StructField("bin_id", LongType()),
+        ]
+    )
 
     def pack(pdf):
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
@@ -139,12 +145,13 @@ def pack_next_fit(
                 fill += t
             bins.append(bin_id)
         pdf["bin_id"] = bins
-        return pdf[[group_col, "shard", id_col, tokens_col, "bin_id"]]
+        return pdf[out_cols]
 
     inp = df.select(
         group_col,
         shard_bucket(F.col(id_col), shards).alias("shard"),
+        *extra_cols,
         id_col,
         F.col(tokens_col).cast("long"),
     )
-    return inp.groupBy(group_col, "shard").applyInPandas(pack, PACK_SCHEMA)
+    return inp.groupBy(group_col, "shard").applyInPandas(pack, schema)

@@ -12,11 +12,15 @@ the write → read cycle (sentinel handling, record assembly, partition
 layout) hash-fails.
 
 Scratch output goes to a per-invocation temp dir: the queries are
-re-runnable and never touch the repo or the testdata.
+re-runnable and never touch the repo or the testdata; dirs are removed
+at interpreter exit (a lazy plan may read the files any time before
+that, so eager cleanup is not safe).
 """
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import functions as F
@@ -34,14 +38,23 @@ from ..sources.tables import (
 )
 
 
+def _scratch_dir(prefix: str) -> str:
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    return tmp
+
+
 @register(
     "sink_tsv_roundtrip",
     # Oracle computes the aggregate straight from parquet — the Spark side
     # must survive double → text → double and NULL → '-' → NULL round
     # trips to match. The NULL group row IS the sentinel evidence: it only
-    # hashes equal if '-' came back as a real NULL.
+    # hashes equal if '-' came back as a real NULL. The '' fold mirrors
+    # the format's documented semantics (read_tsv_all_string): empty
+    # fields read back as NULL on both engines' readers.
     """
-    SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS event_type,
+    SELECT CASE WHEN event_id % 7 = 0 OR event_type = '' THEN NULL
+                ELSE event_type END AS event_type,
            CAST(count(*) AS BIGINT) AS n,
            round(sum(value), 6) AS sum_value
     FROM events GROUP BY 1
@@ -57,7 +70,7 @@ def sink_tsv_roundtrip(spark, sf_dir):
         .alias("event_type"),
         "value",
     )
-    tmp = tempfile.mkdtemp(prefix="gisaid_tsv_roundtrip_")
+    tmp = _scratch_dir("gisaid_tsv_roundtrip_")
     write_tsv_with_sentinel(out, tmp)  # K1: NULL -> '-' on disk
     back = read_tsv_all_string(spark, tmp)  # S5: '-' -> NULL on read
     return back.groupBy("event_type").agg(
@@ -99,7 +112,7 @@ def source_fasta_roundtrip(spark, sf_dir):
         header.alias("header"),
         F.upper(F.substring(F.md5("text"), 1, 32)).alias("seq"),
     )
-    tmp = tempfile.mkdtemp(prefix="gisaid_fasta_roundtrip_")
+    tmp = _scratch_dir("gisaid_fasta_roundtrip_")
     write_fasta_partitioned(parse_headers(recs), tmp)
     back = parse_headers(read_fasta(spark, f"{tmp}/protein=*"))
     return back.select(
@@ -136,7 +149,7 @@ def source_headerless_tsv_roundtrip(spark, sf_dir):
     from ..sources.tables import read_headerless_tsv
 
     orders = load_table(spark, sf_dir, "orders")
-    tmp = tempfile.mkdtemp(prefix="gisaid_headerless_tsv_")
+    tmp = _scratch_dir("gisaid_headerless_tsv_")
     orders.select("o_orderkey", "o_orderpriority", "o_totalprice").write.csv(
         tmp, sep="\t", header=False, mode="overwrite"
     )
@@ -189,7 +202,7 @@ def config_broadcast_roundtrip(spark, sf_dir):
         .otherwise(F.lit("NA"))  # the R script's literal NA sentinel
         .alias("cluster"),
     )
-    tmp = tempfile.mkdtemp(prefix="gisaid_where_reference_")
+    tmp = _scratch_dir("gisaid_where_reference_")
     cfg.write.csv(tmp, sep="\t", header=False, mode="overwrite")
     lookup = read_where_reference(spark, tmp)  # S7: dict, NA entries absent
     mapping = (

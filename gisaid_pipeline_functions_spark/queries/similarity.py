@@ -230,7 +230,7 @@ def _kmeans_ctes(k: int = 4, iterations: int = 2, dim: int = 64) -> str:
     parts = [
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
         f"c0 AS (SELECT vec_id AS cell, list_transform(v, x -> round(x, 6)) AS c "
-        f"FROM e WHERE vec_id < {k})",
+        f"FROM e ORDER BY vec_id LIMIT {k})",
     ]
     for i in range(1, iterations + 1):
         parts.append(

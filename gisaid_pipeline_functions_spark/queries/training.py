@@ -104,12 +104,47 @@ def dedup_paragraph(spark, sf_dir):
 
 _N_SHARDS = 8
 # portable shard expression — identical semantics to operators.training
-# .shard_bucket (first md5 hex digit → 0..15, mod shards)
+# .shard_bucket (first two md5 hex digits → 0..255, mod shards)
 _SHARD_SQL = (
-    "CAST((strpos('0123456789abcdef', "
-    "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % "
-    f"{_N_SHARDS} AS BIGINT)"
+    "CAST((("
+    "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+    f") % {_N_SHARDS}) AS BIGINT)"
 )
+
+
+def _pack_ctes(rel: str, extra: str = "") -> str:
+    """The sharded next-fit packing walk as recursive CTEs over ``rel``
+    (which must expose source, doc_id, text[, extra]) — ONE definition
+    shared by pack_sequences and flagship_corpus_pipeline so the walk,
+    the shard key, and the budget can never drift between them."""
+    e = f", {extra}" if extra else ""
+    ed = f", d.{extra}" if extra else ""
+    return f"""sharded AS (
+      SELECT source, doc_id{e},
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             {_SHARD_SQL} AS shard
+      FROM {rel}
+    ),
+    docs2 AS (
+      SELECT source, shard, doc_id{e}, n_tokens,
+             row_number() OVER (PARTITION BY source, shard
+                                ORDER BY doc_id) AS rn
+      FROM sharded
+    ),
+    packed AS (
+      SELECT source, shard, doc_id{e}, n_tokens, rn,
+             CAST(1 AS BIGINT) AS bin_id, n_tokens AS fill
+      FROM docs2 WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.shard, d.doc_id{ed}, d.n_tokens, d.rn,
+             CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET}
+                  THEN p.bin_id ELSE p.bin_id + 1 END,
+             CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET}
+                  THEN p.fill + d.n_tokens ELSE d.n_tokens END
+      FROM docs2 d JOIN packed p
+        ON d.source = p.source AND d.shard = p.shard AND d.rn = p.rn + 1
+    )"""
 
 
 @register(
@@ -120,31 +155,7 @@ _SHARD_SQL = (
     # recursive CTE. Genuinely stateful custom operator (applyInPandas)
     # with an exact cross-engine gate.
     f"""
-    WITH RECURSIVE sharded AS (
-      SELECT source, doc_id,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             {_SHARD_SQL} AS shard
-      FROM documents
-    ),
-    docs2 AS (
-      SELECT source, shard, doc_id, n_tokens,
-             row_number() OVER (PARTITION BY source, shard
-                                ORDER BY doc_id) AS rn
-      FROM sharded
-    ),
-    packed AS (
-      SELECT source, shard, doc_id, n_tokens, rn,
-             CAST(1 AS BIGINT) AS bin_id, n_tokens AS fill
-      FROM docs2 WHERE rn = 1
-      UNION ALL
-      SELECT d.source, d.shard, d.doc_id, d.n_tokens, d.rn,
-             CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET}
-                  THEN p.bin_id ELSE p.bin_id + 1 END,
-             CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET}
-                  THEN p.fill + d.n_tokens ELSE d.n_tokens END
-      FROM docs2 d JOIN packed p
-        ON d.source = p.source AND d.shard = p.shard AND d.rn = p.rn + 1
-    )
+    WITH RECURSIVE {_pack_ctes('documents')}
     SELECT source, shard, doc_id, n_tokens, bin_id FROM packed
     """,
 )
@@ -346,31 +357,7 @@ def text_boilerplate_strip(spark, sf_dir):
       SELECT d.* FROM deduped d JOIN th ON d.lang = th.lang
       WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < th.threshold
     ),
-    sharded AS (
-      SELECT source, doc_id, lang,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             {_SHARD_SQL} AS shard
-      FROM balanced
-    ),
-    docs2 AS (
-      SELECT source, shard, doc_id, lang, n_tokens,
-             row_number() OVER (PARTITION BY source, shard
-                                ORDER BY doc_id) AS rn
-      FROM sharded
-    ),
-    packed AS (
-      SELECT source, shard, doc_id, lang, n_tokens, rn,
-             CAST(1 AS BIGINT) AS bin_id, n_tokens AS fill
-      FROM docs2 WHERE rn = 1
-      UNION ALL
-      SELECT d.source, d.shard, d.doc_id, d.lang, d.n_tokens, d.rn,
-             CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET}
-                  THEN p.bin_id ELSE p.bin_id + 1 END,
-             CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET}
-                  THEN p.fill + d.n_tokens ELSE d.n_tokens END
-      FROM docs2 d JOIN packed p
-        ON d.source = p.source AND d.shard = p.shard AND d.rn = p.rn + 1
-    )
+    {_pack_ctes('balanced', 'lang')}
     SELECT source, shard, doc_id, lang, n_tokens, bin_id FROM packed
     """,
 )
@@ -415,46 +402,15 @@ def flagship_corpus_pipeline(spark, sf_dir):
     balanced = deduped.join(F.broadcast(th), "lang").filter(
         hex_uniform(F.col("doc_id")) < F.col("threshold")
     )
-    from ..operators.training import shard_bucket
-
     sized = balanced.select(
         "source",
-        shard_bucket(F.col("doc_id"), _N_SHARDS).alias("shard"),
         "doc_id",
         "lang",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
-
-    def pack(pdf):
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        bins = []
-        bin_id, fill = 0, 0
-        for t in pdf["n_tokens"]:
-            t = int(t)
-            if bin_id == 0 or fill + t > _PACK_BUDGET:
-                bin_id += 1
-                fill = t
-            else:
-                fill += t
-            bins.append(bin_id)
-        pdf["bin_id"] = bins
-        return pdf[["source", "shard", "doc_id", "lang", "n_tokens", "bin_id"]]
-
-    from pyspark.sql.types import (
-        LongType,
-        StringType,
-        StructField,
-        StructType,
+    # the SAME operator (and walk) pack_sequences gates — lang rides
+    # through as a pass-through column
+    return pack_next_fit(
+        sized, "source", "doc_id", "n_tokens",
+        budget=_PACK_BUDGET, shards=_N_SHARDS, extra_cols=("lang",),
     )
-
-    schema = StructType(
-        [
-            StructField("source", StringType()),
-            StructField("shard", LongType()),
-            StructField("doc_id", LongType()),
-            StructField("lang", StringType()),
-            StructField("n_tokens", LongType()),
-            StructField("bin_id", LongType()),
-        ]
-    )
-    return sized.groupBy("source", "shard").applyInPandas(pack, schema)

@@ -66,7 +66,6 @@ _RECHECK_FIRST = frozenset(
         "pack_sequences",         # composite shard key (de-skew)
         "flagship_corpus_pipeline",  # same packing change
         "dedup_cc_large_star",    # self-loop-only node handling
-        "dedup_near_keep_first",  # consumes star CC
         # kernel scan rewritten diff-driven (same events, same quirks):
         "variant_substitutions",
         "variant_single_dels",

@@ -99,6 +99,13 @@ def read_tsv_all_string(
     """S5 — TSV read all-string with the reference's ``"-"`` NULL sentinel
     normalized to real NULLs (reference Time_Series.py:481 reads
     ``dtype="object"`` and leaves ``-`` in place; MSA_Reader.py:65 writes it).
+
+    Format semantics (shared with the reference): empty fields ALSO read
+    back as NULL — Spark's CSV reader folds unquoted empties to null,
+    exactly as the reference's ``pandas.read_csv`` folds them to NaN — so
+    the '-'-sentinel format cannot round-trip an empty string, only NULLs
+    and non-empty values. Oracles over this format must fold '' the same
+    way (see sink_tsv_roundtrip).
     """
     df = spark.read.csv(path, sep="\t", header=True, inferSchema=False)
     for c in df.columns:

@@ -96,13 +96,15 @@ def test_pack_next_fit_shards_dominant_source(spark):
     }
     assert all(expected[d] == s for d, s in zip(pdf["doc_id"], pdf["shard"]))
 
-    # per-shard next-fit invariants: bins contiguous from 1, fill <= budget,
-    # and consecutive bins couldn't have been merged (next-fit property)
+    # per-shard next-fit invariants: bins contiguous from 1, every bin
+    # within budget UNLESS that specific bin is a single oversized doc
     for (_, _), grp in pdf.groupby(["source", "shard"]):
         grp = grp.sort_values("doc_id")
         fills = grp.groupby("bin_id")["n_tokens"].sum()
+        sizes = grp.groupby("bin_id").size()
         assert list(fills.index) == list(range(1, len(fills) + 1))
-        assert (fills <= 50).all() or (grp.groupby("bin_id").size() == 1).any()
+        for b in fills.index:
+            assert fills[b] <= 50 or sizes[b] == 1, (b, fills[b], sizes[b])
         ordered_bins = grp["bin_id"].tolist()
         assert ordered_bins == sorted(ordered_bins)  # walk never reopens a bin
 
@@ -139,7 +141,7 @@ def test_shard_bucket_matches_duckdb_on_arbitrary_ids(spark):
     )
 
     @settings(max_examples=15, deadline=None)
-    @given(ids=ids, b=st.sampled_from([1, 2, 7, 8, 16]))
+    @given(ids=ids, b=st.sampled_from([1, 2, 7, 8, 16, 32, 256]))
     def check(ids, b):
         df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
         got = {
@@ -150,8 +152,10 @@ def test_shard_bucket_matches_duckdb_on_arbitrary_ids(spark):
         }
         want = dict(
             duckdb.sql(
-                "SELECT i, (strpos('0123456789abcdef', "
-                "substr(md5(CAST(i AS VARCHAR)), 1, 1)) - 1) % "
+                "SELECT i, ((strpos('0123456789abcdef', "
+                "substr(md5(CAST(i AS VARCHAR)), 1, 1)) - 1) * 16"
+                " + (strpos('0123456789abcdef', "
+                "substr(md5(CAST(i AS VARCHAR)), 2, 1)) - 1)) % "
                 f"{b} FROM (SELECT unnest({list(ids)}::BIGINT[]) AS i)"
             ).fetchall()
         )
@@ -159,3 +163,17 @@ def test_shard_bucket_matches_duckdb_on_arbitrary_ids(spark):
         assert all(0 <= s < b for s in got.values())
 
     check()
+
+
+def test_shard_bucket_uses_full_two_digit_lattice(spark):
+    # >16 buckets must actually materialize (the one-digit version capped
+    # every bucket count at 16)
+    from gisaid_pipeline_functions_spark.operators.training import shard_bucket
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    n = (
+        df.select(shard_bucket(F.col("doc_id"), 32).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n == 32
