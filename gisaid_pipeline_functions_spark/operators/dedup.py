@@ -50,6 +50,33 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
     )
 
 
+def benchmark_contamination(
+    corpus_shingles: DataFrame, bench_shingles: DataFrame
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM n-gram-overlap check):
+    for every corpus document, how many benchmark documents share at least
+    one word k-gram with it. Inputs are ``word_shingles`` outputs.
+
+    Scale shape: the benchmark side is small by construction (eval sets,
+    not corpora), so its shingle set BROADCASTS — the 100 TB corpus side
+    is a map-side hash-join probe, and the only shuffle is the final
+    groupBy on doc id. Never an all-pairs comparison."""
+    hits = (
+        corpus_shingles.alias("t")
+        .join(
+            F.broadcast(bench_shingles.alias("b")),
+            F.col("t.shingle") == F.col("b.shingle"),
+        )
+        .select(
+            F.col("t.id").alias("doc_id"), F.col("b.id").alias("bench_id")
+        )
+        .distinct()
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bench_hits")
+    )
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup via content-hash groupBy: one group per distinct text,
     keeper = min id, n_copies = group size."""

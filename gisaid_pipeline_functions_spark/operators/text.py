@@ -96,6 +96,96 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1: duplicate
+    word fraction, top-n-gram fraction) — fully map-side, zero shuffle.
+
+    The most-frequent-2-gram count is a per-row mode; instead of
+    explode + groupBy (which would shuffle every n-gram of every document
+    in the corpus), sort the per-row gram array and fold for the longest
+    equal run — O(n log n) per row inside whole-stage codegen, and the
+    shuffle disappears entirely. The DuckDB oracle computes the same mode
+    the explode-and-group way, so the two engines cross-check the
+    algorithm, not just the arithmetic.
+    """
+    text = F.col(text_col)
+    staged = df.select(F.col(id_col).alias("doc_id"), words(text).alias("w"))
+    w = F.col("w")
+    grams = F.when(
+        F.size(w) >= 2,
+        F.array_sort(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 1),
+                lambda i: F.concat(
+                    F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = staged.select("doc_id", w.alias("w"), grams.alias("g"))
+    g = F.col("g")
+    # longest equal run in the sorted gram array = count of the modal gram
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top_n = F.aggregate(g, init, step, lambda acc: acc["best"])
+    dup_frac = F.when(F.size(w) == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(w)) / F.size(w)
+    )
+    top_frac = F.when(F.size(g) == 0, F.lit(0.0)).otherwise(top_n / F.size(g))
+    out = staged.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.round(dup_frac, 6).alias("dup_word_frac"),
+        F.round(top_frac, 6).alias("top_2gram_frac"),
+    )
+    # threshold on the ROUNDED values so the keep decision can't flip on
+    # float-epsilon differences between engines
+    return out.withColumn(
+        "keep",
+        (F.col("dup_word_frac") <= 0.5) & (F.col("top_2gram_frac") <= 0.08),
+    )
+
+
+# synthetic-PII masking patterns — same regex dialect subset works in Java
+# (Spark) and RE2 (DuckDB): character classes, \b, {n} counts
+EMAIL_REGEX = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+"
+PHONE_REGEX = "\\b[0-9]{3}-[0-9]+\\b"
+
+
+def pii_mask(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Mask email / phone-shaped spans and count them — the scrubbing pass
+    a training pipeline runs before packing. Pure native regexp
+    expressions (Spark ``regexp_replace`` is replace-all, matching
+    DuckDB's 'g' flag); emits the md5 of the masked text rather than the
+    text itself so the driver hashes a scalar."""
+    text = F.col(text_col)
+    masked = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_REGEX, "[EMAIL]"),
+        PHONE_REGEX,
+        "[PHONE]",
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_REGEX), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_REGEX), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(masked).alias("masked_md5"),
+    )
+
+
 def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Document fingerprints: md5 of the normalized text (exact-dup key)
     plus the min word-hash (a 1-gram minhash, the rolling-hash-min analog

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    benchmark_contamination,
     exact_duplicates,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -258,3 +259,43 @@ def dedup_near_keep_first(spark, sf_dir):
         F.col("id").alias("doc_id")
     )
     return docs.join(drop, "doc_id", "left_anti").select("doc_id", "source")
+
+
+@register(
+    "dedup_decontaminate",
+    # Benchmark decontamination (GPT-3 appx C / PaLM shape): flag corpus
+    # docs sharing any word 5-gram with a held-out "benchmark" set — here
+    # a deterministic md5-prefix eighth of the corpus, so both engines
+    # derive the same split. Spark broadcasts the benchmark shingle set;
+    # the corpus side is a map-side probe (never all-pairs).
+    """
+    WITH w AS (
+      SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1') AS is_bench,
+             string_split(text, ' ') AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, is_bench,
+             unnest([array_to_string(ws[i:i+4], ' ') FOR i IN range(1, len(ws) - 3)])
+               AS shingle
+      FROM w WHERE len(ws) >= 5
+    )
+    SELECT t.doc_id, CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_bench_hits
+    FROM sh t JOIN sh b
+      ON t.shingle = b.shingle AND b.is_bench AND NOT t.is_bench
+    WHERE length(t.shingle) > 0
+    GROUP BY t.doc_id
+    """,
+)
+def dedup_decontaminate(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1"
+    )
+    bench = docs.filter(is_bench)
+    corpus = docs.filter(~is_bench)
+    return benchmark_contamination(
+        word_shingles(corpus, "doc_id", "text", k=5),
+        word_shingles(bench, "doc_id", "text", k=5),
+    )

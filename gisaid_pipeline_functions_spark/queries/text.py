@@ -4,7 +4,18 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators.text import STOPWORDS, TOKEN_REGEX, fingerprints, language_id, quality_score, token_counts
+from ..operators.text import (
+    EMAIL_REGEX,
+    PHONE_REGEX,
+    STOPWORDS,
+    TOKEN_REGEX,
+    fingerprints,
+    language_id,
+    pii_mask,
+    quality_score,
+    repetition_metrics,
+    token_counts,
+)
 from ..registry import register
 from ..sources.tables import load_table
 
@@ -81,6 +92,77 @@ def text_token_counts(spark, sf_dir):
 )
 def text_fingerprints(spark, sf_dir):
     return fingerprints(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "text_repetition_filter",
+    # Gopher-style repetition filter (duplicate-word fraction + modal
+    # 2-gram fraction). The Spark side computes the 2-gram mode MAP-SIDE
+    # (sorted-array longest-run fold, zero shuffle); this oracle computes
+    # it the explode-and-group way — two algorithms, one answer.
+    f"""
+    WITH w AS (SELECT doc_id, {_W} AS ws FROM documents),
+    g AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+      FROM w, unnest(range(1, len(ws))) AS t(i)
+    ),
+    gc AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY doc_id, gram),
+    top AS (SELECT doc_id, max(n) AS top_n FROM gc GROUP BY doc_id),
+    m AS (
+      SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+             round(CASE WHEN len(ws) = 0 THEN 0.0
+                   ELSE 1.0 - len(list_distinct(ws)) * 1.0 / len(ws) END, 6)
+               AS dup_word_frac,
+             round(coalesce(top.top_n * 1.0 / (len(ws) - 1), 0.0), 6)
+               AS top_2gram_frac
+      FROM w LEFT JOIN top USING (doc_id)
+    )
+    SELECT doc_id, n_tokens, dup_word_frac, top_2gram_frac,
+           (dup_word_frac <= 0.5 AND top_2gram_frac <= 0.08) AS keep
+    FROM m
+    """,
+)
+def text_repetition_filter(spark, sf_dir):
+    return repetition_metrics(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "text_pii_mask",
+    # PII scrubbing pass: the corpus has no real PII, so the plan first
+    # APPENDS synthetic email/phone spans derived from doc_id, then masks
+    # them — which makes the regex replace/count parity the thing under
+    # test. Patterns stay in the Java-regex ∩ RE2 dialect subset.
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or call 555-0'
+                  || CAST(doc_id % 100 AS VARCHAR) || ' now' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t, '{EMAIL_REGEX}')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(t, '{PHONE_REGEX}')) AS BIGINT) AS n_phones,
+      md5(regexp_replace(
+            regexp_replace(t, '{EMAIL_REGEX}', '[EMAIL]', 'g'),
+            '{PHONE_REGEX}', '[PHONE]', 'g')) AS masked_md5
+    FROM aug
+    """,
+)
+def text_pii_mask(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-0"),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(" now"),
+        ).alias("t"),
+    )
+    return pii_mask(aug, "doc_id", "t")
 
 
 @register(

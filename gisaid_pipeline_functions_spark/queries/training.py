@@ -414,3 +414,42 @@ def flagship_corpus_pipeline(spark, sf_dir):
         sized, "source", "doc_id", "n_tokens",
         budget=_PACK_BUDGET, shards=_N_SHARDS, extra_cols=("lang",),
     )
+
+
+_BYTE_SQL = (
+    "((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1))"
+)
+
+
+@register(
+    "sample_dataset_split",
+    # Deterministic train/val/test assignment from the doc-id hash byte
+    # (~90/5/5): content-independent, reproducible under retries and
+    # repartitioning, and portable — the identical byte is computable in
+    # DuckDB. The query audits the split: per (source, split) doc and
+    # char totals. Map-side assignment; one shuffle for the audit groupBy.
+    f"""
+    SELECT source,
+           CASE WHEN {_BYTE_SQL} < 230 THEN 'train'
+                WHEN {_BYTE_SQL} < 243 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def sample_dataset_split(spark, sf_dir):
+    from ..operators.training import shard_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = shard_bucket(F.col("doc_id"), 256)
+    split = (
+        F.when(b < 230, F.lit("train"))
+        .when(b < 243, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.groupBy("source", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
