@@ -156,6 +156,57 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    MOSS scheme): hash every word k-gram, slide a window of w hashes, keep
+    each window's minimum, emit the distinct minima. Guarantees any shared
+    run of ≥ k+w-1 words between two documents shares a fingerprint,
+    with ~2/(w+1) of the grams kept — the robust middle ground between
+    exact chunk dedup (brittle to 1-word shifts) and full shingle sets
+    (k× the text volume).
+
+    Fully map-side per document (three staged selects so each array
+    materializes once); the exploded output shuffles only 32-byte hashes
+    into whatever downstream groupBy consumes them. Hex md5 compares
+    lexicographically on both engines, so min-selection is portable.
+    Documents with fewer than w grams contribute one whole-array minimum
+    (the standard short-document convention); gram-less documents none.
+    """
+    text = F.col(text_col)
+    staged = df.select(F.col(id_col).alias("doc_id"), words(text).alias("w"))
+    ws = F.col("w")
+    grams = F.when(
+        F.size(ws) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (k - 1)),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    *[F.element_at(ws, (i + j).cast("int")) for j in range(k)],
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = staged.select("doc_id", grams.alias("h"))
+    h = F.col("h")
+    windows = (
+        F.when(
+            F.size(h) >= w,
+            F.transform(
+                F.sequence(F.lit(1), F.size(h) - (w - 1)),
+                lambda i: F.array_min(F.slice(h, i, w)),
+            ),
+        )
+        .when(F.size(h) > 0, F.array(F.array_min(h)))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return staged.select(
+        "doc_id", F.explode(F.array_distinct(windows)).alias("fingerprint")
+    )
+
+
 # synthetic-PII masking patterns — same regex dialect subset works in Java
 # (Spark) and RE2 (DuckDB): character classes, \b, {n} counts
 EMAIL_REGEX = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+"

@@ -222,3 +222,47 @@ def config_broadcast_roundtrip(spark, sf_dir):
         .groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "source_jsonl_roundtrip",
+    # JSONL — the training-corpus interchange format (beyond-reference,
+    # S-layer): documents written as one-object-per-line JSON inside the
+    # plan, read back with an EXPLICIT schema (no inference pass), and
+    # re-aggregated. total_chars is recomputed from the round-tripped text
+    # (not carried through), so any JSON escaping loss — quotes,
+    # backslashes, unicode — hash-fails against the parquet oracle.
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           min(md5(text)) AS min_text_md5
+    FROM documents GROUP BY source
+    """,
+)
+def source_jsonl_roundtrip(spark, sf_dir):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..sources.tables import read_jsonl, write_jsonl
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = _scratch_dir("gisaid_jsonl_roundtrip_")
+    write_jsonl(docs.select("doc_id", "source", "text"), tmp)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    back = read_jsonl(spark, tmp, schema)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.min(F.md5("text")).alias("min_text_md5"),
+    )

@@ -15,6 +15,7 @@ from ..operators.text import (
     quality_score,
     repetition_metrics,
     token_counts,
+    winnowing_fingerprints,
 )
 from ..registry import register
 from ..sources.tables import load_table
@@ -163,6 +164,78 @@ def text_pii_mask(spark, sf_dir):
         ).alias("t"),
     )
     return pii_mask(aug, "doc_id", "t")
+
+
+@register(
+    "text_bpe_pair_counts",
+    # The BPE-training inner loop at corpus scale: global counts of
+    # adjacent token pairs (the statistic a merge step maximizes over).
+    # Explode + groupBy with automatic map-side partial aggregation —
+    # the shuffle carries distinct pairs (≤ vocab²), not corpus rows.
+    f"""
+    WITH w AS (SELECT {_W} AS ws FROM documents),
+    g AS (
+      SELECT ws[i] || ' ' || ws[i+1] AS pair
+      FROM w, unnest(range(1, len(ws))) AS t(i)
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM g GROUP BY pair HAVING count(*) >= 2
+    """,
+)
+def text_bpe_pair_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(F.split("text", " ").alias("raw"))
+    staged = staged.select(
+        F.filter(F.col("raw"), lambda x: F.length(x) > 0).alias("w")
+    )
+    w = F.col("w")
+    pairs = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat(
+                F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        staged.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+
+
+@register(
+    "text_winnowing_fingerprints",
+    # Winnowing (k=3, w=4): per-document robust fingerprint set. The
+    # oracle replays gram-hashing and window minima with DuckDB list
+    # comprehensions — hex md5 minima are lexicographic on both engines.
+    f"""
+    WITH w AS (SELECT doc_id, {_W} AS ws FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+                  THEN [md5(array_to_string(ws[i:i+2], ' '))
+                        FOR i IN range(1, len(ws) - 1)]
+                  ELSE [] END AS h
+      FROM w
+    ),
+    f AS (
+      SELECT doc_id,
+             CASE WHEN len(h) >= 4
+                  THEN [list_min(h[i:i+3]) FOR i IN range(1, len(h) - 2)]
+                  WHEN len(h) > 0 THEN [list_min(h)]
+                  ELSE [] END AS fps
+      FROM g
+    )
+    SELECT doc_id, unnest(list_distinct(fps)) AS fingerprint FROM f
+    """,
+)
+def text_winnowing_fingerprints(spark, sf_dir):
+    return winnowing_fingerprints(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3, w=4
+    )
 
 
 @register(

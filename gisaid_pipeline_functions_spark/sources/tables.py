@@ -128,3 +128,19 @@ def write_tsv_with_sentinel(
         nullValue=null_sentinel,
         emptyValue="",
     )
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSONL sink — the dominant interchange format for training-data
+    corpora (one JSON object per line; beyond-reference). Distributed
+    write, one file per partition, safely splittable on re-read because
+    records never span lines."""
+    df.write.json(path, mode="overwrite")
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """JSONL source with an EXPLICIT schema — schema inference over 100 TB
+    of JSONL is a full extra pass of the data, so the engine requires the
+    caller to declare one (the same stance as the TSV readers above).
+    Spark parallelizes the scan by newline-split ranges."""
+    return spark.read.schema(schema).json(path)
