@@ -450,3 +450,130 @@ def ivf_topk_multiprobe(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+def pq_codes(
+    corpus: DataFrame,
+    m: int = 2,
+    sub_dim: int = 32,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codes (Jégou et al., TPAMI 2011): split each
+    vector into ``m`` contiguous ``sub_dim``-dim subspaces, learn an
+    independent k-centroid codebook per subspace with the same
+    iteration-exact Lloyd recipe as ``kmeans_assign`` (6dp-rounded
+    centroids each round, so a DuckDB oracle replays every subspace's
+    training bit-for-bit), and emit long form
+    ``(vec_id, subspace, cell, dist)``.
+
+    A PQ code is m small integers per vector — k^m distinct composite
+    cells from only m·k learned centroids; at 100 TB the codes column is
+    what downstream ANN scans stream, never the vectors."""
+    out = None
+    for j in range(m):
+        sub = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(
+                _to_double(F.col(vec_col)), j * sub_dim + 1, sub_dim
+            ).alias("sub"),
+        )
+        a = kmeans_assign(
+            sub, k=k, iterations=iterations, id_col="vec_id", vec_col="sub"
+        ).select(
+            "vec_id",
+            F.lit(j).cast("long").alias("subspace"),
+            "cell",
+            "dist",
+        )
+        out = a if out is None else out.unionByName(a)
+    return out
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 2,
+    sub_dim: int = 32,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    topk: int = 3,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the codes USED:
+    per query, a distance look-up table (k entries per subspace) against
+    the recomputed subspace centroids; a candidate's approximate distance
+    is the SUM of its code's LUT entries, never a touch of its raw vector.
+
+    Scale shape: the corpus side streams only its m-integer code row;
+    the LUTs (queries × m × k rows) BROADCAST, so scoring is m map-side
+    hash-join probes plus a per-query top-k window (WindowGroupLimit) —
+    no shuffle of vectors, no pairwise vector math. Centroids are
+    recomputed from the final assignment (per-dim 6dp-rounded means),
+    mirroring the learned-IVF convention, so the oracle replays them."""
+    from pyspark.sql import Window
+
+    codes = pq_codes(corpus, m, sub_dim, k, iterations, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+    )
+    wide = None
+    luts = []
+    for j in range(m):
+        cj = codes.filter(F.col("subspace") == j).select(
+            "vec_id", F.col("cell").alias(f"c{j}")
+        )
+        wide = cj if wide is None else wide.join(cj, "vec_id")
+        sub = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(
+                _to_double(F.col(vec_col)), j * sub_dim + 1, sub_dim
+            ).alias("sv"),
+        )
+        per_dim = (
+            sub.join(cj, "vec_id")
+            .select(f"c{j}", F.posexplode("sv").alias("pos", "x"))
+            .groupBy(f"c{j}", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("mu"))
+        )
+        cents = per_dim.groupBy(f"c{j}").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                lambda s: s["mu"],
+            ).alias("cent")
+        )
+        qsub = q.select(
+            "query_id", F.slice(F.col("qv"), j * sub_dim + 1, sub_dim).alias("qs")
+        )
+        d2 = F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("qs"), F.col("cent"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        luts.append(
+            qsub.join(F.broadcast(cents)).select(
+                "query_id", f"c{j}", d2.alias(f"d{j}")
+            )
+        )
+    scored = wide
+    for j, lut in enumerate(luts):
+        keys = [f"c{j}"] if j == 0 else ["query_id", f"c{j}"]
+        scored = scored.join(F.broadcast(lut), keys)
+    adc = F.round(
+        sum(F.col(f"d{j}") for j in range(1, m)) + F.col("d0"), 6
+    )
+    scored = scored.filter(F.col("vec_id") != F.col("query_id")).select(
+        "query_id", F.col("vec_id").alias("cand_id"), adc.alias("adc")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("cand_id"))
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= topk)

@@ -218,47 +218,57 @@ def sim_quantize_int8(spark, sf_dir):
     )
 
 
-def _kmeans_ctes(k: int = 4, iterations: int = 2, dim: int = 64) -> str:
-    """CTE chain replaying the exact Lloyd iterations of
+def _kmeans_ctes(
+    k: int = 4,
+    iterations: int = 2,
+    dim: int = 64,
+    prefix: str = "",
+    vexpr: str = "CAST(embedding AS DOUBLE[])",
+) -> str:
+    """CTE chain (no leading WITH) replaying the exact Lloyd iterations of
     ``kmeans_assign`` (6dp-rounded centroids put every round on a shared
     lattice, so assignment and recompute are engine-identical). Ends with
-    ``fin(vec_id, cell, dist)`` — the final assignment."""
+    ``{prefix}fin(vec_id, cell, dist)`` — the final assignment. ``prefix``
+    namespaces every CTE so multiple chains compose in one query (the
+    product-quantization oracle runs one chain per subspace over a
+    ``vexpr`` slice of the vector)."""
+    p = prefix
     d2 = (
-        "round(list_sum(list_transform(list_zip(e.v, cc.c), "
+        f"round(list_sum(list_transform(list_zip({p}e.v, cc.c), "
         "p -> (p[1]-p[2])*(p[1]-p[2]))), 6)"
     )
     parts = [
-        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
-        f"c0 AS (SELECT vec_id AS cell, list_transform(v, x -> round(x, 6)) AS c "
-        f"FROM e ORDER BY vec_id LIMIT {k})",
+        f"{p}e AS (SELECT vec_id, {vexpr} AS v FROM embeddings)",
+        f"{p}c0 AS (SELECT vec_id AS cell, list_transform(v, x -> round(x, 6)) AS c "
+        f"FROM {p}e ORDER BY vec_id LIMIT {k})",
     ]
     for i in range(1, iterations + 1):
         parts.append(
-            f"""a{i} AS (
+            f"""{p}a{i} AS (
       SELECT vec_id, v, cell FROM (
-        SELECT e.vec_id, e.v, cc.cell,
-               row_number() OVER (PARTITION BY e.vec_id
+        SELECT {p}e.vec_id, {p}e.v, cc.cell,
+               row_number() OVER (PARTITION BY {p}e.vec_id
                                   ORDER BY {d2}, cc.cell) AS rn
-        FROM e CROSS JOIN c{i - 1} cc
+        FROM {p}e CROSS JOIN {p}c{i - 1} cc
       ) WHERE rn = 1
     )"""
         )
         parts.append(
-            f"""c{i} AS (
+            f"""{p}c{i} AS (
       SELECT cell, list(m ORDER BY pos) AS c FROM (
         SELECT cell, i AS pos, round(avg(v[i]), 6) AS m
-        FROM a{i}, LATERAL unnest(generate_series(1, {dim})) t(i)
+        FROM {p}a{i}, LATERAL unnest(generate_series(1, {dim})) t(i)
         GROUP BY cell, i
       ) GROUP BY cell
     )"""
         )
     parts.append(
-        f"""fin AS (
+        f"""{p}fin AS (
       SELECT vec_id, cell, dist FROM (
-        SELECT e.vec_id, cc.cell, {d2} AS dist,
-               row_number() OVER (PARTITION BY e.vec_id
+        SELECT {p}e.vec_id, cc.cell, {d2} AS dist,
+               row_number() OVER (PARTITION BY {p}e.vec_id
                                   ORDER BY {d2}, cc.cell) AS rn
-        FROM e CROSS JOIN c{iterations} cc
+        FROM {p}e CROSS JOIN {p}c{iterations} cc
       ) WHERE rn = 1
     )"""
     )
@@ -271,7 +281,8 @@ def _kmeans_ctes(k: int = 4, iterations: int = 2, dim: int = 64) -> str:
     # init, centroids rounded to 6dp each round so the oracle replays the
     # SAME iterations (the iterative-algorithm analog of the repo's
     # rounding convention — like the CC fixpoint, but with float state).
-    _kmeans_ctes(k=4, iterations=2, dim=64)
+    "WITH "
+    + _kmeans_ctes(k=4, iterations=2, dim=64)
     + "\n    SELECT vec_id, cell, dist FROM fin",
 )
 def sim_kmeans_cells(spark, sf_dir):
@@ -287,7 +298,8 @@ def sim_kmeans_cells(spark, sf_dir):
     # iteration in the CTEs) feed the SAME IVF routing/search shape as
     # sim_ivf_topk — query routes to its nearest learned centroid, exact
     # top-k within that cell only.
-    _kmeans_ctes(k=4, iterations=2, dim=64)
+    "WITH "
+    + _kmeans_ctes(k=4, iterations=2, dim=64)
     + f""",
     lab AS (SELECT e.vec_id, e.v, f.cell FROM e JOIN fin f ON e.vec_id = f.vec_id),
     dims2 AS (
@@ -446,3 +458,97 @@ def sim_ivf_multiprobe(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk_multiprobe(emb, emb.filter(F.col("vec_id") < 5), k=3, probes=2)
+
+
+_PQ_CHAINS = (
+    _kmeans_ctes(k=4, iterations=2, dim=32, prefix="s0_",
+                 vexpr="CAST(embedding AS DOUBLE[])[1:32]")
+    + ",\n    "
+    + _kmeans_ctes(k=4, iterations=2, dim=32, prefix="s1_",
+                   vexpr="CAST(embedding AS DOUBLE[])[33:64]")
+)
+
+
+@register(
+    "sim_pq_codes",
+    # Product quantization: one iteration-exact Lloyd chain PER SUBSPACE
+    # (vector halves), composed via the prefixed CTE generator — the
+    # oracle replays both codebooks' training bit-for-bit.
+    "WITH "
+    + _PQ_CHAINS
+    + """
+    SELECT vec_id, CAST(0 AS BIGINT) AS subspace, cell, dist FROM s0_fin
+    UNION ALL
+    SELECT vec_id, CAST(1 AS BIGINT) AS subspace, cell, dist FROM s1_fin
+    """,
+)
+def sim_pq_codes(spark, sf_dir):
+    from ..operators.similarity import pq_codes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_codes(emb, m=2, sub_dim=32, k=4, iterations=2)
+
+
+@register(
+    "sim_pq_adc_topk",
+    # The PQ codes USED: asymmetric-distance top-3 — per-query LUTs over
+    # recomputed subspace centroids, candidate distance = sum of its
+    # code's LUT entries. Corpus side streams 2 ints per vector; LUTs
+    # broadcast; no vector math per candidate.
+    "WITH "
+    + _PQ_CHAINS
+    + """,
+    codes AS (
+      SELECT a.vec_id, a.cell AS c0, b.cell AS c1
+      FROM s0_fin a JOIN s1_fin b ON a.vec_id = b.vec_id
+    ),
+    cent0 AS (
+      SELECT c0, list(mu ORDER BY pos) AS cent FROM (
+        SELECT f.cell AS c0, i AS pos, round(avg(e.v[i]), 6) AS mu
+        FROM s0_e e JOIN s0_fin f ON e.vec_id = f.vec_id,
+             LATERAL unnest(generate_series(1, 32)) t(i)
+        GROUP BY f.cell, i
+      ) GROUP BY c0
+    ),
+    cent1 AS (
+      SELECT c1, list(mu ORDER BY pos) AS cent FROM (
+        SELECT f.cell AS c1, i AS pos, round(avg(e.v[i]), 6) AS mu
+        FROM s1_e e JOIN s1_fin f ON e.vec_id = f.vec_id,
+             LATERAL unnest(generate_series(1, 32)) t(i)
+        GROUP BY f.cell, i
+      ) GROUP BY c1
+    ),
+    q0 AS (SELECT vec_id AS query_id, v FROM s0_e WHERE vec_id < 5),
+    q1 AS (SELECT vec_id AS query_id, v FROM s1_e WHERE vec_id < 5),
+    lut0 AS (
+      SELECT q.query_id, c.c0,
+             round(list_sum(list_transform(list_zip(q.v, c.cent),
+                   p -> (p[1]-p[2])*(p[1]-p[2]))), 6) AS d0
+      FROM q0 q CROSS JOIN cent0 c
+    ),
+    lut1 AS (
+      SELECT q.query_id, c.c1,
+             round(list_sum(list_transform(list_zip(q.v, c.cent),
+                   p -> (p[1]-p[2])*(p[1]-p[2]))), 6) AS d1
+      FROM q1 q CROSS JOIN cent1 c
+    ),
+    scored AS (
+      SELECT l0.query_id, cd.vec_id AS cand_id, round(l0.d0 + l1.d1, 6) AS adc
+      FROM codes cd
+      JOIN lut0 l0 ON cd.c0 = l0.c0
+      JOIN lut1 l1 ON l1.query_id = l0.query_id AND cd.c1 = l1.c1
+      WHERE cd.vec_id <> l0.query_id
+    )
+    SELECT query_id, cand_id, adc, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def sim_pq_adc_topk(spark, sf_dir):
+    from ..operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return pq_adc_topk(emb, queries, m=2, sub_dim=32, k=4, iterations=2, topk=3)
