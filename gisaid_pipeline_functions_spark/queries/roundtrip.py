@@ -266,3 +266,31 @@ def source_jsonl_roundtrip(spark, sf_dir):
         F.sum(F.length("text")).alias("total_chars"),
         F.min(F.md5("text")).alias("min_text_md5"),
     )
+
+
+@register(
+    "source_orc_roundtrip",
+    # ORC — the other columnar format Spark ships natively (S-layer,
+    # beyond-reference): lineitem columns written as ORC inside the plan,
+    # re-read, re-aggregated; the oracle aggregates the original parquet,
+    # so any type mangling across the columnar round-trip hash-fails.
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           round(sum(l_extendedprice), 6) AS sum_price
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def source_orc_roundtrip(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    tmp = _scratch_dir("gisaid_orc_roundtrip_")
+    li.select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+    ).write.orc(tmp, mode="overwrite")
+    back = spark.read.orc(tmp)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+    )

@@ -215,3 +215,75 @@ def window_ntile_quartiles(spark, sf_dir):
     return spend.select(
         "o_custkey", "c_nationkey", "revenue", F.ntile(4).over(w).alias("quartile")
     )
+
+
+@register(
+    "ts_exponential_smoothing",
+    # EWMA over the weekly series (alpha=0.3) — a SEQUENTIAL recurrence
+    # s_t = 0.3·x_t + 0.7·s_{t-1}, inexpressible as a window frame. Spark
+    # runs it as a higher-order fold over the per-key collected series
+    # (one shuffle on the key; the fold is map-side and the series is
+    # aggregate-sized — weeks, not events); each step rounds to 6dp so
+    # every state value lands on a lattice both engines agree on — the
+    # same iteration-exact convention as the k-means replay. The oracle
+    # replays the recurrence row-by-row with a recursive CTE.
+    f"""
+    WITH RECURSIVE freq AS (
+      SELECT event_type AS key, {_WEEK} AS week_start, count(*) AS freq
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT key, week_start, freq,
+             row_number() OVER (PARTITION BY key ORDER BY week_start) AS rn
+      FROM freq
+    ),
+    ew(key, week_start, freq, rn, ewma) AS (
+      SELECT key, week_start, freq, rn, round(CAST(freq AS DOUBLE), 6)
+      FROM idx WHERE rn = 1
+      UNION ALL
+      SELECT i.key, i.week_start, i.freq, i.rn,
+             round(0.3 * i.freq + 0.7 * e.ewma, 6)
+      FROM idx i JOIN ew e ON i.key = e.key AND i.rn = e.rn + 1
+    )
+    SELECT key, week_start, CAST(freq AS BIGINT) AS freq, ewma FROM ew
+    """,
+)
+def ts_exponential_smoothing(spark, sf_dir):
+    from ..functions.weeks import sunday_week_start
+
+    ev = load_table(spark, sf_dir, "events")
+    freq = ev.groupBy(
+        F.col("event_type").alias("key"),
+        sunday_week_start(F.col("ts")).alias("week_start"),
+    ).agg(F.count(F.lit(1)).alias("freq"))
+    series = freq.groupBy("key").agg(
+        F.array_sort(F.collect_list(F.struct("week_start", "freq"))).alias("s")
+    )
+    acc_type = "array<struct<week_start:date,freq:bigint,ewma:double>>"
+    folded = F.aggregate(
+        F.col("s"),
+        F.lit(None).cast(acc_type),
+        lambda acc, x: F.concat(
+            F.coalesce(acc, F.array().cast(acc_type)),
+            F.array(
+                F.struct(
+                    x["week_start"].alias("week_start"),
+                    x["freq"].alias("freq"),
+                    F.round(
+                        F.when(
+                            F.coalesce(F.size(acc), F.lit(0)) == 0,
+                            x["freq"].cast("double"),
+                        ).otherwise(
+                            0.3 * x["freq"]
+                            + 0.7 * F.element_at(acc, -1)["ewma"]
+                        ),
+                        6,
+                    ).alias("ewma"),
+                )
+            ),
+        ),
+    )
+    return (
+        series.select(F.col("key"), F.explode(folded).alias("e"))
+        .select("key", "e.week_start", "e.freq", "e.ewma")
+    )
