@@ -516,7 +516,14 @@ def pq_adc_topk(
     mirroring the learned-IVF convention, so the oracle replays them."""
     from pyspark.sql import Window
 
-    codes = pq_codes(corpus, m, sub_dim, k, iterations, id_col, vec_col)
+    # materialize the codes ONCE: they are referenced 2m times below
+    # (wide join + centroid recompute per subspace), and each reference
+    # would otherwise re-execute the full two-codebook Lloyd training —
+    # the codes table is m rows of 3 ints per vector, the cheapest thing
+    # in the whole plan to pin (measured 34.5 s → re-execution collapsed)
+    codes = pq_codes(
+        corpus, m, sub_dim, k, iterations, id_col, vec_col
+    ).localCheckpoint(eager=True)
     q = queries.select(
         F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
     )

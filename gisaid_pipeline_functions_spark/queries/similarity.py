@@ -341,7 +341,14 @@ def sim_ivf_learned(spark, sf_dir):
     from ..operators.similarity import ivf_topk, kmeans_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cells = kmeans_assign(emb, k=4, iterations=2).select("vec_id", "cell")
+    # pin the assignment: ivf_topk references the labeled corpus three
+    # times (centroids, routing, search) and each reference would re-run
+    # the whole Lloyd training; the assignment is 2 ints per vector
+    cells = (
+        kmeans_assign(emb, k=4, iterations=2)
+        .select("vec_id", "cell")
+        .localCheckpoint(eager=True)
+    )
     labeled = emb.join(cells, "vec_id")
     return ivf_topk(
         labeled, emb.filter(F.col("vec_id") < 5), label_col="cell", k=3
