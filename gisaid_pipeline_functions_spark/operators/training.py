@@ -155,3 +155,47 @@ def pack_next_fit(
         F.col(tokens_col).cast("long"),
     )
     return inp.groupBy(group_col, "shard").applyInPandas(pack, schema)
+
+
+def hex_uniform_u32(col: Column) -> Column:
+    """The ``hex_uniform`` draw as an exact 32-bit integer (first 8 md5
+    hex digits positionally decoded) — for weighted-sampling math that
+    needs a number, not a comparable string. Pure integer construction,
+    identical in DuckDB via ``strpos``."""
+    h = F.md5(col.cast("string"))
+    hexdigits = F.lit("0123456789abcdef")
+    v = F.lit(0).cast("long")
+    for i in range(8):
+        # cast BEFORE the scale multiply: instr yields int32 and
+        # 15 * 16^7 overflows it under ANSI mode
+        digit = (F.instr(hexdigits, F.substring(h, i + 1, 1)) - 1).cast("long")
+        v = v + digit * F.lit(16 ** (7 - i)).cast("long")
+    return v
+
+
+def weighted_sample_k_per_group(
+    df: DataFrame, group_col: str, id_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Weighted reservoir sampling (Efraimidis & Sirivianos A-ES,
+    IPL 2006): each row draws u ∈ (0,1) deterministically from its id
+    hash and scores ``key = u^(1/w)``; the top-k keys per group ARE a
+    weighted-without-replacement sample. The quality/length-weighted
+    corpus draw a training pipeline runs ("sample 10M docs ∝ quality").
+
+    Map-side key computation (no RNG state, retry/partition-invariant —
+    the same guarantee as ``stratified_sample``), one shuffle on the
+    group key for the top-k window. The key is rounded to 6dp on both
+    engines (pow's last-ulp may differ across libms) with the id as the
+    deterministic tie-break."""
+    u = (hex_uniform_u32(F.col(id_col)) + F.lit(0.5)) / F.lit(float(2**32))
+    key = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 6
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("sample_key"), F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_key", key)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )

@@ -453,3 +453,43 @@ def sample_dataset_split(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+_U32_SQL = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + ")"
+)
+
+
+@register(
+    "sample_weighted_reservoir",
+    # Efraimidis–Sirivianos weighted reservoir: per-source top-3 by
+    # key = u^(1/n_chars), u a deterministic 32-bit hash draw — longer
+    # docs proportionally likelier, no RNG state, partition-invariant.
+    # Key rounded to 6dp on both engines (libm pow last-ulp differs),
+    # doc_id tie-break.
+    f"""
+    SELECT doc_id, source, n_chars, sample_key, rk FROM (
+      SELECT doc_id, source, n_chars,
+             round(pow(({_U32_SQL} + 0.5) / 4294967296.0,
+                       1.0 / n_chars), 6) AS sample_key,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY round(pow(({_U32_SQL} + 0.5) / 4294967296.0,
+                              1.0 / n_chars), 6) DESC, doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 3
+    """,
+)
+def sample_weighted_reservoir(spark, sf_dir):
+    from ..operators.training import weighted_sample_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_k_per_group(
+        docs, "source", "doc_id", "n_chars", 3
+    ).select("doc_id", "source", "n_chars", "sample_key", "rk")
