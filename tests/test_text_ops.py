@@ -1,0 +1,153 @@
+"""Property tests for the corpus-shaping text operators added late in
+round 3 — invariants the DuckDB oracles can't express (the oracles prove
+cross-engine parity; these prove the operators mean what they claim)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from gisaid_pipeline_functions_spark.operators.text import (
+    pii_mask,
+    repetition_metrics,
+    winnowing_fingerprints,
+)
+from gisaid_pipeline_functions_spark.operators.training import (
+    hex_uniform_u32,
+    weighted_sample_k_per_group,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+class TestWinnowing:
+    def test_shared_run_guarantee(self, spark):
+        # THE winnowing property (Schleimer et al. §3): any shared run of
+        # >= k+w-1 = 6 words forces at least one shared fingerprint —
+        # regardless of what surrounds the run in either document.
+        shared = "alpha beta gamma delta epsilon zeta"  # 6 words
+        docs = _docs(
+            spark,
+            [
+                f"one two three {shared} four five",
+                f"{shared} completely different tail here",
+            ],
+        )
+        fp = winnowing_fingerprints(docs, "doc_id", "text", k=3, w=4)
+        per_doc = {
+            r["doc_id"]: set(r["fps"])
+            for r in fp.groupBy("doc_id")
+            .agg(F.collect_set("fingerprint").alias("fps"))
+            .collect()
+        }
+        assert per_doc[0] & per_doc[1], "shared 6-word run must share a fingerprint"
+
+    def test_short_doc_emits_whole_array_min(self, spark):
+        # fewer than w grams -> exactly one fingerprint (the global min);
+        # fewer than k words -> no grams, no rows
+        docs = _docs(spark, ["a b c d", "a b"])
+        fp = winnowing_fingerprints(docs, "doc_id", "text", k=3, w=4)
+        rows = fp.collect()
+        assert {r["doc_id"] for r in rows} == {0}
+        assert len([r for r in rows if r["doc_id"] == 0]) == 1
+
+    def test_fingerprints_subset_of_gram_hashes(self, spark):
+        docs = _docs(spark, ["w1 w2 w3 w4 w5 w6 w7 w8"])
+        fp = {r["fingerprint"] for r in winnowing_fingerprints(
+            docs, "doc_id", "text", k=3, w=4).collect()}
+        grams = {
+            r["h"]
+            for r in docs.select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(F.split("text", " ")) - 2),
+                        lambda i: F.md5(
+                            F.concat_ws(
+                                " ",
+                                F.element_at(F.split(F.col("text"), " "), i.cast("int")),
+                                F.element_at(F.split(F.col("text"), " "), (i + 1).cast("int")),
+                                F.element_at(F.split(F.col("text"), " "), (i + 2).cast("int")),
+                            )
+                        ),
+                    )
+                ).alias("h")
+            ).collect()
+        }
+        assert fp and fp <= grams
+
+
+class TestRepetition:
+    def test_pure_repetition_saturates(self, spark):
+        n = 12
+        docs = _docs(spark, [" ".join(["spam"] * n)])
+        r = repetition_metrics(docs, "doc_id", "text").collect()[0]
+        assert r["n_tokens"] == n
+        assert r["dup_word_frac"] == round(1 - 1 / n, 6)
+        assert r["top_2gram_frac"] == 1.0  # every 2-gram is the modal one
+        assert r["keep"] is False
+
+    def test_all_distinct_passes(self, spark):
+        docs = _docs(spark, [" ".join(f"w{i}" for i in range(20))])
+        r = repetition_metrics(docs, "doc_id", "text").collect()[0]
+        assert r["dup_word_frac"] == 0.0
+        assert r["top_2gram_frac"] == round(1 / 19, 6)
+        assert r["keep"] is True
+
+    def test_modal_gram_count_matches_groupby(self, spark):
+        # the map-side sorted-run fold must agree with the explode+groupBy
+        # mode on a text with a non-trivial modal gram
+        text = "a b a b a b c d c d x"
+        docs = _docs(spark, [text])
+        r = repetition_metrics(docs, "doc_id", "text").collect()[0]
+        words = text.split()
+        grams = [f"{words[i]} {words[i+1]}" for i in range(len(words) - 1)]
+        top = max(grams.count(g) for g in set(grams))
+        assert r["top_2gram_frac"] == round(top / len(grams), 6)
+
+
+class TestPiiMask:
+    def test_masks_and_counts(self, spark):
+        docs = _docs(
+            spark,
+            ["reach me at bob.smith@mail.example or 555-01234 thanks",
+             "no pii here at all"],
+        )
+        out = {r["doc_id"]: r for r in pii_mask(docs, "doc_id", "text").collect()}
+        assert out[0]["n_emails"] == 1 and out[0]["n_phones"] == 1
+        assert out[1]["n_emails"] == 0 and out[1]["n_phones"] == 0
+        # masked text must not hash like the original
+        raw_md5 = docs.filter(F.col("doc_id") == 0).select(
+            F.md5("text")).collect()[0][0]
+        assert out[0]["masked_md5"] != raw_md5
+        assert out[1]["masked_md5"] == docs.filter(
+            F.col("doc_id") == 1).select(F.md5("text")).collect()[0][0]
+
+
+class TestWeightedReservoir:
+    def test_exact_k_and_determinism(self, spark):
+        rows = [
+            Row(doc_id=i, grp="g" + str(i % 2), w=(i % 5) + 1)
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows)
+        out1 = weighted_sample_k_per_group(df, "grp", "doc_id", "w", 3)
+        got1 = sorted((r["grp"], r["doc_id"], r["rk"]) for r in out1.collect())
+        # repartitioning must not change the sample (map-side keys)
+        out2 = weighted_sample_k_per_group(
+            df.repartition(7, "doc_id"), "grp", "doc_id", "w", 3
+        )
+        got2 = sorted((r["grp"], r["doc_id"], r["rk"]) for r in out2.collect())
+        assert got1 == got2
+        assert len(got1) == 6 and {g for g, _, _ in got1} == {"g0", "g1"}
+
+    def test_u32_range(self, spark):
+        df = spark.createDataFrame([Row(doc_id=i) for i in range(200)])
+        stats = df.select(hex_uniform_u32(F.col("doc_id")).alias("v")).agg(
+            F.min("v").alias("lo"), F.max("v").alias("hi")
+        ).collect()[0]
+        assert 0 <= stats["lo"] and stats["hi"] < 2**32
