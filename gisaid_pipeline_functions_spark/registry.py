@@ -56,22 +56,25 @@ def register(name: str, sql: str | None = None):
 # the round the change was made in — forced to the front until a green
 # driver row from that round (or later) exists, then they rotate back
 # into the normal staleness order automatically.
-_RECHECK_ROUND = 3
+_RECHECK_ROUND = 4
 _RECHECK_FIRST = frozenset(
     {
-        # round 3 changes:
-        "sim_quantize_int8",      # output reshaped to long form
-        "agg_approx_distinct",    # oracle-gated via bounded-error boolean
-        "sim_hyperplane_lsh",     # 6dp rounding before the sign test
-        "pack_sequences",         # composite shard key (de-skew)
-        "flagship_corpus_pipeline",  # same packing change
-        "dedup_cc_large_star",    # self-loop-only node handling
-        # kernel scan rewritten diff-driven (same events, same quirks):
-        "variant_substitutions",
-        "variant_single_dels",
-        "variant_single_ins",
-        "variant_call_kernel",
-        "variant_mutation_counts",
+        # round 4: load_table now canonicalizes EVERY timestamp column
+        # (NTZ→TIMESTAMP under forced UTC) — the whole event-time family
+        # changed transitively; ts_session_totals is also the only
+        # never-green row (r3 driver error, unix_micros vs NTZ).
+        "ts_sessionize",
+        "ts_session_totals",
+        "join_asof",
+        "ts_exponential_smoothing",
+        "ts_cumulative_totals",
+        "window_moving_average",
+        "window_lag_lead_delta",
+        "window_ntile_quartiles",
+        "ts_weekly_freq_matrix",
+        "ts_weekly_percentage",
+        "ts_weekly_combinations",
+        "ts_region_rollup",
     }
 )
 

@@ -27,24 +27,31 @@ TESTDATA_TABLES = (
 )
 
 
-_NANO_TS_COLS: dict[str, tuple[str, ...]] = {}
+_TS_COLS: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {}
 
 
-def _nano_ts_cols(path: str) -> tuple[str, ...]:
-    """Columns stored as parquet timestamp[ns] — Spark can't map them to
-    TimestampType natively ([PARQUET_TYPE_ILLEGAL]); we read them as long
-    nanos and rebuild timestamps."""
-    if path not in _NANO_TS_COLS:
+def _ts_cols(path: str) -> tuple[tuple[str, ...], tuple[str, ...]]:
+    """(nano_cols, other_ts_cols) per parquet file.
+
+    * timestamp[ns]  — Spark can't map to TimestampType natively
+      ([PARQUET_TYPE_ILLEGAL]); read as long nanos and rebuild.
+    * any other timestamp (us/ms, tz-naive or not) — Spark ≥4 reads the
+      tz-NAIVE form as TIMESTAMP_NTZ, which breaks every consumer that
+      expects canonical TIMESTAMP (``unix_micros``, streaming
+      ``window()``, event-time watermarks all reject or silently
+      re-bucket NTZ). We cast to TIMESTAMP at this boundary.
+    """
+    if path not in _TS_COLS:
         import pyarrow.parquet as pq
         import pyarrow.types as pat
 
         schema = pq.read_schema(path)
-        _NANO_TS_COLS[path] = tuple(
-            f.name
-            for f in schema
-            if pat.is_timestamp(f.type) and f.type.unit == "ns"
+        ts = [(f.name, f.type) for f in schema if pat.is_timestamp(f.type)]
+        _TS_COLS[path] = (
+            tuple(n for n, t in ts if t.unit == "ns"),
+            tuple(n for n, t in ts if t.unit != "ns"),
         )
-    return _NANO_TS_COLS[path]
+    return _TS_COLS[path]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -53,29 +60,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Parquet + explicit column references downstream give free predicate
     pushdown and column pruning (visible as PushedFilters / ReadSchema in
     ``.explain``).
+
+    Every timestamp column leaves this function as ONE canonical type —
+    session-TZ ``TIMESTAMP`` under a forced-UTC session — no matter how
+    the parquet stored it (tz-aware, tz-naive/NTZ, or ns-precision).
+    Under UTC the NTZ→TIMESTAMP cast is shift-free, so the wall-clock
+    values match DuckDB's naive reading of the same file.
     """
     path = f"{sf_dir}/{name}.parquet"
-    nano_cols = _nano_ts_cols(path)
+    nano_cols, plain_ts_cols = _ts_cols(path)
+    if nano_cols or plain_ts_cols:
+        # One canonical timestamp semantics for every consumer: UTC
+        # session, TIMESTAMP type. A non-UTC session TZ would shift
+        # rebuilt/cast wall-clocks away from DuckDB's naive reading.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if nano_cols:
         # Runtime-settable legacy conf: timestamp[ns] arrives as long nanos.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # timestamp_micros() interprets the long as a UTC instant; a
-        # non-UTC session TZ would shift the rebuilt wall-clock away from
-        # DuckDB's naive reading of the same values
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for c in nano_cols:
         # INTEGER-divide to micros (epoch nanos ~1.7e18 exceed double's
         # 53-bit mantissa — float division rounds some values up 1µs),
         # matching DuckDB's truncation of TIMESTAMP_NS to µs precision
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for c in plain_ts_cols:
+        # TIMESTAMP_NTZ (or already-TIMESTAMP) → canonical TIMESTAMP.
+        # No-op when the type already matches; shift-free under UTC.
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
-
-
-TESTDATA_TABLES = (
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

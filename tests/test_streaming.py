@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from gisaid_pipeline_functions_spark.operators.timeseries import weekly_frequency
 from gisaid_pipeline_functions_spark.sources.tables import load_table
+from gisaid_pipeline_functions_spark.streaming.source import stream_events
 from gisaid_pipeline_functions_spark.streaming.weekly import (
     run_stream_to_memory,
     streaming_weekly_frequency,
@@ -20,21 +21,19 @@ def test_stream_matches_batch(spark, sf_dir):
         for r in weekly_frequency(batch_events, "ts", "event_type").collect()
     }
 
-    # stream the same parquet as a bounded backlog; ts arrives as long
-    # nanos (same parquet quirk) → rebuild the timestamp identically
-    # streaming file source needs a directory — glob-filter to the one table
-    stream_src = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
-    agg = streaming_weekly_frequency(stream_src)
+    # stream the same parquet as a bounded backlog through the canonical
+    # source (same timestamp normalization as load_table — a divergent
+    # stream-side ts type silently shifts bucket keys)
+    agg = streaming_weekly_frequency(stream_events(spark, sf_dir))
     out = run_stream_to_memory(spark, agg, "weekly_stream_test")
     stream = {(r["week_start"], r["key"]): r["freq"] for r in out.collect()}
 
+    # key-level parity first: bucket KEYS diverging (not just counts) is
+    # the signature of a timestamp-type split between batch and stream
+    assert set(stream) == set(batch), (
+        f"bucket keys diverged: {len(set(batch) - set(stream))} batch-only, "
+        f"{len(set(stream) - set(batch))} stream-only"
+    )
     assert stream == batch
     assert len(stream) > 0
 
@@ -82,13 +81,10 @@ def test_streaming_sessions_match_batch(spark, sf_dir, tmp_path):
     pq.write_table(t.slice(half), src_dir / "part-1.parquet")
     half1_max = max(t.column("ts").slice(0, half).to_pylist())  # pandas Timestamp
 
-    stream_src = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, value double, props string"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(src_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from gisaid_pipeline_functions_spark.streaming.source import stream_events
+
+    stream_src = stream_events(
+        spark, str(src_dir), glob=None, max_files_per_trigger=1
     )
     out = run_stream_to_memory(
         spark,
@@ -111,9 +107,9 @@ def test_streaming_sessions_match_batch(spark, sf_dir, tmp_path):
     # completeness horizon: sessions whose window end (last event + 30 min
     # gap) is safely before batch 2's watermark (half-1 max ts - 1 h) must
     # all have emitted; 1 s margin keeps boundary semantics out of scope
-    horizon = half1_max.to_pydatetime() - datetime.timedelta(
-        hours=1, minutes=30, seconds=1
-    )
+    if hasattr(half1_max, "to_pydatetime"):  # pandas Timestamp (ns parquet)
+        half1_max = half1_max.to_pydatetime()
+    horizon = half1_max - datetime.timedelta(hours=1, minutes=30, seconds=1)
     must_emit = {k for k in batch if k[2] < horizon}
     assert must_emit, "test data produced no closable sessions"
     missing = must_emit - set(stream)
