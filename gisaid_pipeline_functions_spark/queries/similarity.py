@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators.similarity import brute_force_topk, cosine, ivf_topk
+from ..operators.similarity import brute_force_topk, ivf_topk
 from ..registry import register
 from ..sources.tables import load_table
 
@@ -96,41 +96,11 @@ def sim_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
 
 
-@register(
-    "sim_neardup_cosine_blocked",
-    # Embedding-cosine near-dup pairs, blocked by label (the cell bounds
-    # the pair count); threshold on the ROUNDED cosine on both sides.
-    f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.3
-    """,
-)
-def sim_neardup_cosine_blocked(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("vec_a"),
-        F.col("label").alias("lbl_a"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vec_b"),
-        F.col("label").alias("lbl_b"),
-    )
-    cos = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
-    return (
-        a.join(b, (F.col("lbl_a") == F.col("lbl_b")) & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b", cos.alias("cos"))
-        .filter(F.col("cos") >= 0.3)
-    )
-
-
-def _hyperplane_oracle() -> str:
+def _hyperplane_oracle(label_block: bool = False) -> str:
     """Generate the sign-LSH oracle with the SAME literal hyperplanes the
-    Spark plan embeds — bucketing is bit-identical across engines."""
+    Spark plan embeds — bucketing is bit-identical across engines.
+    ``label_block=True`` adds the same-label equality to the candidate
+    join (replaying ``hyperplane_lsh_pairs(block_col='label')``)."""
     from ..operators.similarity import hyperplane_signs
 
     P, B, D = 16, 2, 64
@@ -151,15 +121,17 @@ def _hyperplane_oracle() -> str:
     ]
     sigsel = ", ".join(f"({e}) AS s{i}" for i, e in enumerate(bands))
     bunion = " UNION ALL ".join(
-        f"SELECT vec_id, v, {i} AS band, s{i} AS sig FROM sigs" for i in range(B)
+        f"SELECT vec_id, label, v, {i} AS band, s{i} AS sig FROM sigs"
+        for i in range(B)
     )
+    blk = " AND a.label = b2.label" if label_block else ""
     return f"""
-    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
-    sigs AS (SELECT vec_id, v, {sigsel} FROM e),
+    WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings),
+    sigs AS (SELECT vec_id, label, v, {sigsel} FROM e),
     b AS ({bunion}),
     cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
              FROM b a JOIN b b2
-               ON a.band = b2.band AND a.sig = b2.sig AND a.vec_id < b2.vec_id)
+               ON a.band = b2.band AND a.sig = b2.sig AND a.vec_id < b2.vec_id{blk})
     SELECT id_a, id_b, cos FROM (
       SELECT c.id_a, c.id_b, round({_cos_sql('ea.v', 'eb.v')}, 6) AS cos
       FROM cand c JOIN e ea ON ea.vec_id = c.id_a
@@ -182,6 +154,26 @@ def sim_hyperplane_lsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return hyperplane_lsh_pairs(
         emb, dim=64, n_planes=16, bands=2, threshold=0.3
+    )
+
+
+@register(
+    "sim_neardup_cosine_blocked",
+    # Embedding-cosine near-dup pairs WITHIN a label block. Candidates are
+    # generated by sign-LSH (bounded, O(n · collision rate)); the label
+    # block is an extra equality PREDICATE on the candidate join, never
+    # the generator — a label-blocked all-pairs self-join is O(n²) in the
+    # dominant block and dies at 100× (VERDICT r3 #2; same skew argument
+    # as the packing shard key). The oracle replays the identical LSH
+    # candidate rule + label restriction.
+    _hyperplane_oracle(label_block=True),
+)
+def sim_neardup_cosine_blocked(spark, sf_dir):
+    from ..operators.similarity import hyperplane_lsh_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_pairs(
+        emb, dim=64, n_planes=16, bands=2, threshold=0.3, block_col="label"
     )
 
 

@@ -75,6 +75,10 @@ _RECHECK_FIRST = frozenset(
         "ts_weekly_percentage",
         "ts_weekly_combinations",
         "ts_region_rollup",
+        # round 4: candidate generation re-bounded via LSH (VERDICT r3 #2)
+        "dedup_ngram_jaccard",
+        "sim_neardup_cosine_blocked",
+        "sim_hyperplane_lsh",  # operator gained block_col (default path unchanged)
     }
 )
 
