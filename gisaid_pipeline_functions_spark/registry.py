@@ -79,6 +79,7 @@ _RECHECK_FIRST = frozenset(
         "dedup_ngram_jaccard",
         "sim_neardup_cosine_blocked",
         "sim_hyperplane_lsh",  # operator gained block_col (default path unchanged)
+        "topk_pagination",  # round 4: scale-safe bucketed global rank
     }
 )
 
