@@ -263,6 +263,54 @@ def report_mutation_csv(spark, sf_dir):
 
 
 @register(
+    "report_text_lines",
+    # K6/F7 — the cluster report TEXT blocks themselves
+    # (MSA_Reader.py:784–816's ``>cluster, N sequences`` + one-code-per-
+    # line print), driver-gated: the Spark side runs the REAL kernel over
+    # the gap-free derived alignment and builds the blocks with
+    # plans/reports.py:cluster_report_text (concat + array_sort, all
+    # native); the oracle rebuilds the identical strings from an
+    # independent positional-compare substitution call.
+    """
+    WITH seqs AS (
+      SELECT doc_id, source,
+             upper(substr(regexp_replace(text, '[^a-z]', '', 'g'), 1, 60)) AS seq
+      FROM documents
+      WHERE length(regexp_replace(text, '[^a-z]', '', 'g')) >= 60
+    ),
+    refs AS (
+      SELECT source, arg_min(seq, doc_id) AS ref_seq, min(doc_id) AS ref_id
+      FROM seqs GROUP BY source
+    ),
+    pairs AS (
+      SELECT s.doc_id, s.seq, r.ref_seq
+      FROM seqs s JOIN refs r ON s.source = r.source AND s.doc_id <> r.ref_id
+    ),
+    pos AS (SELECT unnest(generate_series(1, 60)) AS i),
+    subs AS (
+      SELECT p.doc_id,
+             substr(p.ref_seq, CAST(i AS INT), 1) || i
+               || substr(p.seq, CAST(i AS INT), 1) AS code,
+             CAST(i AS BIGINT) AS position
+      FROM pairs p CROSS JOIN pos
+      WHERE substr(p.ref_seq, CAST(i AS INT), 1) <> substr(p.seq, CAST(i AS INT), 1)
+    )
+    SELECT '>' || CAST(doc_id AS VARCHAR) || ', 1 sequences' || chr(10)
+           || array_to_string(list(code ORDER BY position, code), chr(10))
+           || chr(10) AS value
+    FROM subs GROUP BY doc_id
+    """,
+)
+def report_text_lines(spark, sf_dir):
+    from ..operators.variant_caller import call_variants
+    from ..plans.reports import cluster_report_text
+    from .variants import _derived_alignment
+
+    aligned, refs = _derived_alignment(spark, sf_dir)
+    return cluster_report_text(call_variants(aligned, refs))
+
+
+@register(
     "sql_api_weekly_freq",
     # The pure-SQL entry point: the same W2 weekly frequency matrix driven
     # through spark.sql over registered views (sources/tables.py:

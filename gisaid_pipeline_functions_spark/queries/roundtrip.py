@@ -294,3 +294,65 @@ def source_orc_roundtrip(spark, sf_dir):
         F.sum("l_quantity").cast("long").alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
     )
+
+
+@register(
+    "catalog_discovery",
+    # S9/F11 — the glob catalog's 0/1/>1-match semantics
+    # (Sequence_Counter.py:243–271: warn + skip on zero matches, warn +
+    # take lexicographically-first on multiple), driver-gated the roundtrip
+    # way: a scratch file tree is materialized with a DATA-DERIVED shape —
+    # the i-th distinct documents.source (sorted) gets i mod 3 candidate
+    # files, so the zero-, one- and multi-match branches ALL fire on any
+    # dataset with ≥3 sources — then
+    # sources/catalog.py:discover_protein_files runs over it for real
+    # (warnings captured and encoded in the `warned` column). The oracle
+    # replays the same listing rule arithmetically; the catalog itself is a
+    # driver-side operation by nature (it lists a directory, like the
+    # reference), so the per-source collect is small-by-construction (one
+    # row per distinct source).
+    """
+    WITH srcs AS (
+      SELECT source,
+             (row_number() OVER (ORDER BY source) - 1) % 3 AS n
+      FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT source AS protein,
+           CAST(n AS BIGINT) AS n_matches,
+           CASE WHEN n > 0 THEN source || '_0.fasta' ELSE NULL END AS chosen,
+           (n <> 1) AS warned
+    FROM srcs
+    """,
+)
+def catalog_discovery(spark, sf_dir):
+    import os
+    import warnings as _warnings
+
+    from ..sources.catalog import discover_protein_files
+
+    docs = load_table(spark, sf_dir, "documents")
+    srcs = sorted(
+        r["source"] for r in docs.select("source").distinct().collect()
+    )
+    n_files = {s: i % 3 for i, s in enumerate(srcs)}
+    tmp = _scratch_dir("gisaid_catalog_")
+    for s, n in n_files.items():
+        for j in range(n):
+            with open(os.path.join(tmp, f"{s}_{j}.fasta"), "w") as f:
+                f.write(">stub\nAA\n")
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        found = discover_protein_files(tmp, srcs, pattern="{protein}_*")
+    warned = {s for s in srcs for w in caught if repr(s) in str(w.message)}
+    rows = [
+        (
+            s,
+            n_files[s],
+            os.path.basename(found[s]) if s in found else None,
+            s in warned,
+        )
+        for s in srcs
+    ]
+    return spark.createDataFrame(
+        rows, "protein string, n_matches long, chosen string, warned boolean"
+    )
