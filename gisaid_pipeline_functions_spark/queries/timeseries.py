@@ -187,3 +187,43 @@ def ts_zero_week_spine(spark, sf_dir):
         spine.join(freq, "week_start", "left")
         .select("week_start", F.coalesce("freq", F.lit(0)).alias("freq"))
     )
+
+
+@register(
+    "heatmap_table",
+    # K5's DATA input driver-gated (VERDICT r3 #9): the weekly-percentage
+    # long table + the per-key min–max gradient shade exactly as the
+    # styled-Excel sink normalizes it (plans/heatmap.py:gradient_shades;
+    # reference Time_Series.py:813–837 background_gradient). Only the
+    # literal paint calls (openpyxl Styler) remain outside the hash.
+    f"""
+    WITH freq AS (
+      SELECT {_WEEK.format(ts='ts')} AS week_start, event_type AS key,
+             count(*) AS freq
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT week_start, key,
+             round(CASE WHEN sum(freq) OVER (PARTITION BY week_start) = 0
+                   THEN 0.0
+                   ELSE freq * 1.0 / sum(freq) OVER (PARTITION BY week_start)
+                   END, 6) AS pct
+      FROM freq
+    )
+    SELECT week_start, key, pct,
+           'q' || CAST(CASE WHEN max(pct) OVER (PARTITION BY key)
+                             = min(pct) OVER (PARTITION BY key) THEN 0
+                  ELSE least(CAST(floor((pct - min(pct) OVER (PARTITION BY key))
+                                  * 4 / (max(pct) OVER (PARTITION BY key)
+                                         - min(pct) OVER (PARTITION BY key)))
+                             AS INT), 3) END AS VARCHAR) AS shade
+    FROM p
+    """,
+)
+def heatmap_table(spark, sf_dir):
+    from ..plans.heatmap import gradient_shades
+
+    events = load_table(spark, sf_dir, "events")
+    pct = weekly_percentage(weekly_frequency(events, "ts", "event_type"))
+    pct = pct.withColumn("pct", F.round("pct", 6)).drop("freq")
+    return gradient_shades(pct, key_col="key", value_col="pct", buckets=4)
