@@ -305,3 +305,63 @@ def dedup_decontaminate(spark, sf_dir):
         word_shingles(corpus, "doc_id", "text", k=5),
         word_shingles(bench, "doc_id", "text", k=5),
     )
+
+
+@register(
+    "dedup_cluster_keep_first",
+    # The TRANSITIVE near-dup dedup OUTPUT — the corpus a training
+    # pipeline actually feeds downstream after fuzzy dedup: LSH candidate
+    # pairs → connected components → keep the min-id doc per component,
+    # drop every other member (docs in no component keep themselves).
+    # Completes the near-dup story end-to-end (candidates → clusters →
+    # kept corpus) the same way dedup_keep_first completes exact dedup.
+    # Oracle: recursive-CTE reachability + min-per-component replay.
+    f"""
+    WITH RECURSIVE {_SHINGLES}, {_MINHASH}, {_BANDS},
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT src, src FROM und
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN und e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS id, min(label) AS component FROM reach GROUP BY node),
+    keepers AS (SELECT component, min(id) AS keeper FROM comp GROUP BY component),
+    drops AS (
+      SELECT c.id FROM comp c JOIN keepers k ON c.component = k.component
+      WHERE c.id <> k.keeper
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d LEFT JOIN drops x ON d.doc_id = x.id
+    WHERE x.id IS NULL
+    """,
+)
+def dedup_cluster_keep_first(spark, sf_dir):
+    from ..operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", k=3)
+    sig = minhash_signatures(sh, n_hashes=8)
+    pairs = lsh_candidate_pairs(sig, n_bands=2, rows_per_band=4).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(pairs)
+    keepers = comp.groupBy("component").agg(F.min("id").alias("keeper"))
+    drops = (
+        comp.join(keepers, "component")
+        .filter(F.col("id") != F.col("keeper"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    # anti join against the (tiny) drop set — the corpus side never
+    # shuffles on content, only probes the broadcast drop list
+    return docs.join(F.broadcast(drops), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )

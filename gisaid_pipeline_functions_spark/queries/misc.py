@@ -333,3 +333,45 @@ def sql_api_weekly_freq(spark, sf_dir):
         FROM events GROUP BY 1, 2
         """
     )
+
+
+@register(
+    "plan_udf_discipline",
+    # §2.12 driver-gated: the no-row-at-a-time-Python-UDF discipline as a
+    # HASHED claim, not just a pytest assertion. The Spark side physically
+    # plans six representative queries (covering the kernel's mapInPandas,
+    # packing's applyInPandas, the LSH joins, PQ's broadcast chain, and
+    # the pure-native text scorer) and reports whether each plan is free
+    # of BatchEvalPython (the row-at-a-time escape hatch; Arrow-batched
+    # MapInPandas / FlatMapGroupsInPandas are the sanctioned vectorized
+    # nodes). The oracle is the contract: every row must come back TRUE —
+    # if anyone introduces a scalar Python UDF into these plans, the
+    # driver hash flips.
+    """
+    SELECT * FROM (VALUES
+      ('dedup_minhash_lsh', TRUE),
+      ('flagship_weekly_prevalence_topn', TRUE),
+      ('pack_sequences', TRUE),
+      ('sim_pq_adc_topk', TRUE),
+      ('text_quality_score', TRUE),
+      ('variant_call_kernel', TRUE)
+    ) AS t(query_name, row_udf_free)
+    """,
+)
+def plan_udf_discipline(spark, sf_dir):
+    from ..registry import queries as _all_queries
+
+    names = [
+        "dedup_minhash_lsh",
+        "flagship_weekly_prevalence_topn",
+        "pack_sequences",
+        "sim_pq_adc_topk",
+        "text_quality_score",
+        "variant_call_kernel",
+    ]
+    qs = _all_queries()
+    rows = []
+    for n in sorted(names):
+        plan = qs[n](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        rows.append((n, "BatchEvalPython" not in plan))
+    return spark.createDataFrame(rows, "query_name string, row_udf_free boolean")

@@ -356,3 +356,51 @@ def catalog_discovery(spark, sf_dir):
     return spark.createDataFrame(
         rows, "protein string, n_matches long, chosen string, warned boolean"
     )
+
+
+@register(
+    "sink_filtered_write_refusal",
+    # K4 — filtered write + refuse-overwrite semantics
+    # (Sequence_Filter.py:104–105 raises on an existing output), driver-
+    # gated end-to-end: (1) write the QUALITY-FILTERED record set (docs
+    # with ≥ 40 letter chars — an F1-style subset) as FASTA; (2) attempt a
+    # SECOND write of a poisoned payload without overwrite=True — the sink
+    # must refuse; (3) re-read the directory. The returned aggregate
+    # hashes over the re-read data + the refusal flag, so the row only
+    # matches the oracle if the second write was refused AND the first
+    # payload survived untouched.
+    """
+    SELECT count(*) AS n_kept,
+           CAST(sum(length(seq)) AS BIGINT) AS total_len,
+           TRUE AS second_write_refused
+    FROM (
+      SELECT upper(substr(md5(text), 1, 32)) AS seq
+      FROM documents
+      WHERE length(regexp_replace(text, '[^a-z]', '', 'g')) >= 40
+    )
+    """,
+)
+def sink_filtered_write_refusal(spark, sf_dir):
+    from ..sources.fasta import write_fasta
+
+    docs = load_table(spark, sf_dir, "documents")
+    letters = F.regexp_replace("text", "[^a-z]", "")
+    kept = docs.filter(F.length(letters) >= 40).select(
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("header"),
+        F.upper(F.substring(F.md5("text"), 1, 32)).alias("seq"),
+    )
+    tmp = _scratch_dir("gisaid_fasta_refusal_") + "/out"
+    write_fasta(kept, tmp)
+    poison = kept.limit(1).select(
+        F.lit("poison").alias("header"), F.lit("XXXX").alias("seq")
+    )
+    try:
+        write_fasta(poison, tmp)  # no overwrite flag → must refuse
+        refused = False
+    except Exception:
+        refused = True
+    back = read_fasta(spark, tmp)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.length("seq")).cast("long").alias("total_len"),
+    ).withColumn("second_write_refused", F.lit(refused))

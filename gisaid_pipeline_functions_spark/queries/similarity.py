@@ -551,3 +551,82 @@ def sim_pq_adc_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return pq_adc_topk(emb, queries, m=2, sub_dim=32, k=4, iterations=2, topk=3)
+
+
+@register(
+    "sim_recall_at_k",
+    # ANN EVALUATION — the metric an index rollout actually gates on:
+    # recall@3 of IVF probe=1 against the exact brute-force top-3 ground
+    # truth, per query. Both sides are replayed independently in SQL (the
+    # same ranking conventions as sim_bruteforce_topk / sim_ivf_topk:
+    # rounded cosine + id tie-break). At scale the ground truth runs on a
+    # small held-out query sample — exactly this shape (5 queries).
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+               WHERE vec_id < 5),
+    bscored AS (
+      SELECT query_id, e.vec_id AS cand_id,
+             round({_cos_sql('qvec', 'e.embedding')}, 6) AS cos
+      FROM q JOIN embeddings e ON e.vec_id <> query_id
+    ),
+    bf AS (
+      SELECT query_id, cand_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, cand_id) AS r
+        FROM bscored
+      ) WHERE r <= 3
+    ),
+    dims AS (
+      SELECT label AS cell,
+             unnest(range(1, len(embedding) + 1)) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT cell, list(avg_x ORDER BY pos) AS centroid FROM (
+        SELECT cell, pos, avg(x) AS avg_x FROM dims GROUP BY cell, pos
+      ) GROUP BY cell
+    ),
+    routed AS (
+      SELECT query_id, qvec, cell,
+             round({_cos_sql('qvec', 'centroid')}, 6) AS ccos
+      FROM q CROSS JOIN cents
+    ),
+    assigned AS (
+      SELECT query_id, qvec, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ccos DESC, cell) AS rn
+        FROM routed
+      ) WHERE rn = 1
+    ),
+    iscored AS (
+      SELECT a.query_id, e.vec_id AS cand_id,
+             round({_cos_sql('a.qvec', 'e.embedding')}, 6) AS cos
+      FROM assigned a JOIN embeddings e
+        ON e.label = a.cell AND e.vec_id <> a.query_id
+    ),
+    ivf AS (
+      SELECT query_id, cand_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, cand_id) AS r
+        FROM iscored
+      ) WHERE r <= 3
+    )
+    SELECT b.query_id, round(count(i.cand_id) / 3.0, 6) AS recall_at_3
+    FROM bf b LEFT JOIN ivf i
+      ON b.query_id = i.query_id AND b.cand_id = i.cand_id
+    GROUP BY b.query_id
+    """,
+)
+def sim_recall_at_k(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    bf = brute_force_topk(emb, queries_df, k=3).select("query_id", "cand_id")
+    iv = ivf_topk(emb, queries_df, k=3).select(
+        "query_id", "cand_id", F.lit(1).alias("hit")
+    )
+    return (
+        bf.join(iv, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(F.round(F.count("hit") / 3.0, 6).alias("recall_at_3"))
+    )

@@ -493,3 +493,67 @@ def sample_weighted_reservoir(spark, sf_dir):
     return weighted_sample_k_per_group(
         docs, "source", "doc_id", "n_chars", 3
     ).select("doc_id", "source", "n_chars", "sample_key", "rk")
+
+
+@register(
+    "sample_temperature",
+    # Temperature-reweighted mixture sampling (T=2, the standard
+    # multilingual-corpus rebalance: sampling probability per source
+    # ∝ share^(1/T), i.e. ∝ sqrt(n) — dominant sources are damped, tails
+    # up-weighted relative to proportional sampling). Deterministic
+    # md5-prefix Bernoulli like every sampler here; the per-source
+    # threshold is computed on an EXACT integer lattice (w = floor(sqrt(n))
+    # as BIGINT, K = floor(total/2); every product stays < 2^53, so the
+    # one double division is bit-identical across engines). Map-side
+    # filter against a broadcast threshold table — no corpus shuffle.
+    """
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    w AS (SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM c),
+    tot AS (
+      SELECT CAST(sum(w) AS BIGINT) AS sw,
+             CAST(floor(sum(n) / 2.0) AS BIGINT) AS k
+      FROM w
+    ),
+    th AS (
+      SELECT source,
+             lower(lpad(to_hex(CAST(least(
+               floor(k * w * 4294967296.0 / (sw * n)),
+               4294967295) AS BIGINT)), 8, '0')) AS threshold
+      FROM w CROSS JOIN tot
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN th ON d.source = th.source
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < th.threshold
+    """,
+)
+def sample_temperature(spark, sf_dir):
+    from ..operators.training import hex_uniform
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w = c.withColumn("w", F.floor(F.sqrt(F.col("n"))).cast("long"))
+    tot = w.agg(
+        F.sum("w").cast("long").alias("sw"),
+        F.floor(F.sum("n") / 2.0).cast("long").alias("k"),
+    )
+    threshold = F.lower(
+        F.lpad(
+            F.hex(
+                F.least(
+                    F.floor(
+                        F.col("k") * F.col("w") * F.lit(4294967296.0)
+                        / (F.col("sw") * F.col("n"))
+                    ),
+                    F.lit(4294967295),
+                ).cast("long")
+            ),
+            8,
+            "0",
+        )
+    )
+    th = w.crossJoin(F.broadcast(tot)).select("source", threshold.alias("threshold"))
+    return (
+        docs.join(F.broadcast(th), "source")
+        .filter(hex_uniform(F.col("doc_id")) < F.col("threshold"))
+        .select("doc_id", "source")
+    )
