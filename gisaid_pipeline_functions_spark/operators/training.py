@@ -199,3 +199,64 @@ def weighted_sample_k_per_group(
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
     )
+
+
+def select_to_token_budget(
+    df: DataFrame,
+    order_col: str,
+    token_col: str,
+    budget_col: str = "budget",
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Greedy budgeted selection: walk the corpus best-first (``order_col``
+    DESCENDING, ``id_col`` tie-break) and keep rows while the running
+    token total stays ≤ the budget — "take the highest-quality documents
+    until the token budget is spent", the final cut of every curated
+    training mix.
+
+    The running total over a global ordering is the same shape as
+    pagination's global rank, and gets the same scale-safe plan (the
+    block-prefix trick, operators/topk.py:paginate / sources/fasta.py:82):
+    ~B approximate range cut points of ``order_col`` are embedded as
+    LITERALS (deterministic under recomputation), giving range buckets
+    whose order REFINES the global order exactly (bucket(v) counts cuts
+    strictly above v, so every value in bucket b outranks every value in
+    bucket b+1); per-bucket token sums become prefix offsets via a
+    triangular join over the B-row counts table; the cumulative sum
+    inside each bucket is a PARTITIONED window. No single-partition
+    stage anywhere.
+
+    ``df`` must carry ``budget_col`` (a per-row constant, typically
+    crossJoined from a 1-row aggregate). Emits ``cum_tokens`` for
+    auditability.
+    """
+    spark = df.sparkSession
+    n = num_buckets or spark.sparkContext.defaultParallelism
+    try:
+        qs = [i / n for i in range(1, n)]
+        cuts = sorted(set(df.stat.approxQuantile(order_col, qs, 0.001))) if n > 1 else []
+    except Exception:
+        cuts = []
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + (F.col(order_col) < F.lit(c)).cast("int")
+    parts = df.withColumn("_bkt", bucket)
+    counts = parts.groupBy("_bkt").agg(F.sum(token_col).alias("_tok"))
+    prefixes = (
+        counts.alias("a")
+        .join(counts.alias("b"), F.col("b._bkt") < F.col("a._bkt"), "left")
+        .groupBy(F.col("a._bkt").alias("_bkt"))
+        .agg(F.coalesce(F.sum("b._tok"), F.lit(0)).alias("_prefix"))
+    )
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.desc(order_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        parts.join(F.broadcast(prefixes), "_bkt")
+        .withColumn("cum_tokens", F.col("_prefix") + F.sum(token_col).over(w))
+        .filter(F.col("cum_tokens") <= F.col(budget_col))
+        .drop("_bkt", "_prefix")
+    )

@@ -557,3 +557,47 @@ def sample_temperature(spark, sf_dir):
         .filter(hex_uniform(F.col("doc_id")) < F.col("threshold"))
         .select("doc_id", "source")
     )
+
+
+@register(
+    "sample_token_budget",
+    # Greedy budgeted selection — "highest-quality docs first until 1/3 of
+    # the corpus token count is spent". The global best-first running sum
+    # uses the bucketed block-prefix plan (see select_to_token_budget: no
+    # single-partition window); the oracle replays the identical total
+    # order (n_chars DESC, doc_id) with a plain window cumsum. Tokens =
+    # whitespace word count; budget = floor(total_tokens / 3).
+    """
+    WITH scored AS (
+      SELECT doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    tot AS (SELECT CAST(floor(sum(n_tokens) / 3.0) AS BIGINT) AS budget FROM scored),
+    walk AS (
+      SELECT doc_id, n_chars, n_tokens,
+             sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM scored
+    )
+    SELECT w.doc_id, w.n_chars, w.n_tokens, w.cum_tokens
+    FROM walk w CROSS JOIN tot t
+    WHERE w.cum_tokens <= t.budget
+    """,
+)
+def sample_token_budget(spark, sf_dir):
+    from ..operators.training import select_to_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    budget = scored.agg(
+        F.floor(F.sum("n_tokens") / 3.0).cast("long").alias("budget")
+    )
+    scored = scored.crossJoin(F.broadcast(budget))
+    return select_to_token_budget(
+        scored, order_col="n_chars", token_col="n_tokens"
+    ).select("doc_id", "n_chars", "n_tokens", "cum_tokens")
