@@ -409,3 +409,48 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         bit = F.when(F.element_at(F.col("v"), i + 1) > 0, F.lit(2**i)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
     return staged.select("id", sim.cast("long").alias("simhash"))
+
+
+def containment_pairs(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Containment scores for a bounded candidate-pair set:
+    C(A,B) = |A∩B| / |A| and C(B,A) = |A∩B| / |B| — the DIRECTIONAL
+    near-dup/contamination metric (a small doc fully inside a big one has
+    jaccard ≈ |small|/|big| ≈ 0 but containment ≈ 1; benchmark-leak
+    checks care about exactly that case). Same two-sided shingle join as
+    ``jaccard_pairs``; candidates must come from a bounded generator
+    (LSH), never an all-pairs self-join."""
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa = shingles.alias("sa")
+    sb = shingles.alias("sb")
+    inter = (
+        pairs.join(sa, F.col("sa.id") == F.col("id_a"))
+        .join(
+            sb,
+            (F.col("sb.id") == F.col("id_b"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill(0, ["n_inter"])
+        .join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed(
+                "n_shingles", "na"
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed(
+                "n_shingles", "nb"
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("n_inter") / F.col("na"), 6).alias("containment_a"),
+            F.round(F.col("n_inter") / F.col("nb"), 6).alias("containment_b"),
+        )
+    )

@@ -260,3 +260,37 @@ def select_to_token_budget(
         .filter(F.col("cum_tokens") <= F.col(budget_col))
         .drop("_bkt", "_prefix")
     )
+
+
+def sliding_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_words: int = 10,
+    stride: int = 5,
+) -> DataFrame:
+    """Overlapping sliding-window chunking — the standard pre-embedding
+    split (window W, stride S < W keeps cross-boundary context that
+    ``chunk_text``'s disjoint chunks lose). Map-side only: one split per
+    row (materialized ONCE — the split() rematerialization trap,
+    SCALING.md), one posexplode of the start-index sequence, one
+    ``slice``; no shuffle, no Python."""
+    words = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("_w"), F.lit(1)), F.lit(stride)
+    )
+    return (
+        df.withColumn("_w", words)
+        .select(
+            F.col(id_col),
+            F.posexplode(starts).alias("chunk_no", "_start"),
+            F.col("_w"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_no").cast("long").alias("chunk_no"),
+            F.array_join(
+                F.slice("_w", F.col("_start"), window_words), " "
+            ).alias("chunk"),
+        )
+    )

@@ -365,3 +365,47 @@ def dedup_cluster_keep_first(spark, sf_dir):
     return docs.join(F.broadcast(drops), "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+@register(
+    "dedup_containment",
+    # Directional containment over the SAME LSH candidate set as
+    # dedup_ngram_jaccard: C(A,B) = |A∩B|/|A|, C(B,A) = |A∩B|/|B| — the
+    # contamination metric (a benchmark prompt verbatim inside a long doc
+    # has jaccard ≈ 0 but containment ≈ 1). Bounded generator, exact
+    # verifier — the decontamination counterpart of the jaccard scorer.
+    f"""
+    WITH {_SHINGLES}, {_MINHASH}, {_BANDS},
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT p.id_a, p.id_b, count(*) AS n_inter
+      FROM pairs p
+      JOIN sh sa ON sa.id = p.id_a
+      JOIN sh sb ON sb.id = p.id_b AND sa.shingle = sb.shingle
+      GROUP BY 1, 2
+    )
+    SELECT p.id_a, p.id_b,
+           round(coalesce(i.n_inter, 0) * 1.0 / za.n, 6) AS containment_a,
+           round(coalesce(i.n_inter, 0) * 1.0 / zb.n, 6) AS containment_b
+    FROM pairs p
+    LEFT JOIN inter i ON p.id_a = i.id_a AND p.id_b = i.id_b
+    JOIN sizes za ON za.id = p.id_a
+    JOIN sizes zb ON zb.id = p.id_b
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    from ..operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", k=3)
+    sig = minhash_signatures(sh, n_hashes=8)
+    pairs = lsh_candidate_pairs(sig, n_bands=2, rows_per_band=4).select(
+        "id_a", "id_b"
+    )
+    return containment_pairs(sh, pairs)

@@ -272,3 +272,28 @@ def text_unigram_logprob(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "text_sliding_chunks",
+    # Overlapping sliding-window chunking (W=10 words, stride 5) — the
+    # standard pre-embedding split; disjoint chunks lose cross-boundary
+    # context, so embedding pipelines chunk with overlap. Map-side only
+    # (split materialized once, posexplode + slice, no shuffle). DuckDB
+    # list slicing w[i : i+9] is 1-based inclusive ≡ Spark slice(i, 10).
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (
+      SELECT doc_id, i, w[i : i + 9] AS chunk_words
+      FROM w, LATERAL unnest(generate_series(1, greatest(len(w), 1), 5)) t(i)
+    )
+    SELECT doc_id, CAST((i - 1) / 5 AS BIGINT) AS chunk_no,
+           array_to_string(chunk_words, ' ') AS chunk
+    FROM c
+    """,
+)
+def text_sliding_chunks(spark, sf_dir):
+    from ..operators.training import sliding_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sliding_chunks(docs, "doc_id", "text", window_words=10, stride=5)

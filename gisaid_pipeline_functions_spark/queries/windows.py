@@ -287,3 +287,37 @@ def ts_exponential_smoothing(spark, sf_dir):
         series.select(F.col("key"), F.explode(folded).alias("e"))
         .select("key", "e.week_start", "e.freq", "e.ewma")
     )
+
+
+@register(
+    "window_time_range_avg",
+    # RANGE-frame window surface (every other window here is ROW-framed):
+    # per event_type, the rolling mean/count of `value` over the trailing
+    # 1 HOUR of EVENT TIME — the feature-engineering shape ("activity in
+    # the last hour") that row frames cannot express when event spacing
+    # varies. Both engines order by epoch micros with an integer range
+    # bound, so frame membership is exact integer arithmetic; a range
+    # frame's aggregate is tie-order-independent by construction, so no
+    # tie-break is needed for determinism.
+    """
+    SELECT event_id, event_type,
+           round(avg(value) OVER w, 6) AS avg_1h,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_time_range_avg(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+    )
