@@ -1,0 +1,105 @@
+"""Hypothesis properties for the bucketed block-prefix operators
+(operators/topk.py:paginate, operators/training.py:select_to_token_budget)
+and sliding_chunks: the scale-safe plans must be RESULT-IDENTICAL to the
+naive single-partition definition on arbitrary inputs — duplicates, skew,
+empty-ish frames, boundary-straddling pages all included."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from gisaid_pipeline_functions_spark.operators.topk import paginate
+from gisaid_pipeline_functions_spark.operators.training import (
+    select_to_token_budget,
+    sliding_chunks,
+)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=120),
+    page_size=st.integers(min_value=1, max_value=7),
+)
+@settings(**_SETTINGS)
+def test_paginate_matches_global_definition(spark, vals, page_size):
+    # ids make the (value) order non-total only in `value`; paginate orders
+    # by value alone, so page CONTENTS must match the multiset of the
+    # naive sorted slicing even when ties straddle page boundaries
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = paginate(df, "v", page_size, num_buckets=4).collect()
+    # multiset of values per page from the naive definition
+    naive = {}
+    for rank, v in enumerate(sorted(vals)):
+        naive.setdefault(rank // page_size, []).append(v)
+    got_pages = {}
+    for r in got:
+        got_pages.setdefault(r["page"], []).append(r["v"])
+    assert {p: sorted(vs) for p, vs in got_pages.items()} == {
+        p: sorted(vs) for p, vs in naive.items()
+    }
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=100),  # quality (ties likely)
+            st.integers(min_value=1, max_value=30),  # tokens
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    frac=st.floats(min_value=0.1, max_value=1.0),
+)
+@settings(**_SETTINGS)
+def test_token_budget_matches_greedy_walk(spark, rows, frac):
+    total = sum(t for _, t in rows)
+    budget = max(1, math.floor(total * frac))
+    data = [(i, q, t, budget) for i, (q, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, q long, tok long, budget long")
+    got = sorted(
+        (r["doc_id"], r["cum_tokens"])
+        for r in select_to_token_budget(
+            df, order_col="q", token_col="tok", num_buckets=4
+        ).collect()
+    )
+    # naive greedy walk over the exact total order (q DESC, doc_id ASC)
+    naive, cum = [], 0
+    for i, q, t, _ in sorted(data, key=lambda r: (-r[1], r[0])):
+        cum += t
+        if cum > budget:
+            break
+        naive.append((i, cum))
+    assert got == sorted(naive)
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=3), min_size=1, max_size=40
+    ),
+    window=st.integers(min_value=2, max_value=8),
+    stride=st.integers(min_value=1, max_value=6),
+)
+@settings(**_SETTINGS)
+def test_sliding_chunks_cover_and_overlap(spark, words, window, stride):
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = {
+        r["chunk_no"]: r["chunk"]
+        for r in sliding_chunks(
+            df, "doc_id", "text", window_words=window, stride=stride
+        ).collect()
+    }
+    expect = {
+        n: " ".join(words[start : start + window])
+        for n, start in enumerate(range(0, len(words), stride))
+    }
+    assert chunks == expect

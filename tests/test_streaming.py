@@ -185,3 +185,45 @@ def test_weekly_watermark_drops_late_data(spark, tmp_path):
     assert dropped == 1, "the 26-days-late event was not dropped"
     rows = spark.read.parquet(out).collect()
     assert rows and {r["key"] for r in rows} == {"fresh"}
+
+
+def test_streaming_sampler_matches_batch(spark, sf_dir):
+    # The deterministic md5-prefix samplers are STATELESS map-side
+    # filters, so the identical operator code runs unchanged on a stream
+    # and must select the identical row set — the batch/stream-unified
+    # sampling story (df.sample would give a different, partitioning-
+    # dependent draw on each path).
+    from gisaid_pipeline_functions_spark.operators.training import (
+        rate_to_hex_threshold,
+        stratified_sample,
+    )
+    from gisaid_pipeline_functions_spark.sources.tables import load_table
+    from gisaid_pipeline_functions_spark.streaming.weekly import (
+        run_stream_to_memory,
+    )
+
+    threshold = F.lit(rate_to_hex_threshold(0.3))
+    batch_docs = load_table(spark, sf_dir, "documents")
+    batch_ids = {
+        r["doc_id"]
+        for r in stratified_sample(batch_docs, "doc_id", threshold)
+        .select("doc_id")
+        .collect()
+    }
+
+    stream_docs = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = run_stream_to_memory(
+        spark,
+        stratified_sample(stream_docs, "doc_id", threshold).select("doc_id"),
+        "sampler_stream_test",
+        output_mode="append",
+    )
+    stream_ids = {r["doc_id"] for r in out.collect()}
+    assert stream_ids == batch_ids
+    assert 0 < len(stream_ids) < batch_docs.count()
