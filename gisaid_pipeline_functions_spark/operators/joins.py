@@ -68,3 +68,39 @@ def contingency_2x2(
         .groupBy("has_a", "has_b")
         .agg(w.alias("total"))
     )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    bucket_cols: list[str],
+    start_a: str = "start_a",
+    end_a: str = "end_a",
+    start_b: str = "start_b",
+    end_b: str = "end_b",
+) -> DataFrame:
+    """Interval × interval OVERLAP join (beyond J6's point-in-interval
+    first-match): rows pair when their [start, end) spans intersect.
+
+    A naive non-equi overlap join plans as BroadcastNestedLoopJoin —
+    O(|A|·|B|) and a driver-memory bomb at scale. Here the caller
+    provides ``bucket_cols`` — a co-partitioning key both sides derive
+    from their intervals (calendar date, coarse time bucket, tenant id)
+    such that matching intervals share a bucket — and the join becomes a
+    plain EQUI-join on the bucket with the overlap test as a residual
+    filter: shuffle-partitionable, skew-handleable by AQE, no nested
+    loop. Intervals spanning multiple buckets must be pre-exploded to one
+    row per covered bucket by the caller (then de-duped downstream);
+    single-bucket derivations (per-day spans) need no explode.
+
+    Overlap is STRICT (max(start) < min(end)): half-open [s, e) spans
+    that merely touch do not pair. Emits ``overlap_micros``."""
+    ov_start = F.greatest(F.col(start_a), F.col(start_b))
+    ov_end = F.least(F.col(end_a), F.col(end_b))
+    return (
+        a.join(b, bucket_cols)
+        .filter(ov_start < ov_end)
+        .withColumn(
+            "overlap_micros", F.unix_micros(ov_end) - F.unix_micros(ov_start)
+        )
+    )

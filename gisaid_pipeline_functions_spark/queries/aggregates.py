@@ -237,3 +237,42 @@ def agg_cube_region_priority(spark, sf_dir):
             "n",
         )
     )
+
+
+@register(
+    "agg_rollup_region_nation",
+    # ROLLUP surface (the hierarchy-shaped cousin of the registered CUBE):
+    # region → nation drill-down totals plus the grand total in ONE
+    # Expand + shuffle; the reference's nested per-region/per-nation
+    # report loops collapse into a single pass.
+    """
+    SELECT coalesce(r.r_name, 'ALL') AS region,
+           coalesce(n.n_name, 'ALL') AS nation,
+           count(*) AS n,
+           round(sum(c.c_acctbal), 6) AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def agg_rollup_region_nation(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    base = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        base.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 6).alias("total_bal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n",
+            "total_bal",
+        )
+    )

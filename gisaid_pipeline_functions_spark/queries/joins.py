@@ -188,3 +188,44 @@ def join_salted_skew(spark, sf_dir):
             F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         )
     )
+
+
+@register(
+    "join_interval_overlap",
+    # Interval × interval overlap join (operators/joins.py:
+    # interval_overlap_join): per-user daily activity spans vs per-type
+    # daily spans, paired when they intersect. The co-partition bucket
+    # (calendar date) turns the non-equi overlap join into an EQUI-join +
+    # residual filter — a naive overlap join plans as
+    # BroadcastNestedLoopJoin and is O(|A|·|B|) at scale. Strict overlap;
+    # duration in exact integer micros on both engines.
+    """
+    WITH a AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, min(ts) AS sa, max(ts) AS ea
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, min(ts) AS sb, max(ts) AS eb
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.user_id, b.event_type, a.day,
+           CAST(epoch_us(least(a.ea, b.eb)) - epoch_us(greatest(a.sa, b.sb))
+                AS BIGINT) AS overlap_micros
+    FROM a JOIN b ON a.day = b.day
+    WHERE greatest(a.sa, b.sb) < least(a.ea, b.eb)
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    from ..operators.joins import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    a = ev.groupBy("user_id", day).agg(
+        F.min("ts").alias("start_a"), F.max("ts").alias("end_a")
+    )
+    b = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.min("ts").alias("start_b"), F.max("ts").alias("end_b")
+    )
+    return interval_overlap_join(a, b, ["day"]).select(
+        "user_id", "event_type", "day", "overlap_micros"
+    )
