@@ -36,6 +36,11 @@ HEADLINE = [
     # round 3 (sf0.1 costs checked before adding: 2.06 s / 1.18 s)
     "flagship_corpus_pipeline",
     "sim_quantized_rerank",
+    # round 4 (sf0.1 min-of-2 costs checked: 0.38 s / 0.57 s; the other
+    # round-4 queries stayed out — sample_token_budget 1.75 s and
+    # dedup_cluster_keep_first 2.42 s are job-count-bound at toy scale)
+    "join_interval_overlap",
+    "agg_hll_sketch_merge",
 ]
 
 

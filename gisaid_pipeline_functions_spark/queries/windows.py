@@ -321,3 +321,59 @@ def window_time_range_avg(spark, sf_dir):
         F.round(F.avg("value").over(w), 6).alias("avg_1h"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
     )
+
+
+@register(
+    "agg_hll_sketch_merge",
+    # MERGEABLE sketches — the reaggregatable-rollup pattern at 100 TB:
+    # build one HLL sketch per event_type (partial aggregation), then
+    # UNION-MERGE the per-type sketches into a corpus-wide sketch WITHOUT
+    # touching the raw rows again (Spark 3.5 datasketches
+    # hll_sketch_agg / hll_union_agg — the same shape as merging daily
+    # sketches into monthly rollups). Sketch bytes aren't cross-engine
+    # comparable, so the gate is the bounded-error contract of
+    # agg_approx_distinct: per-type AND merged estimates must sit within
+    # 5% of the exact distinct-user counts, with the exact counts and
+    # TRUE booleans as the driver hash.
+    """
+    SELECT event_type AS scope,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'MERGED' AS scope,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_5pct
+    FROM events
+    """,
+)
+def agg_hll_sketch_merge(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    per_type = per_type.localCheckpoint(eager=True)  # build sketches once
+    within = (
+        F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users"))
+        <= F.lit(0.05) * F.col("exact_users")
+    )
+    typed = per_type.select(
+        F.col("event_type").alias("scope"),
+        F.col("exact_users").cast("long").alias("exact_users"),
+        within.alias("within_5pct"),
+    )
+    merged_exact = ev.agg(F.count_distinct("user_id").alias("exact_users"))
+    merged = (
+        per_type.agg(F.hll_union_agg("sk").alias("sk"))
+        .crossJoin(F.broadcast(merged_exact))
+        .select(
+            F.lit("MERGED").alias("scope"),
+            F.col("exact_users").cast("long").alias("exact_users"),
+            (
+                F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users"))
+                <= F.lit(0.05) * F.col("exact_users")
+            ).alias("within_5pct"),
+        )
+    )
+    return typed.unionByName(merged)
