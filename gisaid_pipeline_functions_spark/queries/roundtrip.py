@@ -404,3 +404,45 @@ def sink_filtered_write_refusal(spark, sf_dir):
         F.count(F.lit(1)).alias("n_kept"),
         F.sum(F.length("seq")).cast("long").alias("total_len"),
     ).withColumn("second_write_refused", F.lit(refused))
+
+
+@register(
+    "sink_partitioned_prune_roundtrip",
+    # Partition-layout write + PRUNED re-read, driver-gated: events are
+    # written partitioned by event_type to scratch (the engine-native
+    # layout the FASTA sink uses for proteins), read back with an
+    # event_type filter, and aggregated. The plan is ASSERTED inside the
+    # query to carry non-empty PartitionFilters (the filter must prune
+    # directories at planning, not scan-and-discard 100 TB) — the
+    # `pruned` column hashes FALSE against the oracle's TRUE if pruning
+    # ever stops engaging.
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 6) AS sum_value,
+           TRUE AS pruned
+    FROM events
+    WHERE event_type IN ('click', 'view')
+    GROUP BY event_type
+    """,
+)
+def sink_partitioned_prune_roundtrip(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    tmp = _scratch_dir("gisaid_prune_roundtrip_") + "/out"
+    ev.select("event_id", "event_type", "value").write.partitionBy(
+        "event_type"
+    ).parquet(tmp)
+    back = spark.read.parquet(tmp).filter(
+        F.col("event_type").isin("click", "view")
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    pruned = "PartitionFilters: [" in plan and not (
+        "PartitionFilters: []" in plan
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .withColumn("pruned", F.lit(pruned))
+    )
