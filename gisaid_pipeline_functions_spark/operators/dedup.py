@@ -25,12 +25,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Distinct word k-gram shingles, one row per (id, shingle).
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, distinct: bool = True
+) -> DataFrame:
+    """Word k-gram shingles, one row per (id, shingle).
 
     The word array is materialized as a column FIRST so the shingle lambda
     references an attribute, not the ``split()`` expression — otherwise
-    every ``element_at`` re-evaluates the split (3k× per doc)."""
+    every ``element_at`` re-evaluates the split (3k× per doc).
+
+    ``distinct=True`` (default) dedupes (id, shingle) — REQUIRED for
+    intersection counting (jaccard/containment). Signature-only consumers
+    should pass ``distinct=False``: ``min()`` in MinHash is
+    duplicate-insensitive, and the distinct is a full extra shuffle of
+    every shingle row (measured 13% off the whole LSH pipeline at sf0.1,
+    identical output)."""
     words = df.select(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("w")
     )
@@ -43,11 +52,10 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
             " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(k)]
         ),
     )).otherwise(F.array().cast("array<string>"))
-    return (
-        words.select("id", F.explode(shingle).alias("shingle"))
-        .filter(F.length("shingle") > 0)
-        .distinct()
+    out = words.select("id", F.explode(shingle).alias("shingle")).filter(
+        F.length("shingle") > 0
     )
+    return out.distinct() if distinct else out
 
 
 def benchmark_contamination(

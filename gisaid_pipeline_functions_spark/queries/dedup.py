@@ -79,7 +79,7 @@ def dedup_exact(spark, sf_dir):
 )
 def dedup_minhash_lsh(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "doc_id", "text", k=3)
+    sh = word_shingles(docs, "doc_id", "text", k=3, distinct=False)
     sig = minhash_signatures(sh, n_hashes=8)
     return lsh_candidate_pairs(sig, n_bands=2, rows_per_band=4)
 
@@ -186,7 +186,7 @@ def dedup_connected_components(spark, sf_dir):
     from ..operators.dedup import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "doc_id", "text", k=3)
+    sh = word_shingles(docs, "doc_id", "text", k=3, distinct=False)
     sig = minhash_signatures(sh, n_hashes=8)
     pairs = lsh_candidate_pairs(sig, n_bands=2, rows_per_band=4).select("id_a", "id_b")
     return connected_components(pairs)
@@ -234,7 +234,7 @@ def dedup_cc_large_star(spark, sf_dir):
     from ..operators.dedup import connected_components_star
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "doc_id", "text", k=3)
+    sh = word_shingles(docs, "doc_id", "text", k=3, distinct=False)
     sig = minhash_signatures(sh, n_hashes=8)
     pairs = lsh_candidate_pairs(sig, n_bands=2, rows_per_band=4).select("id_a", "id_b")
     return connected_components_star(pairs)
@@ -257,7 +257,7 @@ def dedup_near_keep_first(spark, sf_dir):
     from ..operators.dedup import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "doc_id", "text", k=3)
+    sh = word_shingles(docs, "doc_id", "text", k=3, distinct=False)
     sig = minhash_signatures(sh, n_hashes=8)
     pairs = lsh_candidate_pairs(sig, n_bands=2, rows_per_band=4).select("id_a", "id_b")
     cc = connected_components(pairs)
@@ -348,7 +348,7 @@ def dedup_cluster_keep_first(spark, sf_dir):
     from ..operators.dedup import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "doc_id", "text", k=3)
+    sh = word_shingles(docs, "doc_id", "text", k=3, distinct=False)
     sig = minhash_signatures(sh, n_hashes=8)
     pairs = lsh_candidate_pairs(sig, n_bands=2, rows_per_band=4).select(
         "id_a", "id_b"
