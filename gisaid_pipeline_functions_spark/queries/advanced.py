@@ -202,3 +202,123 @@ def join_asof(spark, sf_dir):
     return merged.filter(
         (F.col("tag") == 1) & F.col("last_orderkey").isNotNull()
     ).select("event_id", "user_id", "last_orderkey", "last_orderdate")
+
+
+@register(
+    "streaming_weekly_hash",
+    # The STREAMING ENGINE's own output under a driver hash (not just the
+    # transitive pytest parity): streaming_weekly_frequency runs to
+    # completion over the bounded events backlog (AvailableNow → memory
+    # sink) through the canonical stream source, and the materialized
+    # result is oracle-compared like any batch query. A watermark, window
+    # or source-normalization regression flips this hash.
+    """
+    SELECT CAST(ts AS DATE) - CAST(dayofweek(ts) AS INTEGER) AS week_start,
+           event_type AS key, count(*) AS freq
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_weekly_hash(spark, sf_dir):
+    import uuid
+
+    from ..streaming.source import stream_events
+    from ..streaming.weekly import (
+        run_stream_to_memory,
+        streaming_weekly_frequency,
+    )
+
+    return run_stream_to_memory(
+        spark,
+        streaming_weekly_frequency(stream_events(spark, sf_dir)),
+        "weekly_stream_drv_" + uuid.uuid4().hex[:8],
+    )
+
+
+@register(
+    "streaming_sessions_hash",
+    # session_window's closed-session output under a DIRECT driver hash:
+    # the events backlog streams as three time-ordered micro-batches —
+    # the real events, then two far-future per-user sentinel events whose
+    # only job is to advance the event-time watermark past every real
+    # session's end — so append mode emits the COMPLETE real session set
+    # (sentinel sessions start after the real max ts and are filtered
+    # out). The materialized sink must hash-match the batch lag+cumsum
+    # oracle exactly; any divergence between session_window's half-open
+    # merge and the batch gap rule, or any watermark regression, flips
+    # this row.
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start,
+             event_id
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    )
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 6) AS total_value,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_no
+    """,
+)
+def streaming_sessions_hash(spark, sf_dir):
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..queries.roundtrip import _scratch_dir
+    from ..streaming.sessions import streaming_sessions
+    from ..streaming.source import stream_events
+    from ..streaming.weekly import run_stream_to_memory
+
+    src = _scratch_dir("gisaid_sessions_stream_")
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    ts_type = t.schema.field("ts").type
+    max_ts = pa.compute.max(t.column("ts")).as_py()
+    users = pa.compute.unique(t.column("user_id")).to_pylist()
+
+    def sentinel(offset_us, ids):
+        import datetime
+
+        ts_val = max_ts + datetime.timedelta(microseconds=offset_us)
+        return pa.table(
+            {
+                "event_id": pa.array(
+                    [10_000_000 + i for i in range(len(ids))], pa.int64()
+                ),
+                "ts": pa.array([ts_val] * len(ids), ts_type),
+                "user_id": pa.array(ids, pa.int64()),
+                "event_type": pa.array(["sentinel"] * len(ids)),
+                "value": pa.array([0.0] * len(ids)),
+                "props": pa.array(["{}"] * len(ids)),
+            }
+        )
+
+    pq.write_table(t, f"{src}/part-0.parquet")
+    # sentinel 1: per-user event 2h after the real max — outside every
+    # real session's 30-min gap; sentinel 2: single event 6h after, so
+    # the third batch runs with watermark = max+5h > every real session
+    pq.write_table(sentinel(7_200_000_000, users), f"{src}/part-1.parquet")
+    pq.write_table(sentinel(21_600_000_000, users[:1]), f"{src}/part-2.parquet")
+    for i in range(3):  # file-source batch order = modification time
+        os.utime(f"{src}/part-{i}.parquet", (1_700_000_000 + i * 10,) * 2)
+
+    out = run_stream_to_memory(
+        spark,
+        streaming_sessions(
+            stream_events(spark, src, glob=None, max_files_per_trigger=1)
+        ),
+        "sessions_stream_drv_" + uuid.uuid4().hex[:8],
+        output_mode="append",
+    )
+    from pyspark.sql import functions as SF
+
+    return out.filter(SF.col("session_start") <= SF.lit(max_ts))
