@@ -409,3 +409,42 @@ def dedup_containment(spark, sf_dir):
         "id_a", "id_b"
     )
     return containment_pairs(sh, pairs)
+
+
+@register(
+    "streaming_dedup_hash",
+    # The custom STATEFUL streaming operator (applyInPandasWithState)
+    # under a direct driver hash: the documents table streams as one
+    # micro-batch through streaming_first_seen (GroupState per content
+    # fingerprint), and the materialized update-mode output — one row per
+    # fingerprint with the min-id keeper and duplicate count — must
+    # hash-match the batch exact-dedup oracle. State-management or
+    # fingerprint regressions flip this row; with the session_window and
+    # weekly hashes, every streaming surface now carries first-class
+    # driver evidence.
+    """
+    SELECT md5(text) AS fingerprint,
+           min(doc_id) AS keeper_id,
+           CAST(count(*) - 1 AS BIGINT) AS n_dupes_dropped
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def streaming_dedup_hash(spark, sf_dir):
+    import uuid
+
+    from ..streaming.dedup import streaming_first_seen
+    from ..streaming.weekly import run_stream_to_memory
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    return run_stream_to_memory(
+        spark,
+        streaming_first_seen(stream),
+        "dedup_stream_drv_" + uuid.uuid4().hex[:8],
+        output_mode="update",
+    )
