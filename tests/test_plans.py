@@ -126,3 +126,30 @@ def test_asof_join_is_single_pass_no_join(spark, sf_dir):
     assert "Join" not in plan
     assert plan.count("Exchange (") <= 2
     assert "Window" in plan
+
+
+def test_interval_overlap_join_is_equi_not_nested_loop(spark, sf_dir):
+    # the bucketed interval join must plan as an equi-join on the bucket
+    # with the overlap test as a residual filter — a nested-loop plan is
+    # the O(|A|·|B|) scale-killer the operator exists to avoid
+    plan = formatted_plan(spark, sf_dir, "join_interval_overlap")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_blocked_cosine_joins_on_signature(spark, sf_dir):
+    # block_col must be a predicate on the LSH candidate join, never the
+    # generator: the join keys must include the banded signature
+    plan = formatted_plan(spark, sf_dir, "sim_neardup_cosine_blocked")
+    assert "sig" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_pagination_and_budget_windows_are_partitioned(spark, sf_dir):
+    # the bucketed block-prefix plans must never contain an unpartitioned
+    # window (windowspecdefinition with no partition columns starts with
+    # the order spec — assert every Window node mentions the bucket key)
+    for name in ("topk_pagination", "sample_token_budget"):
+        plan = formatted_plan(spark, sf_dir, name)
+        for line in plan.splitlines():
+            if "windowspecdefinition(" in line:
+                assert "_bkt" in line, f"{name}: unpartitioned window: {line.strip()[:120]}"
