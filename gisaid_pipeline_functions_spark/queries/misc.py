@@ -375,3 +375,70 @@ def plan_udf_discipline(spark, sf_dir):
         plan = qs[n](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         rows.append((n, "BatchEvalPython" not in plan))
     return spark.createDataFrame(rows, "query_name string, row_udf_free boolean")
+
+
+@register(
+    "proj_json_extract",
+    # Semi-structured column surface: the events.props JSON string parsed
+    # with an EXPLICIT schema (from_json; inference over 100 TB of JSON
+    # is a full extra pass, same stance as the JSONL source) and
+    # aggregated on the extracted field. Oracle: DuckDB JSON extraction.
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           round(avg(CAST(props->>'$.k' AS BIGINT)), 6) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def proj_json_extract(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k long").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
+@register(
+    "filter_try_cast_tally",
+    # Dirty-data robustness: a deterministically-poisoned numeric string
+    # column (every 3rd row carries the unparseable priority label) runs
+    # through try_cast — parse failures become NULLs to tally, never
+    # task-killing exceptions; 100 TB of real TSV always contains rows
+    # like these. Both engines build the identical string (integer →
+    # varchar is format-stable cross-engine; float text is NOT) and apply
+    # their TRY_CAST.
+    """
+    WITH raw AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority
+                  ELSE CAST(o_custkey AS VARCHAR) END AS val
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN TRY_CAST(val AS BIGINT) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+           CAST(sum(TRY_CAST(val AS BIGINT)) AS BIGINT) AS sum_parsed
+    FROM raw GROUP BY o_orderpriority
+    """,
+)
+def filter_try_cast_tally(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    raw = o.select(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_orderpriority"))
+        .otherwise(F.col("o_custkey").cast("string"))
+        .alias("val"),
+    )
+    parsed = F.expr("try_cast(val AS BIGINT)")
+    return raw.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(parsed.isNull().cast("int")).cast("long").alias("n_bad"),
+        F.sum(parsed).cast("long").alias("sum_parsed"),
+    )
