@@ -153,3 +153,28 @@ def test_pagination_and_budget_windows_are_partitioned(spark, sf_dir):
         for line in plan.splitlines():
             if "windowspecdefinition(" in line:
                 assert "_bkt" in line, f"{name}: unpartitioned window: {line.strip()[:120]}"
+
+
+def test_headline_plan_hygiene(spark, sf_dir):
+    # red-flag scan over every bench headline plan: no row-at-a-time
+    # Python (BatchEvalPython), no CartesianProduct, and
+    # BroadcastNestedLoopJoin only where a broadcast SCALAR/grid crossJoin
+    # is the documented design (1-row totals, dimension grids — the
+    # sanctioned list the r3 verdict re-verified). A new BNLJ anywhere
+    # else means a join lost its equi-condition.
+    import bench
+
+    bnlj_sanctioned = {
+        # broadcast 1-row total / tiny-grid crossJoins by design:
+        "flagship_weekly_prevalence_topn",
+        "flagship_corpus_pipeline",
+        "sim_quantized_rerank",  # broadcast quantization grid + query codes
+        "agg_hll_sketch_merge",  # broadcast 1-row exact count
+        "sim_bruteforce_topk",  # corpus × broadcast query set IS the baseline
+    }
+    for name in bench.HEADLINE:
+        plan = formatted_plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        if "BroadcastNestedLoopJoin" in plan:
+            assert name in bnlj_sanctioned, f"unsanctioned BNLJ in {name}"
