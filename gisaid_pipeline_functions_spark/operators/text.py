@@ -249,3 +249,30 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         min_word_hash.alias("min_word_hash"),
     )
+
+
+def char_entropy(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Shannon entropy of the character distribution per document — the
+    classic gibberish/boilerplate quality signal (low entropy = repeated
+    filler, high = random noise; natural text sits in a band).
+
+    Entirely MAP-SIDE via higher-order functions: distinct chars (sorted,
+    so both engines fold the float sum in the IDENTICAL order — unsorted
+    first-occurrence order differs across engines and float addition is
+    not associative), per-char counts via length-difference, one
+    ``aggregate`` fold. No explode, no shuffle; O(len × distinct_chars)
+    per row with distinct_chars bounded by the alphabet."""
+    text = F.col(text_col)
+    chars = F.array_sort(F.array_distinct(F.split(text, "")))
+    n = F.length(text).cast("double")
+    cnt = lambda c: (n - F.length(F.replace(text, c, F.lit("")))).cast("double")
+    p = lambda c: cnt(c) / n
+    term = lambda c: -p(c) * F.log2(p(c))
+    entropy = F.aggregate(
+        F.filter(chars, lambda c: F.length(c) > 0),
+        F.lit(0.0),
+        lambda acc, c: acc + term(c),
+    )
+    return df.select(
+        F.col(id_col), F.round(entropy, 6).alias("char_entropy")
+    )

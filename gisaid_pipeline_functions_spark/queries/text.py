@@ -297,3 +297,34 @@ def text_sliding_chunks(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return sliding_chunks(docs, "doc_id", "text", window_words=10, stride=5)
+
+
+@register(
+    "text_char_entropy",
+    # Character-entropy quality signal (operators/text.py:char_entropy) —
+    # map-side higher-order fold, zero shuffle. The distinct-char list is
+    # SORTED before the fold so both engines sum the identical doubles in
+    # the identical order (float addition is not associative; unsorted
+    # first-occurrence orders differ across engines).
+    """
+    WITH c AS (
+      SELECT doc_id, length(text) AS n,
+             list_sort(list_distinct(
+               list_transform(range(1, length(text) + 1),
+                              i -> substr(text, CAST(i AS INT), 1)))) AS chars,
+             text
+      FROM documents
+    )
+    SELECT doc_id,
+           round(list_sum(list_transform(chars, ch ->
+             -((n - length(replace(text, ch, ''))) * 1.0 / n)
+              * log2((n - length(replace(text, ch, ''))) * 1.0 / n))), 6)
+             AS char_entropy
+    FROM c
+    """,
+)
+def text_char_entropy(spark, sf_dir):
+    from ..operators.text import char_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_entropy(docs, "doc_id", "text")

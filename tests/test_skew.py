@@ -109,3 +109,51 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
     rows = registry.queries()["agg_approx_distinct"](spark, sf_dir).collect()
     assert rows and all(r["within_5pct"] for r in rows)
     assert all(r["exact_parts"] > 0 for r in rows)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    # salting (operators/skew.py) is the manual tool; AQE skew-join is the
+    # runtime one — prove the session config actually engages it: a join
+    # with one hot key must show skew-split shuffle reads in the FINAL
+    # adaptive plan (OptimizeSkewedJoin marks them "skewed"). At 100 TB
+    # this is what turns a straggler task into parallel splits without
+    # code changes.
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 60_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))  # 90% of rows on key 0
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            # row-DEPENDENT padding: a foldable literal would be constant-
+            # folded past the shuffle and the hot partition would weigh ~0
+            F.rpad(F.col("id").cast("string"), 200, "x").alias("pad"),
+        )
+        right = spark.range(0, 100).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        # no downstream reuse of the join partitioning — OptimizeSkewedJoin
+        # declines to split when a following stage needs the co-partitioning.
+        # pad stays in the output so column pruning can't shrink the hot
+        # partition below the skew threshold.
+        joined = left.join(right, "k").select("k", "pad", "d")
+        rows = joined.collect()
+        assert sum(1 for r in rows if r["k"] == 0) == 54_000  # correctness
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skewed=true" in plan or "skewed" in plan.lower(), plan[:800]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
