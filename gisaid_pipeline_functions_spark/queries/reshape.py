@@ -157,3 +157,37 @@ def region_rank_by_mean(spark, sf_dir):
         .over(Window.orderBy(F.desc("mean_weekly"), F.asc("region")))
         .cast("long"),
     )
+
+
+@register(
+    "reshape_unpivot_long",
+    # The reshape family's other direction (the reference melts its wide
+    # matrices back to long for plotting, Plotting_Functions.py:339–386):
+    # pivot the weekly frequencies wide INSIDE the query, then unpivot
+    # back with DataFrame.unpivot (Expand — one pass, no join) and prove
+    # the round trip is lossless against the straight long-form oracle.
+    # Zero-filled cells from the pivot are dropped on the way back so the
+    # melt matches the original sparse long table.
+    """
+    SELECT event_type AS key,
+           CAST(CAST(ts AS DATE) - CAST(dayofweek(ts) AS INTEGER) AS VARCHAR)
+             AS week,
+           count(*) AS freq
+    FROM events GROUP BY 1, 2
+    """,
+)
+def reshape_unpivot_long(spark, sf_dir):
+    from ..functions.weeks import sunday_week_start
+
+    ev = load_table(spark, sf_dir, "events")
+    freq = ev.groupBy(
+        F.col("event_type").alias("key"),
+        sunday_week_start(F.col("ts")).cast("string").alias("week"),
+    ).agg(F.count(F.lit(1)).alias("freq"))
+    wide = freq.groupBy("key").pivot("week").agg(F.max("freq")).na.fill(0)
+    week_cols = [c for c in wide.columns if c != "key"]
+    return (
+        wide.unpivot("key", week_cols, "week", "freq")
+        .filter(F.col("freq") > 0)
+        .select("key", "week", F.col("freq").cast("long").alias("freq"))
+    )

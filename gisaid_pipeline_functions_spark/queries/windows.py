@@ -377,3 +377,43 @@ def agg_hll_sketch_merge(spark, sf_dir):
         )
     )
     return typed.unionByName(merged)
+
+
+@register(
+    "window_rank_distributions",
+    # percent_rank + cume_dist surface: a customer's revenue standing
+    # within their nation as distribution statistics (both are pure
+    # functions of rank and partition size, so the id tie-break makes
+    # them deterministic cross-engine).
+    """
+    WITH spend AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             round(sum(o.o_totalprice), 2) AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    )
+    SELECT o_custkey, c_nationkey, revenue,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM spend
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY revenue DESC, o_custkey)
+    """,
+)
+def window_rank_distributions(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("revenue"), F.asc("o_custkey")
+    )
+    return spend.select(
+        "o_custkey",
+        "c_nationkey",
+        "revenue",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
