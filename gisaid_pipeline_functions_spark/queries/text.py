@@ -328,3 +328,36 @@ def text_char_entropy(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return char_entropy(docs, "doc_id", "text")
+
+
+@register(
+    "text_normalize_canonical",
+    # Canonicalization BEFORE dedup — the standard normalize step every
+    # dedup pipeline runs so near-identical bytes hash identically:
+    # lowercase, strip non-alphanumerics to spaces, collapse whitespace
+    # runs, trim. Emits the canonical text's md5 so the driver hash
+    # certifies byte-exact cross-engine normalization (a regex-semantics
+    # divergence between engines flips the fingerprint). Map-side only.
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS canon_fp,
+           length(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS canon_len
+    FROM documents
+    """,
+)
+def text_normalize_canonical(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(canon).alias("canon_fp"),
+        F.length(canon).cast("int").alias("canon_len"),
+    )

@@ -601,3 +601,41 @@ def sample_token_budget(spark, sf_dir):
     return select_to_token_budget(
         scored, order_col="n_chars", token_col="n_tokens"
     ).select("doc_id", "n_chars", "n_tokens", "cum_tokens")
+
+
+@register(
+    "sample_quality_bernoulli",
+    # Per-ROW weighted Bernoulli sampling (the rate-based cousin of the
+    # A-ES without-replacement sampler): each doc keeps with probability
+    # proportional to its length-derived quality weight, via the same
+    # deterministic md5-prefix draw — u32(md5(id)) < w/w_max · 2^32.
+    # Thresholds stay on an exact integer lattice (weights and the global
+    # max are BIGINTs; one double division, both engines bit-identical).
+    # Map-side filter against a broadcast 1-row max — no corpus shuffle.
+    """
+    WITH w AS (
+      SELECT doc_id, least(n_chars, 1000) AS wt FROM documents
+    ),
+    m AS (SELECT max(wt) AS wmax FROM w)
+    SELECT w.doc_id, CAST(w.wt AS BIGINT) AS wt
+    FROM w CROSS JOIN m
+    WHERE CAST(('0x' || substr(md5(CAST(w.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          < floor(w.wt * 4294967296.0 / m.wmax)
+    """,
+)
+def sample_quality_bernoulli(spark, sf_dir):
+    from ..operators.training import hex_uniform_u32
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.least(F.col("n_chars"), F.lit(1000)).alias("wt")
+    )
+    m = w.agg(F.max("wt").alias("wmax"))
+    return (
+        w.crossJoin(F.broadcast(m))
+        .filter(
+            hex_uniform_u32(F.col("doc_id"))
+            < F.floor(F.col("wt") * F.lit(4294967296.0) / F.col("wmax"))
+        )
+        .select("doc_id", F.col("wt").cast("long").alias("wt"))
+    )
