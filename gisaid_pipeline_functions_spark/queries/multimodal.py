@@ -131,3 +131,52 @@ def multimodal_resize(spark, sf_dir):
 
     media = media_with_header(load_table(spark, sf_dir, "documents"))
     return resize_media(media, factor=2)
+
+
+@register(
+    "multimodal_byte_budget",
+    # Batch-manifest assembly under a BYTE budget: take media best-first
+    # (largest payloads, the usual "fill the shard with big files first"
+    # packing heuristic) until 1/4 of the corpus bytes are spent — the
+    # same bucketed block-prefix running sum as sample_token_budget
+    # (operators/training.py:select_to_token_budget), applied to the
+    # binary column's sizes: the operator is payload-agnostic, which is
+    # the point of treating media as opaque bytes + typed metadata.
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             CAST(strlen(text) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    tot AS (SELECT CAST(floor(sum(n_bytes) / 4.0) AS BIGINT) AS budget FROM media),
+    walk AS (
+      SELECT media_id, kind, n_bytes,
+             sum(n_bytes) OVER (ORDER BY n_bytes DESC, media_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_bytes
+      FROM media
+    )
+    SELECT w.media_id, w.kind, w.n_bytes, w.cum_bytes
+    FROM walk w CROSS JOIN tot t
+    WHERE w.cum_bytes <= t.budget
+    """,
+)
+def multimodal_byte_budget(spark, sf_dir):
+    from ..operators.training import select_to_token_budget
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents")).select(
+        "media_id", "kind", "n_bytes"
+    )
+    budget = media.agg(
+        F.floor(F.sum("n_bytes") / 4.0).cast("long").alias("budget")
+    )
+    out = select_to_token_budget(
+        media.crossJoin(F.broadcast(budget)),
+        order_col="n_bytes",
+        token_col="n_bytes",
+        id_col="media_id",
+    )
+    return out.select(
+        "media_id", "kind", "n_bytes", F.col("cum_tokens").alias("cum_bytes")
+    )
