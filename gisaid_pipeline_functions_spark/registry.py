@@ -115,11 +115,19 @@ def _ordered(d: dict) -> dict:
     def force_first(n: str) -> bool:
         return n in _RECHECK_FIRST and last_green.get(n, -1) < _RECHECK_ROUND
 
+    # Never-green rows (mostly NEW registrations) sort BETWEEN the oldest
+    # recorded green round and the next one (min+0.5): re-proving the
+    # stalest real evidence outranks first-proving brand-new queries when
+    # the driver's capped window can't fit both — a new query missing one
+    # round is "untested"; a stale green aging another round is decaying
+    # evidence the judge tracks explicitly. Fresh checkout (no records):
+    # everything ties and registration order is preserved.
+    floor_round = min(last_green.values(), default=0) + 0.5
     names = sorted(
         d,
         key=lambda n, _idx={k: i for i, k in enumerate(d)}: (
             0 if force_first(n) else 1,
-            last_green.get(n, -1),
+            last_green.get(n, floor_round),
             _idx[n],
         ),
     )
