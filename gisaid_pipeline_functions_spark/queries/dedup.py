@@ -448,3 +448,69 @@ def streaming_dedup_hash(spark, sf_dir):
         "dedup_stream_drv_" + uuid.uuid4().hex[:8],
         output_mode="update",
     )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    # The dedup QA report: distribution of near-dup component sizes
+    # (how much of the corpus is singleton vs small-clique vs blob) —
+    # the number a data curator actually reads before shipping a dedup
+    # config. Components from the same LSH pair graph; singletons =
+    # corpus minus component members.
+    f"""
+    WITH RECURSIVE {_SHINGLES}, {_MINHASH}, {_BANDS},
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT src, src FROM und
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN und e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS id, min(label) AS component FROM reach GROUP BY node),
+    sizes AS (SELECT component, count(*) AS csize FROM comp GROUP BY component),
+    hist AS (
+      SELECT CAST(csize AS BIGINT) AS cluster_size,
+             CAST(count(*) AS BIGINT) AS n_clusters
+      FROM sizes GROUP BY csize
+      UNION ALL
+      SELECT 1, (SELECT count(*) FROM documents)
+               - (SELECT count(*) FROM comp)
+    )
+    SELECT cluster_size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+    FROM hist GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_size_histogram(spark, sf_dir):
+    from ..operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", k=3, distinct=False)
+    sig = minhash_signatures(sh, n_hashes=8)
+    pairs = lsh_candidate_pairs(sig, n_bands=2, rows_per_band=4).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    in_comp = comp.count()
+    total = docs.count()
+    hist = sizes.groupBy(F.col("csize").cast("long").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+    singles = F.broadcast(
+        hist.sparkSession.createDataFrame(
+            [(1, total - in_comp)], "cluster_size long, n_clusters long"
+        )
+    )
+    return (
+        hist.unionByName(singles)
+        .groupBy("cluster_size")
+        .agg(F.sum("n_clusters").cast("long").alias("n_clusters"))
+    )

@@ -417,3 +417,38 @@ def window_rank_distributions(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "window_first_last_value",
+    # first_value / last_value surface: each user's first and most recent
+    # event type + the value delta between them. The frame must be
+    # explicit — last_value over the DEFAULT frame (unbounded preceding →
+    # current row) returns the CURRENT row, the classic silent-wrong-
+    # answer; both engines get unbounded-both-ends.
+    """
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type) OVER w AS last_type,
+           round(last_value(value) OVER w - first_value(value) OVER w, 6)
+             AS value_delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_value(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.round(
+            F.last("value").over(w) - F.first("value").over(w), 6
+        ).alias("value_delta"),
+    ).distinct()
