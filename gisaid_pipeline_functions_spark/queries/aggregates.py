@@ -276,3 +276,39 @@ def agg_rollup_region_nation(spark, sf_dir):
             "total_bal",
         )
     )
+
+
+@register(
+    "agg_grouping_sets_explicit",
+    # Explicit GROUPING SETS — the non-hierarchical cousin of the
+    # registered CUBE/ROLLUP: per-region totals and per-priority totals
+    # in ONE Expand + shuffle (two independent reports from one scan, no
+    # self-union). Driven through spark.sql over registered views, so
+    # this row also exercises the SQL entry point.
+    """
+    SELECT coalesce(r.r_name, 'ALL') AS region,
+           coalesce(o.o_orderpriority, 'ALL') AS priority,
+           count(*) AS n
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY GROUPING SETS ((r.r_name), (o.o_orderpriority))
+    """,
+)
+def agg_grouping_sets_explicit(spark, sf_dir):
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT coalesce(r.r_name, 'ALL') AS region,
+               coalesce(o.o_orderpriority, 'ALL') AS priority,
+               count(*) AS n
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY GROUPING SETS ((r.r_name), (o.o_orderpriority))
+        """
+    )
