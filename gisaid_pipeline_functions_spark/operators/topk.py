@@ -50,7 +50,12 @@ def paginate(
     bucket = F.lit(0)
     for c in cuts:
         bucket = bucket + (F.col(order_col) > F.lit(c)).cast("int")
-    parts = df.withColumn("_bkt", bucket)
+    # NULL order keys: (NULL > cut) is NULL, so the raw bucket expression
+    # is NULL and the _bkt equi-join below would silently DROP those rows
+    # (the old unpartitioned row_number paginated them). Bucket -1 keeps
+    # them and reproduces Spark's ASC NULLS FIRST: no bucket sorts below
+    # -1, so its prefix is 0 and NULL rows rank first globally.
+    parts = df.withColumn("_bkt", F.coalesce(bucket, F.lit(-1)))
     counts = parts.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
     prefixes = (
         counts.alias("a")

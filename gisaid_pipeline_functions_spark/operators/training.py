@@ -241,7 +241,11 @@ def select_to_token_budget(
     bucket = F.lit(0)
     for c in cuts:
         bucket = bucket + (F.col(order_col) < F.lit(c)).cast("int")
-    parts = df.withColumn("_bkt", bucket)
+    # NULL order keys: (NULL < cut) is NULL → NULL _bkt → the equi-join
+    # below would drop the row from the walk entirely. The walk is DESC
+    # (NULLS LAST), so NULLs belong in the LAST bucket, where the
+    # partitioned desc window already orders them after every real value.
+    parts = df.withColumn("_bkt", F.coalesce(bucket, F.lit(len(cuts))))
     counts = parts.groupBy("_bkt").agg(F.sum(token_col).alias("_tok"))
     prefixes = (
         counts.alias("a")

@@ -214,12 +214,59 @@ def dedup_keep_first(spark, sf_dir):
     )
 
 
-@register("dedup_mllib_minhash")  # rows-only: MLlib hash family is JVM-internal
+@register(
+    "dedup_mllib_minhash",
+    # MLlib MinHashLSH under a RECALL CONTRACT (the agg_hll_sketch_merge
+    # pattern: when raw outputs aren't cross-engine comparable — MLlib's
+    # hash family is JVM-internal — hash a bounded-error contract
+    # instead). Ground truth: every exact-Jaccard ≥ 0.5 pair (word
+    # 3-gram shingles, pairs generated by a shingle self-join — an AUDIT
+    # generator, run over a sample at scale like sim_recall_at_k). Claim
+    # driver-hashed: each such pair appears in MLlib's
+    # approxSimilarityJoin candidate set (8 OR-ed hash tables → miss
+    # probability (1-s)^8 ≤ 1e-8 at s ≥ 0.9, the data's actual band;
+    # seed=42 makes the run deterministic). The oracle emits the same
+    # exact pairs with TRUE — a recall hole or Jaccard drift flips the
+    # hash.
+    f"""
+    WITH {_SHINGLES},
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id)
+    SELECT p.id_a, p.id_b,
+           round(p.n_inter * 1.0 / (za.n + zb.n - p.n_inter), 6) AS jaccard,
+           TRUE AS mllib_covered
+    FROM pairs p
+    JOIN sizes za ON za.id = p.id_a
+    JOIN sizes zb ON zb.id = p.id_b
+    WHERE p.n_inter * 1.0 / (za.n + zb.n - p.n_inter) >= 0.5
+    """,
+)
 def dedup_mllib_minhash(spark, sf_dir):
     from ..operators.dedup import mllib_minhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return mllib_minhash_pairs(docs, "doc_id", "text")
+    sh = word_shingles(docs, "doc_id", "text", k=3)
+    truth_pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    truth = jaccard_pairs(sh, truth_pairs).filter(F.col("jaccard") >= 0.5)
+    candidates = mllib_minhash_pairs(docs, "doc_id", "text").select(
+        "id_a", "id_b", F.lit(True).alias("mllib_covered")
+    )
+    return truth.join(candidates, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        F.coalesce("mllib_covered", F.lit(False)).alias("mllib_covered"),
+    )
 
 
 @register(
@@ -360,9 +407,12 @@ def dedup_cluster_keep_first(spark, sf_dir):
         .filter(F.col("id") != F.col("keeper"))
         .select(F.col("id").alias("doc_id"))
     )
-    # anti join against the (tiny) drop set — the corpus side never
-    # shuffles on content, only probes the broadcast drop list
-    return docs.join(F.broadcast(drops), "doc_id", "left_anti").select(
+    # anti join against the drop set, NO broadcast hint: near-dup drop
+    # sets scale with the corpus (real web corpora drop 30-60% of docs at
+    # fuzzy dedup), so a forced broadcast is an executor OOM at 100×. The
+    # join keys are bare ids — AQE picks broadcast when the drop set is
+    # measured small at runtime and a shuffled anti-join otherwise.
+    return docs.join(drops, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
 

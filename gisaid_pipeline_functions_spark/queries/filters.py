@@ -149,3 +149,46 @@ def filter_singleton_exclusion(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_items"))
         .filter(F.col("n_items") > 1)
     )
+
+
+@register(
+    "filter_reference_clusters",
+    # F10 — the R-script regex row filter + check_equal consistency rule
+    # (plans/reference_clusters.py:find_reference_clusters; reference
+    # Find_Reference_Clusters.R:51–53 greps each cluster file for the
+    # reference header, :56–101 keeps the cluster only when every match
+    # agrees). Mapped onto testdata: protein := c_mktsegment, Input_ID :=
+    # c_name, Cluster_Name := 'C' || c_custkey % 10; the '4[17]$' pattern
+    # hits names ending 41/47, so segments split three ways — unique
+    # cluster (resolved), conflicting clusters (NULL), no match (NULL) —
+    # exercising every branch of the rule.
+    """
+    WITH clusters AS (
+      SELECT c_mktsegment AS protein, c_name AS input_id,
+             'C' || CAST(c_custkey % 10 AS VARCHAR) AS cluster_name
+      FROM customer
+    ),
+    m AS (
+      SELECT protein, count(DISTINCT cluster_name) AS nd,
+             min(cluster_name) AS cand
+      FROM clusters WHERE regexp_matches(input_id, '4[17]$')
+      GROUP BY protein
+    )
+    SELECT p.protein,
+           CASE WHEN m.nd = 1 THEN m.cand END AS ref_cluster_name
+    FROM (SELECT DISTINCT protein FROM clusters) p
+    LEFT JOIN m ON p.protein = m.protein
+    """,
+)
+def filter_reference_clusters(spark, sf_dir):
+    from ..plans.reference_clusters import find_reference_clusters
+
+    cust = load_table(spark, sf_dir, "customer")
+    clusters = cust.select(
+        F.col("c_mktsegment").alias("protein"),
+        F.col("c_name").alias("Input_ID"),
+        F.concat(F.lit("C"), (F.col("c_custkey") % 10).cast("string")).alias(
+            "Cluster_Name"
+        ),
+    )
+    return find_reference_clusters(clusters, "4[17]$")

@@ -153,8 +153,9 @@ def multimodal_resize(spark, sf_dir):
     tot AS (SELECT CAST(floor(sum(n_bytes) / 4.0) AS BIGINT) AS budget FROM media),
     walk AS (
       SELECT media_id, kind, n_bytes,
-             sum(n_bytes) OVER (ORDER BY n_bytes DESC, media_id
-                                ROWS UNBOUNDED PRECEDING) AS cum_bytes
+             CAST(sum(n_bytes) OVER (ORDER BY n_bytes DESC, media_id
+                                     ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_bytes
       FROM media
     )
     SELECT w.media_id, w.kind, w.n_bytes, w.cum_bytes

@@ -316,9 +316,9 @@ def text_sliding_chunks(spark, sf_dir):
       FROM documents
     )
     SELECT doc_id,
-           round(list_sum(list_transform(chars, ch ->
+           round(coalesce(list_sum(list_transform(chars, ch ->
              -((n - length(replace(text, ch, ''))) * 1.0 / n)
-              * log2((n - length(replace(text, ch, ''))) * 1.0 / n))), 6)
+              * log2((n - length(replace(text, ch, ''))) * 1.0 / n))), 0.0), 6)
              AS char_entropy
     FROM c
     """,

@@ -576,8 +576,9 @@ def sample_temperature(spark, sf_dir):
     tot AS (SELECT CAST(floor(sum(n_tokens) / 3.0) AS BIGINT) AS budget FROM scored),
     walk AS (
       SELECT doc_id, n_chars, n_tokens,
-             sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
-                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             CAST(sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_tokens
       FROM scored
     )
     SELECT w.doc_id, w.n_chars, w.n_tokens, w.cum_tokens

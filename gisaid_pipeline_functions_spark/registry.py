@@ -56,26 +56,24 @@ def register(name: str, sql: str | None = None):
 # the round the change was made in — forced to the front until a green
 # driver row from that round (or later) exists, then they rotate back
 # into the normal staleness order automatically.
-_RECHECK_ROUND = 4
+_RECHECK_ROUND = 5
 _RECHECK_FIRST = frozenset(
     {
-        # round 4: load_table canonicalizes EVERY timestamp column
-        # (NTZ→TIMESTAMP under forced UTC). Forced here: the queries whose
-        # BEHAVIOR changed (unix_micros crash zone / raw-ts arithmetic in
-        # advanced.py) — the wider to_date-derived weekly family is
-        # value-identical under the cast and re-proves through normal
-        # staleness rotation (every one was hand-verified green at sf0.01
-        # in the round-4 session; keeping the forced set tight leaves
-        # driver-window room for the still-r1 cohort, VERDICT r3 #3).
-        "ts_sessionize",
-        "ts_session_totals",
-        "join_asof",
-        "ts_exponential_smoothing",
-        # round 4: candidate generation re-bounded via LSH (VERDICT r3 #2)
-        "dedup_ngram_jaccard",
-        "sim_neardup_cosine_blocked",
-        "sim_hyperplane_lsh",  # operator gained block_col (default path unchanged)
-        "topk_pagination",  # round 4: scale-safe bucketed global rank
+        # round 5: the ONLY two r4 hash-fails — both adjudicated
+        # value-correct (VERDICT r4 "What's wrong #1"); the oracles' windowed
+        # sums now carry the registry-convention CAST(... AS BIGINT)
+        # (queries/training.py sample_token_budget, queries/multimodal.py
+        # multimodal_byte_budget).
+        "sample_token_budget",
+        "multimodal_byte_budget",
+        # round 5 implementation changes that must re-prove (the 13
+        # never-driven registrations sort first anyway via the
+        # zero-evidence floor below, so these plus the two casts keep the
+        # forced set at five and leave ~32 window slots for the
+        # last-green-r2 cohort; ~4 r2 rows spill to r6 per VERDICT r4 #2/#6):
+        "dedup_cluster_keep_first",  # broadcast hint removed (VERDICT r4 #3)
+        "dedup_mllib_minhash",  # no_oracle → recall-contract hash gate (VERDICT r4 #4)
+        "topk_pagination",  # NULL-safe bucket sentinel in paginate (ADVICE r4)
     }
 )
 
@@ -115,14 +113,16 @@ def _ordered(d: dict) -> dict:
     def force_first(n: str) -> bool:
         return n in _RECHECK_FIRST and last_green.get(n, -1) < _RECHECK_ROUND
 
-    # Never-green rows (mostly NEW registrations) sort BETWEEN the oldest
-    # recorded green round and the next one (min+0.5): re-proving the
-    # stalest real evidence outranks first-proving brand-new queries when
-    # the driver's capped window can't fit both — a new query missing one
-    # round is "untested"; a stale green aging another round is decaying
-    # evidence the judge tracks explicitly. Fresh checkout (no records):
-    # everything ties and registration order is preserved.
-    floor_round = min(last_green.values(), default=0) + 0.5
+    # Never-green rows sort BEFORE the oldest recorded green (min-0.5): a
+    # query with ZERO driver evidence is the weakest link in the registry —
+    # a stale green was at least proven once — so first-proofs outrank
+    # re-proofs when the capped window can't fit both. (Round 4 briefly
+    # weighted these the other way to flush the r1 cohort; with that cohort
+    # cleared — 0 last-green-r1 after r4 — the permanent policy is
+    # zero-evidence first, per VERDICT r4 next-round #2: all 13 never-driven
+    # registrations enter the r5 window, ~1 r2-stale spills to r6.) Fresh
+    # checkout (no records): everything ties and registration order holds.
+    floor_round = min(last_green.values(), default=1) - 0.5
     names = sorted(
         d,
         key=lambda n, _idx={k: i for i, k in enumerate(d)}: (

@@ -10,20 +10,63 @@ than the batch ``sunday_week_start`` path, and ``session_window`` parity
 breaks.  This module is the streaming twin of ``load_table``: same UTC
 forcing, same cast, declared schema (no inference pass — a streaming
 source must never need a full scan to start).
+
+The ``ts`` declaration is NOT hardcoded: testdata timestamp storage has
+drifted across rounds (``timestamp[ns]`` → tz-naive ``timestamp[us]``),
+and while ``load_table`` adapts via the parquet footer, a hardcoded
+stream schema would silently mis-read the next drift. A streaming source
+still must declare its schema up front, so we do the same footer peek —
+one metadata read of one file, not a data scan — and fall back to the
+current testdata shape (tz-naive micros) when the directory is empty.
 """
 
 from __future__ import annotations
 
+import glob as _glob
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# Declared to match the driver testdata events table.  ``ts`` is declared
-# TIMESTAMP_NTZ — the type Spark ≥4 assigns to tz-naive parquet timestamps
-# — and normalized to canonical TIMESTAMP below (shift-free under UTC).
-EVENTS_STREAM_SCHEMA = (
-    "event_id long, ts timestamp_ntz, user_id long, "
+# Non-timestamp columns of the driver testdata events table; the ts
+# declaration is derived per-directory from the parquet footer.
+_EVENTS_FIELDS = (
+    "event_id long, ts {ts_decl}, user_id long, "
     "event_type string, value double, props string"
 )
+
+# The shape of the CURRENT testdata (tz-naive micros → TIMESTAMP_NTZ in
+# Spark ≥4) — used only when no file exists yet to peek at.
+EVENTS_STREAM_SCHEMA = _EVENTS_FIELDS.format(ts_decl="timestamp_ntz")
+
+
+def _ts_decl(directory: str, glob: str | None) -> str:
+    """Spark DDL type to DECLARE for the parquet ``ts`` column, from the
+    footer of the first matching file (mirrors ``sources.tables._ts_cols``):
+
+    * ``timestamp[ns]``  — undeclarable as a Spark timestamp
+      ([PARQUET_TYPE_ILLEGAL]); declared ``long`` (with the nanosAsLong
+      legacy conf) and rebuilt to micros below.
+    * tz-naive us/ms — TIMESTAMP_NTZ in Spark ≥4; cast below.
+    * tz-aware — already canonical TIMESTAMP.
+    """
+    matches = sorted(_glob.glob(os.path.join(directory, glob or "*.parquet")))
+    if not matches:
+        return "timestamp_ntz"
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    field = pq.read_schema(matches[0]).field("ts")
+    if not pat.is_timestamp(field.type):
+        raise TypeError(
+            f"events stream: 'ts' in {matches[0]} is {field.type}, not a "
+            "parquet timestamp — testdata drifted past every known shape; "
+            "extend streaming/source.py:_ts_decl alongside "
+            "sources/tables.py:_ts_cols"
+        )
+    if field.type.unit == "ns":
+        return "long"
+    return "timestamp" if field.type.tz is not None else "timestamp_ntz"
 
 
 def stream_events(
@@ -40,11 +83,17 @@ def stream_events(
     directories, not files); ``glob`` narrows it to the events file(s).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    ts_decl = _ts_decl(directory, glob)
+    if ts_decl == "long":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(_EVENTS_FIELDS.format(ts_decl=ts_decl))
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(directory).withColumn(
-        "ts", F.col("ts").cast("timestamp")
-    )
+    stream = reader.parquet(directory)
+    if ts_decl == "long":
+        # INTEGER-divide nanos → micros (matches load_table's rebuild and
+        # DuckDB's TIMESTAMP_NS truncation; float division rounds up 1µs)
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))

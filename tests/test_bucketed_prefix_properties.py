@@ -81,6 +81,38 @@ def test_token_budget_matches_greedy_walk(spark, rows, frac):
     assert got == sorted(naive)
 
 
+def test_paginate_keeps_null_order_keys(spark):
+    # NULL order keys must be paginated, not dropped (the raw bucket
+    # expression is NULL for them and the _bkt equi-join would silently
+    # discard the rows), and must land FIRST — Spark's ASC NULLS FIRST,
+    # the order the pre-bucketed row_number implementation produced.
+    rows = [(0, None), (1, 5), (2, None), (3, 1), (4, 9), (5, 3)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = paginate(df, "v", 2, num_buckets=3).collect()
+    assert len(got) == len(rows)
+    page0 = sorted(r["id"] for r in got if r["page"] == 0)
+    assert page0 == [0, 2]  # both NULLs rank before every real value
+
+
+def test_token_budget_keeps_null_order_keys(spark):
+    # DESC walk → NULL quality sorts LAST: NULL-keyed rows are reached
+    # only after every real value, and still consume budget when reached.
+    rows = [(0, None, 5), (1, 10, 5), (2, 7, 5), (3, None, 5)]
+    budget = 15
+    df = spark.createDataFrame(
+        [(i, q, t, budget) for i, q, t in rows],
+        "doc_id long, q long, tok long, budget long",
+    )
+    got = sorted(
+        (r["doc_id"], r["cum_tokens"])
+        for r in select_to_token_budget(
+            df, order_col="q", token_col="tok", num_buckets=2
+        ).collect()
+    )
+    # exact walk: q DESC NULLS LAST, doc_id ASC → 1(5), 2(10), 0(15), 3(20>budget)
+    assert got == [(0, 15), (1, 5), (2, 10)]
+
+
 @given(
     words=st.lists(
         st.text(alphabet="abc", min_size=1, max_size=3), min_size=1, max_size=40

@@ -155,6 +155,38 @@ def test_pagination_and_budget_windows_are_partitioned(spark, sf_dir):
                 assert "_bkt" in line, f"{name}: unpartitioned window: {line.strip()[:120]}"
 
 
+def test_single_partition_window_whitelist(spark, sf_dir, capfd):
+    # Runtime twin of the window assertions above: WindowExec logs
+    # "No Partition Defined for Window operation" whenever a window
+    # actually executes unpartitioned. The bench tail carries a handful of
+    # SANCTIONED ones (aggregate-sized inputs only: week labels, code
+    # ranks, region means inside flagship_corpus_pipeline) — and r3's
+    # paginate scale-killer hid in exactly that noise. Pin the whitelist:
+    # every other headline query (plus the block-prefix plans, which exist
+    # to avoid global windows) must execute with ZERO such warnings, and
+    # flagship's sanctioned count must not grow.
+    sanctioned = {"flagship_corpus_pipeline": 12}  # 10 observed at sf0.001
+    spark.sparkContext.setLogLevel("WARN")
+    try:
+        import bench
+
+        for name in bench.HEADLINE + ["topk_pagination", "sample_token_budget"]:
+            capfd.readouterr()  # drain anything pending
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            err = capfd.readouterr().err
+            n = err.count("No Partition Defined")
+            assert n <= sanctioned.get(name, 0), (
+                f"{name}: {n} unpartitioned-window executions "
+                f"(allowed {sanctioned.get(name, 0)}) — a window lost its "
+                "partition spec; fix the plan or extend the sanctioned map "
+                "with a comment justifying the aggregate-sized input"
+            )
+    finally:
+        spark.sparkContext.setLogLevel("WARN")  # session default
+
+
 def test_headline_plan_hygiene(spark, sf_dir):
     # red-flag scan over every bench headline plan: no row-at-a-time
     # Python (BatchEvalPython), no CartesianProduct, and
