@@ -73,6 +73,17 @@ def main() -> None:
         "id % 1000 AS k", "id AS v"
     ).groupBy("k").sum("v").write.format("noop").mode("overwrite").save()
     calibration_sec = round(time.perf_counter() - t0, 3)
+    # single-thread twin of the same op (1/16 the rows on 1 partition):
+    # the 32t/1t ratio fingerprints EFFECTIVE parallelism, separating
+    # "slower VM with fewer real cores behind the vCPUs" (ratio shrinks,
+    # 1t time normal-ish) from "co-tenant load" (both inflate) — the r5
+    # host had ~12 effective cores behind 32 vCPUs and only this
+    # distinction explains a 2× bench delta at idle loadavg.
+    t0 = time.perf_counter()
+    spark.range(0, 1_250_000, 1, 1).selectExpr(
+        "id % 1000 AS k", "id AS v"
+    ).groupBy("k").sum("v").write.format("noop").mode("overwrite").save()
+    calibration_1t_sec = round(time.perf_counter() - t0, 3)
 
     times: dict[str, float] = {}
     for name in HEADLINE:
@@ -97,6 +108,7 @@ def main() -> None:
                 "sf": float(sf),
                 "loadavg_1m": load1,
                 "calibration_sec": calibration_sec,
+                "calibration_1t_sec": calibration_1t_sec,
             }
         )
     )

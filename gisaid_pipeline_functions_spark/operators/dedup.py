@@ -462,3 +462,36 @@ def containment_pairs(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
             F.round(F.col("n_inter") / F.col("nb"), 6).alias("containment_b"),
         )
     )
+
+
+def crossdoc_shingle_overlap(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Per-document cross-corpus duplication score: the fraction of a
+    doc's word k-gram shingles that also appear in at least one OTHER
+    document — the per-doc signal behind exact-substring training-data
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better": spans repeated across documents are the memorization
+    risk; this scores each document by how much of it is such a span,
+    the triage number a curator reads before running span surgery).
+
+    Scale shape: shingles are md5-hashed BEFORE the shuffle (fixed 32-hex
+    keys instead of raw k-word strings), one groupBy over shingle hashes
+    counts docs-per-shingle (a count, never a collect), then one
+    hash-keyed join back + a per-doc aggregate. Shuffle ∝ total shingle
+    volume — the same budget class as the BPE pair counts, with no
+    all-pairs stage anywhere."""
+    sh = word_shingles(df, id_col, text_col, k=k).select(
+        "id", F.md5("shingle").alias("h")
+    )
+    cnt = sh.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        sh.join(cnt, "h")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(
+                F.sum((F.col("nd") >= 2).cast("int")) / F.count(F.lit(1)), 6
+            ).alias("dup_frac"),
+        )
+    )

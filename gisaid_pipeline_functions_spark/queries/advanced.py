@@ -322,3 +322,42 @@ def streaming_sessions_hash(spark, sf_dir):
     from pyspark.sql import functions as SF
 
     return out.filter(SF.col("session_start") <= SF.lit(max_ts))
+
+
+@register(
+    "streaming_enrich_hash",
+    # Stream-STATIC join under a direct driver hash — the one Structured
+    # Streaming join shape the registry didn't yet prove (weekly window,
+    # session_window, and stateful dedup are covered). The events stream
+    # broadcast-joins the static customer dimension per micro-batch
+    # (stateless — no state store), then the Sunday-anchored weekly
+    # aggregation runs per market segment; the materialized AvailableNow
+    # output must hash-match the batch join+agg oracle. A regression in
+    # stream-static join semantics, the broadcast, or the watermark
+    # interplay flips this row.
+    """
+    SELECT CAST(e.ts AS DATE) - CAST(dayofweek(e.ts) AS INTEGER) AS week_start,
+           c.c_mktsegment AS segment, count(*) AS freq,
+           round(sum(e.value), 6) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def streaming_enrich_hash(spark, sf_dir):
+    import uuid
+
+    from ..sources.tables import load_table
+    from ..streaming.enrich import streaming_weekly_by_dim
+    from ..streaming.source import stream_events
+    from ..streaming.weekly import run_stream_to_memory
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    out = streaming_weekly_by_dim(
+        stream_events(spark, sf_dir), dim, join_col="user_id", dim_col="segment"
+    )
+    return run_stream_to_memory(
+        spark, out, "enrich_stream_drv_" + uuid.uuid4().hex[:8]
+    )

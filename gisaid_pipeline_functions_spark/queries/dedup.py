@@ -564,3 +564,35 @@ def dedup_cluster_size_histogram(spark, sf_dir):
         .groupBy("cluster_size")
         .agg(F.sum("n_clusters").cast("long").alias("n_clusters"))
     )
+
+
+@register(
+    "dedup_crossdoc_overlap",
+    # Per-doc cross-corpus duplication score (the exact-substring-dedup
+    # triage signal, Lee et al. 2022): fraction of each doc's word
+    # 5-gram shingles that appear in ≥1 other doc. Shingles md5-hash
+    # before the shuffle; docs-per-shingle is a count, never a collect;
+    # no pair enumeration anywhere (operators/dedup.py:
+    # crossdoc_shingle_overlap). Docs shorter than 5 words have no
+    # shingles and are absent on both engines.
+    """
+    WITH sh5 AS (
+      SELECT DISTINCT doc_id AS id,
+             unnest([md5(array_to_string(w[i:i+4], ' '))
+                     FOR i IN range(1, len(w) - 3)]) AS h
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    cnt AS (SELECT h, count(*) AS nd FROM sh5 GROUP BY h)
+    SELECT s.id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           round(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS dup_frac
+    FROM sh5 s JOIN cnt c ON s.h = c.h
+    GROUP BY s.id
+    """,
+)
+def dedup_crossdoc_overlap(spark, sf_dir):
+    from ..operators.dedup import crossdoc_shingle_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return crossdoc_shingle_overlap(docs, "doc_id", "text", k=5)

@@ -630,3 +630,41 @@ def sim_recall_at_k(spark, sf_dir):
         .groupBy("query_id")
         .agg(F.round(F.count("hit") / 3.0, 6).alias("recall_at_3"))
     )
+
+
+@register(
+    "sim_centroid_outlier",
+    # Embedding-space OUTLIER FILTER — the standard embedding-based data
+    # cleaning step (drop vectors far from every cluster: encoder
+    # failures, off-distribution content) composed from pieces already
+    # proven one by one: the iteration-exact k-means assignment
+    # (sim_kmeans_cells) plus the exact-percentile threshold
+    # (agg_exact_percentiles precedent). A row is an outlier when its
+    # distance to its OWN centroid exceeds the corpus-wide p95 of that
+    # distance. The threshold is a broadcast 1-row aggregate; the audit
+    # emits every row with its flag (stable cardinality), so the driver
+    # hash pins assignment, distance, percentile, and flag at once.
+    "WITH "
+    + _kmeans_ctes(k=4, iterations=2, dim=64)
+    + """,
+    th AS (SELECT round(quantile_cont(dist, 0.95), 6) AS p95 FROM fin)
+    SELECT f.vec_id, f.cell, f.dist, f.dist > t.p95 AS is_outlier
+    FROM fin f CROSS JOIN th t
+    """,
+)
+def sim_centroid_outlier(spark, sf_dir):
+    from ..operators.similarity import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # checkpoint: the assignment feeds BOTH the threshold aggregate and
+    # the output — without it the whole k-means chain runs twice
+    assigned = kmeans_assign(emb, k=4, iterations=2).localCheckpoint(eager=True)
+    th = assigned.agg(
+        F.round(F.percentile("dist", F.lit(0.95)), 6).alias("p95")
+    )
+    return assigned.crossJoin(F.broadcast(th)).select(
+        "vec_id",
+        "cell",
+        "dist",
+        (F.col("dist") > F.col("p95")).alias("is_outlier"),
+    )
