@@ -446,3 +446,29 @@ def sink_partitioned_prune_roundtrip(spark, sf_dir):
         )
         .withColumn("pruned", F.lit(pruned))
     )
+
+
+@register(
+    "external_tool_roundtrip",
+    # External-tool orchestration under a driver hash (reference
+    # Clustal_All.sh:25 shells clustalo per cluster file;
+    # operators/external.py re-expresses it as one subprocess per
+    # PARTITION over executor-local temp FASTA). The aligner binary
+    # isn't in this container, so the stand-in identity tool proves the
+    # full path — partition batching, FASTA temp write, argv placeholder
+    # substitution, subprocess exec, output FASTA parse — and the
+    # round-tripped corpus must hash-match the raw table. A quoting,
+    # parsing, or record-boundary bug anywhere in the plumbing flips
+    # this row.
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS id, text AS sequence FROM documents
+    """,
+)
+def external_tool_roundtrip(spark, sf_dir):
+    from ..operators.external import identity_tool_command, run_external_tool
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("text").alias("sequence"),
+    )
+    return run_external_tool(docs, identity_tool_command())

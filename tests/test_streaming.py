@@ -227,3 +227,51 @@ def test_streaming_sampler_matches_batch(spark, sf_dir):
     stream_ids = {r["doc_id"] for r in out.collect()}
     assert stream_ids == batch_ids
     assert 0 < len(stream_ids) < batch_docs.count()
+
+
+@pytest.mark.parametrize("unit", ["ns", "us", "ms"])
+def test_stream_source_adapts_to_parquet_ts_unit(spark, sf_dir, tmp_path, unit):
+    # The testdata ts storage has drifted across rounds (ns → naive us);
+    # stream_events derives its ts DECLARATION from the parquet footer
+    # (streaming/source.py:_ts_decl) instead of hardcoding one shape.
+    # Write the same events in each precision and assert the stream
+    # produces identical wall-clock micros and weekly buckets.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2021, 3, 1, 10, 0, 0, 123456), 7, "click", 1.5, "{}"),
+        (2, dt.datetime(2021, 3, 7, 23, 59, 59, 999999), 8, "view", 2.0, "{}"),
+        (3, dt.datetime(2021, 3, 8, 0, 0, 0, 0), 7, "click", 0.5, "{}"),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp(unit)),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    d = tmp_path / f"drift_{unit}"
+    d.mkdir()
+    pq.write_table(table, str(d / "events.parquet"))
+
+    stream = stream_events(spark, str(d))
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    got = run_stream_to_memory(
+        spark,
+        streaming_weekly_frequency(stream, watermark="365 days"),
+        f"drift_stream_{unit}",
+    )
+    by_key = {(r["week_start"].isoformat(), r["key"]): r["freq"] for r in got.collect()}
+    # 2021-03-01 is a Monday → Sunday anchor 2021-02-28; 2021-03-07 is
+    # itself a Sunday, so both the 23:59:59 view and the 03-08 click
+    # land in the 2021-03-07 week
+    assert by_key == {
+        ("2021-02-28", "click"): 1,
+        ("2021-03-07", "view"): 1,
+        ("2021-03-07", "click"): 1,
+    }
