@@ -176,3 +176,49 @@ def sort_fasta(
             for p in parts:
                 with open(p, "rb") as r:
                     shutil.copyfileobj(r, w)
+
+
+def align_clusters(
+    df: DataFrame,
+    command: list[str],
+    cluster_col: str = "cluster",
+    id_col: str = "id",
+    seq_col: str = "sequence",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The reference's Clustal flow (Clustal_All.sh: one ``clustalo`` run
+    per cluster file) as one distributed pass: repartition by cluster so
+    every task's FASTA batch holds whole clusters, then run the external
+    tool once per partition (operators/external.py:run_external_tool).
+
+    ``command`` is the tool argv with ``{input}``/``{output}``
+    placeholders — e.g. ``["clustalo", "-i", "{input}", "-o",
+    "{output}"]``. The id written into the FASTA carries the cluster as a
+    ``cluster|id`` prefix so outputs re-split without a join; the result
+    is ``(cluster, id, sequence)``.
+
+    Note: hash-partitioning puts whole clusters in one task but may pack
+    MULTIPLE clusters per FASTA — correct for per-record tools and for
+    aligners invoked per-cluster-group; tools that require exactly one
+    cluster per invocation need ``num_partitions >= n_clusters`` or a
+    per-cluster driver loop, which does not scale and is deliberately
+    not offered.
+    """
+    from .operators.external import run_external_tool
+
+    tagged = df.select(
+        F.concat_ws("|", F.col(cluster_col).cast("string"), F.col(id_col).cast("string")).alias("id"),
+        F.col(seq_col).alias("sequence"),
+    )
+    parts = (
+        tagged.repartition(num_partitions, "id")
+        if num_partitions
+        else tagged.repartition(F.split(F.col("id"), "\\|").getItem(0))
+    )
+    out = run_external_tool(parts, command)
+    split_id = F.split(F.col("id"), "\\|", 2)
+    return out.select(
+        split_id.getItem(0).alias(cluster_col),
+        split_id.getItem(1).alias(id_col),
+        "sequence",
+    )

@@ -135,3 +135,47 @@ def test_sliding_chunks_cover_and_overlap(spark, words, window, stride):
         for n, start in enumerate(range(0, len(words), stride))
     }
     assert chunks == expect
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=1, max_size=12).map(
+            lambda ws: " ".join("".join(w) for w in ws)
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@settings(**_SETTINGS)
+def test_crossdoc_overlap_matches_naive(spark, docs):
+    # tiny alphabet + short docs force shingle collisions across docs, so
+    # the dup_frac path (not just the all-unique trivial case) is exercised
+    from gisaid_pipeline_functions_spark.operators.dedup import (
+        crossdoc_shingle_overlap,
+    )
+
+    k = 2
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["dup_frac"])
+        for r in crossdoc_shingle_overlap(df, "doc_id", "text", k=k).collect()
+    }
+    shingle_sets = {
+        i: {
+            " ".join(words[j : j + k])
+            for j in range(len(words) - k + 1)
+        }
+        for i, words in ((i, t.split(" ")) for i, t in enumerate(docs))
+        if len(words) >= k
+    }
+    expect = {}
+    for i, sset in shingle_sets.items():
+        if not sset:
+            continue
+        dup = sum(
+            1
+            for s in sset
+            if any(s in other for j, other in shingle_sets.items() if j != i)
+        )
+        expect[i] = (len(sset), round(dup / len(sset), 6))
+    assert got == expect

@@ -75,3 +75,20 @@ def test_missing_binary_fails_fast(spark):
 def test_placeholders_required(spark):
     with pytest.raises(ValueError, match="placeholders"):
         run_external_tool(_df(spark), ["tool", "-i", "in", "-o", "out"])
+
+
+def test_align_clusters_api_keeps_cluster_tags(spark):
+    from gisaid_pipeline_functions_spark.api import align_clusters
+
+    df = (
+        spark.range(12)
+        .select(
+            (F.col("id") % 3).alias("cluster"),
+            F.col("id").cast("string").alias("id"),
+            F.concat(F.lit("s"), F.col("id")).alias("sequence"),
+        )
+    )
+    out = align_clusters(df, identity_tool_command()).collect()
+    assert {(r["cluster"], r["id"], r["sequence"]) for r in out} == {
+        (str(i % 3), str(i), f"s{i}") for i in range(12)
+    }
