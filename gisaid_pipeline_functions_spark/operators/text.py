@@ -276,3 +276,139 @@ def char_entropy(df, id_col: str = "doc_id", text_col: str = "text"):
     return df.select(
         F.col(id_col), F.round(entropy, 6).alias("char_entropy")
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 1000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_frac: float = 0.80,
+    min_distinct_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher quality-rule filter (Rae et al. 2021 §A1.1, as popularized by
+    the RedPajama/Dolma reproduction pipelines): per-document structural
+    rules — word-count bounds, mean-word-length band, fraction of words
+    containing an alphabetic character, and minimum distinct stopwords —
+    each emitted as its own boolean plus the conjunction ``pass_gopher``.
+
+    Entirely MAP-SIDE (one ``split`` materialized once, higher-order
+    folds over it); at 100 TB this is a pure scan + filter with no
+    shuffle, and the per-rule booleans let a pipeline audit rejection
+    reasons with one grouped count downstream."""
+    text = F.col(text_col)
+    staged = df.select(F.col(id_col), words(text).alias("w"))
+    w = F.col("w")
+    n_words = F.size(w)
+    mean_wlen = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x)) / n_words
+    )
+    alpha_frac = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]"))) / n_words
+    )
+    n_stop = F.size(
+        F.array_distinct(F.filter(w, lambda x: F.lower(x).isin(*STOPWORDS)))
+    )
+    rule_words = (n_words >= min_words) & (n_words <= max_words)
+    rule_wlen = (mean_wlen >= min_mean_word_len) & (mean_wlen <= max_mean_word_len)
+    rule_alpha = alpha_frac >= min_alpha_word_frac
+    rule_stop = n_stop >= min_distinct_stopwords
+    return staged.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        n_stop.cast("long").alias("n_distinct_stopwords"),
+        rule_words.alias("rule_word_count"),
+        rule_wlen.alias("rule_mean_word_len"),
+        rule_alpha.alias("rule_alpha_words"),
+        rule_stop.alias("rule_stopwords"),
+        (rule_words & rule_wlen & rule_alpha & rule_stop).alias("pass_gopher"),
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-trained unigram language-model scoring — the cheap
+    perplexity proxy (the CCNet/KenLM-style quality signal with the
+    n-gram order dropped to 1 so the model is trainable in one
+    aggregation pass over the corpus itself). High mean_neg_logprob =
+    rare-word-heavy documents; perplexity = exp of it.
+
+    Two passes, both shuffle-light at scale:
+    1. TRAIN: explode words → per-word count (map-side partial aggregation
+       shrinks the shuffle to distinct-word cardinality) + one scalar
+       total, cross-joined back (1-row broadcast).
+    2. SCORE: exploded words join the frequency table on the word — NO
+       broadcast hint: the vocabulary of a 100 TB corpus (heavy-tailed,
+       grows ~corpus^0.7 by Heaps' law) is not broadcastable, so AQE
+       picks broadcast only when the measured size fits. Then one
+       groupBy(doc) for count/avg. Documents with zero words drop out on
+       both engines (explode of an empty array emits nothing).
+    """
+    w = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("word")
+    )
+    freq = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("total"))
+    scored = (
+        w.join(freq, "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.avg(-F.log(F.col("c") / F.col("total"))).alias("nlp"),
+        )
+    )
+    return scored.select(
+        F.col(id_col),
+        "n_tokens",
+        F.round(F.col("nlp"), 6).alias("mean_neg_logprob"),
+        F.round(F.exp(F.col("nlp")), 6).alias("perplexity"),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 25,
+) -> DataFrame:
+    """Top-V vocabulary build + per-document out-of-vocabulary rate — the
+    tokenizer-prep audit (how much of each document a V-word vocabulary
+    covers). Deterministic vocabulary: count DESC, word ASC, taken via
+    orderBy+limit (plans as distributed TakeOrderedAndProject — no
+    single-partition window, same shape as the kmeans init in
+    operators/similarity.py). The V-row vocabulary broadcasts to the
+    exploded-word scoring join; one groupBy(doc) finishes.
+    """
+    w = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("word")
+    )
+    vocab = (
+        w.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("word"))
+        .limit(vocab_size)
+        .select("word", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        w.join(F.broadcast(vocab), "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )

@@ -668,3 +668,33 @@ def sim_centroid_outlier(spark, sf_dir):
         "dist",
         (F.col("dist") > F.col("p95")).alias("is_outlier"),
     )
+
+
+@register(
+    "sim_semdedup",
+    # SemDeDup (operators/similarity.py:semdedup) — embedding-cluster
+    # semantic dedup: the learned k-means cells (replayed CTE-by-CTE, same
+    # lattice trick as sim_kmeans_cells) bound the quadratic cosine scan,
+    # and a vector is dropped when a lower-id cell-mate has
+    # round(cos, 6) >= 0.32. Round-before-compare keeps the threshold
+    # decision on the shared 6dp lattice so a boundary pair can't flip
+    # between engines.
+    "WITH "
+    + _kmeans_ctes(k=4, iterations=2, dim=64)
+    + f""",
+    base AS (SELECT e.vec_id, e.v, fin.cell FROM e JOIN fin USING (vec_id)),
+    p AS (
+      SELECT DISTINCT b.vec_id AS b_id
+      FROM base a JOIN base b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round({_cos_sql('a.v', 'b.v')}, 6) >= 0.32
+    )
+    SELECT vec_id, cell,
+           vec_id NOT IN (SELECT b_id FROM p) AS kept
+    FROM base
+    """,
+)
+def sim_semdedup(spark, sf_dir):
+    from ..operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, k=4, iterations=2, threshold=0.32)

@@ -74,6 +74,10 @@ _RECHECK_FIRST = frozenset(
         "dedup_cluster_keep_first",  # broadcast hint removed (VERDICT r4 #3)
         "dedup_mllib_minhash",  # no_oracle → recall-contract hash gate (VERDICT r4 #4)
         "topk_pagination",  # NULL-safe bucket sentinel in paginate (ADVICE r4)
+        # forced vocab broadcast removed (the VERDICT-r4 drop-list
+        # anti-pattern, applied to the corpus word table), words
+        # empty-filtered on both sides, perplexity column added:
+        "text_unigram_logprob",
     }
 )
 
