@@ -41,6 +41,10 @@ HEADLINE = [
     # dedup_cluster_keep_first 2.42 s are job-count-bound at toy scale)
     "join_interval_overlap",
     "agg_hll_sketch_merge",
+    # round 5 (sf0.1 warm cost checked: 0.58 s map-side — the text
+    # quality-rule family's representative; agg_cms_heavy_hitters 1.5 s
+    # and sim_semdedup 3.2 s stayed out, job-count-bound at toy scale)
+    "text_gopher_rules",
 ]
 
 

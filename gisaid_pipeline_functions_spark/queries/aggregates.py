@@ -312,3 +312,81 @@ def agg_grouping_sets_explicit(spark, sf_dir):
         GROUP BY GROUPING SETS ((r.r_name), (o.o_orderpriority))
         """
     )
+
+
+@register(
+    "agg_cms_heavy_hitters",
+    # Count-min sketch frequency estimation (operators/sketches.py) —
+    # the mergeable-sketch companion to agg_hll_sketch_merge: a 4×64
+    # counter grid built over the corpus word stream (shuffle is the
+    # CONSTANT grid, not the vocabulary), point-estimated for the top-20
+    # exact heavy hitters. Hashing is md5-positional, so this oracle
+    # replays the EXACT grid and the driver hash covers the estimates
+    # themselves — plus the Cormode–Muthukrishnan guarantee (estimates
+    # never underestimate) as an always-TRUE boolean.
+    """
+    WITH w AS (
+      SELECT unnest(list_filter(string_split(text, ' '),
+                                x -> length(x) > 0)) AS word
+      FROM documents
+    ),
+    wc AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+    cand AS (
+      SELECT word, n FROM wc
+      QUALIFY row_number() OVER (ORDER BY n DESC, word) <= 20
+    ),
+    rs AS (SELECT unnest(range(4)) AS r),
+    cells AS (
+      SELECT r,
+             CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || word), 1, 8))
+                  AS BIGINT) % 64 AS c,
+             count(*) AS cnt
+      FROM w CROSS JOIN rs GROUP BY r, c
+    ),
+    est AS (
+      SELECT cand.word, cand.n, min(cells.cnt) AS cms_est
+      FROM cand CROSS JOIN rs
+      JOIN cells ON cells.r = rs.r
+       AND cells.c = CAST(('0x' || substr(md5(CAST(rs.r AS VARCHAR) || ':' || cand.word), 1, 8))
+                          AS BIGINT) % 64
+      GROUP BY cand.word, cand.n
+    )
+    SELECT word, CAST(n AS BIGINT) AS exact_n,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           cms_est >= n AS never_underestimates
+    FROM est
+    """,
+)
+def agg_cms_heavy_hitters(spark, sf_dir):
+    from ..operators.sketches import cms_point_estimates, cms_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+        ).alias("word")
+    )
+    # the ×depth hash fanout is CPU-bound and a single-file parquet scan
+    # arrives as ONE partition — spread it across the executor pool first
+    # (same guard as the variant kernel, operators/variant_caller.py:305);
+    # then materialize once for the three consumers (sketch build, exact
+    # heavy-hitter scan, probe join), same reuse pattern as
+    # agg_hll_sketch_merge's per-type sketches
+    target = spark.sparkContext.defaultParallelism
+    if w.rdd.getNumPartitions() < target:
+        w = w.repartition(target)
+    w = w.localCheckpoint(eager=True)
+    sketch = cms_sketch(w, "word", depth=4, width=64)
+    cand = (
+        w.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("word"))
+        .limit(20)
+    )
+    est = cms_point_estimates(sketch, cand.select("word"), "word", depth=4, width=64)
+    return cand.join(est, "word").select(
+        "word",
+        F.col("exact_n").cast("long").alias("exact_n"),
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_n")).alias("never_underestimates"),
+    )

@@ -210,3 +210,37 @@ def test_headline_plan_hygiene(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         if "BroadcastNestedLoopJoin" in plan:
             assert name in bnlj_sanctioned, f"unsanctioned BNLJ in {name}"
+
+
+def test_cms_sketch_partial_aggregation(spark, sf_dir):
+    # the count-min grid must collapse map-side BEFORE the shuffle
+    # (partial_count under the exchange) — that's the constant-shuffle
+    # property the sketch exists for
+    plan = formatted_plan(spark, sf_dir, "agg_cms_heavy_hitters")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_is_equi_join_on_cell(spark, sf_dir):
+    # the within-cell pair scan must be an equi-join on the cell key —
+    # never a cartesian over the corpus. (BroadcastNestedLoopJoin IS
+    # present and sanctioned: kmeans_assign crossJoins each vector with
+    # the k-row centroid table — a constant-size build side.)
+    plan = formatted_plan(spark, sf_dir, "sim_semdedup")
+    assert "CartesianProduct" not in plan
+    import re
+
+    joins = re.findall(r"\(\d+\) (\w+Join\w*)", plan)
+    equi = [j for j in joins if j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")]
+    assert equi, f"no equi join in plan: {joins}"
+
+
+def test_gopher_rules_single_codegen_scan(spark, sf_dir):
+    # map-side rule folds: one scan, no exchange, no Python
+    plan = formatted_plan(spark, sf_dir, "text_gopher_rules")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    import re
+
+    # one scan node (formatted output names each node twice: tree + detail)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1

@@ -1,0 +1,59 @@
+"""Count-min sketch properties the DuckDB oracle can't express:
+mergeability (the reason the sketch exists at 100 TB) and the
+never-underestimate guarantee over every key, not just the top-20."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from gisaid_pipeline_functions_spark.operators.sketches import (
+    cms_point_estimates,
+    cms_sketch,
+)
+
+
+def _keys(spark, ks):
+    return spark.createDataFrame([Row(key=k) for k in ks])
+
+
+class TestCountMin:
+    def test_merge_equals_whole(self, spark):
+        # cell-wise sum of two shard sketches == sketch of the union —
+        # the partial-aggregation / day-to-month rollup safety property
+        a = ["x"] * 5 + ["y"] * 3 + ["z"]
+        b = ["x"] * 2 + ["w"] * 4
+        sk_a = cms_sketch(_keys(spark, a), depth=2, width=8)
+        sk_b = cms_sketch(_keys(spark, b), depth=2, width=8)
+        merged = (
+            sk_a.unionByName(sk_b)
+            .groupBy("r", "c")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        whole = cms_sketch(_keys(spark, a + b), depth=2, width=8)
+        m = {(r["r"], r["c"]): r["cnt"] for r in merged.collect()}
+        w = {(r["r"], r["c"]): r["cnt"] for r in whole.collect()}
+        assert m == w
+
+    def test_never_underestimates_every_key(self, spark):
+        import collections
+
+        keys = [f"k{i % 7}" for i in range(50)] + ["rare"]
+        exact = collections.Counter(keys)
+        sk = cms_sketch(_keys(spark, keys), depth=3, width=4)  # tiny → collisions
+        est = {
+            r["key"]: r["cms_est"]
+            for r in cms_point_estimates(
+                sk, _keys(spark, list(exact)), depth=3, width=4
+            ).collect()
+        }
+        assert set(est) == set(exact)
+        for k, n in exact.items():
+            assert est[k] >= n, (k, est[k], n)
+
+    def test_grid_is_constant_size(self, spark):
+        sk = cms_sketch(_keys(spark, [f"k{i}" for i in range(200)]), depth=4, width=16)
+        rows = sk.collect()
+        assert len(rows) <= 4 * 16
+        assert {r["r"] for r in rows} == {0, 1, 2, 3}
+        assert all(0 <= r["c"] < 16 for r in rows)
