@@ -76,3 +76,104 @@ def cms_point_estimates(
         .groupBy(key_col)
         .agg(F.min("cnt").cast("long").alias("cms_est"))
     )
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str = "key", n_bits: int = 4096, n_hashes: int = 3
+) -> DataFrame:
+    """Build a Bloom filter over a key set as DATA: a single row holding a
+    dense ``n_bits/64``-element long array. (Spark's own
+    ``bloom_filter_agg`` is optimizer-internal, not a public function —
+    this is the same structure built from public primitives.)
+
+    Each key sets ``n_hashes`` bits (md5-positional hashing, DuckDB-
+    replayable); per-word ``bit_or`` collapses map-side exactly like the
+    count-min grid — the shuffle carries ≤ words × partitions partial
+    rows, the result is CONSTANT-size regardless of key count, and two
+    filters over key shards merge by element-wise OR."""
+    n_words = (n_bits + 63) // 64
+    rows = F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("i")
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("i").cast("string"),
+                        F.lit(":"),
+                        F.col("_k").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_bits
+    )
+    cells = (
+        keys.select(F.col(key_col).alias("_k"))
+        .select(rows, F.col("_k"))
+        .select(pos.alias("p"))
+        # shiftleft needs a column shift count -> SQL form
+        .select(
+            (F.col("p") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("m"),
+        )
+    )
+    words = cells.groupBy("w").agg(F.bit_or("m").alias("bits"))
+    # densify to a fixed array (index = word) so membership is one
+    # element_at per probe — a single broadcastable row
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("_m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),
+            lambda w: F.coalesce(F.element_at("_m", w), F.lit(0).cast("long")),
+        ).alias("bloom")
+    )
+
+
+def bloom_might_contain(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    n_bits: int = 4096,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Filter ``df`` to rows whose key MIGHT be in the filter — the
+    semi-join reduction that drops fact rows BEFORE the join shuffle.
+    The one-row bitset crossJoins in broadcast; the membership test is a
+    pure map-side expression (``n_hashes`` element_at + bit tests), so
+    the pre-filter adds zero shuffles. No false negatives by
+    construction: every true match survives, and the exact join after
+    the filter removes the false positives."""
+
+    def pos_expr(i: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(str(i)), F.lit(":"), F.col(key_col).cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n_bits
+        )
+
+    probed = df.crossJoin(F.broadcast(bloom))
+    cond = F.lit(True)
+    for i in range(n_hashes):
+        probed = probed.withColumn(f"_p{i}", pos_expr(i))
+        word = F.element_at("bloom", ((F.col(f"_p{i}") / 64).cast("int") + 1))
+        bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % 64 AS INT))")
+        cond = cond & (word.bitwiseAND(bit) != 0)
+    return probed.filter(cond).drop(
+        "bloom", *[f"_p{i}" for i in range(n_hashes)]
+    )

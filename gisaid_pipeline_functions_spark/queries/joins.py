@@ -229,3 +229,45 @@ def join_interval_overlap(spark, sf_dir):
     return interval_overlap_join(a, b, ["day"]).select(
         "user_id", "event_type", "day", "overlap_micros"
     )
+
+
+@register(
+    "join_bloom_prefilter",
+    # Bloom-filter semi-join reduction (operators/sketches.py:bloom_build
+    # / bloom_might_contain): a constant-size bitset built over the
+    # BUILDING-segment customer keys pre-filters orders MAP-SIDE before
+    # the join shuffle — the classic 100 TB fact×dim reduction (what
+    # Spark's runtime row-level filtering does internally, built here
+    # from public primitives so it also works across stages/jobs). The
+    # oracle is the PLAIN join: a Bloom filter may only change
+    # performance, never results — a false negative (dropped true match)
+    # hash-fails this row. tests/test_sketches.py pins the selectivity
+    # (the filter must actually drop most non-members) and mergeability.
+    """
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 6) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY c.c_nationkey
+    """,
+)
+def join_bloom_prefilter(spark, sf_dir):
+    from ..operators.sketches import bloom_build, bloom_might_contain
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    bloom = bloom_build(cust.select("c_custkey"), "c_custkey")
+    pre = bloom_might_contain(orders, "o_custkey", bloom)
+    return (
+        pre.join(cust.select("c_custkey", "c_nationkey"),
+                 pre.o_custkey == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+        )
+    )

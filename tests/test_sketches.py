@@ -57,3 +57,37 @@ class TestCountMin:
         assert len(rows) <= 4 * 16
         assert {r["r"] for r in rows} == {0, 1, 2, 3}
         assert all(0 <= r["c"] < 16 for r in rows)
+
+
+class TestBloom:
+    def test_no_false_negatives_and_real_selectivity(self, spark):
+        from gisaid_pipeline_functions_spark.operators.sketches import (
+            bloom_build,
+            bloom_might_contain,
+        )
+
+        members = _keys(spark, [f"m{i}" for i in range(300)])
+        probe = _keys(
+            spark, [f"m{i}" for i in range(300)] + [f"x{i}" for i in range(1000)]
+        )
+        bloom = bloom_build(members, n_bits=4096, n_hashes=3)
+        passed = {
+            r["key"] for r in bloom_might_contain(probe, "key", bloom).collect()
+        }
+        # every member survives (a false negative silently corrupts joins)
+        assert all(f"m{i}" in passed for i in range(300))
+        # and the filter actually filters: FPR ~0.8% expected at this
+        # sizing, so well under 10% of the 1000 non-members leak through
+        leaked = sum(1 for k in passed if k.startswith("x"))
+        assert leaked < 100, leaked
+
+    def test_shard_merge_is_elementwise_or(self, spark):
+        from gisaid_pipeline_functions_spark.operators.sketches import bloom_build
+
+        a = _keys(spark, [f"a{i}" for i in range(50)])
+        b = _keys(spark, [f"b{i}" for i in range(50)])
+        both = _keys(spark, [f"a{i}" for i in range(50)] + [f"b{i}" for i in range(50)])
+        wa = bloom_build(a, n_bits=512).collect()[0]["bloom"]
+        wb = bloom_build(b, n_bits=512).collect()[0]["bloom"]
+        ww = bloom_build(both, n_bits=512).collect()[0]["bloom"]
+        assert [x | y for x, y in zip(wa, wb)] == list(ww)
