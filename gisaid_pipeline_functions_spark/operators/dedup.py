@@ -349,7 +349,7 @@ def mllib_minhash_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    jaccard_distance_threshold: float = 0.9,
+    jaccard_distance_threshold: float = 0.55,
     num_hash_tables: int = 8,
     vocab_size: int = 1 << 18,
 ) -> DataFrame:
@@ -357,10 +357,18 @@ def mllib_minhash_pairs(
     word-shingle sets → HashingTF sparse vectors → approxSimilarityJoin.
 
     Results aren't oracle-comparable (MLlib's hash family is
-    JVM-internal), so this registers as a rows-only check; the
-    md5-portable pipeline above is the hash-matched one. Kept because at
-    cluster scale the MLlib estimator gives bucketed join pruning with
-    zero custom code — the idiomatic first reach."""
+    JVM-internal), so the driver gate is the recall contract in
+    queries/dedup.py:dedup_mllib_minhash; the md5-portable pipeline above
+    is the hash-matched one. Kept because at cluster scale the MLlib
+    estimator gives bucketed join pruning with zero custom code — the
+    idiomatic first reach.
+
+    The distance threshold only post-filters bucket collisions, so it
+    bounds the JOIN OUTPUT, not recall of the hash tables: 0.55 keeps
+    every pair with measured similarity ≥ 0.45 — a 0.05 margin under the
+    contract's exact-Jaccard ≥ 0.5 band against HashingTF collision
+    distortion — and halves the join wall vs the old 0.9 (which dragged
+    every sim ≥ 0.1 pair through the exact-distance post-filter)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     sh = word_shingles(df, id_col, text_col).groupBy("id").agg(

@@ -250,14 +250,31 @@ def dedup_mllib_minhash(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     sh = word_shingles(docs, "doc_id", "text", k=3)
-    truth_pairs = (
+    # one-pass truth generator, mirroring the oracle: the shingle
+    # self-join groups STRAIGHT into per-pair intersection counts — no
+    # distinct-pairs materialization and no second two-sided shingle
+    # join (the old shape re-joined shingles per candidate pair; this
+    # halves the truth side's wall at sf0.1). The ≥ 0.5 band is filtered
+    # on the UNROUNDED ratio, exactly as the oracle's WHERE clause.
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
         sh.alias("a")
         .join(sh.alias("b"), "shingle")
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    truth = jaccard_pairs(sh, truth_pairs).filter(F.col("jaccard") >= 0.5)
+    ratio = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    truth = (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a"
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b"
+        )
+        .filter(ratio >= 0.5)
+        .select("id_a", "id_b", F.round(ratio, 6).alias("jaccard"))
+    )
     candidates = mllib_minhash_pairs(docs, "doc_id", "text").select(
         "id_a", "id_b", F.lit(True).alias("mllib_covered")
     )
