@@ -71,10 +71,14 @@ def cms_point_estimates(
     probes = probes.select(
         key_col, "r", _cms_cell(F.col("r"), F.col(key_col), width).alias("c")
     )
+    # LEFT join + coalesce-0: the grid stores only touched cells, so a
+    # key absent from the build stream probes missing cells — those are
+    # ZERO counters (est 0), not rows to drop (an inner join would take
+    # the min over the surviving cells only and overestimate absentees)
     return (
-        probes.join(F.broadcast(sketch), ["r", "c"])
+        probes.join(F.broadcast(sketch), ["r", "c"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").cast("long").alias("cms_est"))
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("cms_est"))
     )
 
 

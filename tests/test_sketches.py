@@ -51,6 +51,18 @@ class TestCountMin:
         for k, n in exact.items():
             assert est[k] >= n, (k, est[k], n)
 
+    def test_absent_key_estimates_zero_or_collision(self, spark):
+        # a key never inserted probes untouched (zero) cells — the
+        # estimate must be 0 unless ALL its cells collide with real keys
+        sk = cms_sketch(_keys(spark, ["a", "b", "c"]), depth=4, width=64)
+        est = {
+            r["key"]: r["cms_est"]
+            for r in cms_point_estimates(
+                sk, _keys(spark, ["zzz-not-inserted"]), depth=4, width=64
+            ).collect()
+        }
+        assert est["zzz-not-inserted"] == 0
+
     def test_grid_is_constant_size(self, spark):
         sk = cms_sketch(_keys(spark, [f"k{i}" for i in range(200)]), depth=4, width=16)
         rows = sk.collect()
