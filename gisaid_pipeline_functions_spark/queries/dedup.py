@@ -571,10 +571,10 @@ def dedup_cluster_size_histogram(spark, sf_dir):
     hist = sizes.groupBy(F.col("csize").cast("long").alias("cluster_size")).agg(
         F.count(F.lit(1)).cast("long").alias("n_clusters")
     )
-    singles = F.broadcast(
-        hist.sparkSession.createDataFrame(
-            [(1, total - in_comp)], "cluster_size long, n_clusters long"
-        )
+    # (no broadcast hint: this 1-row frame feeds a UNION, where a join
+    # hint is meaningless — Spark drops it with a HintErrorLogger warning)
+    singles = hist.sparkSession.createDataFrame(
+        [(1, total - in_comp)], "cluster_size long, n_clusters long"
     )
     return (
         hist.unionByName(singles)

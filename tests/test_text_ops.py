@@ -255,3 +255,90 @@ class TestSemDeDup:
             if isinstance(n, ast.Call)
         ]
         assert "broadcast" not in calls
+
+
+class TestFuzzAgainstPythonReference:
+    """Seeded random-corpus cross-check: the Column-expression operators
+    must agree with straightforward pure-Python reimplementations on
+    inputs uglier than the testdata (empty docs, repeated words, unicode
+    punctuation, single chars). One Spark job per operator."""
+
+    def _fuzz_docs(self):
+        import random
+
+        rng = random.Random(20260814)
+        alphabet = ["the", "a", "of", "zz", "q", "##", "12", "λ", "word",
+                    "longishword", "x" * 30, ""]
+        docs = []
+        for i in range(120):
+            n = rng.randint(0, 12)
+            docs.append(" ".join(rng.choice(alphabet) for _ in range(n)))
+        docs += ["", " ", "  ", "the the the", "λ λ λ"]
+        return docs
+
+    def test_gopher_rules_fuzz(self, spark):
+        import re
+
+        texts = self._fuzz_docs()
+        out = {
+            r["doc_id"]: r
+            for r in gopher_rules(
+                _docs(spark, texts), "doc_id", "text", min_words=3, max_words=8
+            ).collect()
+        }
+        stop = {"the", "a", "of", "and", "to", "in", "is"}
+        for i, t in enumerate(texts):
+            w = [x for x in t.split(" ") if x]
+            n = len(w)
+            mwl = sum(len(x) for x in w) / n if n else 0.0
+            af = sum(1 for x in w if re.search("[a-zA-Z]", x)) / n if n else 0.0
+            ns = len({x.lower() for x in w} & stop)
+            r = out[i]
+            assert r["n_words"] == n, (i, t)
+            assert abs(r["mean_word_len"] - round(mwl, 6)) < 1e-6, (i, t)
+            assert abs(r["alpha_word_frac"] - round(af, 6)) < 1e-6, (i, t)
+            assert r["n_distinct_stopwords"] == ns, (i, t)
+            assert r["rule_word_count"] == (3 <= n <= 8), (i, t)
+            assert r["pass_gopher"] == (
+                (3 <= n <= 8) and (3.0 <= mwl <= 10.0) and af >= 0.8 and ns >= 2
+            ), (i, t)
+
+    def test_unigram_logprob_fuzz(self, spark):
+        import collections
+        import math
+
+        texts = self._fuzz_docs()
+        words_per_doc = {i: [x for x in t.split(" ") if x] for i, t in enumerate(texts)}
+        freq = collections.Counter(w for ws in words_per_doc.values() for w in ws)
+        total = sum(freq.values())
+        out = {
+            r["doc_id"]: r
+            for r in unigram_logprob(_docs(spark, texts), "doc_id", "text").collect()
+        }
+        for i, ws in words_per_doc.items():
+            if not ws:
+                assert i not in out
+                continue
+            nlp = sum(-math.log(freq[w] / total) for w in ws) / len(ws)
+            assert out[i]["n_tokens"] == len(ws)
+            assert abs(out[i]["mean_neg_logprob"] - nlp) < 1e-5, (i, ws)
+
+    def test_vocab_coverage_fuzz(self, spark):
+        import collections
+
+        texts = self._fuzz_docs()
+        words_per_doc = {i: [x for x in t.split(" ") if x] for i, t in enumerate(texts)}
+        freq = collections.Counter(w for ws in words_per_doc.values() for w in ws)
+        vocab = {w for w, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:5]}
+        out = {
+            r["doc_id"]: r
+            for r in vocab_coverage(
+                _docs(spark, texts), "doc_id", "text", vocab_size=5
+            ).collect()
+        }
+        for i, ws in words_per_doc.items():
+            if not ws:
+                assert i not in out
+                continue
+            oov = sum(1 for w in ws if w not in vocab)
+            assert out[i]["n_oov"] == oov, (i, ws)
