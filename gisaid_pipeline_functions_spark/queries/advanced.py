@@ -361,3 +361,58 @@ def streaming_enrich_hash(spark, sf_dir):
     return run_stream_to_memory(
         spark, out, "enrich_stream_drv_" + uuid.uuid4().hex[:8]
     )
+
+
+@register(
+    "streaming_join_hash",
+    # Stream-STREAM interval join under a direct driver hash — the final
+    # Structured Streaming join shape (windows, sessions, stateful dedup,
+    # and stream-static enrich are already driver-proven). The events
+    # backlog streams as TWO time-ordered micro-batch files — all clicks
+    # first, all purchases second — so every attribution pair crosses a
+    # micro-batch boundary and can only be produced from RETAINED
+    # click-side join state (a state-store regression emits zero rows,
+    # not approximately-right rows). Watermarks on both sides + the
+    # event-time range predicate give Spark the eviction bound; the
+    # global watermark stays at the epoch until the purchase side sees
+    # data, so no click state can be evicted before batch 2 joins it.
+    # Oracle: the equivalent batch interval self-join.
+    """
+    SELECT a.user_id, a.ts AS click_ts, b.ts AS purchase_ts,
+           round(a.value, 6) AS click_value,
+           round(b.value, 6) AS purchase_value
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def streaming_join_hash(spark, sf_dir):
+    import os
+    import uuid
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..queries.roundtrip import _scratch_dir
+    from ..streaming.join import streaming_click_attribution
+    from ..streaming.source import stream_events
+    from ..streaming.weekly import run_stream_to_memory
+
+    src = _scratch_dir("gisaid_join_stream_")
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    for i, kind in enumerate(("click", "purchase")):
+        pq.write_table(
+            t.filter(pc.equal(t.column("event_type"), kind)),
+            f"{src}/part-{i}.parquet",
+        )
+        # file-source batch order = modification time
+        os.utime(f"{src}/part-{i}.parquet", (1_700_000_000 + i * 10,) * 2)
+    return run_stream_to_memory(
+        spark,
+        streaming_click_attribution(
+            stream_events(spark, src, glob=None, max_files_per_trigger=1)
+        ),
+        "join_stream_drv_" + uuid.uuid4().hex[:8],
+        output_mode="append",
+    )

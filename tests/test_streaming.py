@@ -275,3 +275,35 @@ def test_stream_source_adapts_to_parquet_ts_unit(spark, sf_dir, tmp_path, unit):
         ("2021-03-07", "view"): 1,
         ("2021-03-07", "click"): 1,
     }
+
+
+def test_stream_stream_join_matches_batch_across_batches(spark, sf_dir):
+    """The attribution pairs must come out of RETAINED join state: the
+    driver query streams all clicks in micro-batch 1 and all purchases in
+    micro-batch 2, so zero pairs are co-batch. Output must equal the
+    batch interval self-join exactly."""
+    from gisaid_pipeline_functions_spark.queries.advanced import streaming_join_hash
+    from gisaid_pipeline_functions_spark.sources.tables import load_table
+
+    got = sorted(
+        (r["user_id"], r["click_ts"], r["purchase_ts"])
+        for r in streaming_join_hash(spark, sf_dir).collect()
+    )
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts")
+    )
+    want = sorted(
+        (r["user_id"], r["click_ts"], r["purchase_ts"])
+        for r in clicks.join(
+            purchases,
+            F.expr(
+                """user_id = p_user AND purchase_ts >= click_ts
+                   AND purchase_ts <= click_ts + INTERVAL 30 minutes"""
+            ),
+        ).collect()
+    )
+    assert got == want and len(got) > 0
