@@ -503,3 +503,121 @@ def crossdoc_shingle_overlap(
             ).alias("dup_frac"),
         )
     )
+
+
+def span_surgery(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_run: int = 3,
+) -> DataFrame:
+    """Span-level exact-substring dedup SURGERY (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr): remove from every document the word spans that are
+    repeated verbatim across documents, keeping the rest of the text
+    intact. This is the operator `crossdoc_shingle_overlap` triages FOR —
+    that one scores how much of a doc is duplicated span; this one cuts
+    the spans out.
+
+    Semantics (deterministic, oracle-replayable):
+    - a word k-gram shingle is *duplicated* when it occurs in ≥ 2
+      DISTINCT documents (within-doc repeats alone don't flag);
+    - per document, maximal runs of CONSECUTIVE duplicated shingle start
+      positions (gaps-and-islands) of length ≥ ``min_run`` become
+      removal spans covering words ``[run_start, run_end + k - 1]`` —
+      the min_run floor plays the role of the paper's 50-token minimum
+      match length, filtering coincidental single-shingle collisions;
+    - covered words are removed from EVERY document carrying the span
+      (the paper's default: a span that memorization-risks one doc risks
+      them all) and the text is rebuilt from the survivors in order.
+
+    Scale shape (suffix arrays don't distribute; shingle runs do):
+    - shingles are md5-hashed BEFORE the shuffle (32-hex keys, not raw
+      k-word strings); docs-per-shingle is ONE count aggregation — the
+      same budget class as crossdoc_shingle_overlap, no pair or span
+      enumeration across documents anywhere;
+    - the duplicated-hash set joins back WITHOUT a broadcast hint (it
+      scales with the corpus — the VERDICT-r4 drop-list anti-pattern);
+    - run detection is a per-document window (partitionBy doc id —
+      parallel across the corpus) + one groupBy;
+    - the rebuild is a map-side higher-order filter over the word array
+      against the doc's own (few) spans; overlapping spans (< k words
+      apart) union naturally through the per-position membership test,
+      so removed-word counts never double-count.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        F.split(F.col(text_col), " ").alias("w"),
+    )
+    w = F.col("w")
+    # (pos, hash) per shingle start; the word array is a materialized
+    # attribute so element_at doesn't re-evaluate split() (CLAUDE.md rule)
+    starts = F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - k),
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        *[F.element_at(w, (i + j + 1).cast("int")) for j in range(k)],
+                    )
+                ).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:long,h:string>>"))
+    sh = base.select("id", F.explode(starts).alias("s")).select(
+        "id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h")
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    ds = sh.join(dup, "h").select("id", "pos")
+
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("id").orderBy("pos")
+    runs = (
+        ds.withColumn("isl", F.col("pos") - F.row_number().over(win))
+        .groupBy("id", "isl")
+        .agg(
+            F.min("pos").alias("lo"),
+            (F.max("pos") + F.lit(k - 1)).alias("hi"),
+            F.count(F.lit(1)).alias("rl"),
+        )
+        .filter(F.col("rl") >= min_run)
+    )
+    spans = runs.groupBy("id").agg(
+        F.collect_list(F.struct("lo", "hi")).alias("sp"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+    )
+    joined = base.join(spans, "id", "left")
+    idxs = F.sequence(F.lit(0).cast("long"), (F.size(w) - 1).cast("long"))
+    keep = F.filter(
+        idxs,
+        lambda i: ~F.exists(
+            F.col("sp"), lambda s: (i >= s["lo"]) & (i <= s["hi"])
+        ),
+    )
+    touched = F.col("n_spans").isNotNull()
+    clean = F.when(
+        touched,
+        F.array_join(
+            F.transform(keep, lambda i: F.element_at(w, (i + 1).cast("int"))), " "
+        ),
+    ).otherwise(F.col("text"))
+    n_removed = (
+        F.when(touched, F.size(w) - F.size(keep)).otherwise(F.lit(0)).cast("long")
+    )
+    return joined.select(
+        F.col("id").alias("doc_id"),
+        clean.alias("clean_text"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        n_removed.alias("n_removed_words"),
+    )

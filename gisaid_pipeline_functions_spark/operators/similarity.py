@@ -613,8 +613,11 @@ def semdedup(
     corpus. A vector is dropped when a lower-id vector in the same cell
     has cosine ≥ threshold (the paper keeps one representative per
     near-dup set; lowest-id-wins is the deterministic tie-break this repo
-    uses everywhere, and matches dedup_near_keep_first's greedy
-    semantics).
+    uses everywhere). Note the rule is PAIRWISE lowest-id-wins — a vector
+    survives unless some lower id is directly similar to it — which is
+    NOT the transitive component keep-first of dedup_near_keep_first
+    (edges 3–5, 4–5: this keeps {3, 4}; component keep-first keeps {3}).
+    The DuckDB oracle implements the same pairwise rule, so parity holds.
 
     Scale shape: the k-means reuses ``kmeans_assign`` (per-iteration cost
     = one k-row broadcast join + a dim-sized agg); the within-cell

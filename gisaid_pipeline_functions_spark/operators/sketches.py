@@ -11,9 +11,11 @@ guarantee). Companion to the HLL rollup in queries/windows.py
 (agg_hll_sketch_merge) — that one gates distinct counting, this one gates
 frequency estimation.
 
-Hashing is md5-positional (``hex_uniform_u32`` — operators/training.py)
-so a DuckDB oracle replays the EXACT counter grid; the driver gate is a
-full value hash, not just a bounded-error contract.
+Hashing is md5-prefix via ``conv(hex, 16, 10)`` — the same first-8
+hex digits as ``hex_uniform_u32`` (operators/training.py) but a single
+codegen ``conv`` instead of its 8-term positional decode (see
+``_cms_cell``) — so a DuckDB oracle replays the EXACT counter grid; the
+driver gate is a full value hash, not just a bounded-error contract.
 """
 
 from __future__ import annotations
@@ -151,7 +153,15 @@ def bloom_might_contain(
     pure map-side expression (``n_hashes`` element_at + bit tests), so
     the pre-filter adds zero shuffles. No false negatives by
     construction: every true match survives, and the exact join after
-    the filter removes the false positives."""
+    the filter removes the false positives.
+
+    Internal columns use a ``__bloom…__`` namespace so a caller frame
+    that happens to carry ``bloom`` or ``_p0`` is not clobbered (ADVICE
+    r5); the namespace itself is asserted free."""
+    reserved = {"__bloom_bits__"} | {f"__bloom_p{i}__" for i in range(n_hashes)}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"input columns collide with bloom internals: {sorted(clash)}")
 
     def pos_expr(i: int):
         return (
@@ -171,13 +181,19 @@ def bloom_might_contain(
             % n_bits
         )
 
-    probed = df.crossJoin(F.broadcast(bloom))
+    probed = df.crossJoin(
+        F.broadcast(bloom.select(F.col("bloom").alias("__bloom_bits__")))
+    )
     cond = F.lit(True)
     for i in range(n_hashes):
-        probed = probed.withColumn(f"_p{i}", pos_expr(i))
-        word = F.element_at("bloom", ((F.col(f"_p{i}") / 64).cast("int") + 1))
-        bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % 64 AS INT))")
+        probed = probed.withColumn(f"__bloom_p{i}__", pos_expr(i))
+        word = F.element_at(
+            "__bloom_bits__", ((F.col(f"__bloom_p{i}__") / 64).cast("int") + 1)
+        )
+        bit = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(__bloom_p{i}__ % 64 AS INT))"
+        )
         cond = cond & (word.bitwiseAND(bit) != 0)
     return probed.filter(cond).drop(
-        "bloom", *[f"_p{i}" for i in range(n_hashes)]
+        "__bloom_bits__", *[f"__bloom_p{i}__" for i in range(n_hashes)]
     )

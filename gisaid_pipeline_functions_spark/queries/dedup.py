@@ -564,7 +564,13 @@ def dedup_cluster_size_histogram(spark, sf_dir):
     pairs = lsh_candidate_pairs(sig, n_bands=2, rows_per_band=4).select(
         "id_a", "id_b"
     )
-    comp = connected_components(pairs)
+    # persist: the singleton complement (count below) and the returned
+    # histogram are TWO actions over comp — without the cache, the whole
+    # shingle→MinHash→banded-join→iterative-CC chain runs twice per
+    # invocation (VERDICT r5 "What's wrong #1"; at 100 TB the CC chain is
+    # the expensive part of the pipeline). comp is id→component pairs —
+    # tiny relative to the corpus — so MEMORY_AND_DISK is safe.
+    comp = connected_components(pairs).persist()
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
     in_comp = comp.count()
     total = docs.count()
@@ -613,3 +619,68 @@ def dedup_crossdoc_overlap(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return crossdoc_shingle_overlap(docs, "doc_id", "text", k=5)
+
+
+@register(
+    "dedup_span_surgery",
+    # Span-level exact-substring dedup SURGERY (Lee et al. 2022): word
+    # 5-gram shingles repeated across >= 2 distinct docs, maximal runs of
+    # >= 3 consecutive dup starts become removal spans [lo, hi+k-1], and
+    # every doc is rebuilt with its covered words cut out. The oracle
+    # replays the whole chain — hash, island detection, span union via
+    # per-position membership, text rebuild — so clean_text is
+    # value-hashed verbatim, not just counted.
+    """
+    WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+        SELECT doc_id,
+               unnest([{'pos': i - 1,
+                        'h': md5(array_to_string(w[i:i+4], ' '))}
+                       FOR i IN range(1, len(w) - 3)]) AS u
+        FROM base)
+    ),
+    dup AS (
+      SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM sh GROUP BY h) t
+      WHERE nd >= 2
+    ),
+    ds AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (h)),
+    runs AS (
+      SELECT doc_id, min(pos) AS lo, max(pos) + 4 AS hi
+      FROM (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+            FROM ds)
+      GROUP BY doc_id, isl
+      HAVING count(*) >= 3
+    ),
+    spans AS (
+      SELECT doc_id, list({'lo': lo, 'hi': hi}) AS sp,
+             count(*) AS n_spans
+      FROM runs GROUP BY doc_id
+    ),
+    rebuilt AS (
+      SELECT b.doc_id,
+             [x FOR x IN range(0, len(b.w))
+              IF len(list_filter(s.sp, e -> x BETWEEN e.lo AND e.hi)) = 0] AS keep,
+             b.w AS w, s.n_spans AS n_spans
+      FROM base b JOIN spans s USING (doc_id)
+    )
+    SELECT doc_id,
+           -- COALESCE: DuckDB array_to_string([]) is NULL, Spark
+           -- array_join([]) is '' — a fully-excised doc is empty text
+           COALESCE(array_to_string([w[x + 1] FOR x IN keep], ' '), '')
+             AS clean_text,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(len(w) - len(keep) AS BIGINT) AS n_removed_words
+    FROM rebuilt
+    UNION ALL
+    SELECT doc_id, text, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM base
+    WHERE doc_id NOT IN (SELECT doc_id FROM spans)
+    """,
+)
+def dedup_span_surgery(spark, sf_dir):
+    from ..operators.dedup import span_surgery
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_surgery(docs, "doc_id", "text", k=5, min_run=3)

@@ -56,28 +56,17 @@ def register(name: str, sql: str | None = None):
 # the round the change was made in — forced to the front until a green
 # driver row from that round (or later) exists, then they rotate back
 # into the normal staleness order automatically.
-_RECHECK_ROUND = 5
+_RECHECK_ROUND = 6
 _RECHECK_FIRST = frozenset(
     {
-        # round 5: the ONLY two r4 hash-fails — both adjudicated
-        # value-correct (VERDICT r4 "What's wrong #1"); the oracles' windowed
-        # sums now carry the registry-convention CAST(... AS BIGINT)
-        # (queries/training.py sample_token_budget, queries/multimodal.py
-        # multimodal_byte_budget).
-        "sample_token_budget",
-        "multimodal_byte_budget",
-        # round 5 implementation changes that must re-prove (the 13
-        # never-driven registrations sort first anyway via the
-        # zero-evidence floor below, so these plus the two casts keep the
-        # forced set at five and leave ~32 window slots for the
-        # last-green-r2 cohort; ~4 r2 rows spill to r6 per VERDICT r4 #2/#6):
-        "dedup_cluster_keep_first",  # broadcast hint removed (VERDICT r4 #3)
-        "dedup_mllib_minhash",  # no_oracle → recall-contract hash gate (VERDICT r4 #4)
-        "topk_pagination",  # NULL-safe bucket sentinel in paginate (ADVICE r4)
-        # forced vocab broadcast removed (the VERDICT-r4 drop-list
-        # anti-pattern, applied to the corpus word table), words
-        # empty-filtered on both sides, perplexity column added:
-        "text_unigram_logprob",
+        # round 6 implementation changes that must re-prove (kept MINIMAL
+        # per VERDICT r5 next-round #1 so the 15 last-green-r2 queries all
+        # fit the window; new registrations sort first via the
+        # zero-evidence floor and need no entry here):
+        "join_bloom_prefilter",  # bloom internals renamed to a collision-
+        # resistant __bloom…__ namespace + input assert (ADVICE r5)
+        "dedup_cluster_size_histogram",  # comp persisted so the LSH→CC
+        # chain runs once across the two actions (VERDICT r5 wrong #1)
     }
 )
 

@@ -342,3 +342,62 @@ class TestFuzzAgainstPythonReference:
                 continue
             oov = sum(1 for w in ws if w not in vocab)
             assert out[i]["n_oov"] == oov, (i, ws)
+
+
+class TestSpanSurgery:
+    """Semantics of span-level exact-substring dedup (Lee et al. 2022):
+    the oracle proves cross-engine parity; these prove the cuts land on
+    the right words."""
+
+    def _run(self, spark, texts, k=3, min_run=2):
+        from gisaid_pipeline_functions_spark.operators.dedup import span_surgery
+
+        out = span_surgery(_docs(spark, texts), "doc_id", "text", k=k,
+                           min_run=min_run)
+        return {r["doc_id"]: r for r in out.collect()}
+
+    def test_shared_span_cut_from_both_docs(self, spark):
+        shared = "the quick brown fox jumps"
+        rows = self._run(
+            spark,
+            [f"alpha {shared} omega", f"start {shared} end here now"],
+        )
+        # run of 3 dup 3-gram starts >= min_run=2 -> all 5 shared words go
+        assert rows[0]["clean_text"] == "alpha omega"
+        assert rows[1]["clean_text"] == "start end here now"
+        assert rows[0]["n_spans"] == rows[1]["n_spans"] == 1
+        assert rows[0]["n_removed_words"] == rows[1]["n_removed_words"] == 5
+
+    def test_single_shingle_collision_survives_min_run(self, spark):
+        # one isolated dup shingle (run length 1 < min_run 2) is noise,
+        # not a span — both docs come back untouched
+        rows = self._run(
+            spark,
+            ["aa bb cc xx yy zz", "aa bb cc pp qq rr"],
+        )
+        assert rows[0]["clean_text"] == "aa bb cc xx yy zz"
+        assert rows[0]["n_spans"] == 0 and rows[0]["n_removed_words"] == 0
+
+    def test_full_excision_yields_empty_text(self, spark):
+        dup = "w1 w2 w3 w4 w5"
+        rows = self._run(spark, [dup, dup])
+        assert rows[0]["clean_text"] == "" and rows[1]["clean_text"] == ""
+        assert rows[0]["n_removed_words"] == 5
+
+    def test_overlapping_runs_do_not_double_count(self, spark):
+        # two islands closer than k words: covered intervals overlap; the
+        # per-position union must count each removed word once
+        a = "s1 s2 s3 g1 s4 s5 s6"  # dup starts {0} and {4} with k=3
+        rows = self._run(spark, [a, "x " + a + " y"], k=3, min_run=1)
+        r = rows[0]
+        assert r["n_removed_words"] <= 7
+        assert r["clean_text"] == ""  # intervals [0,2] and [4,6] + the
+        # bridging start at g1? no: 'g1 s4 s5' only in padded doc context
+        # — recompute: doc0 shingles s1s2s3,s2s3g1,s3g1s4,g1s4s5,s4s5s6
+        # all appear inside doc1's padded copy too -> every start dup ->
+        # one island covering [0,6] -> everything removed
+
+    def test_short_docs_pass_through(self, spark):
+        rows = self._run(spark, ["one two", "one two"], k=3, min_run=1)
+        assert rows[0]["clean_text"] == "one two"
+        assert rows[0]["n_spans"] == 0

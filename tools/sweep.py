@@ -1,7 +1,7 @@
 """Scale-killer hunt: time EVERY registered query at a given SF dir.
 
 The per-round bench (bench.py) times only the headline set; this sweep
-runs all ~155 registered queries once and prints them slowest-first, so
+runs all ~156 registered queries once and prints them slowest-first, so
 a query whose plan silently degrades (all-pairs join, single-partition
 stage, forced broadcast of something corpus-sized) shows up as a wall
 outlier before the judge finds it. Round-5 catch: dedup_mllib_minhash
@@ -9,17 +9,39 @@ at 15.7s (4x the next query) — a truth generator re-joining shingles
 per candidate pair plus an over-permissive approxSimilarityJoin
 threshold; fixed to 3.9s.
 
+Results also persist to SWEEP_r<N>.json at the repo root (VERDICT r5
+next-round #4) so per-query wall history exists for ALL queries, not
+just the bench headliners — the round is read from $SPARK_GRAFT_ROUND
+or inferred as max(CORRECTNESS_r*.json) + 1. The JSON carries the same
+calibration op as bench.py so cross-round comparisons can normalize
+for machine load.
+
 Usage:  python tools/sweep.py [sf_dir] [cpus]
         (defaults: /root/testdata/sf0.1, 16)
 """
 
 from __future__ import annotations
 
+import json
 import os
+import re
 import sys
 import time
+from pathlib import Path
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _round_number(root: Path) -> int:
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env and env.isdigit():
+        return int(env)
+    rounds = [
+        int(m.group(1))
+        for p in root.glob("CORRECTNESS_r*.json")
+        if (m := re.search(r"r(\d+)$", p.stem))
+    ]
+    return max(rounds, default=0) + 1
 
 
 def main() -> None:
@@ -36,6 +58,15 @@ def main() -> None:
     )
     from gisaid_pipeline_functions_spark import registry
 
+    # same machine-load fingerprint as bench.py (scaled to the sweep's
+    # default 16 cores), so SWEEP_r*.json rows are comparable across VMs
+    load1 = os.getloadavg()[0] if hasattr(os, "getloadavg") else None
+    t0 = time.time()
+    spark.range(0, 10_000_000, 1, cpus).selectExpr(
+        "id % 1000 AS k", "id AS v"
+    ).groupBy("k").sum("v").write.format("noop").mode("overwrite").save()
+    calibration_sec = round(time.time() - t0, 3)
+
     qs = registry.queries()
     times: dict[str, tuple[float, object]] = {}
     for name in sorted(qs):
@@ -47,6 +78,26 @@ def main() -> None:
             times[name] = (round(time.time() - t, 3), f"ERR {str(ex)[:120]}")
     for name, (dt, n) in sorted(times.items(), key=lambda kv: -kv[1][0]):
         print(f"{dt:8.3f}s  {name}  rows={n}")
+
+    root = Path(__file__).resolve().parents[1]
+    out = root / f"SWEEP_r{_round_number(root):02d}.json"
+    out.write_text(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "cpus": cpus,
+                "loadavg_1m": load1,
+                "calibration_sec": calibration_sec,
+                "queries": {
+                    name: {"sec": dt, "rows": n if isinstance(n, int) else None,
+                           "err": None if isinstance(n, int) else str(n)}
+                    for name, (dt, n) in times.items()
+                },
+            },
+            indent=1,
+        )
+    )
+    print(f"wrote {out}")
     spark.stop()
 
 
