@@ -439,3 +439,75 @@ def text_vocab_coverage(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return vocab_coverage(docs, "doc_id", "text", vocab_size=25)
+
+
+@register(
+    "text_classifier_score",
+    # Learned linear quality classifier (operators/text.py
+    # classifier_score): hashed unigram+bigram features (md5 % 1024),
+    # closed-form NB log-odds weights from Gopher-style weak labels,
+    # map-side mean-weight scoring. The oracle replays TRAINING AND
+    # INFERENCE — bucket hashes, class counts, 6dp-rounded weights, bias,
+    # final scores — so the learned model itself is value-hashed (the
+    # learned-k-means gating precedent).
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+      FROM documents
+    ),
+    lbl AS (
+      SELECT doc_id, w,
+             (len(w) >= 10 AND len(w) <= 1000
+              AND list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w)
+                  BETWEEN 3.0 AND 10.0) AS pos
+      FROM base WHERE len(w) > 0
+    ),
+    g AS (
+      SELECT doc_id, pos,
+             unnest(w || CASE WHEN len(w) >= 2
+                    THEN [w[i] || '_' || w[i+1] FOR i IN range(1, len(w))]
+                    ELSE CAST([] AS VARCHAR[]) END) AS gram
+      FROM lbl
+    ),
+    bk AS (
+      SELECT doc_id, pos,
+             CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % 1024 AS b
+      FROM g
+    ),
+    cnt AS (
+      SELECT b, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+                sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+      FROM bk GROUP BY b
+    ),
+    tot AS (
+      SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS tp,
+             sum(CASE WHEN pos THEN 0 ELSE 1 END) AS tn
+      FROM bk
+    ),
+    wt AS (
+      SELECT b, round(ln((np + 1.0) / (tp + 1024.0))
+                      - ln((nn + 1.0) / (tn + 1024.0)), 6) AS wt
+      FROM cnt CROSS JOIN tot
+    ),
+    nb AS (
+      SELECT round(ln((sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1.0)
+                   / (sum(CASE WHEN pos THEN 0 ELSE 1 END) + 1.0)), 6) AS bias
+      FROM lbl
+    ),
+    scored AS (
+      SELECT doc_id,
+             max(CASE WHEN pos THEN 1 ELSE 0 END) = 1 AS label_weak,
+             count(*) AS n_grams, avg(wt) AS mw
+      FROM bk JOIN wt USING (b) GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, label_weak,
+           round(bias + mw, 6) AS score, (bias + mw) > 0 AS pred
+    FROM scored CROSS JOIN nb
+    """,
+)
+def text_classifier_score(spark, sf_dir):
+    from ..operators.text import classifier_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return classifier_score(docs, "doc_id", "text", n_buckets=1024)

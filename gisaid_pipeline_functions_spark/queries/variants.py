@@ -541,3 +541,71 @@ def variant_mutation_counts(spark, sf_dir):
     ref_length = len(refs["src0"].replace("-", ""))
     total_seq = one.count()
     return mutation_count_table(variants, ref_length, total_seq)
+
+
+@register(
+    "aa_change_weights",
+    # P4 (SURVEY §2 / reference Time_Series.py:393–467): the per-code
+    # amino-acid-change weight mapping (plans/time_series.py
+    # aa_change_weights), driven directly. The variants frame is derived
+    # deterministically from documents — k = doc_id % 100 fans 100
+    # distinct codes across all five Type branches (sub / del / ins /
+    # delins / ext), null-vs-set AA_End_MSA, and gap-bearing residue
+    # strings — and the oracle replays the string construction AND the
+    # nongap (strip '-', count) rule, so the CASE logic itself is
+    # value-hashed. Duplicate rows per code are bit-identical by
+    # construction (attributes are functions of the code), matching the
+    # real pipeline where a code's attributes repeat across clusters —
+    # so the groupBy/first dedup is deterministic.
+    """
+    WITH v AS (SELECT DISTINCT doc_id % 100 AS k FROM documents),
+    w AS (
+      SELECT 'C' || CAST(k AS VARCHAR) AS Code,
+             CASE k % 5 WHEN 0 THEN 'sub' WHEN 1 THEN 'del' WHEN 2 THEN 'ins'
+                        WHEN 3 THEN 'delins' ELSE 'ext' END AS t,
+             CASE WHEN k % 3 = 0 THEN NULL ELSE k END AS ae,
+             repeat('R', CAST(1 + k % 4 AS INT)) || repeat('-', CAST(k % 2 AS INT)) AS rr,
+             repeat('-', CAST(k % 3 AS INT)) || repeat('V', CAST(1 + k % 5 AS INT)) AS vr
+      FROM v
+    )
+    SELECT Code,
+           CAST(CASE t
+                WHEN 'sub' THEN 1
+                WHEN 'del' THEN CASE WHEN ae IS NULL THEN 1
+                                ELSE length(replace(rr, '-', '')) END
+                WHEN 'ins' THEN length(replace(vr, '-', ''))
+                WHEN 'delins' THEN length(replace(vr, '-', ''))
+                                   + length(replace(rr, '-', ''))
+                ELSE CASE WHEN ae IS NULL THEN 1
+                     ELSE length(replace(vr, '-', '')) END
+                END AS BIGINT) AS aa_change_weight
+    FROM w
+    """,
+)
+def aa_change_weights_query(spark, sf_dir):
+    from ..plans.time_series import aa_change_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 100
+    variants = docs.select(
+        F.concat(F.lit("C"), k.cast("string")).alias("Code"),
+        F.element_at(
+            F.array(
+                F.lit("sub"), F.lit("del"), F.lit("ins"),
+                F.lit("delins"), F.lit("ext"),
+            ),
+            (k % 5 + 1).cast("int"),
+        ).alias("Type"),
+        F.when(k % 3 == 0, F.lit(None).cast("long")).otherwise(k).alias(
+            "AA_End_MSA"
+        ),
+        F.concat(
+            F.repeat(F.lit("R"), (1 + k % 4).cast("int")),
+            F.repeat(F.lit("-"), (k % 2).cast("int")),
+        ).alias("Ref_Residues"),
+        F.concat(
+            F.repeat(F.lit("-"), (k % 3).cast("int")),
+            F.repeat(F.lit("V"), (1 + k % 5).cast("int")),
+        ).alias("Var_Residues"),
+    )
+    return aa_change_weights(variants)

@@ -401,3 +401,37 @@ class TestSpanSurgery:
         rows = self._run(spark, ["one two", "one two"], k=3, min_run=1)
         assert rows[0]["clean_text"] == "one two"
         assert rows[0]["n_spans"] == 0
+
+
+class TestClassifierScore:
+    """The learned NB log-odds scorer must separate classes its weak
+    labels define (the oracle proves engine parity; this proves the
+    learning direction is right)."""
+
+    def test_separates_weak_classes(self, spark):
+        from gisaid_pipeline_functions_spark.operators.text import classifier_score
+
+        good = [
+            "the quick brown fox jumps over the lazy dog near the old river bank",
+            "a steady rain fell over the quiet town as the evening train arrived",
+        ]
+        bad = ["x y z q", "aaaaaaaaaaaaaaaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbbbbbb"]
+        out = {
+            r["doc_id"]: r
+            for r in classifier_score(_docs(spark, good + bad)).collect()
+        }
+        assert out[0]["label_weak"] and out[1]["label_weak"]
+        assert not out[2]["label_weak"] and not out[3]["label_weak"]
+        # every good doc outscores every bad doc: the NB weights point
+        # the same way as the labels they were trained from
+        assert min(out[0]["score"], out[1]["score"]) > max(
+            out[2]["score"], out[3]["score"]
+        )
+
+    def test_empty_docs_drop(self, spark):
+        from gisaid_pipeline_functions_spark.operators.text import classifier_score
+
+        out = classifier_score(
+            _docs(spark, ["", "one two three four five six seven eight nine ten"])
+        ).collect()
+        assert [r["doc_id"] for r in out] == [1]
