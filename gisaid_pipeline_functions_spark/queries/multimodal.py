@@ -181,3 +181,54 @@ def multimodal_byte_budget(spark, sf_dir):
     return out.select(
         "media_id", "kind", "n_bytes", F.col("cum_tokens").alias("cum_bytes")
     )
+
+
+@register(
+    "multimodal_phash_neardup",
+    # Perceptual near-dup pairs over GP-framed media payloads
+    # (operators/multimodal.py phash_near_dups): 32-block positional
+    # dHash — bit j = block_sum_j > block_sum_j+1, exact integer math —
+    # banded 4×8 bits for Hamming-ball LSH (pigeonhole-exact for the
+    # d <= 3 threshold), exact bit_count(xor) on candidates. The oracle
+    # replays fingerprints, banding, AND distances; the media payload is
+    # the GP header + utf-8 text, and the operator skips the 10 header
+    # bytes, so the oracle hashes the raw text bytes.
+    """
+    WITH base AS (SELECT doc_id, hex(encode(text)) AS H FROM documents),
+    dims AS (SELECT doc_id, H, (length(H)//2)//32 AS L FROM base),
+    sums AS (
+      SELECT doc_id,
+        [list_sum([CAST(('0x' || substr(H, 2*(s*L+i)+1, 2)) AS INT)
+                   FOR i IN range(0, L)])
+         FOR s IN range(0, 32)] AS cs
+      FROM dims WHERE L >= 1
+    ),
+    ph AS (
+      SELECT doc_id,
+        list_sum([CASE WHEN cs[j] > cs[j+1]
+                  THEN (CAST(1 AS BIGINT) << (31 - j)) ELSE 0 END
+                  FOR j IN range(1, 32)]) AS phash
+      FROM sums
+    ),
+    bands AS (
+      SELECT doc_id, b, (phash >> (8*b)) & 255 AS sig, phash
+      FROM ph, (SELECT unnest(range(4)) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM bands a JOIN bands c ON a.b = c.b AND a.sig = c.sig
+       AND a.doc_id < c.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(p1.phash, p2.phash)) AS BIGINT) AS hamming
+    FROM cand
+    JOIN ph p1 ON p1.doc_id = id_a
+    JOIN ph p2 ON p2.doc_id = id_b
+    WHERE bit_count(xor(p1.phash, p2.phash)) <= 3
+    """,
+)
+def multimodal_phash_neardup(spark, sf_dir):
+    from ..operators.multimodal import media_with_header, phash_near_dups
+
+    media = media_with_header(load_table(spark, sf_dir, "documents"))
+    return phash_near_dups(media, skip_header_bytes=10, threshold=3)

@@ -107,3 +107,59 @@ def test_resize_media_stride_and_hash(spark):
         assert r["out_h"] == math.ceil((i % 480 + 1) / 2)
         assert r["out_bytes"] == len(body)
         assert r["out_md5"] == hashlib.md5(body).hexdigest()
+
+
+def test_phash_fingerprint_matches_python_reference(spark):
+    from gisaid_pipeline_functions_spark.operators.multimodal import (
+        media_with_header,
+        phash_fingerprints,
+    )
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog " * 4,
+        1: "completely different content with other words here " * 4,
+        2: "zz" * 40,  # uniform bytes: all comparisons false -> phash 0
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = {
+        r["media_id"]: r["phash"]
+        for r in phash_fingerprints(
+            media_with_header(docs), skip_header_bytes=10
+        ).collect()
+    }
+
+    def ref_phash(t: str) -> int:
+        b = t.encode()
+        L = len(b) // 32
+        cs = [sum(b[s * L : s * L + L]) for s in range(32)]
+        return sum(
+            (1 << (31 - j)) for j in range(1, 32) if cs[j - 1] > cs[j]
+        )
+
+    for i, t in texts.items():
+        assert out[i] == ref_phash(t), i
+    assert out[2] == 0
+
+
+def test_phash_near_dups_finds_small_edit_not_distinct_docs(spark):
+    from gisaid_pipeline_functions_spark.operators.multimodal import (
+        media_with_header,
+        phash_near_dups,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 8
+    # one-char edit: block sums shift by one unit in one block — the
+    # dHash gradient bits barely move (that's the point of pHash)
+    near = base.replace("lazy", "hazy", 1)
+    other = "entirely unrelated text about ships and harbors at dawn today " * 8
+    docs = spark.createDataFrame(
+        [(0, base), (1, near), (2, other)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_dups(
+            media_with_header(docs), skip_header_bytes=10, threshold=3
+        ).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 3
+    assert all(2 not in p for p in pairs)
