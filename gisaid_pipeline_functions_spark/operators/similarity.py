@@ -652,3 +652,127 @@ def semdedup(
         "cell",
         F.coalesce(F.col("_drop"), F.lit(True)).alias("kept"),
     )
+
+
+def jl_projection_matrix(d_in: int = 64, d_out: int = 16) -> list[list[int]]:
+    """Deterministic ±1 random-projection matrix (Achlioptas 2001 — the
+    database-friendly Johnson–Lindenstrauss construction): entry (j, i)
+    is +1 when the first hex digit of md5("jl|j:i") is ≥ 8, else −1.
+    Pure function of the indices, so BOTH engines embed the same literal
+    matrix — no runtime hashing in the row path."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"jl|{j}:{i}".encode()).hexdigest()[0], 16) >= 8
+            else -1
+            for i in range(d_in)
+        ]
+        for j in range(d_out)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    d_in: int = 64,
+    d_out: int = 16,
+) -> DataFrame:
+    """Project embeddings to ``d_out`` dims with the ±1 JL matrix: each
+    output dim is a ``zip_with``(vector, literal sign row) product fold —
+    map-side, zero shuffle, and value-identical to an explicit signed sum
+    (±1 multiplies are exact in IEEE; the fold adds in index order, the
+    same order the DuckDB oracle's L2R expression uses, so the 6dp round
+    lands on the same doubles).
+
+    NOT the simhash16 generated-expression pattern: a 64-term Add chain
+    per dim built that way measured 12 s for 500 rows (the ~3k-node
+    expression tree per projection falls off every fast path) vs 0.15 s
+    for these literal-array folds — 80×. At 100 TB this operator is the
+    standard shrink-the-distance step: 4× fewer multiplies per candidate
+    pair downstream, 4× smaller vectors in every shuffle carrying them."""
+    R = jl_projection_matrix(d_in, d_out)
+    base = df.select(
+        F.col(id_col).alias("vec_id"), _to_double(F.col(vec_col)).alias("v")
+    )
+
+    def dim_expr(j: int):
+        lits = F.array(*[F.lit(float(s)) for s in R[j]])
+        return F.round(
+            F.aggregate(
+                F.zip_with(F.col("v"), lits, lambda x, s: x * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    return base.select(
+        "vec_id", "v", F.array(*[dim_expr(j) for j in range(d_out)]).alias("p")
+    )
+
+
+def random_projection_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    rerank_factor: int = 3,
+    d_in: int = 64,
+    d_out: int = 16,
+) -> DataFrame:
+    """Two-stage ANN: rank candidates by cosine in the cheap JL-projected
+    space, shortlist ``rerank_factor × k`` per query, then RERANK the
+    shortlist with exact full-dimension cosine — the classic
+    coarse-then-exact pattern (same shape as the int8 quantize+rerank at
+    operators/similarity.py:345, with dimensionality instead of
+    precision as the cheap axis).
+
+    Scale shape: stage 1 shuffles only (query_id, cand_id, projected
+    cos) — never the full vectors; the rerank joins the per-query
+    shortlist (≤ rerank_factor × k rows per query) back to the corpus on
+    the id, hint-free, so AQE broadcasts whichever side measures small.
+    Rank orders are (rounded cos, cand_id) on both stages so float sum
+    order can't flip them."""
+    from pyspark.sql import Window
+
+    c = random_projection(corpus, id_col, vec_col, d_in, d_out).select(
+        F.col("vec_id").alias("cand_id"), F.col("p").alias("cp")
+    )
+    q = random_projection(queries, id_col, vec_col, d_in, d_out).select(
+        F.col("vec_id").alias("query_id"), F.col("p").alias("qp")
+    )
+    coarse = c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id")).select(
+        "query_id",
+        "cand_id",
+        F.round(cosine(F.col("qp"), F.col("cp")), 6).alias("pcos"),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("cand_id"))
+    shortlist = (
+        coarse.withColumn("prank", F.row_number().over(w1))
+        .filter(F.col("prank") <= rerank_factor * k)
+        .select("query_id", "cand_id")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("cand_id"), _to_double(F.col(vec_col)).alias("cv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+    )
+    exact = (
+        shortlist.join(cv, "cand_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

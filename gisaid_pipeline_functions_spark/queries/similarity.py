@@ -698,3 +698,69 @@ def sim_semdedup(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semdedup(emb, k=4, iterations=2, threshold=0.32)
+
+
+def _jl_proj_sql(vec: str) -> str:
+    """The 16 JL-projected dims as a DuckDB list literal — the SAME ±1
+    matrix the Spark side embeds (operators/similarity.py
+    jl_projection_matrix), terms added in index order so both engines
+    sum identically before the 6dp round."""
+    from ..operators.similarity import jl_projection_matrix
+
+    R = jl_projection_matrix(64, 16)
+    dims = []
+    for j in range(16):
+        terms = []
+        for i in range(64):
+            sign = "-" if R[j][i] < 0 else "+"
+            terms.append(f"{sign} CAST({vec}[{i + 1}] AS DOUBLE)")
+        expr = " ".join(terms).lstrip("+ ")
+        if expr.startswith("-"):
+            expr = "0 " + expr  # leading negative term: keep L2R add order
+        dims.append(f"round({expr}, 6)")
+    return "[" + ", ".join(dims) + "]"
+
+
+@register(
+    "sim_random_projection",
+    # Two-stage ANN via Johnson–Lindenstrauss ±1 random projection
+    # (operators/similarity.py random_projection_topk): coarse cosine in
+    # the 16-dim projected space, per-query shortlist of 9, exact 64-dim
+    # rerank to top-3. The oracle embeds the IDENTICAL literal matrix and
+    # replays projection, shortlist, and rerank — so the projection
+    # itself is value-hashed, not just the final ranks.
+    f"""
+    WITH pv AS (
+      SELECT vec_id, {_jl_proj_sql('embedding')} AS p, embedding AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, p AS qp, v AS qv FROM pv WHERE vec_id < 5),
+    coarse AS (
+      SELECT query_id, c.vec_id AS cand_id,
+             round({_cos_sql('qp', 'c.p')}, 6) AS pcos
+      FROM q JOIN pv c ON c.vec_id != query_id
+    ),
+    short AS (
+      SELECT query_id, cand_id FROM coarse
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY pcos DESC, cand_id) <= 9
+    ),
+    exact AS (
+      SELECT s.query_id, s.cand_id, round({_cos_sql('q.qv', 'c.v')}, 6) AS cos
+      FROM short s
+      JOIN pv c ON c.vec_id = s.cand_id
+      JOIN q ON q.query_id = s.query_id
+    )
+    SELECT query_id, cand_id, cos,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
+    FROM exact QUALIFY rank <= 3
+    """,
+)
+def sim_random_projection(spark, sf_dir):
+    from ..operators.similarity import random_projection_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return random_projection_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=3, rerank_factor=3
+    )
