@@ -518,3 +518,59 @@ def classifier_score(
         F.round(F.col("bias") + F.col("mw"), 6).alias("score"),
         ((F.col("bias") + F.col("mw")) > 0).alias("pred"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-trained BIGRAM language-model scoring — one n-gram order up
+    from ``unigram_logprob``, the closest cheap analog of the KenLM
+    perplexity filter CCNet actually ships (Wenzek et al. 2019): score
+    each document by the mean ``-ln P(w_i | w_{i-1})`` under the
+    corpus-trained conditional table. Word-order sensitivity is the point
+    — a shuffled document keeps its unigram score but craters here.
+
+    Model: P(w2|w1) = c(w1,w2) / c(w1→·), where the context count is the
+    number of transitions FROM w1 (derived from the bigram table itself,
+    so the two counts are consistent by construction and every scored
+    transition exists in the table — no smoothing needed when scoring the
+    training corpus). Docs with < 2 words have no transitions and drop
+    out (the unigram_logprob convention).
+
+    Scale shape: transitions explode once; the bigram count shuffles
+    ∝ distinct-bigram cardinality with map-side partial aggregation; the
+    context count is a second small aggregate OF THE COUNT TABLE (never a
+    rescan); score-time joins are hint-free — a 100 TB corpus's bigram
+    vocabulary grows faster than Heaps' law, the exact frame the
+    VERDICT-r4 drop-list anti-pattern forbids broadcasting."""
+    base = df.select(F.col(id_col), words(F.col(text_col)).alias("w"))
+    w = F.col("w")
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.struct(
+            F.element_at(w, (i + 1).cast("int")).alias("w1"),
+            F.element_at(w, (i + 2).cast("int")).alias("w2"),
+        ),
+    )
+    bg = (
+        base.filter(F.size(w) >= 2)
+        .select(id_col, F.explode(pairs).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cc = bc.groupBy("w1").agg(F.sum("cb").alias("cw"))
+    scored = (
+        bg.join(bc, ["w1", "w2"])
+        .join(cc, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            F.avg(-F.log(F.col("cb") / F.col("cw"))).alias("nlp"),
+        )
+    )
+    return scored.select(
+        F.col(id_col),
+        "n_transitions",
+        F.round(F.col("nlp"), 6).alias("mean_neg_logprob"),
+        F.round(F.exp(F.col("nlp")), 6).alias("perplexity"),
+    )

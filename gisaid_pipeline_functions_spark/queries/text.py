@@ -511,3 +511,42 @@ def text_classifier_score(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return classifier_score(docs, "doc_id", "text", n_buckets=1024)
+
+
+@register(
+    "text_bigram_logprob",
+    # Bigram LM perplexity scoring (operators/text.py bigram_logprob) —
+    # the order-2 CCNet-style quality filter: mean -ln P(w2|w1) under
+    # corpus-trained conditional counts; context counts derived FROM the
+    # bigram table so the model is self-consistent. Oracle replays
+    # training (both count tables) and scoring.
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+        SELECT doc_id,
+               unnest([{'w1': w[i], 'w2': w[i+1]} FOR i IN range(1, len(w))]) AS u
+        FROM base WHERE len(w) >= 2)
+    ),
+    bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+    cc AS (SELECT w1, sum(cb) AS cw FROM bc GROUP BY w1),
+    scored AS (
+      SELECT doc_id, count(*) AS n_transitions,
+             avg(-ln(cb * 1.0 / cw)) AS nlp
+      FROM bg JOIN bc USING (w1, w2) JOIN cc USING (w1)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_transitions AS BIGINT) AS n_transitions,
+           round(nlp, 6) AS mean_neg_logprob, round(exp(nlp), 6) AS perplexity
+    FROM scored
+    """,
+)
+def text_bigram_logprob(spark, sf_dir):
+    from ..operators.text import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(docs, "doc_id", "text")

@@ -435,3 +435,26 @@ class TestClassifierScore:
             _docs(spark, ["", "one two three four five six seven eight nine ten"])
         ).collect()
         assert [r["doc_id"] for r in out] == [1]
+
+
+class TestBigramLogprob:
+    def test_word_order_sensitivity_and_transition_count(self, spark):
+        from gisaid_pipeline_functions_spark.operators.text import bigram_logprob
+
+        common = "the cat sat on the mat"
+        out = {
+            r["doc_id"]: r
+            for r in bigram_logprob(
+                _docs(
+                    spark,
+                    [common, common, common, "mat the on sat cat the", "x"],
+                )
+            ).collect()
+        }
+        # 6 words -> 5 transitions; the single-word doc drops out
+        assert out[0]["n_transitions"] == 5
+        assert 4 not in out
+        # the thrice-repeated doc's transitions are all frequent; the
+        # reversed doc's transitions are mostly unique -> higher ppl
+        assert out[0]["perplexity"] < out[3]["perplexity"]
+        assert out[0]["mean_neg_logprob"] == out[1]["mean_neg_logprob"]
