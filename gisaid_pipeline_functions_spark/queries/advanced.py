@@ -416,3 +416,49 @@ def streaming_join_hash(spark, sf_dir):
         "join_stream_drv_" + uuid.uuid4().hex[:8],
         output_mode="append",
     )
+
+
+@register(
+    "streaming_dropdup_watermark",
+    # Spark's BUILT-IN streaming dedup operator
+    # (dropDuplicatesWithinWatermark) under a driver hash — the idiomatic
+    # complement to the custom applyInPandasWithState first-seen dedup
+    # (streaming/dedup.py): the events backlog streams through a
+    # 365-day watermark wide enough that no in-data duplicate falls
+    # outside the dedup window, so append-mode output = exactly one row
+    # per distinct (week_start, event_type). The dedup subset IS the full
+    # projected row, so whichever physical row survives, the output tuple
+    # is identical — deterministic by construction, and the oracle is
+    # plain batch DISTINCT. A watermark/state-eviction regression emits
+    # dupes and flips the hash.
+    """
+    SELECT DISTINCT
+           CAST(ts AS DATE) - CAST(dayofweek(ts) AS INTEGER) AS week_start,
+           event_type
+    FROM events
+    """,
+)
+def streaming_dropdup_watermark(spark, sf_dir):
+    import uuid
+
+    from ..functions.weeks import sunday_week_start
+    from ..streaming.source import stream_events
+    from ..streaming.weekly import run_stream_to_memory
+
+    ev = stream_events(spark, sf_dir)
+    dedup = (
+        ev.withWatermark("ts", "365 days")
+        .select(
+            F.col("ts"),
+            sunday_week_start(F.col("ts")).alias("week_start"),
+            F.col("event_type"),
+        )
+        .dropDuplicatesWithinWatermark(["week_start", "event_type"])
+        .select("week_start", "event_type")
+    )
+    return run_stream_to_memory(
+        spark,
+        dedup,
+        "dropdup_stream_drv_" + uuid.uuid4().hex[:8],
+        output_mode="append",
+    )
