@@ -1,7 +1,7 @@
 """Scale-killer hunt: time EVERY registered query at a given SF dir.
 
 The per-round bench (bench.py) times only the headline set; this sweep
-runs all ~156 registered queries once and prints them slowest-first, so
+runs every registered query once and prints them slowest-first, so
 a query whose plan silently degrades (all-pairs join, single-partition
 stage, forced broadcast of something corpus-sized) shows up as a wall
 outlier before the judge finds it. Round-5 catch: dedup_mllib_minhash
