@@ -449,6 +449,14 @@ def classifier_score(
       unigram_logprob convention).
     """
     base = df.select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("w"))
+    # the gram build + explode + md5 stage is CPU-bound and a small
+    # single-file parquet scan arrives as ONE partition — spread it
+    # across the executor pool first (the agg_cms_heavy_hitters /
+    # variant-kernel guard; without it the whole pipeline ran on one
+    # core: 10 s instead of ~2 s at sf0.1)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target)
     w = F.col("w")
     n_words = F.size(w)
     mean_wlen = F.when(n_words == 0, F.lit(0.0)).otherwise(
@@ -486,7 +494,10 @@ def classifier_score(
     cnt = gb.groupBy("b").agg(
         F.sum(pos_i).alias("np"), F.sum(1 - pos_i).alias("nn")
     )
-    tot = gb.agg(F.sum(pos_i).alias("tp"), F.sum(1 - pos_i).alias("tn"))
+    # class totals from the D-row count table, NOT a second pass over the
+    # gram stream — the gram pipeline (split + bigram build + explode +
+    # md5) is the expensive part and appears once per consumer
+    tot = cnt.agg(F.sum("np").alias("tp"), F.sum("nn").alias("tn"))
     wt = cnt.crossJoin(F.broadcast(tot)).select(
         "b",
         F.round(
@@ -573,4 +584,102 @@ def bigram_logprob(
         "n_transitions",
         F.round(F.col("nlp"), 6).alias("mean_neg_logprob"),
         F.round(F.exp(F.col("nlp")), 6).alias("perplexity"),
+    )
+
+
+def langid_ngram_profiles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    profile_size: int = 40,
+    doc_ranks: int = 20,
+) -> DataFrame:
+    """Character-n-gram rank-order language ID (Cavnar & Trenkle 1994,
+    "N-Gram-Based Text Categorization" — the classic pre-fastText langid
+    and the upgrade path from the stopword-density heuristic of
+    ``language_id``): per-label char-trigram profiles (top
+    ``profile_size`` grams ranked by frequency), per-doc top
+    ``doc_ranks`` gram ranks, out-of-place distance (absent gram =
+    ``profile_size`` penalty), predict the min-distance label.
+
+    Training and inference in one plan, both oracle-replayed (the
+    learned-model gating precedent of text_classifier_score). Scale
+    shape: trigram explosion shuffles ∝ corpus; BOTH model frames are
+    bounded by construction — profiles ≤ labels × profile_size rows and
+    the label set is a language inventory, not corpus-growing — so their
+    forced broadcasts are legitimate (the fixed-size-model rule, not the
+    vocab anti-pattern). Per-doc work after ranking is ≤ doc_ranks ×
+    labels rows. Deterministic ties everywhere: (count DESC, gram) for
+    ranks, (dist, label) for prediction."""
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    grams_arr = F.when(
+        F.length(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - 2),
+            lambda i: F.substring(t, i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).alias("lbl"),
+        F.explode(grams_arr).alias("gram"),
+    )
+    lp = (
+        g.groupBy("lbl", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "prank",
+            F.row_number().over(
+                Window.partitionBy("lbl").orderBy(F.desc("c"), F.asc("gram"))
+            ),
+        )
+        .filter(F.col("prank") <= profile_size)
+        .select(F.col("lbl").alias("cand_lbl"), "gram", "prank")
+    )
+    dp = (
+        g.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "drank",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("gram"))
+            ),
+        )
+        .filter(F.col("drank") <= doc_ranks)
+        .select("doc_id", "gram", "drank")
+    )
+    labels = df.select(F.col(label_col).alias("cand_lbl")).distinct()
+    scored = (
+        dp.crossJoin(F.broadcast(labels))
+        .join(F.broadcast(lp), ["cand_lbl", "gram"], "left")
+        .groupBy("doc_id", "cand_lbl")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("drank") - F.col("prank")),
+                    F.lit(profile_size),
+                )
+            ).alias("dist")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.asc("dist"), F.asc("cand_lbl"))
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("cand_lbl").alias("pred_lang"),
+            F.col("dist").cast("long").alias("dist"),
+        )
+    )
+    truth = df.select(F.col(id_col).alias("doc_id"), F.col(label_col).alias("lang"))
+    return pred.join(truth, "doc_id").select(
+        "doc_id",
+        "lang",
+        "pred_lang",
+        "dist",
+        (F.col("pred_lang") == F.col("lang")).alias("correct"),
     )

@@ -550,3 +550,58 @@ def text_bigram_logprob(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return bigram_logprob(docs, "doc_id", "text")
+
+
+@register(
+    "text_langid_profiles",
+    # Cavnar–Trenkle char-trigram rank-order language ID
+    # (operators/text.py langid_ngram_profiles): per-lang top-40 gram
+    # profiles, per-doc top-20 ranks, out-of-place distance with
+    # penalty 40, min-distance prediction. The oracle replays profile
+    # training, doc ranking, distances, and predictions — the learned
+    # profiles are value-hashed. (The synthetic corpus's lang labels
+    # don't correlate with its text, so ACCURACY is honest noise; the
+    # gate is the deterministic model pipeline, and `correct` reports
+    # the measured accuracy as data.)
+    """
+    WITH g AS (
+      SELECT doc_id, lang, u AS gram FROM (
+        SELECT doc_id, lang,
+               unnest([substr(text, i, 3) FOR i IN range(1, length(text) - 1)]) AS u
+        FROM documents WHERE length(text) >= 3)
+    ),
+    lp AS (
+      SELECT lang AS cand_lbl, gram,
+             row_number() OVER (PARTITION BY lang ORDER BY c DESC, gram) AS prank
+      FROM (SELECT lang, gram, count(*) AS c FROM g GROUP BY lang, gram)
+      QUALIFY prank <= 40
+    ),
+    dp AS (
+      SELECT doc_id, gram,
+             row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS drank
+      FROM (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram)
+      QUALIFY drank <= 20
+    ),
+    lbls AS (SELECT DISTINCT lang AS cand_lbl FROM documents),
+    sc AS (
+      SELECT dp.doc_id, l.cand_lbl,
+             sum(coalesce(abs(dp.drank - lp.prank), 40)) AS dist
+      FROM dp CROSS JOIN lbls l
+      LEFT JOIN lp ON lp.cand_lbl = l.cand_lbl AND lp.gram = dp.gram
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT doc_id, cand_lbl AS pred_lang, CAST(dist AS BIGINT) AS dist
+      FROM sc
+      QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY dist, cand_lbl) = 1
+    )
+    SELECT p.doc_id, d.lang, p.pred_lang, p.dist,
+           p.pred_lang = d.lang AS correct
+    FROM pred p JOIN documents d USING (doc_id)
+    """,
+)
+def text_langid_profiles(spark, sf_dir):
+    from ..operators.text import langid_ngram_profiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    return langid_ngram_profiles(docs, "doc_id", "text", "lang")

@@ -458,3 +458,44 @@ class TestBigramLogprob:
         # reversed doc's transitions are mostly unique -> higher ppl
         assert out[0]["perplexity"] < out[3]["perplexity"]
         assert out[0]["mean_neg_logprob"] == out[1]["mean_neg_logprob"]
+
+
+class TestLangidProfiles:
+    def test_separable_labels_classify_correctly(self, spark):
+        from pyspark.sql import Row
+
+        from gisaid_pipeline_functions_spark.operators.text import (
+            langid_ngram_profiles,
+        )
+
+        # two "languages" with disjoint character inventories: profiles
+        # are fully separable, so every doc must classify correctly
+        aa = ["aaa bbb aab bba abab", "abba baab aabb bbaa", "ab ba aab bab"]
+        zz = ["zzz yyy zzy yyz zyzy", "zyyz yzzy zzyy yyzz", "zy yz zzy yzy"]
+        rows = [Row(doc_id=i, text=t, lang="A") for i, t in enumerate(aa)]
+        rows += [Row(doc_id=10 + i, text=t, lang="Z") for i, t in enumerate(zz)]
+        out = langid_ngram_profiles(
+            spark.createDataFrame(rows), profile_size=10, doc_ranks=10
+        ).collect()
+        assert len(out) == 6
+        assert all(r["correct"] for r in out)
+        assert {r["pred_lang"] for r in out} == {"A", "Z"}
+
+    def test_short_docs_drop_and_ties_deterministic(self, spark):
+        from pyspark.sql import Row
+
+        from gisaid_pipeline_functions_spark.operators.text import (
+            langid_ngram_profiles,
+        )
+
+        rows = [
+            Row(doc_id=0, text="ab", lang="A"),       # < 3 chars: no grams
+            Row(doc_id=1, text="same text", lang="A"),
+            Row(doc_id=2, text="same text", lang="B"),
+        ]
+        out = {r["doc_id"]: r for r in langid_ngram_profiles(
+            spark.createDataFrame(rows)).collect()}
+        assert 0 not in out
+        # identical docs under two labels: equal distance to both
+        # profiles -> the (dist, label) tie-break picks 'A' for both
+        assert out[1]["pred_lang"] == out[2]["pred_lang"] == "A"
