@@ -45,6 +45,11 @@ HEADLINE = [
     # quality-rule family's representative; agg_cms_heavy_hitters 1.5 s
     # and sim_semdedup 3.2 s stayed out, job-count-bound at toy scale)
     "text_gopher_rules",
+    # round 6 (sf0.1 sweep cost 0.55 s — the span-surgery representative
+    # of the new dedup surface; sim_random_projection 4.1 s,
+    # multimodal_phash_neardup 4.2 s, and text_classifier_score 4.6 s
+    # stayed out, job-count-bound at toy scale)
+    "dedup_span_surgery",
 ]
 
 # Idle-machine anchor for the self-normalizing `calibrated_value` field

@@ -271,3 +271,55 @@ def join_bloom_prefilter(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 6).alias("revenue"),
         )
     )
+
+
+@register(
+    "join_full_outer_diff",
+    # Corpus snapshot diff — the data-versioning operation every managed
+    # training corpus runs between releases (the Delta/Iceberg
+    # snapshot-compare shape, expressed as a content-hash FULL OUTER
+    # join, the one join type the registry didn't yet gate directly):
+    # v1 and v2 are deterministic derivations of documents (v1 drops
+    # doc_id % 7 == 0, v2 drops % 5 == 0 and edits % 11 == 0), and each
+    # surviving id is classified added / removed / changed / unchanged.
+    # At 100 TB both sides shuffle hashes on the id — bodies never move;
+    # the hash columns ride into the output so the classification itself
+    # is value-checked, not just the counts.
+    """
+    WITH v1 AS (
+      SELECT doc_id, md5(text) AS h1 FROM documents WHERE doc_id % 7 != 0
+    ),
+    v2 AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS h2
+      FROM documents WHERE doc_id % 5 != 0
+    )
+    SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, h1, h2,
+           CASE WHEN h2 IS NULL THEN 'removed'
+                WHEN h1 IS NULL THEN 'added'
+                WHEN h1 != h2 THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    """,
+)
+def join_full_outer_diff(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.md5("text").alias("h1")
+    )
+    v2 = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("h2"),
+    )
+    j = v1.join(v2, "doc_id", "full")
+    status = (
+        F.when(F.col("h2").isNull(), F.lit("removed"))
+        .when(F.col("h1").isNull(), F.lit("added"))
+        .when(F.col("h1") != F.col("h2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("doc_id", "h1", "h2", status.alias("status"))
