@@ -605,3 +605,87 @@ def text_langid_profiles(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return langid_ngram_profiles(docs, "doc_id", "text", "lang")
+
+
+@register(
+    "flagship_curation_pipeline",
+    # The LLM data-curation pipeline END-TO-END as one lazy DAG (the
+    # text-quality twin of flagship_corpus_pipeline): Gopher structural
+    # gate (word-count + mean-word-length) → exact-dedup keep-first →
+    # bigram-LM perplexity scored on the SURVIVING corpus → kept =
+    # perplexity ≤ the survivors' median (Spark percentile ≡ DuckDB
+    # quantile_cont, the agg_exact_percentiles precedent). Stage
+    # interaction is the point: the LM's counts and the median both
+    # derive from what the earlier stages let through, so a drift in ANY
+    # stage hash-fails the final flags.
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+      FROM documents
+    ),
+    lbl AS (
+      SELECT doc_id, text, w FROM base
+      WHERE len(w) BETWEEN 10 AND 1000
+        AND list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w)
+            BETWEEN 3.0 AND 10.0
+    ),
+    ded AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, w,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM lbl)
+      WHERE rn = 1
+    ),
+    bg AS (
+      SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+        SELECT doc_id,
+               unnest([{'w1': w[i], 'w2': w[i+1]} FOR i IN range(1, len(w))]) AS u
+        FROM ded)
+    ),
+    bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+    cc AS (SELECT w1, sum(cb) AS cw FROM bc GROUP BY w1),
+    sc AS (
+      SELECT doc_id, avg(-ln(cb * 1.0 / cw)) AS nlp
+      FROM bg JOIN bc USING (w1, w2) JOIN cc USING (w1)
+      GROUP BY doc_id
+    ),
+    ppl AS (SELECT doc_id, round(exp(nlp), 6) AS perplexity FROM sc),
+    med AS (SELECT quantile_cont(perplexity, 0.5) AS m FROM ppl)
+    SELECT doc_id, perplexity, perplexity <= m AS kept
+    FROM ppl CROSS JOIN med
+    """,
+)
+def flagship_curation_pipeline(spark, sf_dir):
+    from ..operators.text import bigram_logprob, words
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text", words(F.col("text")).alias("w"))
+    w = F.col("w")
+    n_words = F.size(w)
+    mean_wlen = F.aggregate(w, F.lit(0.0), lambda a, x: a + F.length(x)) / n_words
+    gpass = base.filter(
+        (n_words >= 10)
+        & (n_words <= 1000)
+        & (mean_wlen >= 3.0)
+        & (mean_wlen <= 10.0)
+    )
+    from pyspark.sql import Window
+
+    ded = (
+        gpass.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    scored = bigram_logprob(ded, "doc_id", "text").select("doc_id", "perplexity")
+    med = scored.agg(F.percentile("perplexity", F.lit(0.5)).alias("m"))
+    return scored.crossJoin(F.broadcast(med)).select(
+        "doc_id",
+        "perplexity",
+        (F.col("perplexity") <= F.col("m")).alias("kept"),
+    )

@@ -244,3 +244,55 @@ def test_gopher_rules_single_codegen_scan(spark, sf_dir):
 
     # one scan node (formatted output names each node twice: tree + detail)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_span_surgery_no_cartesian_window_partitioned(spark, sf_dir):
+    # span surgery must never pair documents: the dup-hash join is an
+    # equi join on the hash, the island window partitions by doc id, and
+    # no stage is a cartesian/nested-loop pairing
+    plan = formatted_plan(spark, sf_dir, "dedup_span_surgery")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_classifier_weight_table_broadcasts(spark, sf_dir):
+    # the fixed-D weight table and 1-row totals broadcast; the gram
+    # stream must never be the build side of anything
+    plan = formatted_plan(spark, sf_dir, "text_classifier_score")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_phash_neardup_keeps_fingerprint_barrier(spark, sf_dir):
+    # the persist() before the band self-join is the 60x guard
+    # (SCALING.md r6): without the InMemoryRelation barrier Catalyst
+    # pushes the Hamming filter into the join and re-inlines the
+    # fingerprint fold into both sides of every candidate pair
+    plan = formatted_plan(spark, sf_dir, "multimodal_phash_neardup")
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_scoring_joins_are_hint_free_equi(spark, sf_dir):
+    # bigram vocab grows super-Heaps: the score joins must be plain equi
+    # joins (AQE picks the strategy), never a forced broadcast of the
+    # count tables — the plan should carry no explicit broadcast hint
+    # residue and no nested loop
+    from gisaid_pipeline_functions_spark import registry
+
+    df = registry.queries()["text_bigram_logprob"](spark, sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in optimized
+    plan = formatted_plan(spark, sf_dir, "text_bigram_logprob")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_full_outer_diff_is_single_shuffle_join(spark, sf_dir):
+    plan = formatted_plan(spark, sf_dir, "join_full_outer_diff")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    # both sides prune to (doc_id, text): no other document columns read
+    assert "lang" not in plan and "n_chars" not in plan
