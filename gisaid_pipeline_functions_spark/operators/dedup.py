@@ -511,6 +511,7 @@ def span_surgery(
     text_col: str,
     k: int = 5,
     min_run: int = 3,
+    cross_doc_only: bool = True,
 ) -> DataFrame:
     """Span-level exact-substring dedup SURGERY (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better",
@@ -572,9 +573,18 @@ def span_surgery(
     sh = base.select("id", F.explode(starts).alias("s")).select(
         "id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h")
     )
+    # cross_doc_only=True: a shingle is duplicated when >= 2 DISTINCT
+    # docs carry it (within-doc repeats alone don't flag). False = the
+    # paper's full ExactSubstr semantics: ANY second occurrence counts,
+    # including a repeat inside the same document — both copies of an
+    # internally-repeated span are then removed (the repeated span is
+    # the memorization risk, whichever document carries the repeat).
+    occurrences = (
+        F.count_distinct("id") if cross_doc_only else F.count(F.lit(1))
+    )
     dup = (
         sh.groupBy("h")
-        .agg(F.count_distinct("id").alias("nd"))
+        .agg(occurrences.alias("nd"))
         .filter(F.col("nd") >= 2)
         .select("h")
     )

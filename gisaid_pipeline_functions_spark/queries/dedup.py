@@ -684,3 +684,68 @@ def dedup_span_surgery(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return span_surgery(docs, "doc_id", "text", k=5, min_run=3)
+
+
+@register(
+    "dedup_span_surgery_within",
+    # span_surgery with the paper's FULL ExactSubstr semantics
+    # (cross_doc_only=False): ANY second occurrence of a 5-gram flags it
+    # — including a repeat inside the same document — so internally
+    # repeated spans are excised too (both copies; the repeated span is
+    # the memorization risk wherever it sits). Same islands/rebuild
+    # chain as dedup_span_surgery; the only delta is count(*) vs
+    # count(DISTINCT doc_id) in the dup rule, replayed identically here.
+    """
+    WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+        SELECT doc_id,
+               unnest([{'pos': i - 1,
+                        'h': md5(array_to_string(w[i:i+4], ' '))}
+                       FOR i IN range(1, len(w) - 3)]) AS u
+        FROM base)
+    ),
+    dup AS (
+      SELECT h FROM (SELECT h, count(*) AS nd FROM sh GROUP BY h) t
+      WHERE nd >= 2
+    ),
+    ds AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (h)),
+    runs AS (
+      SELECT doc_id, min(pos) AS lo, max(pos) + 4 AS hi
+      FROM (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+            FROM ds)
+      GROUP BY doc_id, isl
+      HAVING count(*) >= 3
+    ),
+    spans AS (
+      SELECT doc_id, list({'lo': lo, 'hi': hi}) AS sp,
+             count(*) AS n_spans
+      FROM runs GROUP BY doc_id
+    ),
+    rebuilt AS (
+      SELECT b.doc_id,
+             [x FOR x IN range(0, len(b.w))
+              IF len(list_filter(s.sp, e -> x BETWEEN e.lo AND e.hi)) = 0] AS keep,
+             b.w AS w, s.n_spans AS n_spans
+      FROM base b JOIN spans s USING (doc_id)
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string([w[x + 1] FOR x IN keep], ' '), '')
+             AS clean_text,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(len(w) - len(keep) AS BIGINT) AS n_removed_words
+    FROM rebuilt
+    UNION ALL
+    SELECT doc_id, text, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM base
+    WHERE doc_id NOT IN (SELECT doc_id FROM spans)
+    """,
+)
+def dedup_span_surgery_within(spark, sf_dir):
+    from ..operators.dedup import span_surgery
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_surgery(
+        docs, "doc_id", "text", k=5, min_run=3, cross_doc_only=False
+    )

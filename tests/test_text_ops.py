@@ -499,3 +499,27 @@ class TestLangidProfiles:
         # identical docs under two labels: equal distance to both
         # profiles -> the (dist, label) tie-break picks 'A' for both
         assert out[1]["pred_lang"] == out[2]["pred_lang"] == "A"
+
+
+class TestSpanSurgeryWithin:
+    def test_internal_repeat_only_flagged_by_within_mode(self, spark):
+        from gisaid_pipeline_functions_spark.operators.dedup import span_surgery
+
+        # one doc repeats a 5-word span internally; no other doc shares it
+        span = "p q r s t"
+        doc = f"start {span} middle {span} end"
+        other = "totally different words that never repeat anything at all"
+        df = _docs(spark, [doc, other])
+        cross = {r["doc_id"]: r for r in span_surgery(
+            df, "doc_id", "text", k=3, min_run=2, cross_doc_only=True
+        ).collect()}
+        within = {r["doc_id"]: r for r in span_surgery(
+            df, "doc_id", "text", k=3, min_run=2, cross_doc_only=False
+        ).collect()}
+        # cross-doc mode: internal repeats don't flag
+        assert cross[0]["n_spans"] == 0
+        assert cross[0]["clean_text"] == doc
+        # within mode: both copies of the repeated span are excised
+        assert within[0]["n_spans"] >= 1
+        assert span not in within[0]["clean_text"]
+        assert within[1]["n_spans"] == 0
