@@ -452,3 +452,101 @@ def window_first_last_value(spark, sf_dir):
             F.last("value").over(w) - F.first("value").over(w), 6
         ).alias("value_delta"),
     ).distinct()
+
+
+@register(
+    "window_zscore_anomaly",
+    # Weekly-count anomaly detection per event type: z-score of each
+    # week's count against that type's own mean/stddev across weeks,
+    # |z| >= 2 flagged. The corpus-monitoring staple (ingest-volume
+    # regression alarms). Population stddev (stddev_pop ≡ DuckDB
+    # stddev_pop) over the per-type weekly series — one grouped pass +
+    # one unpartitioned-but-tiny per-type aggregate joined back. Both z
+    # and the flag compare on 6dp-rounded values so float sum order
+    # can't flip a flag.
+    f"""
+    WITH wk AS (
+      SELECT {_WEEK} AS week_start, event_type,
+             CAST(count(*) AS BIGINT) AS freq
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, avg(freq) AS mu, stddev_pop(freq) AS sigma
+      FROM wk GROUP BY event_type
+    )
+    SELECT wk.week_start, wk.event_type, wk.freq,
+           round((wk.freq - s.mu) / s.sigma, 6) AS z,
+           abs(round((wk.freq - s.mu) / s.sigma, 6)) >= 2.0 AS is_anomaly
+    FROM wk JOIN stats s USING (event_type)
+    WHERE s.sigma > 0
+    """,
+)
+def window_zscore_anomaly(spark, sf_dir):
+    from ..functions.weeks import sunday_week_start
+    from ..sources.tables import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        sunday_week_start(F.col("ts")).alias("week_start"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    stats = wk.groupBy("event_type").agg(
+        F.avg("freq").alias("mu"), F.stddev_pop("freq").alias("sigma")
+    )
+    z = F.round((F.col("freq") - F.col("mu")) / F.col("sigma"), 6)
+    return (
+        wk.join(stats, "event_type")
+        .filter(F.col("sigma") > 0)
+        .select(
+            "week_start",
+            "event_type",
+            "freq",
+            z.alias("z"),
+            (F.abs(z) >= 2.0).alias("is_anomaly"),
+        )
+    )
+
+
+@register(
+    "window_cohort_retention",
+    # Cohort retention matrix — the canonical product-analytics query a
+    # general engine must express: each user's cohort is their
+    # first-seen week; the matrix counts distinct users active per
+    # (cohort_week, weeks_since_cohort). Two grouped passes (first-seen
+    # per user, then the matrix) and one equi join on user_id; the
+    # distinct-user count is exact (count_distinct with map-side
+    # partial distinct), and the week arithmetic is the Sunday-anchored
+    # W1 bucket on both engines.
+    f"""
+    WITH act AS (
+      SELECT DISTINCT user_id, {_WEEK} AS week_start FROM events
+    ),
+    cohort AS (
+      SELECT user_id, min(week_start) AS cohort_week FROM act GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           CAST((a.week_start - c.cohort_week) / 7 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM act a JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def window_cohort_retention(spark, sf_dir):
+    from ..functions.weeks import sunday_week_start
+    from ..sources.tables import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", sunday_week_start(F.col("ts")).alias("week_start")
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("week_start").alias("cohort_week"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week_start"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
