@@ -550,3 +550,129 @@ def window_cohort_retention(spark, sf_dir):
         )
         .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
     )
+
+
+@register(
+    "funnel_ordered_conversion",
+    # ORDERED event-sequence funnel (view → click-after-view →
+    # purchase-after-click), per user, with a 1-DAY conversion window per
+    # step — the sequential counterpart of the static-predicate
+    # funnel_stage_counts: each stage's timestamp must STRICTLY follow
+    # the previous stage's first occurrence and land within the window,
+    # so the three min-aggregations are inherently chained (stage N's
+    # filter references stage N-1's result). Three grouped passes + equi
+    # joins on user_id — at scale each pass shuffles one (user, ts) pair
+    # per user, never the event stream twice. (Window sized so the
+    # testdata spreads across stages: 90/35/25 at sf0.01.)
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+        AND e.ts <= v.t1 + INTERVAL 1 DAY
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        AND e.ts <= c.t2 + INTERVAL 1 DAY
+      GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+                     WHEN c.t2 IS NOT NULL THEN 2
+                     WHEN v.t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS stage_reached
+    FROM u
+    LEFT JOIN v ON u.user_id = v.user_id
+    LEFT JOIN c ON u.user_id = c.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
+    """,
+)
+def funnel_ordered_conversion(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 1 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stage = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", stage.cast("long").alias("stage_reached"))
+    )
+
+
+@register(
+    "window_trend_slope",
+    # Per-type linear trend of weekly event counts: regr_slope/intercept
+    # over (freq, days-since-epoch of the week bucket) — Spark's
+    # regr_slope ≡ DuckDB's (both textbook population covariance /
+    # variance), rounded to 6dp. The drift-monitoring companion of
+    # window_zscore_anomaly: z-scores flag single bad weeks, the slope
+    # flags sustained growth or decay. One grouped pass for the weekly
+    # series, one tiny per-type aggregate.
+    f"""
+    WITH wk AS (
+      SELECT event_type, {_WEEK} AS week_start,
+             CAST(count(*) AS BIGINT) AS freq
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           round(regr_slope(freq, week_start - DATE '1970-01-01'), 6) AS slope,
+           round(regr_intercept(freq, week_start - DATE '1970-01-01'), 6)
+             AS intercept,
+           CAST(count(*) AS BIGINT) AS n_weeks
+    FROM wk GROUP BY event_type
+    """,
+)
+def window_trend_slope(spark, sf_dir):
+    from ..functions.weeks import sunday_week_start
+
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        "event_type", sunday_week_start(F.col("ts")).alias("week_start")
+    ).agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    x = F.datediff(F.col("week_start"), F.lit("1970-01-01").cast("date")).cast(
+        "double"
+    )
+    f = F.col("freq").cast("double")
+    return wk.groupBy("event_type").agg(
+        F.round(F.regr_slope(f, x), 6).alias("slope"),
+        F.round(F.regr_intercept(f, x), 6).alias("intercept"),
+        F.count(F.lit(1)).cast("long").alias("n_weeks"),
+    )
