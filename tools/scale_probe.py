@@ -1,0 +1,94 @@
+"""Scale-linearity probe: run selected operators at 1x and Nx the
+documents table (union with shifted ids — same distribution, N times the
+rows) and report the wall ratio. An operator whose plan is linear in the
+corpus should scale ~Nx or better (more rows amortize fixed overhead); a
+super-linear ratio flags a hidden quadratic (all-pairs stage, global
+window, driver collect).
+
+Usage:  python tools/scale_probe.py [sf_dir] [N] [cpus]
+        (defaults: /root/testdata/sf0.1, 10, 16)
+
+The probe reuses the REGISTERED query functions where possible by
+swapping the documents scan for the replicated frame via a temp view —
+operators that read via load_table can't be intercepted, so the probe
+calls the operator functions directly on the replicated DataFrame.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from gisaid_pipeline_functions_spark.sources.tables import load_table
+
+    docs1 = load_table(spark, sf_dir, "documents")
+    base_n = docs1.count()
+    # N copies with disjoint ids; localCheckpoint so the union cost isn't
+    # re-paid inside every timed pipeline
+    docsN = docs1
+    for i in range(1, n):
+        docsN = docsN.unionByName(
+            docs1.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        )
+    docsN = docsN.repartition(cpus).localCheckpoint(eager=True)
+    docs1 = docs1.repartition(cpus).localCheckpoint(eager=True)
+    print(f"rows: 1x={base_n}  {n}x={docsN.count()}")
+
+    from gisaid_pipeline_functions_spark.operators.dedup import span_surgery
+    from gisaid_pipeline_functions_spark.operators.multimodal import (
+        media_with_header,
+        phash_near_dups,
+    )
+    from gisaid_pipeline_functions_spark.operators.text import (
+        bigram_logprob,
+        classifier_score,
+        langid_ngram_profiles,
+    )
+
+    ops = {
+        "span_surgery": lambda d: span_surgery(d, "doc_id", "text", k=5, min_run=3),
+        "classifier_score": lambda d: classifier_score(d),
+        "bigram_logprob": lambda d: bigram_logprob(d),
+        "langid_profiles": lambda d: langid_ngram_profiles(d),
+        "phash_near_dups": lambda d: phash_near_dups(
+            media_with_header(d), skip_header_bytes=10
+        ),
+    }
+
+    def timed(fn, d) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t = time.perf_counter()
+            fn(d).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t)
+        return best
+
+    print(f"{'operator':22s} {'1x':>8s} {f'{n}x':>8s} {'ratio':>7s}  (linear = {n}.0)")
+    for name, fn in ops.items():
+        t1 = timed(fn, docs1)
+        tn = timed(fn, docsN)
+        print(f"{name:22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
