@@ -472,3 +472,64 @@ def external_tool_roundtrip(spark, sf_dir):
         F.col("text").alias("sequence"),
     )
     return run_external_tool(docs, identity_tool_command())
+
+
+@register(
+    "sink_bucketed_join_roundtrip",
+    # Bucketed-table write + SHUFFLE-FREE co-located join, driver-gated
+    # (the ingest-time layout the big metadata⋈clusters join gets at
+    # 100 TB — shuffle the fact tables once at write, join forever
+    # free): orders and lineitem are written bucketBy(8)+sortBy on the
+    # join key to scratch-backed tables, re-read, and merge-joined. The
+    # join plan is ASSERTED inside the query to carry NO Exchange (and
+    # no Sort — co-sorted buckets stream straight into the merge); the
+    # `shuffle_free` column hashes FALSE against the oracle's TRUE if
+    # bucketed co-location ever stops engaging. Values must match the
+    # plain-join oracle, so the bucketed files also round-trip exactly.
+    """
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           round(sum(l.l_quantity), 6) AS sum_qty,
+           TRUE AS shuffle_free
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def sink_bucketed_join_roundtrip(spark, sf_dir):
+    import uuid
+
+    sfx = uuid.uuid4().hex[:8]
+    to, tl = f"rt_borders_{sfx}", f"rt_blineitem_{sfx}"
+    scratch = _scratch_dir("gisaid_bucketed_roundtrip_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    (
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", scratch + "/o").mode("overwrite").saveAsTable(to)
+    )
+    (
+        li.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", scratch + "/l").mode("overwrite").saveAsTable(tl)
+    )
+    import atexit
+
+    for t in (to, tl):
+        atexit.register(
+            lambda t=t: spark.sql(f"DROP TABLE IF EXISTS {t}")
+        )
+    # 'merge' hint pins SortMergeJoin: at driver scale the dim side would
+    # auto-broadcast, which hides exactly the property under test
+    joined = spark.table(to).hint("merge").join(spark.table(tl), "o_orderkey")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    shuffle_free = "Exchange" not in plan and "SortMergeJoin" in plan
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        )
+        .withColumn("shuffle_free", F.lit(shuffle_free))
+    )
