@@ -533,3 +533,52 @@ def sink_bucketed_join_roundtrip(spark, sf_dir):
         )
         .withColumn("shuffle_free", F.lit(shuffle_free))
     )
+
+
+@register(
+    "source_permissive_csv_tally",
+    # Dirty-ingest surface: a CSV with deliberately malformed rows
+    # (non-numeric value on doc_id % 10 == 3, derived deterministically
+    # from documents) is written to scratch and read back with an
+    # explicit schema in PERMISSIVE mode + columnNameOfCorruptRecord —
+    # the bad-records path every 100 TB ingest needs (fail-fast dies on
+    # row one; silent DROPMALFORMED loses data unaudited). The tally
+    # splits good/corrupt and sums only the good values; the oracle
+    # derives the same split straight from documents, so a parser-mode
+    # or corrupt-capture regression flips the hash.
+    """
+    SELECT
+      CAST(sum(CASE WHEN doc_id % 10 = 3 THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_good,
+      CAST(sum(CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_corrupt,
+      CAST(sum(CASE WHEN doc_id % 10 = 3 THEN 0 ELSE n_chars END) AS BIGINT)
+        AS sum_value
+    FROM documents
+    """,
+)
+def source_permissive_csv_tally(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    line = F.concat_ws(
+        ",",
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 10 == 3,
+            F.concat(F.lit("bad"), F.col("doc_id").cast("string")),
+        ).otherwise(F.col("n_chars").cast("string")),
+    )
+    tmp = _scratch_dir("gisaid_permissive_csv_") + "/out"
+    docs.select(line.alias("value")).write.text(tmp)
+    back = (
+        spark.read.schema("doc_id LONG, value LONG, _corrupt STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(tmp)
+    )
+    return back.agg(
+        F.sum(F.col("_corrupt").isNull().cast("long")).alias("n_good"),
+        F.sum(F.col("_corrupt").isNotNull().cast("long")).alias("n_corrupt"),
+        F.sum(F.coalesce(F.col("value"), F.lit(0))).cast("long").alias(
+            "sum_value"
+        ),
+    )
