@@ -631,3 +631,120 @@ def span_surgery(
         F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
         n_removed.alias("n_removed_words"),
     )
+
+
+def prefix_filter_pairs(tokens: DataFrame, threshold: float) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the All-Pairs /
+    PPJoin family: Bayardo et al. WWW'07, Xiao et al. WWW'08).
+
+    Input: ``(id, token)`` with DISTINCT rows (``word_shingles`` default).
+    Output: ``(id_a, id_b, jaccard)`` for every pair with exact Jaccard
+    ≥ ``threshold`` — unlike MinHash-LSH there is NO recall loss; the
+    prefix filter only prunes pairs that *provably* cannot reach the
+    threshold, and survivors are verified with the exact intersection.
+    Designed for HIGH thresholds (≥ ~0.7), where prefixes are a small
+    fraction of each document — the published algorithm's regime.
+
+    Why it scales to 100 TB (the exact-join complement to the banded-LSH
+    path at ``lsh_candidate_pairs``):
+    - Tokens are first collapsed to 64-bit ``xxhash64`` ints so every
+      downstream shuffle carries fixed 8-byte keys instead of shingle
+      strings (~4× narrower; a hash collision merely merges two shingles
+      corpus-wide — a one-token Jaccard perturbation at astronomical
+      odds, and IDENTICAL on both sides of any pair).
+    - Tokens are ranked by ascending document frequency (rarest first,
+      hash tie-break — a deterministic global order). A pair with
+      Jaccard ≥ τ shares ≥ ⌈τ·|A|⌉ tokens, so the first
+      ``|A| − ⌈τ·|A|⌉ + 1`` tokens of each side must collide: only
+      those PREFIX tokens are exploded into the join, and because they
+      are the rarest tokens, per-key fan-out is minimal.
+    - The per-document canonical sort is a map-side ``sort_array`` after
+      one groupBy — no global window, no rank shuffle.
+    - Length filter ``τ·|A| ≤ |B| ≤ |A|/τ`` AND PPJoin's positional
+      filter prune at the join, before the verify: a collision at
+      0-based prefix positions (i, j) bounds the overlap by
+      ``min(i, j) + min(|A|−i, |B|−j)``, which must reach the
+      equivalent-overlap requirement ``⌈τ/(1+τ)·(|A|+|B|)⌉`` — a pair's
+      FIRST common token always passes, so the filter is lossless.
+    - The doc-frequency table and the prefix frame both GROW WITH THE
+      CORPUS (Heaps'-law vocabulary / one row per doc×prefix-token), so
+      their joins carry explicit ``merge`` hints — the inverse of the r4
+      forced-broadcast anti-pattern: a frame that grows without bound
+      must never be broadcast, and the static planner's post-explode
+      size estimates are unreliable enough that it WILL try (the 10×
+      scale probe caught exactly that: a driver-OOM broadcast build of
+      the doc-frequency side at 10× sf0.1 under a 1 GiB driver).
+    """
+    tok = tokens.select("id", F.xxhash64("token").alias("h")).distinct()
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    doc_freq = tok.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ranked = tok.join(doc_freq.hint("merge"), "h")
+    prefix_len = (
+        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + F.lit(1)
+    )
+    prefixes = (
+        ranked.groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("toks"))
+        .join(sizes, "id")
+        .select(
+            "id",
+            "sz",
+            F.posexplode(F.slice(F.col("toks"), F.lit(1), prefix_len)).alias(
+                "pos", "t"
+            ),
+        )
+        .select("id", "sz", "pos", F.col("t.h").alias("h"))
+    )
+    pa, pb = prefixes.alias("pa"), prefixes.hint("merge").alias("pb")
+    tau = F.lit(float(threshold))
+    # equivalent-overlap requirement: jaccard ≥ τ  ⇔  |A∩B| ≥ τ/(1+τ)·(|A|+|B|)
+    alpha = F.ceil(tau / (F.lit(1.0) + tau) * (F.col("pa.sz") + F.col("pb.sz")))
+    ubound = F.least(F.col("pa.pos"), F.col("pb.pos")) + F.least(
+        F.col("pa.sz") - F.col("pa.pos"), F.col("pb.sz") - F.col("pb.pos")
+    )
+    candidates = (
+        pa.join(
+            pb,
+            (F.col("pa.h") == F.col("pb.h"))
+            & (F.col("pa.id") < F.col("pb.id"))
+            # length filter: jaccard ≥ τ forces τ·|A| ≤ |B| ≤ |A|/τ
+            & (F.col("pb.sz") >= tau * F.col("pa.sz"))
+            & (F.col("pa.sz") >= tau * F.col("pb.sz"))
+            # PPJoin positional filter
+            & (ubound >= alpha),
+        )
+        .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
+        .distinct()
+    )
+    # Verify with the exact intersection. Unlike ``jaccard_pairs`` (whose
+    # LSH-bounded pair sets legitimately broadcast), EVERY frame here —
+    # candidates, the intersection, the per-doc sizes — grows with the
+    # corpus, so every join is merge-hinted. A candidate pair shares at
+    # least its colliding prefix token, so n_inter ≥ 1 and the inner
+    # join loses no pair.
+    sa = tok.select(F.col("id").alias("id_a"), "h")
+    sb = tok.select(F.col("id").alias("id_b"), "h")
+    inter = (
+        candidates.join(sa.hint("merge"), "id_a")
+        .join(sb.hint("merge"), ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("na")).hint("merge"),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("nb")).hint("merge"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= tau)
+    )

@@ -104,3 +104,61 @@ def interval_overlap_join(
             "overlap_micros", F.unix_micros(ov_end) - F.unix_micros(ov_start)
         )
     )
+
+
+def edit_distance_one_pairs(df: DataFrame, col: str) -> DataFrame:
+    """Fuzzy self-join: every distinct-value pair at Levenshtein distance
+    ≤ 1, WITHOUT a cross join — the deletion-neighborhood trick
+    (FastSS / SymSpell family, public algorithm).
+
+    Key fact: ``ed(a, b) ≤ 1`` (a ≠ b) implies the variant sets
+    ``D(s) = {s} ∪ {s with one character deleted}`` intersect —
+    a substitution at position i gives ``del_i(a) = del_i(b)``; an
+    insertion/deletion means one string IS a deletion variant of the
+    other. So an equi-join on the exploded variants generates a complete
+    candidate set, and a native ``levenshtein`` verify removes the
+    overgenerated pairs (e.g. transposition-distance-2 strings that
+    share a variant).
+
+    Why it scales to 100 TB: the join input is ``n·(L+1)`` variant rows
+    (L = string length) on a near-unique hash key, versus the ``n²``
+    cross join a naive fuzzy match needs; the verify is bounded by
+    actual key collisions. The variants are generated map-side with a
+    higher-order ``transform`` — no UDF, no shuffle until the equi-join —
+    and the join key is ``md5(variant)``: the shuffle carries fixed
+    32-byte keys instead of length-(L−1) strings (SymSpell's hashing
+    refinement), and an md5 collision can only OVERgenerate a candidate,
+    which the ``levenshtein`` verify then drops.
+    """
+    names = df.select(F.col(col).cast("string").alias("s")).distinct()
+    s = F.col("s")
+    deletions = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            s.substr(F.lit(1), (i - 1).cast("int")),
+            s.substr((i + 1).cast("int"), F.length(s)),
+        ),
+    )
+    variants = names.select(
+        "s",
+        F.explode(
+            F.transform(
+                F.array_union(F.array(s), deletions), lambda v: F.md5(v)
+            )
+        ).alias("v"),
+    )
+    va, vb = variants.alias("va"), variants.alias("vb")
+    candidates = (
+        va.join(
+            vb,
+            (F.col("va.v") == F.col("vb.v")) & (F.col("va.s") < F.col("vb.s")),
+        )
+        .select(F.col("va.s").alias("name_a"), F.col("vb.s").alias("name_b"))
+        .distinct()
+    )
+    return (
+        candidates.withColumn(
+            "edit_distance", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .filter(F.col("edit_distance") <= 1)
+    )

@@ -390,3 +390,77 @@ def agg_cms_heavy_hitters(spark, sf_dir):
         "cms_est",
         (F.col("cms_est") >= F.col("exact_n")).alias("never_underestimates"),
     )
+
+
+@register(
+    "profile_table_columns",
+    # Single-pass column profiler (data-quality summary, Deequ-style;
+    # beyond-reference — the reference eyeballs inputs with pandas
+    # describe/value_counts, QC_Functions.py tally helpers). One scan,
+    # every statistic; wide→long reshape happens on the one-row
+    # aggregate. Oracle is a per-column UNION ALL replay. Numeric stats
+    # are printf('%.6f') STRINGS on both sides: a column that is float
+    # in numeric-column rows and NULL in string-column rows would break
+    # the harness's mixed-type row sort, so the gate compares a single
+    # deterministic text rendering instead.
+    """
+    SELECT 'o_custkey' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(o_custkey) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           printf('%.6f', round(CAST(min(o_custkey) AS DOUBLE), 6)) AS min_num,
+           printf('%.6f', round(CAST(max(o_custkey) AS DOUBLE), 6)) AS max_num,
+           printf('%.6f', round(avg(o_custkey), 6)) AS avg_num,
+           CAST(NULL AS VARCHAR) AS min_str,
+           CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           printf('%.6f', round(CAST(min(o_totalprice) AS DOUBLE), 6)),
+           printf('%.6f', round(CAST(max(o_totalprice) AS DOUBLE), 6)),
+           printf('%.6f', round(avg(o_totalprice), 6)),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    """,
+)
+def profile_table_columns(spark, sf_dir):
+    from ..operators.profiling import profile_columns
+
+    orders = load_table(spark, sf_dir, "orders")
+    prof = profile_columns(
+        orders,
+        numeric_cols=["o_custkey", "o_totalprice"],
+        string_cols=["o_orderstatus", "o_orderpriority"],
+    )
+
+    def _fmt(c):
+        # format_string renders a NULL arg as the string 'null' — guard
+        # so string-column rows stay true NULLs like the oracle's
+        return F.when(
+            F.col(c).isNotNull(), F.format_string("%.6f", F.col(c))
+        ).alias(c)
+
+    return prof.select(
+        "col_name", "n_rows", "n_nulls", "n_distinct",
+        _fmt("min_num"), _fmt("max_num"), _fmt("avg_num"),
+        "min_str", "max_str",
+    )

@@ -749,3 +749,40 @@ def dedup_span_surgery_within(spark, sf_dir):
     return span_surgery(
         docs, "doc_id", "text", k=5, min_run=3, cross_doc_only=False
     )
+
+
+@register(
+    "dedup_prefix_filter_join",
+    # EXACT Jaccard self-join ≥ 0.8 over 3-gram shingles via prefix
+    # filtering (All-Pairs/PPJoin: rarest-first canonical order,
+    # positional filter, xxhash64 int tokens). The oracle is deliberately
+    # the BRUTE-FORCE all-pairs join on the RAW shingles: prefix
+    # filtering is lossless, so any pair the pruning wrongly drops (or
+    # any spurious survivor, or a consequential hash collision) is a
+    # hash-fail — the oracle states the semantic contract, not the
+    # algorithm. τ=0.8 is the high-threshold regime the algorithm is
+    # designed for (prefixes ≈ 20% of each doc).
+    f"""
+    WITH {_SHINGLES},
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.8
+    """,
+)
+def dedup_prefix_filter_join(spark, sf_dir):
+    from ..operators.dedup import prefix_filter_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = word_shingles(docs, "doc_id", "text", k=3, distinct=True).select(
+        "id", F.col("shingle").alias("token")
+    )
+    return prefix_filter_pairs(tokens, threshold=0.8)

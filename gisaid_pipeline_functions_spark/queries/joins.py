@@ -323,3 +323,27 @@ def join_full_outer_diff(spark, sf_dir):
         .otherwise(F.lit("unchanged"))
     )
     return j.select("doc_id", "h1", "h2", status.alias("status"))
+
+
+@register(
+    "join_edit_distance_fuzzy",
+    # Fuzzy self-join at Levenshtein ≤ 1 via deletion neighborhoods
+    # (FastSS/SymSpell family) — beyond-reference entity-resolution
+    # surface. The oracle is the BRUTE-FORCE quadratic join: the
+    # neighborhood trick is lossless for ed ≤ 1, so a dropped or
+    # spurious pair hash-fails; the oracle states the contract, not
+    # the algorithm.
+    """
+    SELECT a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_distance
+    FROM (SELECT DISTINCT c_name FROM customer) a
+    JOIN (SELECT DISTINCT c_name FROM customer) b
+      ON a.c_name < b.c_name
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def join_edit_distance_fuzzy(spark, sf_dir):
+    from ..operators.joins import edit_distance_one_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    return edit_distance_one_pairs(cust, "c_name")

@@ -296,3 +296,37 @@ def test_full_outer_diff_is_single_shuffle_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # both sides prune to (doc_id, text): no other document columns read
     assert "lang" not in plan and "n_chars" not in plan
+
+
+def test_prefix_filter_join_is_equi_on_token(spark, sf_dir):
+    # prefix filtering must plan as an equi-join on the prefix token
+    # (rarest-first canonical order) — any nested-loop/cartesian node
+    # means the length/prefix predicates stopped driving the join and
+    # the plan degraded to the all-pairs scan the operator exists to
+    # avoid; the per-doc canonical sort must be a map-side sort_array,
+    # never a global window
+    plan = formatted_plan(spark, sf_dir, "dedup_prefix_filter_join")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "sort_array" in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_edit_distance_join_is_equi_on_variant(spark, sf_dir):
+    # the deletion-neighborhood join must be an equi-join on the variant
+    # string — the n·(L+1) candidate path, never the n² cross join
+    plan = formatted_plan(spark, sf_dir, "join_edit_distance_fuzzy")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "levenshtein" in plan
+
+
+def test_profiler_is_single_scan(spark, sf_dir):
+    # the column profiler must read the orders parquet exactly once (one
+    # distributed pass for every statistic); the exact-distinct path
+    # plans an Expand (k× rows pre-combine, documented trade-off) but
+    # never a second scan, and the wide→long explode happens on the
+    # one-row aggregate
+    plan = formatted_plan(spark, sf_dir, "profile_table_columns")
+    # formatted output names each scan twice (tree + detail section);
+    # the file-index Location line appears exactly once per scan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Expand" in plan

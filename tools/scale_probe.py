@@ -34,6 +34,11 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(cpus))
+        # the probe holds TWO localCheckpointed corpora (1x and Nx, plus
+        # the disjoint-vocab pair) in block storage while timing — give
+        # the single local JVM a real heap so storage pressure doesn't
+        # masquerade as an operator OOM; the RATIO is the signal
+        .config("spark.driver.memory", "4g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -64,6 +69,46 @@ def main() -> None:
         langid_ngram_profiles,
     )
 
+    # Disjoint-vocabulary replication for PAIR-GENERATING operators:
+    # plain replication makes every copy of a doc an exact duplicate of
+    # its N−1 siblings, so the OUTPUT grows ~N² for data reasons and the
+    # probe would flag a false quadratic. Prefixing every word with the
+    # copy index keeps each copy's within-copy near-dup structure intact
+    # while zeroing cross-copy similarity — the ratio then measures the
+    # algorithm, not the manufactured duplicates.
+    def _tag_words(df, i):
+        return df.withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.concat(F.lit(f"c{i}_"), w),
+                ),
+                " ",
+            ),
+        )
+
+    docs1_tag = _tag_words(docs1, 0).localCheckpoint(eager=True)
+    docsN_tag = _tag_words(docs1, 0)
+    for i in range(1, n):
+        docsN_tag = docsN_tag.unionByName(
+            _tag_words(docs1, i).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * 10_000_000)
+            )
+        )
+    docsN_tag = docsN_tag.repartition(cpus).localCheckpoint(eager=True)
+
+    from gisaid_pipeline_functions_spark.operators.dedup import (
+        prefix_filter_pairs,
+        word_shingles,
+    )
+
+    def _prefix_filter(d):
+        tokens = word_shingles(d, "doc_id", "text", k=3, distinct=True).select(
+            "id", F.col("shingle").alias("token")
+        )
+        return prefix_filter_pairs(tokens, threshold=0.5)
+
     ops = {
         "span_surgery": lambda d: span_surgery(d, "doc_id", "text", k=5, min_run=3),
         "classifier_score": lambda d: classifier_score(d),
@@ -87,6 +132,10 @@ def main() -> None:
         t1 = timed(fn, docs1)
         tn = timed(fn, docsN)
         print(f"{name:22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}")
+    for name, fn in {"prefix_filter_pairs": _prefix_filter}.items():
+        t1 = timed(fn, docs1_tag)
+        tn = timed(fn, docsN_tag)
+        print(f"{name:22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (disjoint-vocab copies)")
     spark.stop()
 
 
