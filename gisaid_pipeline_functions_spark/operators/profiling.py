@@ -76,3 +76,75 @@ def profile_columns(
             )
         )
     return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def numeric_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_bins: int = 10,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Distribution-drift monitor between two cohorts of one column: the
+    Population Stability Index (PSI), the standard model/data-drift
+    metric, over equal-width bins.
+
+    ``group_col`` must be an int column with values 0 (baseline cohort)
+    and 1 (comparison cohort). Output, one row per occupied bin:
+    ``bin, n_a, n_b, share_a, share_b, psi_term`` where shares are
+    Laplace-smoothed (``+smoothing`` per bin, so empty-on-one-side bins
+    contribute a finite term) and ``psi_term =
+    (share_a − share_b)·ln(share_a / share_b)``; total PSI = Σ terms
+    (< 0.1 stable, > 0.25 drifted, by the usual rule of thumb).
+
+    Design for 100 TB:
+    - Two passes over the column, both fully map-side-combinable: one
+      min/max aggregate for the bin edges, one binned conditional-count
+      aggregate. The grand totals come from an unpartitioned window over
+      the ``n_bins``-row count frame — the sanctioned aggregate-sized
+      pattern (a totals JOIN would duplicate the whole counts subtree in
+      the plan and re-scan the column twice more).
+    - The bin-edge frame is ONE ROW — it broadcasts legitimately (an
+      architectural constant, not corpus-growing).
+    - Expression order inside the bin arithmetic matches the DuckDB
+      oracle token-for-token so the IEEE results are bit-identical.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.select(v.alias("v"), F.col(group_col).alias("grp")).filter(
+        F.col("v").isNotNull()
+    )
+    bounds = base.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    nb = F.lit(float(n_bins))
+    bin_expr = F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.floor((F.col("v") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / nb)),
+            F.lit(n_bins - 1).cast("long"),
+        )
+    )
+    counts = (
+        base.join(F.broadcast(bounds))
+        .select(bin_expr.alias("bin"), "grp")
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        )
+    )
+    from pyspark.sql import Window
+
+    whole = Window.partitionBy()
+    counts = counts.withColumn("ta", F.sum("n_a").over(whole)).withColumn(
+        "tb", F.sum("n_b").over(whole)
+    )
+    s = F.lit(float(smoothing))
+    sm_total = F.lit(float(smoothing) * n_bins)
+    share_a = (F.col("n_a") + s) / (F.col("ta") + sm_total)
+    share_b = (F.col("n_b") + s) / (F.col("tb") + sm_total)
+    return counts.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round(share_a, 6).alias("share_a"),
+        F.round(share_b, 6).alias("share_b"),
+        F.round((share_a - share_b) * F.log(share_a / share_b), 6).alias("psi_term"),
+    )

@@ -464,3 +464,56 @@ def profile_table_columns(spark, sf_dir):
         _fmt("min_num"), _fmt("max_num"), _fmt("avg_num"),
         "min_str", "max_str",
     )
+
+
+@register(
+    "profile_numeric_drift",
+    # PSI distribution-drift monitor (beyond-reference data-quality op):
+    # events.value binned into 10 equal-width bins from the global
+    # min/max, compared between two deterministic md5-parity cohorts
+    # (first 8 md5 hex of event_id vs '80000000' — the hex_uniform
+    # split, replayable bit-for-bit in DuckDB). Laplace-smoothed shares
+    # so one-sided bins stay finite; the bin arithmetic is written
+    # token-for-token identically on both engines.
+    """
+    WITH base AS (
+      SELECT CAST(value AS DOUBLE) AS v,
+             CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                       < '80000000' THEN 0 ELSE 1 END AS grp
+      FROM events WHERE value IS NOT NULL
+    ),
+    b AS (SELECT min(v) AS lo, max(v) AS hi FROM base),
+    binned AS (
+      SELECT CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+                  ELSE least(CAST(floor((v - lo) / ((hi - lo) / 10.0)) AS BIGINT),
+                             CAST(9 AS BIGINT)) END AS bin,
+             grp
+      FROM base, b
+    ),
+    counts AS (
+      SELECT bin,
+             CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+                   CAST(sum(n_b) AS BIGINT) AS tb FROM counts)
+    SELECT bin, n_a, n_b,
+           round((n_a + 0.5) / (ta + 5.0), 6) AS share_a,
+           round((n_b + 0.5) / (tb + 5.0), 6) AS share_b,
+           round(((n_a + 0.5) / (ta + 5.0) - (n_b + 0.5) / (tb + 5.0))
+                 * ln(((n_a + 0.5) / (ta + 5.0)) / ((n_b + 0.5) / (tb + 5.0))), 6)
+             AS psi_term
+    FROM counts, tot
+    """,
+)
+def profile_numeric_drift(spark, sf_dir):
+    from ..operators.profiling import numeric_drift
+    from ..operators.training import hex_uniform
+
+    events = load_table(spark, sf_dir, "events")
+    cohorts = events.withColumn(
+        "grp",
+        F.when(hex_uniform(F.col("event_id")) < F.lit("80000000"), 0).otherwise(1),
+    )
+    return numeric_drift(cohorts, "value", "grp", n_bins=10, smoothing=0.5)

@@ -330,3 +330,13 @@ def test_profiler_is_single_scan(spark, sf_dir):
     # the file-index Location line appears exactly once per scan
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert "Expand" in plan
+
+
+def test_numeric_drift_two_scans_no_data_window(spark, sf_dir):
+    # the PSI drift monitor is two map-side-combinable passes over one
+    # column (bin edges, then binned counts); the only window is the
+    # sanctioned unpartitioned total over the n_bins-row count frame —
+    # a totals JOIN would duplicate the counts subtree (4 scans)
+    plan = formatted_plan(spark, sf_dir, "profile_numeric_drift")
+    assert plan.count("Location: InMemoryFileIndex") == 2
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row bounds join
