@@ -347,3 +347,56 @@ def join_edit_distance_fuzzy(spark, sf_dir):
 
     cust = load_table(spark, sf_dir, "customer")
     return edit_distance_one_pairs(cust, "c_name")
+
+
+@register(
+    "graph_triangle_count",
+    # Per-vertex triangle counts over the co-ordered-parts graph
+    # (beyond-reference graph analytics, joining the CC family):
+    # degree-ordered wedge join, Suri & Vassilvitskii WWW'11 — each
+    # triangle is generated at its unique lowest-(degree,id) apex, so
+    # hub vertices cannot explode the wedge set (out-degree ≤ O(√m)).
+    # The oracle is the BRUTE-FORCE id-ordered 3-way edge join: the
+    # orientation trick must find exactly the same triangles, so a
+    # missed or duplicated triangle hash-fails. The graph is the
+    # HIGH-QUANTITY co-purchase graph (both legs l_quantity ≥ 35): the
+    # full co-order graph at sf0.1 is near-complete (avg degree 120,
+    # ~72M wedges) — a dense-graph stress test, not an analytics query;
+    # the thresholded graph keeps ~124k edges / ~54k triangles at sf0.1.
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 35
+    ),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    t AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e1.v = e2.u
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT vertex, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (
+      SELECT a AS vertex FROM t
+      UNION ALL SELECT b FROM t
+      UNION ALL SELECT c FROM t
+    )
+    GROUP BY vertex
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    from ..operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 35)
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return triangle_counts(edges)

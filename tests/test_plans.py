@@ -340,3 +340,24 @@ def test_numeric_drift_two_scans_no_data_window(spark, sf_dir):
     plan = formatted_plan(spark, sf_dir, "profile_numeric_drift")
     assert plan.count("Location: InMemoryFileIndex") == 2
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row bounds join
+
+
+def test_triangle_count_equi_joins_no_broadcast_of_graph(spark, sf_dir):
+    # the degree-ordered wedge join must stay an equi-join pipeline on
+    # vertex keys; every graph-sized frame (edges, degrees, wedges) is
+    # merge-hinted, so NO broadcast may appear — the static planner's
+    # post-aggregation estimates would otherwise try to broadcast a
+    # graph that grows without bound (the r6 prefix-filter lesson)
+    plan = formatted_plan(spark, sf_dir, "graph_triangle_count")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # the oriented edge list feeds three consumers — the persist must
+    # hold (InMemoryTableScan per consumer), or the static plan replays
+    # the whole edge-generation subtree 9× (the diamond-reuse problem).
+    # The only BroadcastHashJoin lives INSIDE that cached build (edge
+    # generation costed from reliable parquet file stats); the graph-
+    # sized joins themselves are merge-hinted SortMergeJoins.
+    import re
+
+    assert len(re.findall(r"\(\d+\) InMemoryTableScan", plan)) >= 3
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) >= 2
+    assert "windowspecdefinition" not in plan
