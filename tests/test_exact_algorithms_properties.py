@@ -1,0 +1,117 @@
+"""Randomized losslessness checks for the exact-by-construction operators
+(prefix-filter similarity join, deletion-neighborhood fuzzy join,
+degree-ordered triangle counting).
+
+Each operator's driver oracle proves equality with a brute-force
+computation on ONE dataset; these tests re-prove it on seeded random
+inputs engineered to stress the pruning logic (dense token collisions,
+clustered near-duplicates, shift-heavy strings, hub-skewed graphs) —
+the configurations where a wrong prefix bound, positional filter, or
+orientation rule would actually lose or duplicate results.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _python_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@pytest.mark.parametrize("seed,tau", [(1, 0.5), (2, 0.8), (3, 0.6)])
+def test_prefix_filter_matches_bruteforce(spark, seed, tau):
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(40)]  # small vocab → heavy collisions
+    docs = []
+    for d in range(30):
+        base = rng.sample(vocab, rng.randint(5, 20))
+        docs.append((d, base))
+        if rng.random() < 0.5:  # planted near-duplicate
+            mutated = list(base)
+            if len(mutated) > 6:
+                mutated.pop(rng.randrange(len(mutated)))
+            docs.append((1000 + d, mutated))
+    rows = [(i, t) for i, toks in docs for t in set(toks)]
+    from gisaid_pipeline_functions_spark.operators.dedup import prefix_filter_pairs
+
+    tokens = spark.createDataFrame(rows, ["id", "token"])
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_pairs(tokens, tau).collect()
+    }
+    sets = {i: set(toks) for i, toks in docs}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        j = inter / (len(sets[a]) + len(sets[b]) - inter)
+        if round(j, 6) >= tau:
+            want[(a, b)] = round(j, 6)
+    assert got == want  # lossless: exact same pairs AND exact same jaccards
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_edit_distance_join_matches_bruteforce(spark, seed):
+    rng = random.Random(seed)
+    alphabet = "ab0"  # tiny alphabet → dense deletion-variant collisions
+    base = {"".join(rng.choices(alphabet, k=rng.randint(3, 7))) for _ in range(40)}
+    mutated = set()
+    for s in list(base)[:20]:  # planted ed-1 neighbors of every kind
+        i = rng.randrange(len(s))
+        mutated.add(s[:i] + s[i + 1:])                      # deletion
+        mutated.add(s[:i] + rng.choice(alphabet) + s[i:])   # insertion
+        mutated.add(s[:i] + rng.choice(alphabet) + s[i + 1:])  # substitution
+    names = sorted(x for x in (base | mutated) if x)
+    from gisaid_pipeline_functions_spark.operators.joins import (
+        edit_distance_one_pairs,
+    )
+
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    got = {
+        (r.name_a, r.name_b): r.edit_distance
+        for r in edit_distance_one_pairs(df, "name").collect()
+    }
+    want = {}
+    for a, b in itertools.combinations(names, 2):
+        d = _python_levenshtein(a, b)
+        if d <= 1:
+            want[(a, b)] = d
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_triangle_counts_match_bruteforce(spark, seed):
+    rng = random.Random(seed)
+    n = 25
+    edges = set()
+    hub = 0  # force skew: the hub connects to almost everything
+    for v in range(1, n):
+        if rng.random() < 0.8:
+            edges.add((hub, v))
+    for _ in range(120):
+        a, b = rng.sample(range(n), 2)
+        edges.add((min(a, b), max(a, b)))
+    from gisaid_pipeline_functions_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(sorted(edges), ["u", "v"])
+    got = {r.vertex: r.n_triangles for r in triangle_counts(df).collect()}
+    adj = {v: set() for v in range(n)}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    want: dict[int, int] = {}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for x in (a, b, c):
+                want[x] = want.get(x, 0) + 1
+    assert got == want
