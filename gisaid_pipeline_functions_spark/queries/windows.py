@@ -676,3 +676,70 @@ def window_trend_slope(spark, sf_dir):
         F.round(F.regr_intercept(f, x), 6).alias("intercept"),
         F.count(F.lit(1)).cast("long").alias("n_weeks"),
     )
+
+
+@register(
+    "agg_iqr_outliers",
+    # Tukey boxplot outlier tally per group (beyond-reference data-quality
+    # op, completing the profiler/drift family): exact quartiles (Spark
+    # `percentile` ≡ DuckDB `quantile_cont`, the agg_exact_percentiles
+    # precedent), fences at 1.5·IQR, outliers counted in a second
+    # conditional pass. The per-group quartile frame is one row per
+    # event_type — a bounded key domain, so its broadcast is the
+    # fixed-size-model rule, not the forbidden corpus-growing broadcast.
+    # Fence arithmetic is written token-identically on both engines so
+    # the unrounded comparison doubles agree bit-for-bit.
+    """
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    ),
+    b AS (
+      SELECT event_type, q1, q3,
+             q1 - 1.5 * (q3 - q1) AS lo,
+             q3 + 1.5 * (q3 - q1) AS hi
+      FROM q
+    )
+    SELECT e.event_type,
+           round(q1, 6) AS q1,
+           round(q3, 6) AS q3,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM events e JOIN b ON e.event_type = b.event_type
+    GROUP BY e.event_type, q1, q3, lo, hi
+    """,
+)
+def agg_iqr_outliers(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    b = q.select(
+        "event_type",
+        "q1",
+        "q3",
+        (F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    v = F.col("value")
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .groupBy("event_type", "q1", "q3", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when((v < F.col("lo")) | (v > F.col("hi")), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            F.round("q1", 6).alias("q1"),
+            F.round("q3", 6).alias("q3"),
+            "n",
+            "n_outliers",
+        )
+    )
