@@ -136,6 +136,35 @@ def main() -> None:
         t1 = timed(fn, docs1_tag)
         tn = timed(fn, docsN_tag)
         print(f"{name:22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (disjoint-vocab copies)")
+
+    # graph linearity: N disjoint vertex-shifted copies of the co-purchase
+    # graph → triangle output exactly N× (degree distribution preserved,
+    # zero cross-copy edges), so a super-linear wall ratio means the wedge
+    # bound or the persist regressed, never the data
+    from gisaid_pipeline_functions_spark.operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 35)
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    bb = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges1 = (
+        a.join(bb, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edgesN = edges1
+    for i in range(1, n):
+        shift = F.lit(i * 10_000_000)
+        edgesN = edgesN.unionByName(
+            edges1.select(
+                (F.col("u") + shift).alias("u"), (F.col("v") + shift).alias("v")
+            )
+        )
+    edgesN = edgesN.repartition(cpus).localCheckpoint(eager=True)
+    t1 = timed(triangle_counts, edges1)
+    tn = timed(triangle_counts, edgesN)
+    print(f"{'triangle_counts':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (disjoint vertex-shifted copies)")
     spark.stop()
 
 
