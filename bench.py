@@ -58,9 +58,11 @@ HEADLINE = [
 # added in r3, so the pin is the BEST calibration ever recorded — r4's
 # 1.455 s (BENCH_r04.json) — as the closest proxy for an idle box; r3 ran
 # 1.656 and the degraded r5 VM 1.748. calibrated_value = value ×
-# (PINNED_IDLE_CALIBRATION / calibration_sec): <1× ratios never inflate
-# the score (a faster-than-anchor machine deflates it), so the field is
-# conservative for grading and self-adjudicating for regressions.
+# (PINNED_IDLE_CALIBRATION / calibration_sec) — a SYMMETRIC normalization
+# (ADVICE r6): a slower-than-anchor machine deflates the raw total, a
+# faster-than-anchor machine inflates it; either way the field estimates
+# what the anchor box would have measured, which is the number to compare
+# round-over-round.
 PINNED_IDLE_CALIBRATION = 1.455
 
 
@@ -117,6 +119,18 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
 
+    # bracket load drift (VERDICT r6 wrong #1: a 5× bench-vs-sweep spread
+    # on one query was unadjudicable because only a START-of-run
+    # calibration existed): re-time the same calibration op AFTER the
+    # headline loop; per-query calibrated values use the mean of the two
+    # brackets, and a large start/end spread flags mid-run load shift.
+    t0 = time.perf_counter()
+    spark.range(0, 20_000_000, 1, cpus).selectExpr(
+        "id % 1000 AS k", "id AS v"
+    ).groupBy("k").sum("v").write.format("noop").mode("overwrite").save()
+    calibration_end_sec = round(time.perf_counter() - t0, 3)
+    cal_mean = (calibration_sec + calibration_end_sec) / 2
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -128,6 +142,7 @@ def main() -> None:
                 "sf": float(sf),
                 "loadavg_1m": load1,
                 "calibration_sec": calibration_sec,
+                "calibration_end_sec": calibration_end_sec,
                 "calibration_1t_sec": calibration_1t_sec,
                 # machine-load-normalized total: value scaled by how much
                 # slower THIS run's calibration op was than the pinned
@@ -135,6 +150,13 @@ def main() -> None:
                 "calibrated_value": round(
                     total * (PINNED_IDLE_CALIBRATION / calibration_sec), 3
                 ),
+                # per-query normalization against the mean of the two
+                # calibration brackets — the field to read when ONE
+                # query's raw number disagrees with the sweep's
+                "calibrated_queries": {
+                    n: round(t * (PINNED_IDLE_CALIBRATION / cal_mean), 3)
+                    for n, t in times.items()
+                },
                 "pinned_idle_calibration": PINNED_IDLE_CALIBRATION,
             }
         )

@@ -679,8 +679,15 @@ def prefix_filter_pairs(tokens: DataFrame, threshold: float) -> DataFrame:
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     doc_freq = tok.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     ranked = tok.join(doc_freq.hint("merge"), "h")
+    # ceil over 9dp-rounded products: when τ·|A| is mathematically integral
+    # an IEEE over-representation (e.g. 0.1*30 = 3.0000000000000004) would
+    # over-ceil and silently SHORTEN the prefix below the safe bound,
+    # dropping true pairs (ADVICE r6 — not triggerable at τ=0.8, latent
+    # for other thresholds). Same guard on the alpha bound below.
     prefix_len = (
-        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + F.lit(1)
+        F.col("sz")
+        - F.ceil(F.round(F.lit(threshold) * F.col("sz"), 9)).cast("int")
+        + F.lit(1)
     )
     prefixes = (
         ranked.groupBy("id")
@@ -698,7 +705,9 @@ def prefix_filter_pairs(tokens: DataFrame, threshold: float) -> DataFrame:
     pa, pb = prefixes.alias("pa"), prefixes.hint("merge").alias("pb")
     tau = F.lit(float(threshold))
     # equivalent-overlap requirement: jaccard ≥ τ  ⇔  |A∩B| ≥ τ/(1+τ)·(|A|+|B|)
-    alpha = F.ceil(tau / (F.lit(1.0) + tau) * (F.col("pa.sz") + F.col("pb.sz")))
+    alpha = F.ceil(
+        F.round(tau / (F.lit(1.0) + tau) * (F.col("pa.sz") + F.col("pb.sz")), 9)
+    )
     ubound = F.least(F.col("pa.pos"), F.col("pb.pos")) + F.least(
         F.col("pa.sz") - F.col("pa.pos"), F.col("pb.sz") - F.col("pb.pos")
     )

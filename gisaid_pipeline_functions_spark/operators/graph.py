@@ -55,7 +55,13 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     # degree-join subtree per consumer (observed 9 copies), the same
     # diamond-reuse problem dedup_cluster_size_histogram hit (r6 fix).
     # Two longs per edge: the standard persistent artifact of every
-    # multi-pass graph algorithm.
+    # multi-pass graph algorithm. LIFETIME (ADVICE r6): the cache is
+    # never explicitly unpersisted — the returned frame is lazy, so
+    # there is no safe point inside this function to release it. That
+    # is the documented trade-off of every persist-under-lazy operator
+    # here (phash_near_dups, cluster-size histogram); long-lived
+    # sessions that run many such operators back-to-back should call
+    # spark.catalog.clearCache() between them (tools/sweep.py does).
     directed = keyed.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),

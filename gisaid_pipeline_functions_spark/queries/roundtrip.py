@@ -481,8 +481,21 @@ def external_tool_roundtrip(spark, sf_dir):
     # 100 TB — shuffle the fact tables once at write, join forever
     # free): orders and lineitem are written bucketBy(8)+sortBy on the
     # join key to scratch-backed tables, re-read, and merge-joined. The
-    # join plan is ASSERTED inside the query to carry NO Exchange (and
-    # no Sort — co-sorted buckets stream straight into the merge); the
+    # join plan is ASSERTED inside the query to carry NO Exchange and no
+    # Sort node (co-sorted buckets stream straight into the merge). The
+    # sort-free half needs BOTH write-side discipline — repartition(8,
+    # key) before bucketBy so each bucket is ONE file (multi-file
+    # buckets can't guarantee scan order and force a Sort back in) —
+    # and the sorted-bucket-scan conf, which Spark 3+ gates off by
+    # default (spark.sql.legacy.bucketedTableScan.outputOrdering; set
+    # around the plan probe, restored after). r6 shipped only the
+    # Exchange check while the docstring claimed both (ADVICE r6) — at
+    # r6's default confs the Sorts were in fact still present. The
+    # check is INTENTIONALLY on the static pre-AQE plan — bucketed-scan
+    # Exchange/Sort elision is decided by the planner before any
+    # adaptive re-plan, so executedPlan() before an action is the right
+    # artifact here (the one sanctioned exception to the repo's
+    # collect-first plan-audit rule); the
     # `shuffle_free` column hashes FALSE against the oracle's TRUE if
     # bucketed co-location ever stops engaging. Values must match the
     # plain-join oracle, so the bucketed files also round-trip exactly.
@@ -506,12 +519,16 @@ def sink_bucketed_join_roundtrip(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
     )
+    # repartition on the bucket key first: task↔bucket alignment makes
+    # each bucket exactly one file, the precondition for a sorted scan
     (
-        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        orders.repartition(8, "o_orderkey")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", scratch + "/o").mode("overwrite").saveAsTable(to)
     )
     (
-        li.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        li.repartition(8, "o_orderkey")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", scratch + "/l").mode("overwrite").saveAsTable(tl)
     )
     import atexit
@@ -522,9 +539,26 @@ def sink_bucketed_join_roundtrip(spark, sf_dir):
         )
     # 'merge' hint pins SortMergeJoin: at driver scale the dim side would
     # auto-broadcast, which hides exactly the property under test
-    joined = spark.table(to).hint("merge").join(spark.table(tl), "o_orderkey")
-    plan = joined._jdf.queryExecution().executedPlan().toString()
-    shuffle_free = "Exchange" not in plan and "SortMergeJoin" in plan
+    ordering_conf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    prev_conf = spark.conf.get(ordering_conf)
+    spark.conf.set(ordering_conf, "true")
+    try:
+        joined = spark.table(to).hint("merge").join(
+            spark.table(tl), "o_orderkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(ordering_conf, prev_conf)
+    # "Sort [" matches only standalone Sort nodes — "SortMergeJoin ["
+    # continues with 'M', so the merge join itself never trips it. A
+    # multi-file-per-bucket regression (or losing the sorted-scan conf)
+    # reintroduces "Sort [" and flips shuffle_free even with Exchange
+    # still elided (ADVICE r6).
+    shuffle_free = (
+        "Exchange" not in plan
+        and "Sort [" not in plan
+        and "SortMergeJoin" in plan
+    )
     return (
         joined.groupBy("o_orderpriority")
         .agg(

@@ -11,10 +11,14 @@ threshold; fixed to 3.9s.
 
 Results also persist to SWEEP_r<N>.json at the repo root (VERDICT r5
 next-round #4) so per-query wall history exists for ALL queries, not
-just the bench headliners — the round is read from $SPARK_GRAFT_ROUND
-or inferred as max(CORRECTNESS_r*.json) + 1. The JSON carries the same
-calibration op as bench.py so cross-round comparisons can normalize
-for machine load.
+just the bench headliners — the round is read from $SPARK_GRAFT_ROUND,
+else inferred from CORRECTNESS_r*.json: the latest correctness round N
+if SWEEP_r<N> doesn't exist yet, N+1 otherwise (a re-run during the
+same round overwrites nothing and a post-correctness sweep stays in
+its own round — ADVICE r6). The JSON carries the same calibration op
+as bench.py so cross-round comparisons can normalize for machine load,
+and each query row records `delta_vs_prev`: its wall seconds minus the
+previous sweep's (calibration-scaled) number.
 
 Usage:  python tools/sweep.py [sf_dir] [cpus]
         (defaults: /root/testdata/sf0.1, 16)
@@ -41,7 +45,14 @@ def _round_number(root: Path) -> int:
         for p in root.glob("CORRECTNESS_r*.json")
         if (m := re.search(r"r(\d+)$", p.stem))
     ]
-    return max(rounds, default=0) + 1
+    latest = max(rounds, default=0)
+    # CORRECTNESS_r<N> lands at the START of round N's judging, so once it
+    # exists a sweep during the SAME round must still write SWEEP_r<N> —
+    # only bump to N+1 when SWEEP_r<N> was already written (ADVICE r6:
+    # max+1 unconditionally fragmented the per-round wall history).
+    if latest and not (root / f"SWEEP_r{latest:02d}.json").exists():
+        return latest
+    return latest + 1
 
 
 def main() -> None:
@@ -76,11 +87,45 @@ def main() -> None:
             times[name] = (round(time.time() - t, 3), n)
         except Exception as ex:  # noqa: BLE001 — a sweep reports, never dies
             times[name] = (round(time.time() - t, 3), f"ERR {str(ex)[:120]}")
-    for name, (dt, n) in sorted(times.items(), key=lambda kv: -kv[1][0]):
-        print(f"{dt:8.3f}s  {name}  rows={n}")
+        # several operators persist() intermediates they can never safely
+        # unpersist (lazy returns: triangle counts, phash LSH, cluster
+        # histogram — see operators/graph.py docstring); across a
+        # 179-query single session those caches accumulate in block
+        # storage until LRU eviction. Queries are independent, so drop
+        # everything between them (ADVICE r6).
+        spark.catalog.clearCache()
 
     root = Path(__file__).resolve().parents[1]
-    out = root / f"SWEEP_r{_round_number(root):02d}.json"
+    rnd = _round_number(root)
+
+    # per-query delta vs the previous round's sweep, normalized by the
+    # calibration ratio so a slower VM doesn't read as a regression
+    # (VERDICT r6 next-round #8) — printed inline, slowest-first
+    prev, prev_cal = {}, None
+    for r in range(rnd - 1, 0, -1):
+        p = root / f"SWEEP_r{r:02d}.json"
+        if p.exists():
+            try:
+                pj = json.loads(p.read_text())
+                prev = {
+                    k: v["sec"] for k, v in pj.get("queries", {}).items()
+                }
+                prev_cal = pj.get("calibration_sec")
+            except (OSError, ValueError):
+                pass
+            break
+    scale = (calibration_sec / prev_cal) if prev_cal else 1.0
+    deltas: dict[str, float | None] = {}
+    for name, (dt, _n) in times.items():
+        deltas[name] = (
+            round(dt - prev[name] * scale, 3) if name in prev else None
+        )
+    for name, (dt, n) in sorted(times.items(), key=lambda kv: -kv[1][0]):
+        d = deltas[name]
+        dv = f"{d:+8.3f}s" if d is not None else "     new"
+        print(f"{dt:8.3f}s  {dv}  {name}  rows={n}")
+
+    out = root / f"SWEEP_r{rnd:02d}.json"
     out.write_text(
         json.dumps(
             {
@@ -90,7 +135,8 @@ def main() -> None:
                 "calibration_sec": calibration_sec,
                 "queries": {
                     name: {"sec": dt, "rows": n if isinstance(n, int) else None,
-                           "err": None if isinstance(n, int) else str(n)}
+                           "err": None if isinstance(n, int) else str(n),
+                           "delta_vs_prev": deltas[name]}
                     for name, (dt, n) in times.items()
                 },
             },
