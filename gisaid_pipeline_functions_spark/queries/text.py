@@ -689,3 +689,128 @@ def flagship_curation_pipeline(spark, sf_dir):
         "perplexity",
         (F.col("perplexity") <= F.col("m")).alias("kept"),
     )
+
+
+def _bpe_ctes(n: int) -> str:
+    """CTE chain replaying ``bpe_learn`` (operators/text.py) iteration by
+    iteration: s0 = per-word char symbols (+ '</w>'), then per round r —
+    weighted pair counts (p{r}), deterministic top-1 (t{r}), match flags
+    (f{r}), canonical-merge selection via the run-parity rule (g{r}: a
+    matching position merges iff an even number of consecutive matches
+    immediately precede it — equivalent to the leftmost-first
+    non-overlapping fold Spark runs, derivation in the operator
+    docstring), and the rebuilt symbol table (s{r})."""
+    parts = [
+        """w0 AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(list_filter(string_split(text, ' '),
+                                  x -> length(x) > 0)) AS word
+        FROM documents)
+      GROUP BY word
+    ),
+    s0 AS (
+      SELECT word, freq,
+             [word[i] FOR i IN range(1, length(word)+1)] || ['</w>'] AS syms
+      FROM w0
+    )"""
+    ]
+    for r in range(1, n + 1):
+        p = r - 1
+        parts.append(
+            f"""p{r} AS (
+      SELECT u.a AS a, u.b AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq,
+               unnest([{{'a': syms[i], 'b': syms[i+1]}}
+                       FOR i IN range(1, len(syms))]) AS u
+        FROM s{p} WHERE len(syms) >= 2)
+      GROUP BY 1, 2
+    ),
+    t{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+    f{r} AS (
+      SELECT word, freq, syms,
+             [syms[i] = t.a AND syms[i+1] = t.b
+              FOR i IN range(1, len(syms))] AS mt
+      FROM s{p} CROSS JOIN t{r} t
+    ),
+    r{r} AS (
+      SELECT word, freq, syms, mt,
+             '0' || array_to_string(
+               [CASE WHEN m THEN '1' ELSE '0' END FOR m IN mt], '') AS ms
+      FROM f{r}
+    ),
+    g{r} AS (
+      SELECT word, freq, syms,
+             [mt[i] AND ((i - length(rtrim(substr(ms, 1, i), '1')) + 1)
+                         % 2 = 1)
+              FOR i IN range(1, len(mt)+1)] AS mg
+      FROM r{r}
+    ),
+    s{r} AS (
+      SELECT word, freq,
+             flatten([CASE
+                WHEN coalesce(mg[i], false) THEN [syms[i] || syms[i+1]]
+                WHEN i > 1 AND coalesce(mg[i-1], false)
+                  THEN CAST([] AS VARCHAR[])
+                ELSE [syms[i]] END
+              FOR i IN range(1, len(syms)+1)]) AS syms
+      FROM g{r}
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+_BPE_N = 6
+
+
+@register(
+    "text_bpe_train",
+    # BPE tokenizer TRAINING (operators/text.py bpe_learn — the merge-
+    # application loop text_bpe_pair_counts stops short of, VERDICT r6
+    # next-round #2): 6 iteration-exact merge rounds over the distinct-
+    # word table, each round's (count → deterministic top-1 → canonical
+    # leftmost-first merge) replayed CTE by CTE, so a drift in ANY
+    # round's pair statistics, tie-break, or merge application
+    # hash-fails. Output = the learned merge table (the model artifact).
+    "WITH "
+    + _bpe_ctes(_BPE_N)
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS pair_a, b AS pair_b,"
+        f" a || b AS merged, cnt FROM t{r}"
+        for r in range(1, _BPE_N + 1)
+    ),
+)
+def text_bpe_train(spark, sf_dir):
+    from ..operators.text import bpe_learn
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _vocab = bpe_learn(docs, "doc_id", "text", n_merges=_BPE_N)
+    return merges
+
+
+@register(
+    "text_bpe_encode",
+    # The learned BPE vocabulary USED: per-document subword sequence
+    # length after all 6 merges — the number packing/budget stages
+    # consume. Joins exploded doc words to the trained word→n_tokens
+    # table hint-free (corpus vocabulary, the no-broadcast rule).
+    "WITH "
+    + _bpe_ctes(_BPE_N)
+    + f""",
+    tok AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_tokens FROM s{_BPE_N}),
+    dw AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                        x -> length(x) > 0)) AS word
+      FROM documents
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_tokens) AS BIGINT) AS n_bpe_tokens
+    FROM dw JOIN tok USING (word) GROUP BY doc_id
+    """,
+)
+def text_bpe_encode(spark, sf_dir):
+    from ..operators.text import bpe_learn, bpe_token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    _merges, vocab = bpe_learn(docs, "doc_id", "text", n_merges=_BPE_N)
+    return bpe_token_counts(docs, vocab, "doc_id", "text")
