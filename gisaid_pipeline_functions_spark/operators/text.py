@@ -832,3 +832,117 @@ def langid_ngram_profiles(
         "dist",
         (F.col("pred_lang") == F.col("lang")).alias("correct"),
     )
+
+
+def dsir_resample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    k: int = 100,
+) -> DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+    NeurIPS; the standard targeted data-selection stage between quality
+    filtering and corpus shaping): score every document by the hashed
+    n-gram log-likelihood ratio of a TARGET domain model vs the RAW
+    corpus model, then draw a fixed-size sample via Gumbel top-k — which
+    is exactly sampling-without-replacement with probability ∝ the
+    importance weight.
+
+    Deterministic throughout, so the whole pipeline is oracle-replayable:
+    - features: unigrams + bigrams md5-hashed into ``n_buckets`` (the
+      classifier_score feature space);
+    - target domain: the same structural weak label classifier_score
+      trains on (docs that look like curated prose) — DSIR's target
+      would normally be a trusted corpus; deriving it from a
+      deterministic predicate keeps the oracle exact while exercising
+      the identical dataflow;
+    - per-bucket log-ratio ``λ_b = ln((nt+1)/(tt+D)) − ln((nr+1)/(tr+D))``
+      rounded to 6dp (the lattice convention), per-doc ``logw = Σ λ``
+      rounded to 6dp;
+    - Gumbel noise from the md5-u32 lattice draw (hex_uniform_u32):
+      ``g = −ln(−ln((u32+0.5)/2^32))`` rounded to 6dp — no RNG state,
+      retry/partition-invariant like every sampler in
+      operators/training.py;
+    - selection: global top-``k`` by (key DESC, doc_id) — plans as a
+      distributed TakeOrderedAndProject, no single-partition window.
+
+    Scale shape: the λ table is ≤ ``n_buckets`` rows regardless of corpus
+    size — the fixed-size-model rule makes its broadcast legitimate (it
+    is the model, like the classifier's weight vector); the gram stream
+    is persisted because BOTH the count pass and the scoring pass consume
+    it (without the barrier the split+bigram+md5 pipeline — the expensive
+    part — runs twice; same documented cache lifetime as bpe_learn)."""
+    from .training import hex_uniform_u32
+
+    base = df.select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("w"))
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target)  # gram build is CPU-bound
+    w = F.col("w")
+    n_words = F.size(w)
+    mean_wlen = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x)) / n_words
+    )
+    is_tgt = (
+        (n_words >= 10)
+        & (n_words <= 1000)
+        & (mean_wlen >= 3.0)
+        & (mean_wlen <= 10.0)
+    )
+    bigrams = F.when(
+        n_words >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n_words - 2),
+            lambda i: F.concat_ws(
+                "_",
+                F.element_at(w, (i + 1).cast("int")),
+                F.element_at(w, (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    labeled = base.filter(n_words > 0).select(
+        "id", is_tgt.alias("tgt"), F.concat(w, bigrams).alias("grams")
+    )
+    gb = labeled.select("id", "tgt", F.explode("grams").alias("gram")).select(
+        "id",
+        "tgt",
+        (
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).alias("b"),
+    ).persist()
+    tgt_i = F.col("tgt").cast("int")
+    cnt = gb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("nr"), F.sum(tgt_i).alias("nt")
+    )
+    tot = cnt.agg(F.sum("nr").alias("tr"), F.sum("nt").alias("tt"))
+    dd = F.lit(float(n_buckets))
+    lam = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log((F.col("nt") + 1.0) / (F.col("tt") + dd))
+            - F.log((F.col("nr") + 1.0) / (F.col("tr") + dd)),
+            6,
+        ).alias("lam"),
+    )
+    scored = (
+        gb.join(F.broadcast(lam), "b")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.round(F.sum("lam"), 6).alias("logw"),
+        )
+    )
+    u = (hex_uniform_u32(F.col("id")) + F.lit(0.5)) / F.lit(float(2**32))
+    g6 = F.round(-F.log(-F.log(u)), 6)
+    return (
+        scored.select(
+            F.col("id").alias("doc_id"),
+            "n_grams",
+            "logw",
+            F.round(F.col("logw") + g6, 6).alias("gumbel_key"),
+        )
+        .orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
+        .limit(k)
+    )

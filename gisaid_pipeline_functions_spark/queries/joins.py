@@ -400,3 +400,75 @@ def graph_triangle_count(spark, sf_dir):
         .distinct()
     )
     return triangle_counts(edges)
+
+
+def _pagerank_ctes(iters: int, damping: float = 0.85) -> str:
+    """CTE chain replaying operators/graph.py:pagerank iteration by
+    iteration on the thresholded co-purchase graph: both-direction edge
+    expansion, out-degrees, r0 = round(1/N, 6), then per round the
+    contribution sum and the 6dp-rounded damped update."""
+    parts = [
+        """li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 35
+    ),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    d AS (
+      SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e
+    ),
+    verts AS (SELECT DISTINCT src AS vertex FROM d),
+    nn AS (SELECT count(*) AS n FROM verts),
+    od AS (SELECT src, count(*) AS odeg FROM d GROUP BY src),
+    r0 AS (
+      SELECT vertex, round(1.0 / nn.n, 6) AS r FROM verts CROSS JOIN nn
+    )"""
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"""c{k} AS (
+      SELECT d.dst AS vertex, sum(r.r / od.odeg) AS s
+      FROM d JOIN r{p} r ON d.src = r.vertex JOIN od ON d.src = od.src
+      GROUP BY d.dst
+    ),
+    r{k} AS (
+      SELECT v.vertex,
+             round((1 - {damping}) / nn.n
+                   + {damping} * coalesce(c.s, 0), 6) AS r
+      FROM verts v CROSS JOIN nn LEFT JOIN c{k} c ON c.vertex = v.vertex
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+_PR_ITERS = 5
+
+
+@register(
+    "graph_pagerank",
+    # PageRank on the same thresholded co-purchase graph as
+    # graph_triangle_count — fixed-iteration power method with 6dp
+    # lattice rounding per round (the k-means/CC fixpoint convention),
+    # so the oracle replays all 5 iterations CTE by CTE and a drift in
+    # any round's contribution sum, damping update, or no-inlink
+    # fallback hash-fails (operators/graph.py:pagerank).
+    "WITH "
+    + _pagerank_ctes(_PR_ITERS)
+    + f"\n    SELECT vertex, r AS pagerank FROM r{_PR_ITERS}",
+)
+def graph_pagerank(spark, sf_dir):
+    from ..operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 35)
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return pagerank(edges, iterations=_PR_ITERS, damping=0.85)

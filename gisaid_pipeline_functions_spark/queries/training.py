@@ -640,3 +640,69 @@ def sample_quality_bernoulli(spark, sf_dir):
         )
         .select("doc_id", F.col("wt").cast("long").alias("wt"))
     )
+
+
+@register(
+    "sample_dsir",
+    # DSIR importance resampling (Xie et al. 2023; operators/text.py
+    # dsir_resample — VERDICT r6 next-round #5): hashed unigram+bigram
+    # bucket counts give target-vs-raw log-likelihood-ratio weights
+    # (6dp lattice), Gumbel top-k over logw + md5-lattice noise = a
+    # deterministic without-replacement draw ∝ importance weight. The
+    # oracle replays feature hashing, both models, the λ table, per-doc
+    # sums, the Gumbel keys, and the top-100 cut — drift anywhere
+    # hash-fails.
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+      FROM documents
+    ),
+    lbl AS (
+      SELECT doc_id, w,
+             (len(w) >= 10 AND len(w) <= 1000
+              AND list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w)
+                  BETWEEN 3.0 AND 10.0) AS tgt
+      FROM base WHERE len(w) > 0
+    ),
+    g AS (
+      SELECT doc_id, tgt,
+             unnest(w || CASE WHEN len(w) >= 2
+                    THEN [w[i] || '_' || w[i+1] FOR i IN range(1, len(w))]
+                    ELSE CAST([] AS VARCHAR[]) END) AS gram
+      FROM lbl
+    ),
+    bk AS (
+      SELECT doc_id, tgt,
+             CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % 1024 AS b
+      FROM g
+    ),
+    cnt AS (
+      SELECT b, count(*) AS nr,
+             sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS nt
+      FROM bk GROUP BY b
+    ),
+    tot AS (SELECT sum(nr) AS tr, sum(nt) AS tt FROM cnt),
+    lam AS (
+      SELECT b, round(ln((nt + 1.0) / (tt + 1024.0))
+                      - ln((nr + 1.0) / (tr + 1024.0)), 6) AS lam
+      FROM cnt CROSS JOIN tot
+    ),
+    sc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             round(sum(lam), 6) AS logw
+      FROM bk JOIN lam USING (b) GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, logw,
+           round(logw + round(-ln(-ln(({_U32_SQL} + 0.5) / 4294967296.0)),
+                              6), 6) AS gumbel_key
+    FROM sc
+    ORDER BY gumbel_key DESC, doc_id
+    LIMIT 100
+    """,
+)
+def sample_dsir(spark, sf_dir):
+    from ..operators.text import dsir_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_resample(docs, "doc_id", "text", n_buckets=1024, k=100)
