@@ -77,60 +77,77 @@ def multimodal_frame_sample(spark, sf_dir):
 
 @register(
     "multimodal_decode_dims",
-    # The decode path run through a NON-stub branch: payloads carry a real
-    # binary header (magic + big-endian dims, built natively with unhex),
-    # and the Arrow-batched mapInPandas stage parses it with struct.unpack
-    # — the same injection point a PIL/ffmpeg decoder would use. The
-    # oracle recomputes the dims from the arithmetic that framed them and
-    # the body length from the text (ASCII testdata: strlen = bytes).
+    # The decode path over REAL image files (upgraded r7 per VERDICT r6
+    # next-round #4, from the bespoke GP header format): every document
+    # becomes a valid 24-bit uncompressed BMP (bottom-up padded rows,
+    # spec headers) whose top-down grayscale raster is the text's bytes
+    # cycled over a doc_id-derived w×h grid; the Arrow-batched
+    # mapInPandas stage parses the actual format — header offsets,
+    # little-endian dims, stride padding, row-order flip — and emits the
+    # dims plus an md5 of the DECODED raster. The oracle rebuilds the
+    # raster from the generation arithmetic (ASCII testdata: chars =
+    # bytes, so the cycled text IS the pixel string), so any encode or
+    # parse slip — wrong pad, unflipped rows, off-by-one offset —
+    # hash-fails on content, not just shape.
     """
-    SELECT doc_id AS media_id,
-           CAST(doc_id % 640 + 1 AS BIGINT) AS width,
-           CAST(doc_id % 480 + 1 AS BIGINT) AS height,
-           CAST(strlen(text) AS BIGINT) AS body_bytes
-    FROM documents
+    WITH dims AS (
+      SELECT doc_id, text,
+             CAST(doc_id % 21 + 4 AS BIGINT) AS w,
+             CAST(doc_id % 13 + 4 AS BIGINT) AS h
+      FROM documents
+    )
+    SELECT doc_id AS media_id, w AS width, h AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           md5(substr(repeat(text,
+                 CAST(ceil(w * h * 1.0 / strlen(text)) AS INT)),
+               1, CAST(w * h AS INT))) AS pixel_md5
+    FROM dims
     """,
 )
 def multimodal_decode_dims(spark, sf_dir):
-    from ..operators.multimodal import (
-        decode_gp_header,
-        extract_features,
-        media_with_header,
-    )
+    from ..operators.multimodal import bmp_decode, documents_as_bmp
 
-    media = media_with_header(load_table(spark, sf_dir, "documents"))
-    feats = extract_features(media, decode=decode_gp_header)
-    return feats.select(
-        "media_id",
-        "width",
-        "height",
-        (F.col("n_bytes") - 10).alias("body_bytes"),
-    )
+    media = documents_as_bmp(load_table(spark, sf_dir, "documents"))
+    return bmp_decode(media)
 
 
 @register(
     "multimodal_resize",
-    # Resize plumbing under a CONTENT hash: stride-2 byte decimation of
-    # the GP-framed body, new dims = ceil(dim/2), plus md5 of the resized
-    # body — the oracle reconstructs the identical strided string from the
-    # source text (ASCII testdata: bytes = chars), so a wrong stride, a
-    # header-length slip, or dropped tail bytes all hash-fail.
+    # Resize over REAL pixels (upgraded r7 alongside the decode): parse
+    # the BMP, 2-D nearest-neighbor decimation of the top-down raster
+    # (every 2nd column of every 2nd row — replacing r6's 1-D byte
+    # stride), dims = ceil(dim/2), md5 of the resampled raster. The
+    # oracle rebuilds the decimated raster index-by-index from the
+    # cycled-text generation rule: pixel (y, x) = text[((y*w + x) mod
+    # len)] with y = 2*(i // out_w), x = 2*(i mod out_w).
     """
-    SELECT doc_id AS media_id,
-           CAST(ceil((doc_id % 640 + 1) / 2.0) AS BIGINT) AS out_w,
-           CAST(ceil((doc_id % 480 + 1) / 2.0) AS BIGINT) AS out_h,
-           CAST(ceil(strlen(text) / 2.0) AS BIGINT) AS out_bytes,
+    WITH dims AS (
+      SELECT doc_id, text, strlen(text) AS n,
+             CAST(doc_id % 21 + 4 AS BIGINT) AS w,
+             CAST(doc_id % 13 + 4 AS BIGINT) AS h
+      FROM documents
+    ),
+    rs AS (
+      SELECT doc_id, text, n, w,
+             CAST(ceil(w / 2.0) AS BIGINT) AS ow,
+             CAST(ceil(h / 2.0) AS BIGINT) AS oh
+      FROM dims
+    )
+    SELECT doc_id AS media_id, ow AS out_w, oh AS out_h,
+           CAST(ow * oh AS BIGINT) AS out_bytes,
            md5(array_to_string(
-             [substr(text, i, 1) FOR i IN generate_series(1, strlen(text), 2)],
-             '')) AS out_md5
-    FROM documents
+             [substr(text,
+                     CAST((((2 * (i // ow)) * w + 2 * (i % ow)) % n) + 1
+                          AS INT), 1)
+              FOR i IN range(0, ow * oh)], '')) AS out_md5
+    FROM rs
     """,
 )
 def multimodal_resize(spark, sf_dir):
-    from ..operators.multimodal import media_with_header, resize_media
+    from ..operators.multimodal import bmp_resize, documents_as_bmp
 
-    media = media_with_header(load_table(spark, sf_dir, "documents"))
-    return resize_media(media, factor=2)
+    media = documents_as_bmp(load_table(spark, sf_dir, "documents"))
+    return bmp_resize(media, factor=2)
 
 
 @register(

@@ -163,3 +163,69 @@ def test_phash_near_dups_finds_small_edit_not_distinct_docs(spark):
     }
     assert (0, 1) in pairs and pairs[(0, 1)] <= 3
     assert all(2 not in p for p in pairs)
+
+
+def test_bmp_encode_parse_roundtrip_exhaustive_dims():
+    """The real BMP writer/parser pair is the identity on the raster for
+    every (width mod 4) padding class and bottom-up row count — covers
+    all four stride-padding cases the spec's 4-byte row alignment
+    creates."""
+    from gisaid_pipeline_functions_spark.operators.multimodal import (
+        encode_bmp_gray,
+        parse_bmp_gray,
+    )
+
+    for w in range(1, 9):  # strides 3..24 → pads 1,2,3,0,...
+        for h in (1, 2, 5):
+            px = bytes((i * 37 + w * 11 + h) % 256 for i in range(w * h))
+            bmp = encode_bmp_gray(w, h, px)
+            # real-file invariants: magic, declared size, 54-byte offset
+            assert bmp[:2] == b"BM"
+            assert len(bmp) == 54 + ((w * 3 + (4 - w * 3 % 4) % 4)) * h
+            pw, ph, out = parse_bmp_gray(bmp)
+            assert (pw, ph, out) == (w, h, px)
+
+
+def test_bmp_parser_rejects_non_bmp_and_unsupported():
+    from gisaid_pipeline_functions_spark.operators.multimodal import (
+        encode_bmp_gray,
+        parse_bmp_gray,
+    )
+
+    with pytest.raises(ValueError, match="magic"):
+        parse_bmp_gray(b"GP" + b"\x00" * 60)
+    bad_bpp = bytearray(encode_bmp_gray(2, 2, bytes(4)))
+    bad_bpp[28] = 32  # declare 32bpp
+    with pytest.raises(ValueError, match="unsupported"):
+        parse_bmp_gray(bytes(bad_bpp))
+
+
+def test_bmp_decode_through_extract_features_injection(spark, sf_dir):
+    """decode_bmp_features drops into the extract_features stub boundary:
+    real dims and a pixel-value histogram from DECODED pixels."""
+    from gisaid_pipeline_functions_spark.operators.multimodal import (
+        _bmp_dims,
+        decode_bmp_features,
+        documents_as_bmp,
+        extract_features,
+    )
+
+    media = documents_as_bmp(load_table(spark, sf_dir, "documents"))
+    out = extract_features(media, decode=decode_bmp_features)
+    rows = {r["media_id"]: r for r in out.collect()}
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    assert rows.keys() == docs.keys()
+    for did, r in list(rows.items())[:25]:
+        w, h = _bmp_dims(did)
+        assert (r["width"], r["height"]) == (w, h)
+        body = docs[did].encode()
+        px = bytes(body[i % len(body)] for i in range(w * h))
+        hist = [0] * 16
+        for b in px:
+            hist[b >> 4] += 1
+        assert [round(v, 6) for v in r["features"]] == [
+            round(c / len(px), 6) for c in hist
+        ]
