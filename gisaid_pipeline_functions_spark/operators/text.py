@@ -414,6 +414,128 @@ def vocab_coverage(
     )
 
 
+def classifier_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """The hashed-feature stage shared by classifier training, batch
+    scoring, and the streaming-scoring twin: per document, the
+    structural weak label (Gopher word-count + mean-word-length rules)
+    and one row per unigram/bigram md5-hashed into ``n_buckets`` —
+    ``(id, pos, b)``. Works on BATCH and STREAMING frames alike (every
+    expression is map-side); the CPU-spreading repartition guard only
+    applies to batch inputs (a stream's partitioning is the source's)."""
+    base = df.select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("w"))
+    # the gram build + explode + md5 stage is CPU-bound and a small
+    # single-file parquet scan arrives as ONE partition — spread it
+    # across the executor pool first (the agg_cms_heavy_hitters /
+    # variant-kernel guard; without it the whole pipeline ran on one
+    # core: 10 s instead of ~2 s at sf0.1)
+    if not df.isStreaming:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if base.rdd.getNumPartitions() < target:
+            base = base.repartition(target)
+    w = F.col("w")
+    n_words = F.size(w)
+    mean_wlen = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x)) / n_words
+    )
+    label = (
+        (n_words >= 10)
+        & (n_words <= 1000)
+        & (mean_wlen >= 3.0)
+        & (mean_wlen <= 10.0)
+    )
+    bigrams = F.when(
+        n_words >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n_words - 2),
+            lambda i: F.concat_ws(
+                "_",
+                F.element_at(w, (i + 1).cast("int")),
+                F.element_at(w, (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    labeled = base.filter(n_words > 0).select(
+        "id", label.alias("pos"), F.concat(w, bigrams).alias("grams")
+    )
+    return labeled.select("id", "pos", F.explode("grams").alias("gram")).select(
+        "id",
+        "pos",
+        (
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).alias("b"),
+    )
+
+
+def classifier_train(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> tuple[DataFrame, DataFrame]:
+    """Closed-form NB log-odds training pass of ``classifier_score``,
+    exposed separately so a STREAM can score against the batch-trained
+    model: returns ``(wt, bias_row)`` — the ≤ n_buckets-row weight table
+    and the 1-row bias — both legitimate broadcasts (fixed-size model)."""
+    gb = classifier_features(df, id_col, text_col, n_buckets)
+    pos_i = F.col("pos").cast("int")
+    cnt = gb.groupBy("b").agg(
+        F.sum(pos_i).alias("np"), F.sum(1 - pos_i).alias("nn")
+    )
+    tot = cnt.agg(F.sum("np").alias("tp"), F.sum("nn").alias("tn"))
+    wt = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log((F.col("np") + 1.0) / (F.col("tp") + F.lit(float(n_buckets))))
+            - F.log((F.col("nn") + 1.0) / (F.col("tn") + F.lit(float(n_buckets)))),
+            6,
+        ).alias("wt"),
+    )
+    bias_row = gb.select("id", "pos").dropDuplicates(["id"]).agg(
+        F.round(
+            F.log((F.sum(pos_i) + 1.0) / (F.sum(1 - pos_i) + 1.0)), 6
+        ).alias("bias")
+    )
+    return wt, bias_row
+
+
+def classifier_apply(
+    gb: DataFrame, wt: DataFrame, bias_row: DataFrame
+) -> DataFrame:
+    """Inference against a trained (wt, bias) model over a
+    ``classifier_features`` stream — batch OR streaming (stream-static
+    broadcast join + per-doc aggregation; with a bounded AvailableNow
+    backlog the aggregation runs in complete mode)."""
+    pos_i = F.col("pos").cast("int")
+    scored = (
+        gb.join(F.broadcast(wt), "b")
+        .groupBy("id")
+        .agg(
+            (F.max(pos_i) == 1).alias("label_weak"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.avg("wt").alias("mw"),
+        )
+    )
+    # streams don't support crossJoin — a literal-key equi-join against
+    # the broadcast 1-row bias is the same plan
+    return (
+        scored.withColumn("_k", F.lit(1))
+        .join(F.broadcast(bias_row.withColumn("_k", F.lit(1))), "_k")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_grams",
+            "label_weak",
+            F.round(F.col("bias") + F.col("mw"), 6).alias("score"),
+            ((F.col("bias") + F.col("mw")) > 0).alias("pred"),
+        )
+    )
+
+
 def classifier_score(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -447,88 +569,16 @@ def classifier_score(
       one per-doc aggregate. No vocabulary-sized state anywhere.
     - docs with zero words have no features and drop out (the
       unigram_logprob convention).
-    """
-    base = df.select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("w"))
-    # the gram build + explode + md5 stage is CPU-bound and a small
-    # single-file parquet scan arrives as ONE partition — spread it
-    # across the executor pool first (the agg_cms_heavy_hitters /
-    # variant-kernel guard; without it the whole pipeline ran on one
-    # core: 10 s instead of ~2 s at sf0.1)
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < target:
-        base = base.repartition(target)
-    w = F.col("w")
-    n_words = F.size(w)
-    mean_wlen = F.when(n_words == 0, F.lit(0.0)).otherwise(
-        F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x)) / n_words
-    )
-    label = (
-        (n_words >= 10)
-        & (n_words <= 1000)
-        & (mean_wlen >= 3.0)
-        & (mean_wlen <= 10.0)
-    )
-    bigrams = F.when(
-        n_words >= 2,
-        F.transform(
-            F.sequence(F.lit(0), n_words - 2),
-            lambda i: F.concat_ws(
-                "_",
-                F.element_at(w, (i + 1).cast("int")),
-                F.element_at(w, (i + 2).cast("int")),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    labeled = base.filter(n_words > 0).select(
-        "id", label.alias("pos"), F.concat(w, bigrams).alias("grams")
-    )
-    gb = labeled.select("id", "pos", F.explode("grams").alias("gram")).select(
-        "id",
-        "pos",
-        (
-            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
-            % n_buckets
-        ).alias("b"),
-    )
-    pos_i = F.col("pos").cast("int")
-    cnt = gb.groupBy("b").agg(
-        F.sum(pos_i).alias("np"), F.sum(1 - pos_i).alias("nn")
-    )
-    # class totals from the D-row count table, NOT a second pass over the
-    # gram stream — the gram pipeline (split + bigram build + explode +
-    # md5) is the expensive part and appears once per consumer
-    tot = cnt.agg(F.sum("np").alias("tp"), F.sum("nn").alias("tn"))
-    wt = cnt.crossJoin(F.broadcast(tot)).select(
-        "b",
-        F.round(
-            F.log((F.col("np") + 1.0) / (F.col("tp") + F.lit(float(n_buckets))))
-            - F.log((F.col("nn") + 1.0) / (F.col("tn") + F.lit(float(n_buckets)))),
-            6,
-        ).alias("wt"),
-    )
-    bias_row = labeled.select("id", "pos").agg(
-        F.round(
-            F.log(
-                (F.sum(pos_i) + 1.0) / (F.sum(1 - pos_i) + 1.0)
-            )
-        , 6).alias("bias")
-    )
-    scored = (
-        gb.join(F.broadcast(wt), "b")
-        .groupBy("id")
-        .agg(
-            (F.max(pos_i) == 1).alias("label_weak"),
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.avg("wt").alias("mw"),
-        )
-    )
-    return scored.crossJoin(F.broadcast(bias_row)).select(
-        F.col("id").alias("doc_id"),
-        "n_grams",
-        "label_weak",
-        F.round(F.col("bias") + F.col("mw"), 6).alias("score"),
-        ((F.col("bias") + F.col("mw")) > 0).alias("pred"),
-    )
+
+    r7 refactor: split into ``classifier_features`` / ``classifier_train``
+    / ``classifier_apply`` so the STREAMING twin scores live documents
+    against the batch-trained model; this composition is value-identical
+    (the bias aggregate now dedups (id, pos) from the gram stream instead
+    of reading the pre-explode frame — pos is functionally dependent on
+    id, so the counts are the same)."""
+    wt, bias_row = classifier_train(df, id_col, text_col, n_buckets)
+    gb = classifier_features(df, id_col, text_col, n_buckets)
+    return classifier_apply(gb, wt, bias_row)
 
 
 def bigram_logprob(

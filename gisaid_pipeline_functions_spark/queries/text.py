@@ -441,16 +441,11 @@ def text_vocab_coverage(spark, sf_dir):
     return vocab_coverage(docs, "doc_id", "text", vocab_size=25)
 
 
-@register(
-    "text_classifier_score",
-    # Learned linear quality classifier (operators/text.py
-    # classifier_score): hashed unigram+bigram features (md5 % 1024),
-    # closed-form NB log-odds weights from Gopher-style weak labels,
-    # map-side mean-weight scoring. The oracle replays TRAINING AND
-    # INFERENCE — bucket hashes, class counts, 6dp-rounded weights, bias,
-    # final scores — so the learned model itself is value-hashed (the
-    # learned-k-means gating precedent).
-    """
+# Shared by text_classifier_score and its streaming twin
+# (queries/advanced.py streaming_classifier_score): the streaming path
+# must land on EXACTLY the batch model + scores, so both register the
+# same replay oracle.
+_CLASSIFIER_ORACLE = """
     WITH base AS (
       SELECT doc_id,
              list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
@@ -504,7 +499,19 @@ def text_vocab_coverage(spark, sf_dir):
     SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, label_weak,
            round(bias + mw, 6) AS score, (bias + mw) > 0 AS pred
     FROM scored CROSS JOIN nb
-    """,
+    """
+
+
+@register(
+    "text_classifier_score",
+    # Learned linear quality classifier (operators/text.py
+    # classifier_score): hashed unigram+bigram features (md5 % 1024),
+    # closed-form NB log-odds weights from Gopher-style weak labels,
+    # map-side mean-weight scoring. The oracle replays TRAINING AND
+    # INFERENCE — bucket hashes, class counts, 6dp-rounded weights, bias,
+    # final scores — so the learned model itself is value-hashed (the
+    # learned-k-means gating precedent).
+    _CLASSIFIER_ORACLE,
 )
 def text_classifier_score(spark, sf_dir):
     from ..operators.text import classifier_score
@@ -814,3 +821,41 @@ def text_bpe_encode(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     _merges, vocab = bpe_learn(docs, "doc_id", "text", n_merges=_BPE_N)
     return bpe_token_counts(docs, vocab, "doc_id", "text")
+
+
+@register(
+    "streaming_classifier_score",
+    # Streaming twin of text_classifier_score (VERDICT r6 next-round #7,
+    # the pattern of streaming_enrich_hash, registered here beside the
+    # shared oracle): NB log-odds weights train on
+    # the STATIC corpus (operators/text.py classifier_train), then the
+    # documents STREAM is feature-hashed per micro-batch and scored via a
+    # stream-static broadcast join + per-doc streaming aggregation
+    # (complete mode over the AvailableNow backlog). The materialized
+    # stream output must hash-match the full batch replay oracle — a
+    # regression in stream-static join semantics, the broadcast model, or
+    # streaming aggregation state flips this row.
+    _CLASSIFIER_ORACLE,
+)
+def streaming_classifier_score(spark, sf_dir):
+    import uuid
+
+    from ..operators.text import (
+        classifier_apply,
+        classifier_features,
+        classifier_train,
+    )
+    from ..sources.tables import load_table
+    from ..streaming.source import stream_documents
+    from ..streaming.weekly import run_stream_to_memory
+
+    docs = load_table(spark, sf_dir, "documents")
+    wt, bias_row = classifier_train(docs, "doc_id", "text", n_buckets=1024)
+    gb = classifier_features(
+        stream_documents(spark, sf_dir), "doc_id", "text", n_buckets=1024
+    )
+    return run_stream_to_memory(
+        spark,
+        classifier_apply(gb, wt, bias_row),
+        "classifier_stream_drv_" + uuid.uuid4().hex[:8],
+    )

@@ -97,3 +97,29 @@ def stream_events(
         # DuckDB's TIMESTAMP_NS truncation; float division rounds up 1µs)
         return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+# Non-stream-specific columns of the documents table (no timestamps — a
+# stateless projection/enrichment stream needs no watermark).
+DOCUMENTS_STREAM_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def stream_documents(
+    spark: SparkSession,
+    directory: str,
+    glob: str | None = "documents.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming parquet scan of the documents table — the live-corpus
+    twin of ``load_table(..., 'documents')`` for continuous-ingest
+    scoring/dedup stages. Declared schema (a streaming source must never
+    need a data scan to start); no timestamp columns, so no
+    canonicalization pass is required."""
+    reader = spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(directory)
