@@ -687,6 +687,17 @@ def bpe_learn(
     deterministic (count DESC, pair ASC) tie-break → apply the merge →
     re-count).
 
+    Each round's vocab is localCheckpoint'ed (eager), not persist'ed:
+    the vocab feeds BOTH the next round's pair count and the next
+    rebuild, so the LOGICAL plan doubles per round — persist dedupes
+    execution but the analyzer still walks the 2^N tree (measured: a
+    ~9000-Exchange plan string at N=6), and a real tokenizer run is
+    thousands of merges. Checkpointing truncates lineage to a leaf per
+    round — the standard iterative-algorithm pattern (same call as
+    sim_ivf_learned / pq_adc_topk, operators/similarity.py) — at the
+    cost of one tiny vocab-sized materialization per round, exactly
+    what a production loop would persist anyway.
+
     Returns ``(merges, vocab)``:
     - merges: (merge_rank, pair_a, pair_b, merged, cnt) — one row per
       learned merge, the model artifact a tokenizer ships;
@@ -699,13 +710,11 @@ def bpe_learn(
     round is one explode+groupBy over ≤ Σ|word| symbol pairs of ≤ |vocab|
     rows with map-side partial aggregation, one distributed top-1
     (TakeOrderedAndProject — no global window), one broadcast of the
-    1-row winner, and one map-side fold rebuilding symbol arrays. Each
-    round's vocab is persisted: it feeds both the next round's pair count
-    and the next rebuild, and without the InMemoryRelation barrier the
-    lineage doubles per round (2^N replays of the word count). Like
-    triangle_counts (operators/graph.py), the caches outlive the call —
-    long multi-query sessions should clearCache() between queries
-    (tools/sweep.py does).
+    1-row winner, and one map-side fold rebuilding symbol arrays; the
+    per-round checkpoint (see above) keeps both the execution AND the
+    analyzer tree linear in the number of merges. The checkpointed
+    blocks outlive the call — long multi-query sessions should
+    clearCache() between queries (tools/sweep.py does).
 
     Merge application is the canonical greedy semantics via
     ``_bpe_merge_fold``; the DuckDB oracle implements the SAME semantics
@@ -718,7 +727,9 @@ def bpe_learn(
         F.filter(F.split(F.col("word"), ""), lambda c: F.length(c) > 0),
         F.array(F.lit("</w>")),
     )
-    vocab = vocab.select("word", "freq", syms0.alias("syms")).persist()
+    vocab = vocab.select("word", "freq", syms0.alias("syms")).localCheckpoint(
+        eager=True
+    )
     merges: DataFrame | None = None
     for r in range(1, n_merges + 1):
         s = F.col("syms")
@@ -747,8 +758,21 @@ def bpe_learn(
             )
         )
         merges = top if merges is None else merges.unionByName(top)
+        # LEFT join on a constant key, not a crossJoin: when NO pair is
+        # left to merge (every word fully collapsed — degenerate corpora
+        # only), top is EMPTY and a crossJoin would wipe the vocabulary;
+        # with null pair columns the fold's hit predicate is NULL →
+        # otherwise-branch, i.e. a clean no-op pass-through (hypothesis
+        # caught this on a single-word corpus).
         vocab = (
-            vocab.crossJoin(F.broadcast(top.select("pair_a", "pair_b")))
+            vocab.withColumn("_k", F.lit(1))
+            .join(
+                F.broadcast(
+                    top.select("pair_a", "pair_b").withColumn("_k", F.lit(1))
+                ),
+                "_k",
+                "left",
+            )
             .select(
                 "word",
                 "freq",
@@ -756,7 +780,7 @@ def bpe_learn(
                     F.col("syms"), F.col("pair_a"), F.col("pair_b")
                 ).alias("syms"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
     out_vocab = vocab.select(
         "word", "freq", "syms", F.size("syms").cast("long").alias("n_tokens")

@@ -734,10 +734,14 @@ def _bpe_ctes(n: int) -> str:
     ),
     t{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
     f{r} AS (
+      -- LEFT JOIN ON TRUE, not CROSS JOIN: an empty t{r} (no pair left
+      -- to merge) must pass the vocab through unchanged — null t.a
+      -- makes every mt element NULL and the coalesce in s{r} keeps
+      -- each symbol (mirrors the Spark fold's null no-op)
       SELECT word, freq, syms,
              [syms[i] = t.a AND syms[i+1] = t.b
               FOR i IN range(1, len(syms))] AS mt
-      FROM s{p} CROSS JOIN t{r} t
+      FROM s{p} LEFT JOIN t{r} t ON TRUE
     ),
     r{r} AS (
       SELECT word, freq, syms, mt,

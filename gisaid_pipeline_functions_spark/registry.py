@@ -56,17 +56,23 @@ def register(name: str, sql: str | None = None):
 # the round the change was made in — forced to the front until a green
 # driver row from that round (or later) exists, then they rotate back
 # into the normal staleness order automatically.
-_RECHECK_ROUND = 6
+_RECHECK_ROUND = 7
 _RECHECK_FIRST = frozenset(
     {
-        # round 6 implementation changes that must re-prove (kept MINIMAL
-        # per VERDICT r5 next-round #1 so the 15 last-green-r2 queries all
-        # fit the window; new registrations sort first via the
-        # zero-evidence floor and need no entry here):
-        "join_bloom_prefilter",  # bloom internals renamed to a collision-
-        # resistant __bloom…__ namespace + input assert (ADVICE r5)
-        "dedup_cluster_size_histogram",  # comp persisted so the LSH→CC
-        # chain runs once across the two actions (VERDICT r5 wrong #1)
+        # round 7 implementation changes that must re-prove (kept MINIMAL
+        # per VERDICT r6 next-round #1 so the 35 last-green-r3 queries all
+        # fit the window: 35 + 5 new registrations + these 5 = 45 ≤ ~50;
+        # new registrations sort first via the zero-evidence floor and
+        # need no entry here):
+        "dedup_prefix_filter_join",  # robust 9dp-rounded ceilings on the
+        # prefix length + equivalent-overlap bound (ADVICE r6)
+        "sink_bucketed_join_roundtrip",  # now asserts the SORT-free plan
+        # too: 1-file-per-bucket write + sorted-scan conf (ADVICE r6)
+        "multimodal_decode_dims",  # real BMP parse replaces the GP
+        # header format (VERDICT r6 next-round #4)
+        "multimodal_resize",  # real 2-D pixel decimation over parsed BMPs
+        "text_classifier_score",  # train/apply split for the streaming
+        # twin (value-identical; bias now dedups the gram stream)
     }
 )
 

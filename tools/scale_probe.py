@@ -109,6 +109,11 @@ def main() -> None:
         )
         return prefix_filter_pairs(tokens, threshold=0.5)
 
+    from gisaid_pipeline_functions_spark.operators.text import (
+        bpe_learn,
+        dsir_resample,
+    )
+
     ops = {
         "span_surgery": lambda d: span_surgery(d, "doc_id", "text", k=5, min_run=3),
         "classifier_score": lambda d: classifier_score(d),
@@ -117,6 +122,8 @@ def main() -> None:
         "phash_near_dups": lambda d: phash_near_dups(
             media_with_header(d), skip_header_bytes=10
         ),
+        # r7: DSIR — gram pipeline is corpus-linear, model state fixed-D
+        "dsir_resample": lambda d: dsir_resample(d),
     }
 
     def timed(fn, d) -> float:
@@ -132,10 +139,21 @@ def main() -> None:
         t1 = timed(fn, docs1)
         tn = timed(fn, docsN)
         print(f"{name:22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}")
-    for name, fn in {"prefix_filter_pairs": _prefix_filter}.items():
+    # r7: BPE training on the DISJOINT-VOCAB copies — plain replication
+    # leaves the distinct-word table unchanged (the loop would do
+    # identical work at Nx); tagged copies grow the vocabulary Nx, so
+    # the ratio measures the vocab-linear merge loop honestly.
+    for name, fn, note in (
+        ("prefix_filter_pairs", _prefix_filter, "disjoint-vocab copies"),
+        (
+            "bpe_learn",
+            lambda d: bpe_learn(d, n_merges=6)[0],
+            "disjoint-vocab copies",
+        ),
+    ):
         t1 = timed(fn, docs1_tag)
         tn = timed(fn, docsN_tag)
-        print(f"{name:22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (disjoint-vocab copies)")
+        print(f"{name:22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  ({note})")
 
     # graph linearity: N disjoint vertex-shifted copies of the co-purchase
     # graph → triangle output exactly N× (degree distribution preserved,
@@ -165,6 +183,15 @@ def main() -> None:
     t1 = timed(triangle_counts, edges1)
     tn = timed(triangle_counts, edgesN)
     print(f"{'triangle_counts':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (disjoint vertex-shifted copies)")
+
+    # r7: PageRank on the same disjoint copies — per-copy rank mass is
+    # 1/(N·V) vs 1/V, but the JOIN/agg volume is exactly N×, which is
+    # what the ratio measures
+    from gisaid_pipeline_functions_spark.operators.graph import pagerank
+
+    t1 = timed(lambda e: pagerank(e, iterations=5), edges1)
+    tn = timed(lambda e: pagerank(e, iterations=5), edgesN)
+    print(f"{'pagerank':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (disjoint vertex-shifted copies)")
     spark.stop()
 
 
