@@ -55,11 +55,13 @@ HEADLINE = [
     # bench's 1.9 s was RIGHT, the sweep undercounted. tools/sweep.py
     # now times the same noop write as this file.
     "dedup_span_surgery",
-    # round 7 (sf0.1 cost checked: 1.2 s) — the real-BMP decode path,
-    # representative of the upgraded multimodal surface; text_bpe_train
-    # 3.3 s, graph_pagerank 3.6 s, and sample_dsir 5.3 s stayed out,
-    # job-count-bound at toy scale
-    "multimodal_decode_dims",
+    # round 7 adds NO headline query: every candidate is Python-worker-
+    # or job-count-bound at toy scale (multimodal_decode_dims 1.2 s on
+    # local[8] but 2.6 s min-of-2 on local[32] — Arrow worker fan-out
+    # dominates 156-doc partitions; text_bpe_train 3.3 s = 6 sequential
+    # top-1 jobs; graph_pagerank 3.6 s = 11 chained stages; sample_dsir
+    # 5.3 s). All are swept end-to-end by tools/sweep.py's noop-write
+    # timings instead; the headline stays the cross-round-comparable 21.
 ]
 
 # Idle-machine anchor for the self-normalizing `calibrated_value` field
@@ -132,14 +134,17 @@ def main() -> None:
     # bracket load drift (VERDICT r6 wrong #1: a 5× bench-vs-sweep spread
     # on one query was unadjudicable because only a START-of-run
     # calibration existed): re-time the same calibration op AFTER the
-    # headline loop; per-query calibrated values use the mean of the two
-    # brackets, and a large start/end spread flags mid-run load shift.
+    # headline loop. NOTE the end value runs WARM (JIT'd codegen, hot
+    # page cache) and lands well under the cold start value on an idle
+    # box (r7: 1.67 → 0.61 at loadavg 0.7), so it is a DRIFT indicator
+    # only — an end value ABOVE start means load arrived mid-run. All
+    # calibrated fields normalize against the cold start value, which is
+    # what the pinned anchor measured.
     t0 = time.perf_counter()
     spark.range(0, 20_000_000, 1, cpus).selectExpr(
         "id % 1000 AS k", "id AS v"
     ).groupBy("k").sum("v").write.format("noop").mode("overwrite").save()
     calibration_end_sec = round(time.perf_counter() - t0, 3)
-    cal_mean = (calibration_sec + calibration_end_sec) / 2
 
     total = round(sum(times.values()), 3)
     print(
@@ -160,11 +165,11 @@ def main() -> None:
                 "calibrated_value": round(
                     total * (PINNED_IDLE_CALIBRATION / calibration_sec), 3
                 ),
-                # per-query normalization against the mean of the two
-                # calibration brackets — the field to read when ONE
-                # query's raw number disagrees with the sweep's
+                # per-query normalization against the cold start
+                # calibration (anchor-comparable) — the field to read
+                # when ONE query's raw number disagrees with the sweep's
                 "calibrated_queries": {
-                    n: round(t * (PINNED_IDLE_CALIBRATION / cal_mean), 3)
+                    n: round(t * (PINNED_IDLE_CALIBRATION / calibration_sec), 3)
                     for n, t in times.items()
                 },
                 "pinned_idle_calibration": PINNED_IDLE_CALIBRATION,

@@ -627,19 +627,42 @@ def semdedup(
     made this exact mistake a named anti-pattern), so AQE decides.
     Real deployments push k up with corpus size to keep cells ~constant
     (the paper uses k=50k for LAION), which keeps |cell|² bounded."""
-    assigned = kmeans_assign(corpus, k=k, iterations=iterations,
-                             id_col=id_col, vec_col=vec_col)
+    # pin the assignment (2 ints per vector): base is referenced THREE
+    # times below (both join sides + the final select) and each
+    # reference would otherwise re-run the whole Lloyd training — the
+    # identical diamond sim_ivf_learned/sim_centroid_outlier already
+    # checkpoint (r7: the count()-pruned sweep had hidden the replay;
+    # the noop-write sweep measured 9.9 s → 4.3 s with the pin)
+    assigned = (
+        kmeans_assign(
+            corpus, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
+        )
+        .select("vec_id", "cell")
+        .localCheckpoint(eager=True)
+    )
     base = corpus.select(
         F.col(id_col).alias("vec_id"), _to_double(F.col(vec_col)).alias("v")
     ).join(assigned.select("vec_id", "cell"), "vec_id")
+    # hoist the L2 norm to ONE fold per row: higher-order functions run
+    # interpreted (outside codegen), and `cosine()` per pair costs five
+    # 64-element traversals (two casts + dot + two norms) — on |cell|²/2
+    # pairs that interpreted fold dominated the whole query (r7
+    # noop-sweep finding: 9.9 s at sf0.1, ~2× faster with per-row
+    # norms). The arithmetic is bit-identical: same x*x fold on the same
+    # double array, same dot/(na*nb) division order as cosine().
+    base = base.withColumn("nv", norm(F.col("v")))
     a = base.select(
-        F.col("vec_id").alias("a_id"), F.col("v").alias("av"), "cell"
+        F.col("vec_id").alias("a_id"), F.col("v").alias("av"),
+        F.col("nv").alias("na"), "cell"
     )
     b = base.select(
-        F.col("vec_id").alias("b_id"), F.col("v").alias("bv"), "cell"
+        F.col("vec_id").alias("b_id"), F.col("v").alias("bv"),
+        F.col("nv").alias("nb"), "cell"
     )
     pairs = a.join(b, "cell").filter(F.col("a_id") < F.col("b_id"))
-    cos = F.round(cosine(F.col("av"), F.col("bv")), 6)
+    cos = F.round(
+        dot(F.col("av"), F.col("bv")) / (F.col("na") * F.col("nb")), 6
+    )
     drops = (
         pairs.filter(cos >= F.lit(threshold))
         .select(F.col("b_id").alias("vec_id"))

@@ -496,9 +496,24 @@ def classifier_train(
             6,
         ).alias("wt"),
     )
-    bias_row = gb.select("id", "pos").dropDuplicates(["id"]).agg(
+    # bias from a DIRECT per-doc pass (words + label only) — deriving it
+    # from the gram stream would re-run the expensive explode+md5
+    # pipeline a third time plus a dedup shuffle for a 1-row aggregate
+    w = words(F.col(text_col))
+    n_words = F.size(w)
+    mean_wlen = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x)) / n_words
+    )
+    lbl = (
+        (n_words >= 10)
+        & (n_words <= 1000)
+        & (mean_wlen >= 3.0)
+        & (mean_wlen <= 10.0)
+    )
+    li = lbl.cast("int")
+    bias_row = df.filter(n_words > 0).agg(
         F.round(
-            F.log((F.sum(pos_i) + 1.0) / (F.sum(1 - pos_i) + 1.0)), 6
+            F.log((F.sum(li) + 1.0) / (F.sum(1 - li) + 1.0)), 6
         ).alias("bias")
     )
     return wt, bias_row

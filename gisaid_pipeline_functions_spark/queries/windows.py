@@ -112,12 +112,26 @@ def ts_cumulative_totals(spark, sf_dir):
 )
 def agg_approx_distinct(spark, sf_dir):
     """HyperLogLog++ distinct counts — the approximate-aggregate slot.
-    rsd=0.01 keeps the estimate well inside the 5% contract bound."""
+    rsd=0.01 keeps the estimate well inside the 5% contract bound.
+
+    The exact and approximate counts are computed in SEPARATE aggregates
+    joined on the 3-row group key — never together: mixing a distinct
+    aggregate with a wide-buffer sketch in one agg triggers the
+    distinct-Expand rewrite, which drags the ~12 KB rsd=0.01 HLL buffer
+    through the per-distinct-value partial aggregation (one buffer per
+    (group, partkey) pair instead of per group) — measured 16.8 s vs
+    1.6 + 1.5 s split at sf0.1 (r7; the count()-pruned sweep had masked
+    it for four rounds). At 100 TB the combined form is
+    buffer-volume-catastrophic; two scans are the cheap option, and the
+    exact side exists only for the contract gate anyway."""
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.count_distinct("l_partkey").alias("exact_parts"),
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts")
     )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts")
+    )
+    agg = exact.join(F.broadcast(approx), "l_returnflag")
     within = (
         F.abs(F.col("approx_parts") - F.col("exact_parts"))
         <= F.lit(0.05) * F.col("exact_parts")
@@ -726,6 +740,13 @@ def agg_iqr_outliers(spark, sf_dir):
         (F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1"))).alias("hi"),
     )
     v = F.col("value")
+    # the fence frame is one row per DISTINCT event_type — bounded by the
+    # event-type taxonomy (a handful of strings), NOT by corpus size, so
+    # the forced broadcast is safe here. That justification is the
+    # bounded-KEY-DOMAIN rule, not the fixed-size-model rule (ADVICE r6
+    # wording nit): a caller generalizing this operator to a grouping
+    # column with corpus-scaling cardinality (user_id, url) must drop the
+    # broadcast hint and let AQE decide.
     return (
         ev.join(F.broadcast(b), "event_type")
         .groupBy("event_type", "q1", "q3", "lo", "hi")

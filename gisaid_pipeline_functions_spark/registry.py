@@ -61,7 +61,7 @@ _RECHECK_FIRST = frozenset(
     {
         # round 7 implementation changes that must re-prove (kept MINIMAL
         # per VERDICT r6 next-round #1 so the 35 last-green-r3 queries all
-        # fit the window: 35 + 5 new registrations + these 5 = 45 ≤ ~50;
+        # fit the window: 35 + 5 new registrations + these 7 = 47 ≤ ~50;
         # new registrations sort first via the zero-evidence floor and
         # need no entry here):
         "dedup_prefix_filter_join",  # robust 9dp-rounded ceilings on the
@@ -72,7 +72,11 @@ _RECHECK_FIRST = frozenset(
         # header format (VERDICT r6 next-round #4)
         "multimodal_resize",  # real 2-D pixel decimation over parsed BMPs
         "text_classifier_score",  # train/apply split for the streaming
-        # twin (value-identical; bias now dedups the gram stream)
+        # twin (value-identical; bias from a direct per-doc pass)
+        "sim_semdedup",  # assignment checkpoint + hoisted per-row norms
+        # (bit-identical arithmetic; 9.9 s → 3.0 s, r7 noop-sweep find)
+        "agg_approx_distinct",  # exact/approx split into separate aggs —
+        # the combined distinct-Expand form was 10× (r7 noop-sweep find)
     }
 )
 

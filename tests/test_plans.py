@@ -361,3 +361,51 @@ def test_triangle_count_equi_joins_no_broadcast_of_graph(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) InMemoryTableScan", plan)) >= 3
     assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) >= 2
     assert "windowspecdefinition" not in plan
+
+
+def test_pagerank_message_joins_merge_hinted_no_graph_broadcast(spark, sf_dir):
+    # every edge/vertex-sized join in the message-passing rounds must be
+    # a merge-hinted SortMergeJoin (the r6 static-planner-broadcast
+    # rule); the only broadcasts allowed are the 1-row vertex-count
+    # frames (one per iteration + init). The checkpointed/persisted
+    # inputs surface as InMemoryTableScans.
+    plan = formatted_plan(spark, sf_dir, "graph_pagerank")
+    # BroadcastNestedLoopJoin is the legitimate plan of the 1-row
+    # vertex-count crossJoin; an unkeyed CartesianProduct is not
+    assert "CartesianProduct" not in plan
+    import re
+
+    # 5 iterations × (ranks⋈edges + od⋈ + verts-left⋈contrib) merge joins
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) >= 15
+    assert len(re.findall(r"\(\d+\) InMemoryTableScan", plan)) >= 3
+
+
+def test_bpe_plan_lineage_is_truncated(spark):
+    # the per-round localCheckpoint must keep the analyzer tree LINEAR
+    # in merges: without it the vocab's double reference (pair count +
+    # rebuild) doubles the plan per round — ~9000 Exchange nodes in the
+    # plan string at N=6 vs ~a dozen truncated (r7). Guard the
+    # regression with a generous ceiling.
+    from gisaid_pipeline_functions_spark.operators.text import bpe_learn
+
+    docs = spark.createDataFrame(
+        [(0, "aa ab ba"), (1, "ab aa")], "doc_id long, text string"
+    )
+    merges, vocab = bpe_learn(docs, n_merges=4)
+    plan = vocab._jdf.queryExecution().analyzed().toString()
+    assert plan.count("LogicalRDD") <= 3  # checkpoint leaf, not lineage
+    assert len(plan) < 20_000
+    spark.catalog.clearCache()
+
+
+def test_dsir_model_broadcasts_gram_stream_does_not(spark, sf_dir):
+    # the λ weight table (≤ 1024 rows, fixed) and the 1-row totals are
+    # the ONLY broadcast builds; the gram stream must reach the joins as
+    # a shuffle/cache scan, never a broadcast build
+    plan = formatted_plan(spark, sf_dir, "sample_dsir")
+    # the 1-row totals crossJoin plans as BroadcastNestedLoopJoin —
+    # legitimate; an unkeyed CartesianProduct is not
+    assert "CartesianProduct" not in plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) <= 3
