@@ -855,6 +855,14 @@ def streaming_classifier_score(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     wt, bias_row = classifier_train(docs, "doc_id", "text", n_buckets=1024)
+    # pin the trained model BEFORE the stream starts: a stream-static
+    # join re-evaluates its static side per MICRO-BATCH, so an unpinned
+    # model would re-run the whole training pass for every batch of a
+    # long-lived stream (the AvailableNow single-batch harness masks
+    # this — production would not). ≤1024 rows + 1 row: the fixed-size
+    # model is exactly what you checkpoint.
+    wt = wt.localCheckpoint(eager=True)
+    bias_row = bias_row.localCheckpoint(eager=True)
     gb = classifier_features(
         stream_documents(spark, sf_dir), "doc_id", "text", n_buckets=1024
     )
