@@ -1035,3 +1035,55 @@ def dsir_resample(
         .orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def bpe_segment(
+    words_df: DataFrame,
+    merges: DataFrame,
+    n_merges: int,
+    word_col: str = "word",
+) -> DataFrame:
+    """Tokenizer INFERENCE: segment arbitrary — including unseen — words
+    with a LEARNED ranked merge list (the encode step of Sennrich et al.
+    2016: apply each merge in training rank order to the char+'</w>'
+    symbol sequence). ``bpe_token_counts`` covers corpus words via the
+    trained vocab join; this is the path for words the training never
+    saw — the actual production tokenizer shape.
+
+    Each rank's merge is a 1-row frame LEFT-joined on a constant key
+    (broadcast; a missing rank — merges list shorter than ``n_merges`` —
+    yields null pairs and the fold no-ops, the bpe_learn convention) and
+    applied with the same canonical leftmost-first fold. ``n_merges``
+    is passed explicitly so the model row count never needs a driver
+    action. Lineage is linear (each step has one consumer), and the
+    per-step work is a map-side fold — no shuffle at all after the
+    merges broadcast: segmentation of a 100 TB corpus is embarrassingly
+    parallel once the (tiny, fixed) merge table ships."""
+    out = words_df.select(
+        F.col(word_col).alias("word"),
+        F.concat(
+            F.filter(F.split(F.col(word_col), ""), lambda c: F.length(c) > 0),
+            F.array(F.lit("</w>")),
+        ).alias("syms"),
+    )
+    for r in range(1, n_merges + 1):
+        mk = (
+            merges.filter(F.col("merge_rank") == r)
+            .select("pair_a", "pair_b")
+            .withColumn("_k", F.lit(1))
+        )
+        out = (
+            out.withColumn("_k", F.lit(1))
+            .join(F.broadcast(mk), "_k", "left")
+            .select(
+                "word",
+                _bpe_merge_fold(
+                    F.col("syms"), F.col("pair_a"), F.col("pair_b")
+                ).alias("syms"),
+            )
+        )
+    return out.select(
+        "word",
+        F.size("syms").cast("long").alias("n_tokens"),
+        F.array_join("syms", " ").alias("segmented"),
+    )

@@ -871,3 +871,88 @@ def streaming_classifier_score(spark, sf_dir):
         classifier_apply(gb, wt, bias_row),
         "classifier_stream_drv_" + uuid.uuid4().hex[:8],
     )
+
+
+def _bpe_apply_ctes(n: int) -> str:
+    """CTE chain replaying ``bpe_segment`` (tokenizer INFERENCE): apply
+    the training chain's ranked merges t1..t{n} in order to a table of
+    UNSEEN words (u0), with the same run-parity canonical-merge
+    machinery as ``_bpe_ctes`` minus the frequency column. LEFT JOIN ON
+    TRUE keeps absent ranks a no-op (the bpe_learn convention)."""
+    parts = [
+        """u0 AS (
+      SELECT word,
+             [word[i] FOR i IN range(1, length(word)+1)] || ['</w>'] AS syms
+      FROM (SELECT DISTINCT reverse(word) AS word FROM (
+              SELECT unnest(list_filter(string_split(text, ' '),
+                                        x -> length(x) > 0)) AS word
+              FROM documents))
+    )"""
+    ]
+    for r in range(1, n + 1):
+        p = r - 1
+        parts.append(
+            f"""uf{r} AS (
+      SELECT word, syms,
+             [syms[i] = t.a AND syms[i+1] = t.b
+              FOR i IN range(1, len(syms))] AS mt
+      FROM u{p} LEFT JOIN t{r} t ON TRUE
+    ),
+    ur{r} AS (
+      SELECT word, syms, mt,
+             '0' || array_to_string(
+               [CASE WHEN m THEN '1' ELSE '0' END FOR m IN mt], '') AS ms
+      FROM uf{r}
+    ),
+    ug{r} AS (
+      SELECT word, syms,
+             [mt[i] AND ((i - length(rtrim(substr(ms, 1, i), '1')) + 1)
+                         % 2 = 1)
+              FOR i IN range(1, len(mt)+1)] AS mg
+      FROM ur{r}
+    ),
+    u{r} AS (
+      SELECT word,
+             flatten([CASE
+                WHEN coalesce(mg[i], false) THEN [syms[i] || syms[i+1]]
+                WHEN i > 1 AND coalesce(mg[i-1], false)
+                  THEN CAST([] AS VARCHAR[])
+                ELSE [syms[i]] END
+              FOR i IN range(1, len(syms)+1)]) AS syms
+      FROM ug{r}
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "text_bpe_segment",
+    # Tokenizer INFERENCE on UNSEEN words (operators/text.py
+    # bpe_segment): the 6 learned merges apply in rank order to words
+    # the training never saw (each corpus word reversed — a disjoint
+    # surface-form set with the same character statistics), completing
+    # the tokenizer story train → corpus-encode → new-text-encode. The
+    # oracle replays training AND the ranked inference chain, so a
+    # wrong rank order, a missed merge, or a non-canonical application
+    # on novel words hash-fails.
+    "WITH "
+    + _bpe_ctes(_BPE_N)
+    + ",\n    "
+    + _bpe_apply_ctes(_BPE_N)
+    + f"""
+    SELECT word, CAST(len(syms) AS BIGINT) AS n_tokens,
+           array_to_string(syms, ' ') AS segmented
+    FROM u{_BPE_N}
+    """,
+)
+def text_bpe_segment(spark, sf_dir):
+    from ..operators.text import bpe_learn, bpe_segment, words
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _vocab = bpe_learn(docs, "doc_id", "text", n_merges=_BPE_N)
+    unseen = (
+        docs.select(F.explode(words(F.col("text"))).alias("w"))
+        .select(F.reverse(F.col("w")).alias("word"))
+        .distinct()
+    )
+    return bpe_segment(unseen, merges, _BPE_N, "word")
