@@ -616,3 +616,98 @@ def source_permissive_csv_tally(spark, sf_dir):
             "sum_value"
         ),
     )
+
+
+@register(
+    "layout_zorder_pruning",
+    # Z-order layout math, fully value-hashed (operators/layout.py —
+    # the Delta/Iceberg OPTIMIZE ZORDER lever): 8-bit Morton codes over
+    # (l_partkey%256, l_suppkey%256), 16 Z-range buckets (= 64×64
+    # axis-aligned blocks) vs 16 linear x-range buckets, then the
+    # file-skipping computation a stats-pruning reader performs for the
+    # band predicate y ∈ [16, 31]: a bucket must be read iff its
+    # [min_y, max_y] intersects the band. The linear-by-x layout keeps
+    # every bucket's y-range at full width (reads all 16); the Z layout
+    # confines the band to the y-block row (reads 4) — the oracle
+    # replays codes, bucket stats, both hit counts, and the
+    # layout-independent band aggregate, so the geometry claim itself
+    # is value-hashed, not narrated.
+    """
+    WITH pts AS (
+      SELECT CAST(l_partkey % 256 AS BIGINT) AS x,
+             CAST(l_suppkey % 256 AS BIGINT) AS y
+      FROM lineitem
+    ),
+    z AS (
+      SELECT x, y,
+             CAST(list_sum([((x >> i) & 1) * (1 << (2*i))
+                            + ((y >> i) & 1) * (1 << (2*i + 1))
+                            FOR i IN range(0, 8)]) AS BIGINT) AS z
+      FROM pts
+    ),
+    zs AS (
+      SELECT z // 4096 AS b, min(y) AS min_y, max(y) AS max_y
+      FROM z GROUP BY 1
+    ),
+    xs AS (
+      SELECT x // 16 AS b, min(y) AS min_y, max(y) AS max_y
+      FROM pts GROUP BY 1
+    ),
+    hits AS (
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM zs
+          WHERE min_y <= 31 AND max_y >= 16) AS z_buckets_read,
+        (SELECT CAST(count(*) AS BIGINT) FROM xs
+          WHERE min_y <= 31 AND max_y >= 16) AS x_buckets_read,
+        (SELECT CAST(count(*) AS BIGINT) FROM zs) AS z_buckets_total,
+        (SELECT CAST(count(*) AS BIGINT) FROM xs) AS x_buckets_total
+    )
+    SELECT z_buckets_read, x_buckets_read, z_buckets_total,
+           x_buckets_total,
+           z_buckets_read < x_buckets_read AS zorder_skips_more,
+           (SELECT CAST(count(*) AS BIGINT) FROM pts
+             WHERE y BETWEEN 16 AND 31) AS band_rows,
+           (SELECT CAST(sum(x) AS BIGINT) FROM pts
+             WHERE y BETWEEN 16 AND 31) AS band_sum_x
+    FROM hits
+    """,
+)
+def layout_zorder_pruning(spark, sf_dir):
+    from ..operators.layout import bucket_stats, zorder_value
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        (F.col("l_partkey") % 256).cast("long").alias("x"),
+        (F.col("l_suppkey") % 256).cast("long").alias("y"),
+    )
+    z = pts.withColumn("z", zorder_value(F.col("x"), F.col("y"), bits=8))
+    zs = bucket_stats(z, F.floor(F.col("z") / 4096))
+    xs = bucket_stats(pts, F.floor(F.col("x") / 16))
+    band_hit = (F.col("min_y") <= 31) & (F.col("max_y") >= 16)
+    z_read = zs.agg(
+        F.sum(band_hit.cast("long")).alias("z_buckets_read"),
+        F.count(F.lit(1)).alias("z_buckets_total"),
+    )
+    x_read = xs.agg(
+        F.sum(band_hit.cast("long")).alias("x_buckets_read"),
+        F.count(F.lit(1)).alias("x_buckets_total"),
+    )
+    band = pts.filter(F.col("y").between(16, 31)).agg(
+        F.count(F.lit(1)).alias("band_rows"),
+        F.sum("x").alias("band_sum_x"),
+    )
+    return (
+        z_read.crossJoin(F.broadcast(x_read))
+        .crossJoin(F.broadcast(band))
+        .select(
+            "z_buckets_read",
+            "x_buckets_read",
+            "z_buckets_total",
+            "x_buckets_total",
+            (F.col("z_buckets_read") < F.col("x_buckets_read")).alias(
+                "zorder_skips_more"
+            ),
+            "band_rows",
+            "band_sum_x",
+        )
+    )

@@ -61,7 +61,7 @@ _RECHECK_FIRST = frozenset(
     {
         # round 7 implementation changes that must re-prove (kept MINIMAL
         # per VERDICT r6 next-round #1 so the 35 last-green-r3 queries all
-        # fit the window: 35 + 6 new registrations + these 7 = 48 ≤ ~50;
+        # fit the window: 35 + 7 new registrations + these 7 = 49 ≤ ~50;
         # new registrations sort first via the zero-evidence floor and
         # need no entry here):
         "dedup_prefix_filter_join",  # robust 9dp-rounded ceilings on the
