@@ -716,9 +716,15 @@ def prefix_filter_pairs(tokens: DataFrame, threshold: float) -> DataFrame:
             pb,
             (F.col("pa.h") == F.col("pb.h"))
             & (F.col("pa.id") < F.col("pb.id"))
-            # length filter: jaccard ≥ τ forces τ·|A| ≤ |B| ≤ |A|/τ
-            & (F.col("pb.sz") >= tau * F.col("pa.sz"))
-            & (F.col("pa.sz") >= tau * F.col("pb.sz"))
+            # length filter: jaccard ≥ τ forces τ·|A| ≤ |B| ≤ |A|/τ.
+            # Compare against the 9dp-rounded product — the same IEEE
+            # over-representation as the prefix ceiling (τ=0.28, |A|=25
+            # → τ·|A| = 7.000000000000001 > the legitimate |B| = 7)
+            # would otherwise drop a true pair at exactly-threshold
+            # jaccard. Rounding can only ADMIT borderline candidates,
+            # and every candidate is exact-verified below.
+            & (F.col("pb.sz") >= F.round(tau * F.col("pa.sz"), 9))
+            & (F.col("pa.sz") >= F.round(tau * F.col("pb.sz"), 9))
             # PPJoin positional filter
             & (ubound >= alpha),
         )

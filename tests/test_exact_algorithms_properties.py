@@ -115,3 +115,46 @@ def test_triangle_counts_match_bruteforce(spark, seed):
             for x in (a, b, c):
                 want[x] = want.get(x, 0) + 1
     assert got == want
+
+
+def test_prefix_filter_exact_threshold_under_ieee_overceiling(spark):
+    """ADVICE-r6 regression, constructed to make the naive float bounds
+    actually LOSE a pair: at tau=0.28 the product tau*25 evaluates to
+    7.000000000000001, so (a) a naive ceil shortens A's prefix from 19
+    to 18 — and A's one shared-prefix token sits exactly at position 19
+    (its 18 unique df=1 tokens sort before the shared df=2 tokens) —
+    and (b) the naive length filter rejects |B| = 7 >= tau*|A|. The
+    pair (A, B) has jaccard exactly 7/25 = 0.28 and must be found; the
+    9dp-rounded bounds recover it, verified against brute force over
+    the whole corpus."""
+    from gisaid_pipeline_functions_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    tau = 0.28
+    shared = [f"s{i}" for i in range(7)]
+    docs = {
+        0: shared + [f"a{i}" for i in range(18)],  # |A| = 25
+        1: list(shared),  # |B| = 7; jaccard(A,B) = 7/25 = 0.28 exactly
+        # noise docs so df ranking and the self-join are non-trivial
+        2: [f"n{i}" for i in range(12)],
+        3: [f"n{i}" for i in range(6)] + [f"m{i}" for i in range(6)],
+    }
+    rows = [(i, t) for i, toks in docs.items() for t in toks]
+    tokens = spark.createDataFrame(rows, ["id", "token"])
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_pairs(tokens, tau).collect()
+    }
+    import itertools
+
+    sets = {i: set(t) for i, t in docs.items()}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        j = inter / (len(sets[a]) + len(sets[b]) - inter)
+        if round(j, 6) >= tau:
+            want[(a, b)] = round(j, 6)
+    assert (0, 1) in want  # the construction is on-threshold by design
+    assert got == want
+    spark.catalog.clearCache()
