@@ -162,3 +162,65 @@ def pagerank(
             )
         )
     return ranks.select("vertex", F.col("r").alias("pagerank"))
+
+
+def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007; the GraphFrames/Pregel LPA everybody actually runs) —
+    the third member of the bulk-iterative graph family beside
+    ``pagerank`` and the CC star contractions (operators/dedup.py:190).
+
+    Input: ``(u, v)`` distinct undirected edges with ``u < v``. Every
+    vertex starts labeled with its own id; each round, every vertex
+    adopts the MOST FREQUENT label among its neighbors, ties broken by
+    the smallest label — a fully deterministic integer-only update, so a
+    DuckDB oracle replays every round CTE by CTE with zero float risk
+    (no lattice rounding even needed). Fixed ``iterations`` rounds, the
+    bounded-iteration convention of pagerank/k-means (synchronous LPA
+    can oscillate on bipartite structures — a fixpoint loop would not
+    terminate, and bounded rounds are what Pregel deployments run).
+
+    Scale shape:
+    - Each round is ONE edge-keyed equi-join (labels ⋈ edges on src) +
+      a groupBy(dst, label) vote count + a per-dst window argmax — the
+      window is PARTITIONED by dst (parallel per-vertex), never global.
+    - The both-direction edge list is shuffled ONCE to
+      hash-partitioning(src) and persisted; every round's merge join
+      streams it from cache with Exchange and Sort elided, shuffling
+      only the vertex-sized label frame (the pagerank partitioning-reuse
+      trick; same documented cache lifetime as the other graph ops).
+    - Label frames grow with the graph → merge-hinted joins (r6 rule).
+    - Lineage is linear in rounds (labels has one consumer per round);
+      votes fan in via map-side partial counts, and AQE handles hub
+      skew on dst.
+    """
+    from pyspark.sql import Window
+
+    directed = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .repartition(F.col("src"))
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    labels = (
+        directed.select(F.col("src").alias("vertex"))
+        .distinct()
+        .select("vertex", F.col("vertex").alias("label"))
+    )
+    w = Window.partitionBy("dst").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(iterations):
+        votes = (
+            directed.join(
+                labels.select(F.col("vertex").alias("src"), "label").hint("merge"),
+                "src",
+            )
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("vertex"), "label")
+        )
+    return labels

@@ -652,6 +652,152 @@ def bigram_logprob(
     )
 
 
+def _adjacent_pairs(w: Column) -> Column:
+    """Adjacent word pairs of an array column as an array of
+    ``struct(w1, w2)`` (the bigram_logprob enumeration, shared by the
+    PMI and TextRank edge builders)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.struct(
+            F.element_at(w, (i + 1).cast("int")).alias("w1"),
+            F.element_at(w, (i + 2).cast("int")).alias("w2"),
+        ),
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 3,
+    k: int = 100,
+) -> DataFrame:
+    """Collocation extraction by pointwise mutual information (Church &
+    Hanks 1990) — the classic corpus-linguistics pass a training-data
+    pipeline runs to find multi-word expressions worth protecting from
+    tokenizer splits: score every adjacent word pair by
+    ``PMI = log2( P(w1,w2) / (P(w1)·P(w2)) )`` under corpus unigram /
+    bigram frequencies, keep pairs seen ≥ ``min_count`` times, return the
+    top-``k`` by (PMI desc, w1, w2) — a total order, so the slice is
+    deterministic.
+
+    The ratio is computed as ``(cb/B) / ((c1/T)·(c2/T))`` in doubles —
+    NEVER as the integer product ``cb·T²`` (T ~ 10¹³ tokens at 100 TB
+    overflows bigint); the fixed expression tree makes the double
+    arithmetic bit-identical to the oracle's.
+
+    Scale shape:
+    - Unigram and bigram counting are one explode + map-side-partial
+      groupBy each — shuffle volume ∝ distinct-gram cardinality, not
+      corpus size.
+    - The two totals are 1-row aggregates OF THE COUNT TABLES (never a
+      corpus rescan) and broadcast.
+    - The count-table joins (bigrams ⋈ unigrams on w1, then w2) are
+      MERGE-HINTED: vocabulary grows super-Heaps with the corpus, and
+      both sides are post-aggregation frames whose static size estimates
+      the planner cannot be trusted with (the r6 doc-frequency broadcast
+      OOM was exactly this shape).
+    - ``min_count`` prunes BEFORE the joins (the overwhelming mass of a
+      web corpus's bigrams are hapax pairs), and the final top-k is
+      TakeOrderedAndProject — per-partition heaps, no global sort.
+    """
+    base = df.select(words(F.col(text_col)).alias("w"))
+    w = F.col("w")
+    bg = (
+        base.filter(F.size(w) >= 2)
+        .select(F.explode(_adjacent_pairs(w)).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    uc = (
+        base.select(F.explode(w).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bc_all = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    bc = bc_all.filter(F.col("cb") >= min_count)
+    # both totals are 1-row aggregates OF THE COUNT TABLES — deriving tb
+    # from the pre-filter bigram counts (Σcb) instead of re-counting the
+    # gram stream saves a full corpus rescan (the bigram_logprob
+    # context-count convention); the corpus is read exactly twice (one
+    # unigram explode, one bigram explode)
+    totals = uc.agg(F.sum("c").alias("tt")).crossJoin(
+        bc_all.agg(F.sum("cb").alias("tb"))
+    )
+    c1 = uc.select(F.col("t").alias("w1"), F.col("c").alias("c1"))
+    c2 = uc.select(F.col("t").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log2(
+        (F.col("cb") / F.col("tb"))
+        / ((F.col("c1") / F.col("tt")) * (F.col("c2") / F.col("tt")))
+    )
+    return (
+        bc.join(c1.hint("merge"), "w1")
+        .join(c2.hint("merge"), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.col("cb").alias("pair_count"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(k)
+    )
+
+
+def textrank_edges(
+    df: DataFrame, text_col: str = "text", min_len: int = 4
+) -> DataFrame:
+    """Word co-occurrence edges for TextRank (Mihalcea & Tarau 2004):
+    lowercase the whitespace words, keep candidates of length ≥
+    ``min_len`` (the cheap stand-in for the paper's POS filter), link
+    ADJACENT candidates (window 2 over the filtered sequence), and emit
+    distinct undirected edges ``(u < v)`` — the input shape of
+    operators/graph.py:pagerank. Map-side until the final distinct."""
+    toks = F.transform(
+        F.filter(words(F.col(text_col)), lambda x: F.length(x) >= min_len),
+        lambda x: F.lower(x),
+    )
+    base = df.select(toks.alias("w"))
+    w = F.col("w")
+    pairs = (
+        base.filter(F.size(w) >= 2)
+        .select(F.explode(_adjacent_pairs(w)).alias("p"))
+        .filter(F.col("p.w1") != F.col("p.w2"))
+    )
+    return pairs.select(
+        F.least("p.w1", "p.w2").alias("u"),
+        F.greatest("p.w1", "p.w2").alias("v"),
+    ).distinct()
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    iterations: int = 5,
+    damping: float = 0.85,
+    min_len: int = 4,
+    k: int = 50,
+) -> DataFrame:
+    """Corpus-level TextRank keyword extraction: run the fixed-iteration
+    6dp-lattice PageRank power method (operators/graph.py:pagerank —
+    same kernel, same oracle-replayable rounding convention) over the
+    word co-occurrence graph of ``textrank_edges`` and keep the top-``k``
+    words by (score desc, word). Vertices are words, so every
+    graph-sized join inherits pagerank's merge hints — the word graph
+    grows with the vocabulary, never broadcastable."""
+    from .graph import pagerank
+
+    scores = pagerank(
+        textrank_edges(df, text_col, min_len), iterations, damping
+    )
+    return (
+        scores.select(
+            F.col("vertex").alias("word"), F.col("pagerank").alias("score")
+        )
+        .orderBy(F.desc("score"), "word")
+        .limit(k)
+    )
+
+
 def _bpe_merge_fold(syms: Column, a: Column, b: Column) -> Column:
     """Apply ONE BPE merge (a, b) → ab to a symbol array with the
     canonical greedy semantics: leftmost occurrence first, non-overlapping

@@ -402,20 +402,31 @@ def graph_triangle_count(spark, sf_dir):
     return triangle_counts(edges)
 
 
-def _pagerank_ctes(iters: int, damping: float = 0.85) -> str:
-    """CTE chain replaying operators/graph.py:pagerank iteration by
-    iteration on the thresholded co-purchase graph: both-direction edge
-    expansion, out-degrees, r0 = round(1/N, 6), then per round the
-    contribution sum and the 6dp-rounded damped update."""
-    parts = [
-        """li AS (
+# Thresholded co-purchase graph CTEs (produce `e(u, v)`), shared by the
+# triangle / pagerank / label-propagation oracles.
+_COPURCHASE_E = """li AS (
       SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 35
     ),
     e AS (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
       FROM li a JOIN li b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    ),
+    )"""
+
+
+def _pagerank_ctes(
+    iters: int, damping: float = 0.85, graph_ctes: str = _COPURCHASE_E
+) -> str:
+    """CTE chain replaying operators/graph.py:pagerank iteration by
+    iteration on any graph whose CTE prefix produces ``e(u, v)``
+    (default: the thresholded co-purchase graph): both-direction edge
+    expansion, out-degrees, r0 = round(1/N, 6), then per round the
+    contribution sum and the 6dp-rounded damped update. The TextRank
+    oracle (queries/text.py) reuses this with the word-graph prefix —
+    one iteration-replay implementation for every pagerank consumer."""
+    parts = [
+        graph_ctes
+        + """,
     d AS (
       SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e
     ),
@@ -472,3 +483,75 @@ def graph_pagerank(spark, sf_dir):
         .distinct()
     )
     return pagerank(edges, iterations=_PR_ITERS, damping=0.85)
+
+
+def _copurchase_edges(spark, sf_dir):
+    """Thresholded co-purchase edge list (u < v, distinct) — the shared
+    input graph of graph_triangle_count / graph_pagerank /
+    graph_label_propagation (SQL twin: _COPURCHASE_E)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 35)
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+
+
+def _lpa_ctes(iters: int) -> str:
+    """CTE chain replaying operators/graph.py:label_propagation round by
+    round: per round, neighbor label votes then the per-vertex
+    (count desc, label asc) argmax — integer-only, no float lattice."""
+    parts = [
+        _COPURCHASE_E
+        + """,
+    d AS (
+      SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e
+    ),
+    l0 AS (SELECT DISTINCT src AS vertex, src AS label FROM d)"""
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"""v{k} AS (
+      SELECT d.dst, l.label, count(*) AS c
+      FROM d JOIN l{p} l ON d.src = l.vertex
+      GROUP BY d.dst, l.label
+    ),
+    l{k} AS (
+      SELECT dst AS vertex, label FROM (
+        SELECT dst, label,
+               row_number() OVER (PARTITION BY dst
+                                  ORDER BY c DESC, label) AS rn
+        FROM v{k})
+      WHERE rn = 1
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+_LPA_ITERS = 4
+
+
+@register(
+    "graph_label_propagation",
+    # Synchronous LPA community detection on the same thresholded
+    # co-purchase graph as the other two graph queries
+    # (operators/graph.py:label_propagation). The update is integer-only
+    # (vote counts + min-label tie-break), so the oracle replays all 4
+    # rounds exactly — a drifted vote count, a wrong tie-break, or a
+    # lost vertex in any round hash-fails.
+    "WITH "
+    + _lpa_ctes(_LPA_ITERS)
+    + f"\n    SELECT vertex, CAST(label AS BIGINT) AS community"
+    f" FROM l{_LPA_ITERS}",
+)
+def graph_label_propagation(spark, sf_dir):
+    from ..operators.graph import label_propagation
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return label_propagation(edges, iterations=_LPA_ITERS).select(
+        "vertex", F.col("label").cast("long").alias("community")
+    )

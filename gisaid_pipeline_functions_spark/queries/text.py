@@ -19,6 +19,7 @@ from ..operators.text import (
 )
 from ..registry import register
 from ..sources.tables import load_table
+from .joins import _pagerank_ctes
 
 _STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
 
@@ -520,15 +521,9 @@ def text_classifier_score(spark, sf_dir):
     return classifier_score(docs, "doc_id", "text", n_buckets=1024)
 
 
-@register(
-    "text_bigram_logprob",
-    # Bigram LM perplexity scoring (operators/text.py bigram_logprob) —
-    # the order-2 CCNet-style quality filter: mean -ln P(w2|w1) under
-    # corpus-trained conditional counts; context counts derived FROM the
-    # bigram table so the model is self-consistent. Oracle replays
-    # training (both count tables) and scoring.
-    """
-    WITH base AS (
+# Bigram-LM training + per-doc scoring CTE chain (ends at `scored`),
+# shared by the text_bigram_logprob and text_perplexity_buckets oracles.
+_BIGRAM_SCORED_CTES = """base AS (
       SELECT doc_id,
              list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
       FROM documents
@@ -546,7 +541,19 @@ def text_classifier_score(spark, sf_dir):
              avg(-ln(cb * 1.0 / cw)) AS nlp
       FROM bg JOIN bc USING (w1, w2) JOIN cc USING (w1)
       GROUP BY doc_id
-    )
+    )"""
+
+
+@register(
+    "text_bigram_logprob",
+    # Bigram LM perplexity scoring (operators/text.py bigram_logprob) —
+    # the order-2 CCNet-style quality filter: mean -ln P(w2|w1) under
+    # corpus-trained conditional counts; context counts derived FROM the
+    # bigram table so the model is self-consistent. Oracle replays
+    # training (both count tables) and scoring.
+    "WITH "
+    + _BIGRAM_SCORED_CTES
+    + """
     SELECT doc_id, CAST(n_transitions AS BIGINT) AS n_transitions,
            round(nlp, 6) AS mean_neg_logprob, round(exp(nlp), 6) AS perplexity
     FROM scored
@@ -956,3 +963,162 @@ def text_bpe_segment(spark, sf_dir):
         .distinct()
     )
     return bpe_segment(unseen, merges, _BPE_N, "word")
+
+
+_PMI_MIN_COUNT = 3
+_PMI_K = 100
+
+
+@register(
+    "text_pmi_collocations",
+    # PMI collocation extraction (operators/text.py pmi_collocations —
+    # Church & Hanks 1990): corpus unigram/bigram counts, pairs seen ≥
+    # min_count, PMI = log2 of the probability ratio computed as
+    # ln(ratio)/ln(2) on BOTH engines (log2() itself differs in the last
+    # ulp between libm implementations; ln/exp parity is the established
+    # convention), top-k under the (pmi desc, w1, w2) total order.
+    f"""
+    WITH base AS (
+      SELECT list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT u.w1 AS w1, u.w2 AS w2 FROM (
+        SELECT unnest([{{'w1': w[i], 'w2': w[i+1]}} FOR i IN range(1, len(w))]) AS u
+        FROM base WHERE len(w) >= 2)
+    ),
+    uc AS (
+      SELECT t, count(*) AS c FROM (SELECT unnest(w) AS t FROM base) GROUP BY t
+    ),
+    bc AS (
+      SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2
+      HAVING count(*) >= {_PMI_MIN_COUNT}
+    ),
+    tot AS (
+      SELECT (SELECT sum(c) FROM uc) AS tt, (SELECT count(*) FROM bg) AS tb
+    )
+    SELECT w1, w2, CAST(cb AS BIGINT) AS pair_count,
+           round(ln((cb * 1.0 / tb)
+                    / ((c1.c * 1.0 / tt) * (c2.c * 1.0 / tt))) / ln(2.0),
+                 6) AS pmi
+    FROM bc JOIN uc c1 ON bc.w1 = c1.t JOIN uc c2 ON bc.w2 = c2.t, tot
+    ORDER BY pmi DESC, w1, w2 LIMIT {_PMI_K}
+    """,
+)
+def text_pmi_collocations(spark, sf_dir):
+    from ..operators.text import pmi_collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(
+        docs, "text", min_count=_PMI_MIN_COUNT, k=_PMI_K
+    )
+
+
+# Word co-occurrence graph CTEs (produce `e(u, v)`) — the TextRank edge
+# builder (operators/text.py textrank_edges): lowercase candidates of
+# length ≥ 4, adjacent pairs over the FILTERED sequence, distinct
+# undirected edges.
+_TEXTRANK_E = """wg AS (
+      SELECT list_transform(
+               list_filter(string_split(text, ' '), x -> length(x) >= 4),
+               x -> lower(x)) AS w
+      FROM documents
+    ),
+    wp AS (
+      SELECT u.a AS a, u.b AS b FROM (
+        SELECT unnest([{'a': w[i], 'b': w[i+1]} FOR i IN range(1, len(w))]) AS u
+        FROM wg WHERE len(w) >= 2)
+    ),
+    e AS (
+      SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      FROM wp WHERE a <> b
+    )"""
+
+_TEXTRANK_ITERS = 5
+_TEXTRANK_K = 50
+
+
+@register(
+    "text_rank_keywords",
+    # TextRank keyword extraction (operators/text.py textrank_keywords —
+    # Mihalcea & Tarau 2004): the SAME 6dp-lattice pagerank kernel and
+    # iteration-replay oracle as graph_pagerank (_pagerank_ctes from
+    # queries/joins.py, word-graph prefix swapped in), then top-k words
+    # under the (score desc, word) total order. Gates the edge builder,
+    # all 5 power-method rounds on a STRING-keyed graph, and the slice.
+    "WITH "
+    + _pagerank_ctes(_TEXTRANK_ITERS, 0.85, graph_ctes=_TEXTRANK_E)
+    + f"""
+    SELECT vertex AS word, r AS score FROM r{_TEXTRANK_ITERS}
+    ORDER BY score DESC, word LIMIT {_TEXTRANK_K}
+    """,
+)
+def text_rank_keywords(spark, sf_dir):
+    from ..operators.text import textrank_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return textrank_keywords(
+        docs,
+        "text",
+        iterations=_TEXTRANK_ITERS,
+        damping=0.85,
+        min_len=4,
+        k=_TEXTRANK_K,
+    )
+
+
+@register(
+    "text_perplexity_buckets",
+    # CCNet-style perplexity bucketing (Wenzek et al. 2019 §4.4: corpora
+    # are split into head/middle/tail by LM-perplexity TERCILES, and
+    # training recipes sample the buckets differently): score every doc
+    # with the corpus-trained bigram LM (_BIGRAM_SCORED_CTES — shared
+    # with text_bigram_logprob), cut at the exact interpolated 1/3 and
+    # 2/3 quantiles (Spark `percentile` ≡ DuckDB `quantile_cont`, the
+    # filter_length_quantiles precedent), label each doc. Low perplexity
+    # = most fluent = head.
+    "WITH "
+    + _BIGRAM_SCORED_CTES
+    + f""",
+    px AS (
+      SELECT doc_id, round(exp(nlp), 6) AS perplexity FROM scored
+    ),
+    q AS (
+      SELECT quantile_cont(perplexity, {1 / 3!r}) AS lo,
+             quantile_cont(perplexity, {2 / 3!r}) AS hi
+      FROM px
+    )
+    SELECT doc_id, perplexity,
+           CASE WHEN perplexity <= q.lo THEN 'head'
+                WHEN perplexity <= q.hi THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM px, q
+    """,
+)
+def text_perplexity_buckets(spark, sf_dir):
+    """Scale shape: the scored per-doc frame is PERSISTED — it feeds two
+    consumers (the 2-value quantile aggregate and the labeling join) and
+    recomputing it would replay the whole bigram-LM training per
+    consumer (the r6 diamond-reuse rule). The quantile aggregate is one
+    exact-percentile pass over doc-count rows; the cutoffs broadcast as
+    a 1-row frame and labeling is map-side."""
+    from ..operators.text import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        bigram_logprob(docs, "doc_id", "text")
+        .select("doc_id", "perplexity")
+        .persist()
+    )
+    q = scored.agg(
+        F.percentile("perplexity", F.lit(1 / 3)).alias("lo"),
+        F.percentile("perplexity", F.lit(2 / 3)).alias("hi"),
+    )
+    return scored.crossJoin(F.broadcast(q)).select(
+        "doc_id",
+        "perplexity",
+        F.when(F.col("perplexity") <= F.col("lo"), "head")
+        .when(F.col("perplexity") <= F.col("hi"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

@@ -56,3 +56,39 @@ def test_star_self_loop_only_nodes_match_label_propagation(spark):
     star = _labels(connected_components_star(e))
     assert star == _labels(connected_components(e))
     assert (7, 7) in star
+
+
+class TestLabelPropagation:
+    def test_two_cliques_with_bridge(self, spark):
+        from gisaid_pipeline_functions_spark.operators.graph import (
+            label_propagation,
+        )
+
+        # two triangles {1,2,3} and {10,11,12} joined by a single bridge
+        # 3–10: after 4 synchronous min-tie-break rounds each triangle
+        # collapses to its min label; the bridge can't overcome 2-vs-1
+        # votes inside a triangle
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)],
+            "u long, v long",
+        )
+        labels = {
+            r.vertex: r.label
+            for r in label_propagation(edges, iterations=4).collect()
+        }
+        assert labels[1] == labels[2] == labels[3] == 1
+        assert labels[10] == labels[11] == labels[12]
+        assert labels[10] != labels[1]
+
+    def test_deterministic_tiebreak(self, spark):
+        from gisaid_pipeline_functions_spark.operators.graph import (
+            label_propagation,
+        )
+
+        # path 1–2–3: vertex 2 sees labels {1, 3} once each → min wins
+        edges = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+        l1 = {
+            r.vertex: r.label
+            for r in label_propagation(edges, iterations=1).collect()
+        }
+        assert l1[2] == 1

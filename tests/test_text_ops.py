@@ -523,3 +523,85 @@ class TestSpanSurgeryWithin:
         assert within[0]["n_spans"] >= 1
         assert span not in within[0]["clean_text"]
         assert within[1]["n_spans"] == 0
+
+
+class TestPmiCollocations:
+    def test_known_corpus(self, spark):
+        import math
+
+        from gisaid_pipeline_functions_spark.operators.text import (
+            pmi_collocations,
+        )
+
+        # "new york" always together (3 of each), "the cat" twice but
+        # both words frequent elsewhere → PMI(new,york) > PMI(the,cat)
+        docs = _docs(
+            spark,
+            [
+                "new york is big",
+                "i love new york",
+                "new york again",
+                "the cat sat",
+                "the cat ran",
+                "the dog sat",
+                "the end the end",
+            ],
+        )
+        out = {
+            (r.w1, r.w2): r
+            for r in pmi_collocations(docs, "text", min_count=2, k=100).collect()
+        }
+        assert ("new", "york") in out
+        ny = out[("new", "york")]
+        assert ny.pair_count == 3
+        # hand-computed: T=24 tokens, B=17 bigrams, c(new)=c(york)=3
+        expect = round(math.log2((3 / 17) / ((3 / 24) * (3 / 24))), 6)
+        assert abs(ny.pmi - expect) < 1e-6
+        assert ("the", "cat") in out
+        assert ny.pmi > out[("the", "cat")].pmi
+
+    def test_min_count_prunes(self, spark):
+        from gisaid_pipeline_functions_spark.operators.text import (
+            pmi_collocations,
+        )
+
+        docs = _docs(spark, ["alpha beta", "alpha beta", "gamma delta"])
+        pairs = {
+            (r.w1, r.w2)
+            for r in pmi_collocations(docs, "text", min_count=2, k=10).collect()
+        }
+        assert pairs == {("alpha", "beta")}
+
+
+class TestTextRank:
+    def test_edges_filter_and_orient(self, spark):
+        from gisaid_pipeline_functions_spark.operators.text import (
+            textrank_edges,
+        )
+
+        docs = _docs(spark, ["Zebra apple ZEBRA cat apple", "ab cd apple"])
+        # len>=4 lowercased: [zebra, apple, zebra, cat?] 'cat' len 3 → out;
+        # doc1 candidates: zebra apple zebra apple → edges (apple,zebra)
+        # doc2: only 'apple' survives → no pair
+        edges = {(r.u, r.v) for r in textrank_edges(docs, "text", 4).collect()}
+        assert edges == {("apple", "zebra")}
+
+    def test_hub_word_ranks_first(self, spark):
+        from gisaid_pipeline_functions_spark.operators.text import (
+            textrank_keywords,
+        )
+
+        # star graph: 'spark' adjacent to 4 distinct words, which never
+        # co-occur with each other → 'spark' gets the top score
+        docs = _docs(
+            spark,
+            [
+                "spark alpha",
+                "spark betaa",
+                "spark gamma",
+                "spark delta",
+            ],
+        )
+        top = textrank_keywords(docs, "text", iterations=5, k=10).collect()
+        assert top[0].word == "spark"
+        assert top[0].score > top[1].score

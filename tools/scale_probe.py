@@ -143,11 +143,27 @@ def main() -> None:
     # leaves the distinct-word table unchanged (the loop would do
     # identical work at Nx); tagged copies grow the vocabulary Nx, so
     # the ratio measures the vocab-linear merge loop honestly.
+    from gisaid_pipeline_functions_spark.operators.text import (
+        pmi_collocations,
+        textrank_keywords,
+    )
+
     for name, fn, note in (
         ("prefix_filter_pairs", _prefix_filter, "disjoint-vocab copies"),
         (
             "bpe_learn",
             lambda d: bpe_learn(d, n_merges=6)[0],
+            "disjoint-vocab copies",
+        ),
+        # r7b: PMI counts are gram-table-linear; tagged copies grow the
+        # unigram/bigram vocabularies Nx (plain replication would leave
+        # the count tables' KEYS unchanged and only scale the explode)
+        ("pmi_collocations", lambda d: pmi_collocations(d), "disjoint-vocab copies"),
+        # r7b: TextRank word graph — tagged copies give an Nx-vertex
+        # graph with zero cross-copy edges (N disjoint word components)
+        (
+            "textrank_keywords",
+            lambda d: textrank_keywords(d, iterations=5),
             "disjoint-vocab copies",
         ),
     ):
@@ -192,6 +208,15 @@ def main() -> None:
     t1 = timed(lambda e: pagerank(e, iterations=5), edges1)
     tn = timed(lambda e: pagerank(e, iterations=5), edgesN)
     print(f"{'pagerank':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (disjoint vertex-shifted copies)")
+
+    # r7b: LPA on the same disjoint copies — per-round join/vote volume
+    # is exactly Nx; the per-dst window ranks within vertices, so copies
+    # can't interact
+    from gisaid_pipeline_functions_spark.operators.graph import label_propagation
+
+    t1 = timed(lambda e: label_propagation(e, iterations=4), edges1)
+    tn = timed(lambda e: label_propagation(e, iterations=4), edgesN)
+    print(f"{'label_propagation':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (disjoint vertex-shifted copies)")
     spark.stop()
 
 
