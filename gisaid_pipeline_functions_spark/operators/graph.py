@@ -224,3 +224,48 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
             .select(F.col("dst").alias("vertex"), "label")
         )
     return labels
+
+
+def kcore_peel(edges: DataFrame, k: int = 10, rounds: int = 4) -> DataFrame:
+    """Bounded-round k-core peeling (Seidman 1983 cores; the standard
+    iterative-peeling formulation every BSP graph system ships): each
+    round drops every vertex whose CURRENT degree is < ``k`` and keeps
+    only edges with both endpoints surviving; after ``rounds`` rounds,
+    return the surviving vertices with their residual degrees. Bounded
+    rounds (not run-to-fixpoint) is the pagerank/LPA convention — the
+    state after round r is deterministic, so a DuckDB oracle replays
+    every peel exactly; the update is integer-only (degree counts +
+    semi-join membership), zero float surface.
+
+    Scale shape:
+    - Each round is one explode + map-side-partial degree count and two
+      LEFT SEMI joins of the edge list against the surviving-vertex set
+      (merge-hinted: both frames grow with the graph, and the survivor
+      set is post-aggregation — static estimates untrustworthy, r6 rule).
+    - The edge frame has TWO consumers per round (the degree count and
+      the next round's filter), so it is localCheckpoint-ed each round —
+      the CLAUDE.md iterative-state rule; without the pin the lineage
+      doubles per round and round 4 replays the peel chain 2⁴ times.
+      The materialized frame SHRINKS every round (peeling is monotone),
+      so the checkpoint cost is bounded by the first round's edge count.
+    """
+    e = edges.select("u", "v")
+    for _ in range(rounds):
+        e = e.localCheckpoint(eager=True)
+        deg = (
+            e.select(F.explode(F.array("u", "v")).alias("x"))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("dg"))
+        )
+        keep = deg.filter(F.col("dg") >= k).select("x")
+        e = e.join(
+            keep.select(F.col("x").alias("u")).hint("merge"), "u", "left_semi"
+        ).join(
+            keep.select(F.col("x").alias("v")).hint("merge"), "v", "left_semi"
+        )
+    e = e.localCheckpoint(eager=True)
+    return (
+        e.select(F.explode(F.array("u", "v")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )

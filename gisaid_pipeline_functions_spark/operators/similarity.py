@@ -799,3 +799,71 @@ def random_projection_topk(
         exact.withColumn("rank", F.row_number().over(w2).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def rrf_fusion_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n: int = 10,
+    k: int = 5,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of two retrieval rankings — the standard hybrid-search combiner
+    (every vector+keyword search stack ships it): per query, fuse the
+    exact-cosine top-``n`` with the int8-quantized-dot-product top-``n``
+    by ``rrf = Σ 1/(c + rank)``, a candidate absent from one list
+    contributing 0, and keep the top-``k`` by (rrf desc, id).
+
+    Parity shape: ranks are integers from total orders already proven
+    cross-engine (rounded cosine ranking = sim_bruteforce_topk; EXACT
+    integer quantized dot = sim_quantized_rerank's stage one), and the
+    fused score is a two-term sum of 1/(c+rank) — fixed expression tree,
+    rounded to 6dp BEFORE the final rank so float order can't flip it.
+
+    Scale shape: both rankings broadcast the small query side against
+    the corpus scan and take per-query top-n via a query-partitioned
+    window (parallel per query); the fusion is a full-outer join of two
+    queries×n frames — negligible — and the quantized branch scans 4×
+    fewer bytes per candidate, which is why a fleet fuses it with the
+    exact ranking instead of running exact twice."""
+    from pyspark.sql import Window
+
+    a = brute_force_topk(corpus, queries, id_col, vec_col, k=n).select(
+        "query_id", "cand_id", F.col("rank").alias("rank_a")
+    )
+    grid = dim_min_max(corpus, vec_col)
+    codes = quantize_with_grid(corpus, grid, id_col, vec_col).select(
+        F.col(id_col).alias("cand_id"), F.col("q").alias("cq")
+    )
+    qcodes = quantize_with_grid(queries, grid, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("q").alias("qq")
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("cq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wb = Window.partitionBy("query_id").orderBy(
+        F.desc("qscore"), F.asc("cand_id")
+    )
+    b = (
+        codes.join(F.broadcast(qcodes), F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", qdot.alias("qscore"))
+        .withColumn("rank_b", F.row_number().over(wb).cast("long"))
+        .filter(F.col("rank_b") <= n)
+        .select("query_id", "cand_id", "rank_b")
+    )
+    fused = a.join(b, ["query_id", "cand_id"], "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(c) + F.col("rank_a")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("rank_b")), F.lit(0.0))
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("cand_id"))
+    return (
+        fused.withColumn("rrf", F.round(rrf, 6))
+        .withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("fused_rank") <= k)
+        .select("query_id", "cand_id", "rank_a", "rank_b", "rrf", "fused_rank")
+    )

@@ -197,3 +197,87 @@ def bloom_might_contain(
     return probed.filter(cond).drop(
         "__bloom_bits__", *[f"__bloom_p{i}__" for i in range(n_hashes)]
     )
+
+
+def kmv_sketch(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
+    """KMV distinct-value synopsis (Beyer et al., SIGMOD 2007 "On
+    synopses for distinct-value estimation under multiset operations"):
+    the ``k`` MINIMUM u32 hash values of the column's distinct keys —
+    the third mergeable sketch beside count-min (frequency) and HLL
+    (plain distinct), and the one that supports SET OPERATIONS: union /
+    intersection / Jaccard estimates compose from the per-set sketches
+    alone, no re-scan.
+
+    Hashing is the same md5-prefix ``conv(hex,16,10)`` u32 as the CMS
+    grid, so a DuckDB oracle replays the sketch VALUES bit-identically.
+    Plan shape: distinct-hash aggregation (shuffles distinct keys, the
+    one unavoidable pass) then ``orderBy(hv).limit(k)`` — a
+    TakeOrderedAndProject whose per-partition heaps keep ≤ k values
+    each; the driver merge receives partitions × k values, constant in
+    corpus size."""
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return df.select(h.alias("hv")).distinct().orderBy("hv").limit(k)
+
+
+def kmv_set_estimates(
+    df_a: DataFrame, df_b: DataFrame, key_col: str, k: int = 64
+) -> DataFrame:
+    """Distinct / union / intersection / Jaccard estimates for two key
+    sets from their KMV sketches (one output row). The union sketch is
+    the k smallest of the two sketches' union (closure under union is
+    the KMV selling point); the estimators are the paper's:
+    ``D ≈ (k-1) / θ`` with ``θ = (kth_min + 1) / 2³²`` when the sketch
+    is full, the EXACT sample size when not (a sketch with < k values
+    IS the distinct hash set); Jaccard is the fraction of union-sketch
+    values present in both per-set sketches, and the intersection
+    estimate is ``Jaccard × D_union``. Every input to the float math is
+    an integer, and both engines evaluate the same expression tree —
+    value-hash parity, not a bounded-error contract.
+
+    The per-set sketches are tiny (≤ k rows) but each feeds THREE
+    consumers (own stats, the union sketch, the membership probe), and
+    an unpinned sketch would re-run its corpus distinct+top-k per
+    consumer — so they are persisted (the r6 diamond rule; same
+    documented cache lifetime as the other persist-under-lazy
+    operators)."""
+    sa = kmv_sketch(df_a, key_col, k).persist()
+    sb = kmv_sketch(df_b, key_col, k).persist()
+    m = sa.unionByName(sb).distinct().orderBy("hv").limit(k).persist()
+
+    def stats(s: DataFrame, n_name: str, kth_name: str) -> DataFrame:
+        return s.agg(
+            F.count(F.lit(1)).alias(n_name), F.max("hv").alias(kth_name)
+        )
+
+    def est(n, kth):
+        return F.when(n < k, n.cast("double")).otherwise(
+            F.lit(float((k - 1) * 2**32)) / (kth + F.lit(1.0))
+        )
+
+    both = (
+        m.join(sa, "hv", "left_semi")
+        .join(sb, "hv", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    row = (
+        stats(sa, "n_a", "kth_a")
+        .crossJoin(stats(sb, "n_b", "kth_b"))
+        .crossJoin(stats(m, "n_union", "kth_u"))
+        .crossJoin(both)
+    )
+    est_u = est(F.col("n_union"), F.col("kth_u"))
+    jacc = F.col("n_both") / F.col("n_union")
+    return row.select(
+        F.lit(k).cast("long").alias("k"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_union").cast("long").alias("n_union"),
+        F.col("n_both").cast("long").alias("n_both"),
+        F.round(est(F.col("n_a"), F.col("kth_a")), 6).alias("est_a"),
+        F.round(est(F.col("n_b"), F.col("kth_b")), 6).alias("est_b"),
+        F.round(est_u, 6).alias("est_union"),
+        F.round(jacc, 6).alias("jaccard"),
+        F.round(jacc * est_u, 6).alias("est_intersection"),
+    )

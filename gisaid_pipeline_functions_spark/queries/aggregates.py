@@ -517,3 +517,74 @@ def profile_numeric_drift(spark, sf_dir):
         F.when(hex_uniform(F.col("event_id")) < F.lit("80000000"), 0).otherwise(1),
     )
     return numeric_drift(cohorts, "value", "grp", n_bins=10, smoothing=0.5)
+
+
+_KMV_K = 64
+_KMV_U32 = "CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT)"
+_KMV_SCALE = float((_KMV_K - 1) * 2**32)
+
+
+def _kmv_est(n: str, kth: str) -> str:
+    return (
+        f"CASE WHEN {n} < {_KMV_K} THEN CAST({n} AS DOUBLE) "
+        f"ELSE {_KMV_SCALE!r} / ({kth} + 1.0) END"
+    )
+
+
+@register(
+    "agg_kmv_set_ops",
+    # KMV distinct-value synopsis with SET OPERATIONS (Beyer et al.
+    # 2007; operators/sketches.py:kmv_set_estimates) — the mergeable
+    # sketch that composes under union/intersection, completing the
+    # sketch family beside count-min (frequency) and HLL (distinct).
+    # Sets: urgent-order vs high-order customers. The oracle replays the
+    # md5-u32 hashing, both k-min sketches, the union sketch, and every
+    # estimator — value-hash parity on the ESTIMATES, not a bounded
+    # -error contract.
+    f"""
+    WITH ha AS (
+      SELECT DISTINCT {_KMV_U32} AS hv
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    hb AS (
+      SELECT DISTINCT {_KMV_U32} AS hv
+      FROM orders WHERE o_orderpriority = '2-HIGH'
+    ),
+    sa AS (SELECT hv FROM ha ORDER BY hv LIMIT {_KMV_K}),
+    sb AS (SELECT hv FROM hb ORDER BY hv LIMIT {_KMV_K}),
+    m AS (
+      SELECT DISTINCT hv FROM (
+        SELECT hv FROM sa UNION ALL SELECT hv FROM sb)
+      ORDER BY hv LIMIT {_KMV_K}
+    ),
+    st AS (
+      SELECT (SELECT count(*) FROM sa) AS n_a,
+             (SELECT max(hv) FROM sa) AS kth_a,
+             (SELECT count(*) FROM sb) AS n_b,
+             (SELECT max(hv) FROM sb) AS kth_b,
+             (SELECT count(*) FROM m) AS n_union,
+             (SELECT max(hv) FROM m) AS kth_u,
+             (SELECT count(*) FROM m
+              WHERE hv IN (SELECT hv FROM sa)
+                AND hv IN (SELECT hv FROM sb)) AS n_both
+    )
+    SELECT CAST({_KMV_K} AS BIGINT) AS k,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_union AS BIGINT) AS n_union,
+           CAST(n_both AS BIGINT) AS n_both,
+           round({_kmv_est('n_a', 'kth_a')}, 6) AS est_a,
+           round({_kmv_est('n_b', 'kth_b')}, 6) AS est_b,
+           round({_kmv_est('n_union', 'kth_u')}, 6) AS est_union,
+           round(n_both * 1.0 / n_union, 6) AS jaccard,
+           round((n_both * 1.0 / n_union) * ({_kmv_est('n_union', 'kth_u')}), 6)
+             AS est_intersection
+    FROM st
+    """,
+)
+def agg_kmv_set_ops(spark, sf_dir):
+    from ..operators.sketches import kmv_set_estimates
+
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    return kmv_set_estimates(a, b, "o_custkey", k=_KMV_K)

@@ -555,3 +555,57 @@ def graph_label_propagation(spark, sf_dir):
     return label_propagation(edges, iterations=_LPA_ITERS).select(
         "vertex", F.col("label").cast("long").alias("community")
     )
+
+
+def _kcore_ctes(k: int, rounds: int) -> str:
+    """CTE chain replaying operators/graph.py:kcore_peel round by round:
+    degree count, survivor set (dg >= k), both-endpoint edge filter —
+    integer-only, like the LPA replay."""
+    parts = [
+        _COPURCHASE_E
+        + """,
+    e0 AS (SELECT u, v FROM e)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""d{r} AS (
+      SELECT x, count(*) AS dg FROM (
+        SELECT u AS x FROM e{p} UNION ALL SELECT v FROM e{p}) GROUP BY x
+    ),
+    k{r} AS (SELECT x FROM d{r} WHERE dg >= {k}),
+    e{r} AS (
+      SELECT u, v FROM e{p}
+      WHERE u IN (SELECT x FROM k{r}) AND v IN (SELECT x FROM k{r})
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+_KCORE_K = 10
+_KCORE_ROUNDS = 4
+
+
+@register(
+    "graph_kcore",
+    # Bounded-round k-core peeling on the shared co-purchase graph
+    # (operators/graph.py:kcore_peel). k=10 sits just below the graph's
+    # median degree, so the first peel removes a large fraction and the
+    # cascade (removals dropping OTHER vertices below k) runs for
+    # multiple rounds — each round's degree table, survivor set, and
+    # edge filter replayed exactly by the oracle; a drifted degree or a
+    # leaked edge in any round hash-fails.
+    "WITH "
+    + _kcore_ctes(_KCORE_K, _KCORE_ROUNDS)
+    + f"""
+    SELECT vertex, CAST(count(*) AS BIGINT) AS degree FROM (
+      SELECT u AS vertex FROM e{_KCORE_ROUNDS}
+      UNION ALL SELECT v FROM e{_KCORE_ROUNDS})
+    GROUP BY vertex
+    """,
+)
+def graph_kcore(spark, sf_dir):
+    from ..operators.graph import kcore_peel
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return kcore_peel(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)

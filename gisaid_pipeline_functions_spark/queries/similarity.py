@@ -764,3 +764,88 @@ def sim_random_projection(spark, sf_dir):
     return random_projection_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=3, rerank_factor=3
     )
+
+
+_RRF_N = 10
+_RRF_K = 5
+_RRF_C = 60
+
+
+@register(
+    "sim_rrf_fusion",
+    # Reciprocal-rank fusion of the exact-cosine and int8-quantized-dot
+    # rankings (operators/similarity.py:rrf_fusion_topk — Cormack et al.
+    # 2009, the standard hybrid-search combiner). The oracle replays
+    # BOTH rankings (rounded-cosine = the sim_bruteforce_topk
+    # convention; integer quantized dot = the sim_quantize_int8 grid)
+    # and the fused 1/(c+rank) sum — a drift in either ranking, the
+    # outer-join alignment, or the fusion arithmetic hash-fails.
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+          WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cand_id, embedding AS cvec FROM embeddings),
+    ranka AS (
+      SELECT query_id, cand_id, rank_a FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round({_cos_sql('qvec', 'cvec')}, 6) DESC, cand_id)
+                 AS rank_a
+        FROM q JOIN c ON query_id <> cand_id)
+      WHERE rank_a <= {_RRF_N}
+    ),
+    dims AS (
+      SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
+      FROM e, LATERAL unnest(generate_series(1, 64)) t(i)
+      GROUP BY i
+    ),
+    codes AS (
+      SELECT e.vec_id,
+             list(CASE WHEN (d.hi - d.lo) > 0
+                       THEN CAST(floor((e.v[d.i] - d.lo) * 255.0
+                                       / (d.hi - d.lo) + 0.5) AS BIGINT)
+                       ELSE 0 END ORDER BY d.i) AS cq
+      FROM e CROSS JOIN dims d GROUP BY e.vec_id
+    ),
+    rankb AS (
+      SELECT query_id, cand_id, rank_b FROM (
+        SELECT qc.vec_id AS query_id, cc.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY qc.vec_id ORDER BY
+                 CAST(list_sum(list_transform(list_zip(qc.cq, cc.cq),
+                                              p -> p[1] * p[2])) AS BIGINT)
+                   DESC, cc.vec_id) AS rank_b
+        FROM codes qc JOIN codes cc
+          ON qc.vec_id < 5 AND qc.vec_id <> cc.vec_id)
+      WHERE rank_b <= {_RRF_N}
+    ),
+    fused AS (
+      SELECT coalesce(a.query_id, b.query_id) AS query_id,
+             coalesce(a.cand_id, b.cand_id) AS cand_id,
+             a.rank_a, b.rank_b,
+             round(coalesce(1.0 / ({_RRF_C} + a.rank_a), 0.0)
+                   + coalesce(1.0 / ({_RRF_C} + b.rank_b), 0.0), 6) AS rrf
+      FROM ranka a FULL OUTER JOIN rankb b
+        ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+    )
+    SELECT query_id, cand_id,
+           CAST(rank_a AS BIGINT) AS rank_a,
+           CAST(rank_b AS BIGINT) AS rank_b,
+           rrf, CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, cand_id) AS fused_rank
+      FROM fused)
+    WHERE fused_rank <= {_RRF_K}
+    """,
+)
+def sim_rrf_fusion(spark, sf_dir):
+    from ..operators.similarity import rrf_fusion_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return rrf_fusion_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        n=_RRF_N,
+        k=_RRF_K,
+        c=_RRF_C,
+    )

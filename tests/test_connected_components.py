@@ -92,3 +92,27 @@ class TestLabelPropagation:
             for r in label_propagation(edges, iterations=1).collect()
         }
         assert l1[2] == 1
+
+
+class TestKCore:
+    def test_clique_survives_pendant_peels(self, spark):
+        from gisaid_pipeline_functions_spark.operators.graph import kcore_peel
+
+        # 4-clique {1,2,3,4} + pendant 5 attached to 1: at k=3 the
+        # pendant peels in round 1 and the clique survives at degree 3
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5)],
+            "u long, v long",
+        )
+        out = {r.vertex: r.degree for r in kcore_peel(edges, k=3, rounds=4).collect()}
+        assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_path_cascades_to_empty(self, spark):
+        from gisaid_pipeline_functions_spark.operators.graph import kcore_peel
+
+        # 5-path at k=2: ends peel, exposing new ends — the cascade
+        # empties the graph within 4 rounds (2-core of a tree is empty)
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5)], "u long, v long"
+        )
+        assert kcore_peel(edges, k=2, rounds=4).count() == 0

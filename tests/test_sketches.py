@@ -103,3 +103,46 @@ class TestBloom:
         wb = bloom_build(b, n_bits=512).collect()[0]["bloom"]
         ww = bloom_build(both, n_bits=512).collect()[0]["bloom"]
         assert [x | y for x, y in zip(wa, wb)] == list(ww)
+
+
+class TestKmv:
+    def test_identical_sets(self, spark):
+        from gisaid_pipeline_functions_spark.operators.sketches import (
+            kmv_set_estimates,
+        )
+
+        df = spark.range(0, 200).select(F.col("id").alias("k"))
+        row = kmv_set_estimates(df, df, "k", k=32).collect()[0]
+        assert row.n_a == row.n_b == row.n_union == row.n_both == 32
+        assert row.jaccard == 1.0
+        assert row.est_intersection == row.est_union == row.est_a
+
+    def test_disjoint_small_sets_exact(self, spark):
+        from gisaid_pipeline_functions_spark.operators.sketches import (
+            kmv_set_estimates,
+        )
+
+        a = spark.range(0, 10).select(F.col("id").alias("k"))
+        b = spark.range(100, 110).select(F.col("id").alias("k"))
+        row = kmv_set_estimates(a, b, "k", k=64).collect()[0]
+        # both sketches undersized → exact mode: estimates are the
+        # sample sizes; disjoint → zero overlap
+        assert row.n_a == 10 and row.est_a == 10.0
+        assert row.n_b == 10 and row.est_b == 10.0
+        assert row.n_union == 20 and row.est_union == 20.0
+        assert row.n_both == 0 and row.jaccard == 0.0
+        assert row.est_intersection == 0.0
+
+    def test_estimate_accuracy_bound(self, spark):
+        from gisaid_pipeline_functions_spark.operators.sketches import (
+            kmv_sketch,
+            kmv_set_estimates,
+        )
+
+        # 2000 distinct keys, k=128: expected relative error ~1/sqrt(k-1)
+        # ≈ 9%; assert a generous 3-sigma band — deterministic (md5), so
+        # this can't flake
+        df = spark.range(0, 2000).select(F.col("id").alias("k"))
+        assert kmv_sketch(df, "k", k=128).count() == 128
+        row = kmv_set_estimates(df, df, "k", k=128).collect()[0]
+        assert abs(row.est_a - 2000) / 2000 < 0.27

@@ -217,6 +217,14 @@ def main() -> None:
     t1 = timed(lambda e: label_propagation(e, iterations=4), edges1)
     tn = timed(lambda e: label_propagation(e, iterations=4), edgesN)
     print(f"{'label_propagation':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (disjoint vertex-shifted copies)")
+
+    # r7b: k-core peeling — per-copy peel cascades are identical, so
+    # output and per-round work are exactly Nx
+    from gisaid_pipeline_functions_spark.operators.graph import kcore_peel
+
+    t1 = timed(lambda e: kcore_peel(e, k=10, rounds=4), edges1)
+    tn = timed(lambda e: kcore_peel(e, k=10, rounds=4), edgesN)
+    print(f"{'kcore_peel':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (disjoint vertex-shifted copies)")
     spark.stop()
 
 
