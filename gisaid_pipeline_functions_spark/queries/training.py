@@ -706,3 +706,70 @@ def sample_dsir(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return dsir_resample(docs, "doc_id", "text", n_buckets=1024, k=100)
+
+
+_GROUP_BYTE = (
+    "((strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1))"
+)
+
+
+@register(
+    "sample_group_split",
+    # GROUP-AWARE train/val/test split (the leakage guard
+    # sample_dataset_split lacks): the split is assigned from the hash of
+    # the GROUP key (user_id), so every event of a user lands in the same
+    # split — near-duplicate rows from one user can never straddle
+    # train/test. ~80/10/10 from the user-id hash byte. The audit output
+    # carries the leakage check itself: `leaked_users` counts users seen
+    # in more than one split, and is 0 BY CONSTRUCTION — an oracle
+    # mismatch here means the group-hash invariant broke.
+    f"""
+    WITH ev AS (
+      SELECT user_id,
+             CASE WHEN {_GROUP_BYTE} < 204 THEN 'train'
+                  WHEN {_GROUP_BYTE} < 230 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM events
+    ),
+    leak AS (
+      SELECT count(*) AS leaked_users FROM (
+        SELECT user_id FROM ev GROUP BY user_id
+        HAVING count(DISTINCT split) > 1)
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(leaked_users AS BIGINT) AS leaked_users
+    FROM ev CROSS JOIN leak GROUP BY split, leaked_users
+    """,
+)
+def sample_group_split(spark, sf_dir):
+    """Scale shape: map-side split assignment (hash of the group key, no
+    join against a user table), one distinct-aggregate pass for the
+    audit and one grouped pass for the stats — two scans, zero windows;
+    the 1-row leakage count broadcasts."""
+    from ..operators.training import shard_bucket
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    b = shard_bucket(F.col("user_id"), 256)
+    split = (
+        F.when(b < 204, F.lit("train"))
+        .when(b < 230, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    ev = ev.withColumn("split", split)
+    leak = (
+        ev.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("leaked_users"))
+    )
+    return (
+        ev.crossJoin(F.broadcast(leak))
+        .groupBy("split", "leaked_users")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select("split", "n_events", "n_users", "leaked_users")
+    )

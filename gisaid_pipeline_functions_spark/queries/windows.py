@@ -764,3 +764,120 @@ def agg_iqr_outliers(spark, sf_dir):
             "n_outliers",
         )
     )
+
+
+@register(
+    "window_time_decay_sum",
+    # Exponentially time-decayed per-user aggregates (7-day half-life,
+    # anchored at the corpus max timestamp) — the feature-store
+    # "recency-weighted count/sum" every ranking pipeline maintains.
+    # PARITY: a naive sum(exp(...)) is ORDER-DEPENDENT float addition
+    # and the two engines aggregate in different orders — so each weight
+    # is first rounded HALF-UP onto the 1e-6 integer lattice
+    # (floor(x*1e6 + 0.5), the sim_quantize_int8 convention) and summed
+    # as a BIGINT: integer addition is order-independent, so the decayed
+    # sums are bit-identical by construction, not by luck.
+    """
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    w AS (
+      SELECT user_id,
+             CAST(floor(exp(-(ln(2.0) / 7.0)
+                            * ((epoch_us(mx.m) - epoch_us(ts))
+                               / 86400000000.0)) * 1000000.0 + 0.5)
+                  AS BIGINT) AS wt_u,
+             CAST(floor(exp(-(ln(2.0) / 7.0)
+                            * ((epoch_us(mx.m) - epoch_us(ts))
+                               / 86400000000.0)) * value * 1000000.0 + 0.5)
+                  AS BIGINT) AS wv_u
+      FROM events, mx
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(wt_u) / 1000000.0, 6) AS decayed_count,
+           round(sum(wv_u) / 1000000.0, 6) AS decayed_value
+    FROM w GROUP BY user_id
+    """,
+)
+def window_time_decay_sum(spark, sf_dir):
+    """Scale shape: the anchor is a 1-row max aggregate broadcast into a
+    map-side weight computation; the per-user sum is one groupBy with
+    map-side partials carrying two longs — no window, no second scan."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m"))
+    age_days = (F.unix_micros(F.col("m")) - F.unix_micros(F.col("ts"))) / F.lit(
+        86400000000.0
+    )
+    decay = F.exp(-(F.log(F.lit(2.0)) / F.lit(7.0)) * age_days)
+    to_lattice = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            to_lattice(decay).alias("wt_u"),
+            to_lattice(decay * F.col("value")).alias("wv_u"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("wt_u") / F.lit(1000000.0), 6).alias("decayed_count"),
+            F.round(F.sum("wv_u") / F.lit(1000000.0), 6).alias("decayed_value"),
+        )
+    )
+
+
+@register(
+    "window_scd2_history",
+    # SCD Type-2 history build (the lakehouse MERGE pattern, batch form):
+    # compact each user's event-type stream to its CHANGE points
+    # (event_type differs from the previous row), then assign
+    # [valid_from, valid_to) intervals via lead() — NULL valid_to marks
+    # the current row. Validity bounds emitted as epoch micros (the
+    # join_interval_overlap convention — timestamp objects drift 1µs
+    # between engines; integers don't). event_id breaks ts ties in BOTH
+    # windows so the compaction is deterministic.
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    ch AS (
+      SELECT user_id, event_type, ts, event_id FROM o
+      WHERE prev IS NULL OR event_type <> prev
+    ),
+    v AS (
+      SELECT user_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+             CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)) AS BIGINT)
+               AS valid_to_us
+      FROM ch
+    )
+    SELECT user_id, event_type, valid_from_us, valid_to_us,
+           valid_to_us IS NULL AS is_current
+    FROM v
+    """,
+)
+def window_scd2_history(spark, sf_dir):
+    """Scale shape: two user-partitioned windows (parallel per user,
+    never global) over a stream that the change-compaction SHRINKS
+    before the second — the standard CDC/SCD2 batch build."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("event_type") != F.col("prev")))
+        .drop("prev")
+    )
+    return ch.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+    ).withColumn("is_current", F.col("valid_to_us").isNull())
