@@ -766,18 +766,9 @@ def agg_iqr_outliers(spark, sf_dir):
     )
 
 
-@register(
-    "window_time_decay_sum",
-    # Exponentially time-decayed per-user aggregates (7-day half-life,
-    # anchored at the corpus max timestamp) — the feature-store
-    # "recency-weighted count/sum" every ranking pipeline maintains.
-    # PARITY: a naive sum(exp(...)) is ORDER-DEPENDENT float addition
-    # and the two engines aggregate in different orders — so each weight
-    # is first rounded HALF-UP onto the 1e-6 integer lattice
-    # (floor(x*1e6 + 0.5), the sim_quantize_int8 convention) and summed
-    # as a BIGINT: integer addition is order-independent, so the decayed
-    # sums are bit-identical by construction, not by luck.
-    """
+# Time-decay oracle — shared by the batch query and its streaming twin
+# (streaming_time_decay_hash): both must reproduce this exact result.
+_TIME_DECAY_ORACLE = """
     WITH mx AS (SELECT max(ts) AS m FROM events),
     w AS (
       SELECT user_id,
@@ -795,7 +786,39 @@ def agg_iqr_outliers(spark, sf_dir):
            round(sum(wt_u) / 1000000.0, 6) AS decayed_count,
            round(sum(wv_u) / 1000000.0, 6) AS decayed_value
     FROM w GROUP BY user_id
-    """,
+    """
+
+
+def _decay_lattice_cols(anchor_micros):
+    """The (wt_u, wv_u) 1e-6-lattice decay weights against an anchor
+    expression in epoch micros — ONE expression builder for the batch
+    query and the streaming twin, so the two can't drift."""
+    age_days = (anchor_micros - F.unix_micros(F.col("ts"))) / F.lit(86400000000.0)
+    decay = F.exp(-(F.log(F.lit(2.0)) / F.lit(7.0)) * age_days)
+    lat = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return lat(decay).alias("wt_u"), lat(decay * F.col("value")).alias("wv_u")
+
+
+def _decay_totals(weighted):
+    return weighted.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("wt_u") / F.lit(1000000.0), 6).alias("decayed_count"),
+        F.round(F.sum("wv_u") / F.lit(1000000.0), 6).alias("decayed_value"),
+    )
+
+
+@register(
+    "window_time_decay_sum",
+    # Exponentially time-decayed per-user aggregates (7-day half-life,
+    # anchored at the corpus max timestamp) — the feature-store
+    # "recency-weighted count/sum" every ranking pipeline maintains.
+    # PARITY: a naive sum(exp(...)) is ORDER-DEPENDENT float addition
+    # and the two engines aggregate in different orders — so each weight
+    # is first rounded HALF-UP onto the 1e-6 integer lattice
+    # (floor(x*1e6 + 0.5), the sim_quantize_int8 convention) and summed
+    # as a BIGINT: integer addition is order-independent, so the decayed
+    # sums are bit-identical by construction, not by luck.
+    _TIME_DECAY_ORACLE,
 )
 def window_time_decay_sum(spark, sf_dir):
     """Scale shape: the anchor is a 1-row max aggregate broadcast into a
@@ -803,24 +826,44 @@ def window_time_decay_sum(spark, sf_dir):
     map-side partials carrying two longs — no window, no second scan."""
     ev = load_table(spark, sf_dir, "events")
     mx = ev.agg(F.max("ts").alias("m"))
-    age_days = (F.unix_micros(F.col("m")) - F.unix_micros(F.col("ts"))) / F.lit(
-        86400000000.0
+    wt, wv = _decay_lattice_cols(F.unix_micros(F.col("m")))
+    return _decay_totals(
+        ev.crossJoin(F.broadcast(mx)).select("user_id", wt, wv)
     )
-    decay = F.exp(-(F.log(F.lit(2.0)) / F.lit(7.0)) * age_days)
-    to_lattice = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("long")
-    return (
-        ev.crossJoin(F.broadcast(mx))
-        .select(
-            "user_id",
-            to_lattice(decay).alias("wt_u"),
-            to_lattice(decay * F.col("value")).alias("wv_u"),
-        )
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("wt_u") / F.lit(1000000.0), 6).alias("decayed_count"),
-            F.round(F.sum("wv_u") / F.lit(1000000.0), 6).alias("decayed_value"),
-        )
+
+
+@register(
+    "streaming_time_decay_hash",
+    # Streaming twin of window_time_decay_sum (the feature-store shape a
+    # ranking fleet actually runs: decayed counters maintained over a
+    # live event stream): the decay ANCHOR is pinned from the batch
+    # corpus before the stream starts (the streaming_classifier_score
+    # model-pinning convention — a per-batch anchor would re-anchor
+    # every micro-batch), weights go onto the same 1e-6 integer lattice
+    # MAP-SIDE in the stream, and a complete-mode streaming aggregation
+    # maintains the per-user BIGINT partials — the state store carries
+    # two longs + a count per user, the constant-size-state rule. The
+    # materialized AvailableNow output must hash-match the batch oracle:
+    # a drift in stream-side weight math, the anchor pin, or streaming
+    # aggregation state flips this row.
+    _TIME_DECAY_ORACLE,
+)
+def streaming_time_decay_hash(spark, sf_dir):
+    import uuid
+
+    from ..streaming.source import stream_events
+    from ..streaming.weekly import run_stream_to_memory
+
+    ev = load_table(spark, sf_dir, "events")
+    # 1-row sink-sized collect: the pinned anchor scalar (exactly what a
+    # production job broadcasts as config next to the model)
+    anchor = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    wt, wv = _decay_lattice_cols(F.unix_micros(F.lit(anchor)))
+    weighted = stream_events(spark, sf_dir).select("user_id", wt, wv)
+    return run_stream_to_memory(
+        spark,
+        _decay_totals(weighted),
+        "decay_stream_drv_" + uuid.uuid4().hex[:8],
     )
 
 
