@@ -158,3 +158,115 @@ def test_prefix_filter_exact_threshold_under_ieee_overceiling(spark):
     assert (0, 1) in want  # the construction is on-threshold by design
     assert got == want
     spark.catalog.clearCache()
+
+
+def _rand_graph(rng, n_min=12, n_max=25, p=0.25, hub=True):
+    """Seeded random simple graph (u < v), optionally with a hub vertex."""
+    n = rng.randint(n_min, n_max)
+    edges = set()
+    for a in range(n):
+        for b in range(a + 1, n):
+            if rng.random() < p:
+                edges.add((a, b))
+    if hub:  # skew: one vertex connected to most others
+        for b in range(1, n):
+            if rng.random() < 0.8:
+                edges.add((0, b))
+    return sorted(edges)
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_label_propagation_matches_python(spark, seed):
+    rng = random.Random(seed)
+    edges = _rand_graph(rng)
+    from gisaid_pipeline_functions_spark.operators.graph import label_propagation
+
+    got = {
+        r.vertex: r.label
+        for r in label_propagation(
+            spark.createDataFrame(edges, "u long, v long"), iterations=4
+        ).collect()
+    }
+    # pure-Python synchronous LPA: most-frequent neighbor label, ties →
+    # smallest label
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    labels = {x: x for x in adj}
+    for _ in range(4):
+        nxt = {}
+        for x, nbrs in adj.items():
+            votes = {}
+            for nb in nbrs:
+                votes[labels[nb]] = votes.get(labels[nb], 0) + 1
+            nxt[x] = min(
+                votes, key=lambda lab: (-votes[lab], lab)
+            )
+        labels = nxt
+    assert got == labels
+
+
+@pytest.mark.parametrize("seed,k", [(21, 3), (22, 4), (23, 2)])
+def test_kcore_matches_python(spark, seed, k):
+    rng = random.Random(seed)
+    edges = _rand_graph(rng)
+    from gisaid_pipeline_functions_spark.operators.graph import kcore_peel
+
+    got = {
+        r.vertex: r.degree
+        for r in kcore_peel(
+            spark.createDataFrame(edges, "u long, v long"), k=k, rounds=4
+        ).collect()
+    }
+    e = list(edges)
+    for _ in range(4):
+        deg = {}
+        for u, v in e:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {x for x, d in deg.items() if d >= k}
+        e = [(u, v) for u, v in e if u in keep and v in keep]
+    deg = {}
+    for u, v in e:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    assert got == deg
+
+
+@pytest.mark.parametrize("seed,k", [(31, 16), (32, 8)])
+def test_kmv_matches_python(spark, seed, k):
+    import hashlib
+
+    rng = random.Random(seed)
+    a_keys = {rng.randint(0, 10_000) for _ in range(300)}
+    b_keys = {rng.randint(0, 10_000) for _ in range(300)} | set(
+        list(a_keys)[:100]
+    )
+    from gisaid_pipeline_functions_spark.operators.sketches import (
+        kmv_set_estimates,
+    )
+
+    row = kmv_set_estimates(
+        spark.createDataFrame([(x,) for x in a_keys], "k long"),
+        spark.createDataFrame([(x,) for x in b_keys], "k long"),
+        "k",
+        k=k,
+    ).collect()[0]
+
+    def u32(x):
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16)
+
+    sa = sorted({u32(x) for x in a_keys})[:k]
+    sb = sorted({u32(x) for x in b_keys})[:k]
+    m = sorted(set(sa) | set(sb))[:k]
+
+    def est(s):
+        return float(len(s)) if len(s) < k else (k - 1) * 2**32 / (s[-1] + 1.0)
+
+    n_both = len([v for v in m if v in set(sa) and v in set(sb)])
+    assert row.n_a == len(sa) and row.n_b == len(sb)
+    assert row.n_union == len(m) and row.n_both == n_both
+    assert row.est_a == round(est(sa), 6)
+    assert row.est_union == round(est(m), 6)
+    assert row.jaccard == round(n_both / len(m), 6)
