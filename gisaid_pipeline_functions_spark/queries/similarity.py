@@ -849,3 +849,84 @@ def sim_rrf_fusion(spark, sf_dir):
         k=_RRF_K,
         c=_RRF_C,
     )
+
+
+_MRL_D = 16
+_MRL_K = 10
+
+
+@register(
+    "sim_matryoshka_recall",
+    # Matryoshka-truncation recall audit (Kusupati et al. 2022 MRL; the
+    # rollout gate for serving truncated embeddings): recall@10 of the
+    # FIRST-16-DIMENSIONS cosine ranking against the full-64-dim exact
+    # ground truth, per query — the same evaluation shape as
+    # sim_recall_at_k with dimension truncation as the approximation
+    # under test instead of IVF routing. At scale the truncated ranking
+    # scans 4× fewer vector bytes — the same bandwidth argument as the
+    # int8 path, traded along the dimension axis instead of precision.
+    # (The synthetic embeddings are i.i.d. random, so the MEASURED
+    # recall is honest noise ~k/N, like langid accuracy — real MRL
+    # embeddings front-load variance; the gate is the deterministic
+    # two-ranking pipeline, and recall is reported as data.)
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec,
+                      embedding[1:{_MRL_D}] AS qv16
+               FROM embeddings WHERE vec_id < 5),
+    bscored AS (
+      SELECT query_id, e.vec_id AS cand_id,
+             round({_cos_sql('qvec', 'e.embedding')}, 6) AS cos
+      FROM q JOIN embeddings e ON e.vec_id <> query_id
+    ),
+    bf AS (
+      SELECT query_id, cand_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, cand_id) AS r
+        FROM bscored
+      ) WHERE r <= {_MRL_K}
+    ),
+    tscored AS (
+      SELECT query_id, e.vec_id AS cand_id,
+             round({_cos_sql('qv16', f'e.embedding[1:{_MRL_D}]')}, 6) AS cos
+      FROM q JOIN embeddings e ON e.vec_id <> query_id
+    ),
+    tr AS (
+      SELECT query_id, cand_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, cand_id) AS r
+        FROM tscored
+      ) WHERE r <= {_MRL_K}
+    )
+    SELECT b.query_id,
+           CAST(count(t.cand_id) AS BIGINT) AS n_hits,
+           round(count(t.cand_id) / {_MRL_K}.0, 6) AS recall_at_{_MRL_K}_d{_MRL_D}
+    FROM bf b LEFT JOIN tr t
+      ON b.query_id = t.query_id AND b.cand_id = t.cand_id
+    GROUP BY b.query_id
+    """,
+)
+def sim_matryoshka_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    bf = brute_force_topk(emb, queries_df, k=_MRL_K).select(
+        "query_id", "cand_id"
+    )
+
+    def trunc(df):
+        return df.select(
+            "vec_id", F.slice("embedding", 1, _MRL_D).alias("embedding")
+        )
+
+    tr = brute_force_topk(trunc(emb), trunc(queries_df), k=_MRL_K).select(
+        "query_id", "cand_id", F.lit(1).alias("hit")
+    )
+    return (
+        bf.join(tr, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") / F.lit(float(_MRL_K)), 6).alias(
+                f"recall_at_{_MRL_K}_d{_MRL_D}"
+            ),
+        )
+    )
