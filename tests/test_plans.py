@@ -409,3 +409,59 @@ def test_dsir_model_broadcasts_gram_stream_does_not(spark, sf_dir):
     import re
 
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) <= 3
+
+
+def test_pmi_merge_joins_and_heap_topk(spark, sf_dir):
+    # the vocab-count joins are merge-hinted (post-aggregation frames,
+    # garbage static estimates — the r6 broadcast-OOM rule) and the
+    # top-k is a per-partition heap, never a global sort
+    plan = formatted_plan(spark, sf_dir, "text_pmi_collocations")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("SortMergeJoin") >= 2  # bc⋈c1, bc⋈c2
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_textrank_reuses_cached_edge_partitioning(spark, sf_dir):
+    # textrank inherits the pagerank kernel: the word-graph edge list is
+    # shuffled once into a cached partitioned relation that every
+    # iteration's merge join streams from — the InMemoryRelation must be
+    # in the plan, and nothing may pair words all-vs-all
+    plan = formatted_plan(spark, sf_dir, "text_rank_keywords")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # final top-k words
+
+
+def test_label_propagation_windows_are_partitioned(spark, sf_dir):
+    # every per-round argmax window must be PARTITIONED by dst (parallel
+    # per vertex) — an unpartitioned window would move the vertex frame
+    # to one task; edges stream from the cached partitioned relation
+    plan = formatted_plan(spark, sf_dir, "graph_label_propagation")
+    assert "InMemoryTableScan" in plan
+    import re
+
+    for spec in re.findall(r"Arguments: \[row_number\(\).*?\]", plan):
+        assert "partitionBy" not in spec or "dst" in spec
+    assert "CartesianProduct" not in plan
+
+
+def test_kmv_sketch_is_heap_topk(spark, sf_dir):
+    # the k-min selection must plan as TakeOrderedAndProject (partial
+    # per-partition heaps, constant driver merge) — a global sort of the
+    # distinct-hash table would defeat the sketch
+    plan = formatted_plan(spark, sf_dir, "agg_kmv_set_ops")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_time_decay_is_single_agg_no_window(spark, sf_dir):
+    # recency weights are map-side lattice longs; the per-user totals are
+    # ONE grouped aggregation — no window, no second corpus scan beyond
+    # the 1-row anchor aggregate
+    plan = formatted_plan(spark, sf_dir, "window_time_decay_sum")
+    assert "Window" not in plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2  # anchor + stream
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
