@@ -588,3 +588,65 @@ def agg_kmv_set_ops(spark, sf_dir):
     a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     b = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
     return kmv_set_estimates(a, b, "o_custkey", k=_KMV_K)
+
+
+_DP_EPS = 1.0
+_DP_U32 = (
+    "CAST(('0x' || substr(md5('dp:' || event_type), 1, 8)) AS BIGINT)"
+)
+
+
+@register(
+    "agg_dp_noisy_counts",
+    # Differentially-private count release — the Laplace mechanism
+    # (Dwork et al. 2006) every privacy-preserving stats pipeline ships:
+    # per-group count + Lap(sensitivity/epsilon) noise, sampled by
+    # inverse CDF from a uniform draw. The draw here is the
+    # DETERMINISTIC md5-u32 lattice (u = (h + 0.5)/2^32), so the oracle
+    # replays the exact noise — which also means this gates the
+    # MECHANISM'S ARITHMETIC (inverse-CDF transform, sensitivity
+    # scaling), not a privacy guarantee: a deterministic seed is not
+    # private, and production swaps the hash for a secure RNG (the
+    # langid-accuracy honesty convention). Scale: one grouped count +
+    # map-side noise over the group keys.
+    f"""
+    WITH g AS (
+      SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    ),
+    u AS (
+      SELECT event_type, n,
+             ({_DP_U32} + 0.5) / 4294967296.0 - 0.5 AS c
+      FROM g
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(-(1.0 / {_DP_EPS!r}) * sign(c) * ln(1 - 2 * abs(c)), 6)
+             AS noise,
+           round(n + (-(1.0 / {_DP_EPS!r}) * sign(c) * ln(1 - 2 * abs(c))), 6)
+             AS noisy_count,
+           CAST({_DP_EPS!r} AS DOUBLE) AS epsilon
+    FROM u
+    """,
+)
+def agg_dp_noisy_counts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    c = (h + F.lit(0.5)) / F.lit(4294967296.0) - F.lit(0.5)
+    noise = (
+        -(F.lit(1.0) / F.lit(_DP_EPS))
+        * F.signum(c)
+        * F.log(F.lit(1) - F.lit(2) * F.abs(c))
+    )
+    return g.select(
+        "event_type",
+        "n",
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("n") + noise, 6).alias("noisy_count"),
+        F.lit(_DP_EPS).alias("epsilon"),
+    )
