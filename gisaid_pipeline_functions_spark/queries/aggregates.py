@@ -650,3 +650,104 @@ def agg_dp_noisy_counts(spark, sf_dir):
         F.round(F.col("n") + noise, 6).alias("noisy_count"),
         F.lit(_DP_EPS).alias("epsilon"),
     )
+
+
+_TT_A = "click"
+_TT_B = "purchase"
+
+
+@register(
+    "agg_ab_ttest",
+    # Welch's two-sample t-test (the A/B experiment readout every
+    # analytics engine ships): per-variant n / mean / sample variance of
+    # `value`, the Welch t statistic, and the Welch–Satterthwaite df.
+    # PARITY: moments come from 1e-6-lattice BIGINT sums (Σv and Σv² as
+    # half-up-rounded integers — the window_time_decay_sum technique),
+    # so the sums are order-independent and every downstream double
+    # (mean, variance, t, df) is computed from identical integers by an
+    # identical expression tree. ONE conditional-aggregation scan, no
+    # join between variants.
+    f"""
+    WITH s AS (
+      SELECT
+        sum(CASE WHEN event_type = '{_TT_A}' THEN 1 ELSE 0 END) AS na,
+        sum(CASE WHEN event_type = '{_TT_B}' THEN 1 ELSE 0 END) AS nb,
+        sum(CASE WHEN event_type = '{_TT_A}'
+             THEN CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+             ELSE 0 END) AS sa,
+        sum(CASE WHEN event_type = '{_TT_B}'
+             THEN CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+             ELSE 0 END) AS sb,
+        sum(CASE WHEN event_type = '{_TT_A}'
+             THEN CAST(floor(value * value * 1000000.0 + 0.5) AS BIGINT)
+             ELSE 0 END) AS qa,
+        sum(CASE WHEN event_type = '{_TT_B}'
+             THEN CAST(floor(value * value * 1000000.0 + 0.5) AS BIGINT)
+             ELSE 0 END) AS qb
+      FROM events
+    ),
+    m AS (
+      SELECT na, nb,
+             (sa / 1000000.0) / na AS ma, (sb / 1000000.0) / nb AS mb,
+             ((qa / 1000000.0) - na * ((sa / 1000000.0) / na)
+                                    * ((sa / 1000000.0) / na)) / (na - 1) AS va,
+             ((qb / 1000000.0) - nb * ((sb / 1000000.0) / nb)
+                                    * ((sb / 1000000.0) / nb)) / (nb - 1) AS vb
+      FROM s
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+           round(va, 6) AS var_a, round(vb, 6) AS var_b,
+           round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+           round(((va / na + vb / nb) * (va / na + vb / nb))
+                 / ((va / na) * (va / na) / (na - 1)
+                    + (vb / nb) * (vb / nb) / (nb - 1)), 6) AS welch_df,
+           abs((ma - mb) / sqrt(va / na + vb / nb)) > 1.96 AS significant_05
+    FROM m
+    """,
+)
+def agg_ab_ttest(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    lat = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    va, vb = F.col("event_type") == _TT_A, F.col("event_type") == _TT_B
+    z = F.lit(0).cast("long")
+    s = ev.agg(
+        F.sum(F.when(va, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(vb, 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(va, lat(F.col("value"))).otherwise(z)).alias("sa"),
+        F.sum(F.when(vb, lat(F.col("value"))).otherwise(z)).alias("sb"),
+        F.sum(
+            F.when(va, lat(F.col("value") * F.col("value"))).otherwise(z)
+        ).alias("qa"),
+        F.sum(
+            F.when(vb, lat(F.col("value") * F.col("value"))).otherwise(z)
+        ).alias("qb"),
+    )
+    ma = (F.col("sa") / F.lit(1000000.0)) / F.col("na")
+    mb = (F.col("sb") / F.lit(1000000.0)) / F.col("nb")
+    vva = ((F.col("qa") / F.lit(1000000.0)) - F.col("na") * ma * ma) / (
+        F.col("na") - 1
+    )
+    vvb = ((F.col("qb") / F.lit(1000000.0)) - F.col("nb") * mb * mb) / (
+        F.col("nb") - 1
+    )
+    m = s.select("na", "nb", ma.alias("ma"), mb.alias("mb"), vva.alias("va"), vvb.alias("vb"))
+    t = (F.col("ma") - F.col("mb")) / F.sqrt(
+        F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    )
+    se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    dfree = (se2 * se2) / (
+        (F.col("va") / F.col("na")) * (F.col("va") / F.col("na")) / (F.col("na") - 1)
+        + (F.col("vb") / F.col("nb")) * (F.col("vb") / F.col("nb")) / (F.col("nb") - 1)
+    )
+    return m.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(F.col("ma"), 6).alias("mean_a"),
+        F.round(F.col("mb"), 6).alias("mean_b"),
+        F.round(F.col("va"), 6).alias("var_a"),
+        F.round(F.col("vb"), 6).alias("var_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dfree, 6).alias("welch_df"),
+        (F.abs(t) > F.lit(1.96)).alias("significant_05"),
+    )
