@@ -751,3 +751,115 @@ def agg_ab_ttest(spark, sf_dir):
         F.round(dfree, 6).alias("welch_df"),
         (F.abs(t) > F.lit(1.96)).alias("significant_05"),
     )
+
+
+_AR_MINSUP = 2
+_AR_K = 100
+
+
+@register(
+    "agg_association_rules",
+    # Market-basket association rules (Agrawal & Srikant 1994 A-priori):
+    # orders are baskets, high-quantity lineitems are items; emit rules
+    # u→v with support / confidence / lift, top-k by (lift desc,
+    # antecedent, consequent). The A-PRIORI PROPERTY does the pruning:
+    # items below min-support are removed BEFORE pair generation (a
+    # pair's support is bounded by its rarest item), so the quadratic
+    # per-basket pair explosion runs only over frequent items — the
+    # first-pass candidate pruning every frequent-itemset miner at scale
+    # relies on. Ratios are integer-input fixed expression trees.
+    # (Synthetic baskets are near-random, so pair supports top out at ~2
+    # and min-support is tuned to 2 to keep the gated rule set non-empty
+    # at every test scale — the gate is the pruning + stats pipeline,
+    # not a claim of interesting rules in random data.)
+    f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_quantity >= 25
+    ),
+    nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM li),
+    ic AS (
+      SELECT l_partkey, count(*) AS c FROM li GROUP BY l_partkey
+      HAVING count(*) >= {_AR_MINSUP}
+    ),
+    fi AS (
+      SELECT li.l_orderkey, li.l_partkey FROM li
+      JOIN ic ON li.l_partkey = ic.l_partkey
+    ),
+    pc AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS cuv
+      FROM fi a JOIN fi b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING count(*) >= {_AR_MINSUP}
+    ),
+    rules AS (
+      SELECT u AS antecedent, v AS consequent, cuv FROM pc
+      UNION ALL
+      SELECT v, u, cuv FROM pc
+    )
+    SELECT antecedent, consequent, CAST(cuv AS BIGINT) AS n_both,
+           round(cuv * 1.0 / nb.n, 6) AS support,
+           round(cuv * 1.0 / ca.c, 6) AS confidence,
+           round((cuv * 1.0 / ca.c) / (cc.c * 1.0 / nb.n), 6) AS lift
+    FROM rules
+    JOIN ic ca ON rules.antecedent = ca.l_partkey
+    JOIN ic cc ON rules.consequent = cc.l_partkey
+    CROSS JOIN nb
+    ORDER BY lift DESC, antecedent, consequent LIMIT {_AR_K}
+    """,
+)
+def agg_association_rules(spark, sf_dir):
+    """Scale shape: one distinct-basket scan; frequent-item table joined
+    back (merge-hinted both sides — post-aggregation estimates); the
+    pair self-join is per-basket bounded and runs over FREQUENT items
+    only; rule stats join the ≤items-sized count table (merge-hinted)
+    and broadcast the 1-row basket total; top-k is a heap."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 25)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    nb = li.select("l_orderkey").distinct().agg(F.count(F.lit(1)).alias("n"))
+    ic = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _AR_MINSUP)
+    )
+    fi = li.join(ic.select("l_partkey").hint("merge"), "l_partkey")
+    a = fi.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = fi.select("l_orderkey", F.col("l_partkey").alias("v"))
+    pc = (
+        a.join(b.hint("merge"), "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cuv"))
+        .filter(F.col("cuv") >= _AR_MINSUP)
+    )
+    rules = pc.select(
+        F.col("u").alias("antecedent"), F.col("v").alias("consequent"), "cuv"
+    ).unionByName(
+        pc.select(
+            F.col("v").alias("antecedent"), F.col("u").alias("consequent"), "cuv"
+        )
+    )
+    ca = ic.select(F.col("l_partkey").alias("antecedent"), F.col("c").alias("ca"))
+    cc = ic.select(F.col("l_partkey").alias("consequent"), F.col("c").alias("cc"))
+    return (
+        rules.join(ca.hint("merge"), "antecedent")
+        .join(cc.hint("merge"), "consequent")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("cuv").alias("n_both"),
+            F.round(F.col("cuv") / F.col("n"), 6).alias("support"),
+            F.round(F.col("cuv") / F.col("ca"), 6).alias("confidence"),
+            F.round(
+                (F.col("cuv") / F.col("ca")) / (F.col("cc") / F.col("n")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "antecedent", "consequent")
+        .limit(_AR_K)
+    )

@@ -609,3 +609,78 @@ def graph_kcore(spark, sf_dir):
 
     edges = _copurchase_edges(spark, sf_dir)
     return kcore_peel(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+_LP_MIN_CN = 2
+_LP_K = 100
+
+
+@register(
+    "graph_link_prediction",
+    # Common-neighbor / Jaccard link prediction (Liben-Nowell & Kleinberg
+    # 2003) on the shared co-purchase graph: score NON-adjacent vertex
+    # pairs by |Γ(u)∩Γ(v)| and Jaccard |Γ(u)∩Γ(v)|/|Γ(u)∪Γ(v)|, top-k
+    # by (jaccard desc, u, v). Wedge volume is Σ deg(w)² — inherent to
+    # common-neighbor enumeration (unlike triangles, every wedge matters,
+    # so the orientation trick cannot prune); the thresholded graph
+    # bounds max degree at 37 here, and a production fleet caps or
+    # samples hub adjacency lists before this join (the standard
+    # degree-cap mitigation). Candidate pairs that are already edges are
+    # anti-joined out. Integer counts → fixed-tree ratios.
+    "WITH "
+    + _COPURCHASE_E
+    + f""",
+    d AS (
+      SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e
+    ),
+    deg AS (SELECT src, count(*) AS dg FROM d GROUP BY src),
+    w AS (
+      SELECT a.dst AS u, b.dst AS v, count(*) AS cn
+      FROM d a JOIN d b ON a.src = b.src AND a.dst < b.dst
+      GROUP BY a.dst, b.dst
+      HAVING count(*) >= {_LP_MIN_CN}
+    ),
+    cand AS (
+      SELECT w.u, w.v, w.cn FROM w
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = w.u AND e.v = w.v)
+    )
+    SELECT cand.u, cand.v, CAST(cn AS BIGINT) AS common_neighbors,
+           round(cn * 1.0 / (du.dg + dv.dg - cn), 6) AS jaccard
+    FROM cand
+    JOIN deg du ON cand.u = du.src
+    JOIN deg dv ON cand.v = dv.src
+    ORDER BY jaccard DESC, cand.u, cand.v LIMIT {_LP_K}
+    """,
+)
+def graph_link_prediction(spark, sf_dir):
+    edges = _copurchase_edges(spark, sf_dir).persist()
+    directed = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("dg"))
+    a = directed.select("src", F.col("dst").alias("u"))
+    b = directed.select("src", F.col("dst").alias("v"))
+    wedges = (
+        a.join(b.hint("merge"), "src")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .filter(F.col("cn") >= _LP_MIN_CN)
+    )
+    cand = wedges.join(edges.hint("merge"), ["u", "v"], "left_anti")
+    du = deg.select(F.col("src").alias("u"), F.col("dg").alias("du"))
+    dv = deg.select(F.col("src").alias("v"), F.col("dg").alias("dv"))
+    return (
+        cand.join(du.hint("merge"), "u")
+        .join(dv.hint("merge"), "v")
+        .select(
+            "u",
+            "v",
+            F.col("cn").alias("common_neighbors"),
+            F.round(
+                F.col("cn") / (F.col("du") + F.col("dv") - F.col("cn")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "u", "v")
+        .limit(_LP_K)
+    )

@@ -924,3 +924,57 @@ def window_scd2_history(spark, sf_dir):
         F.unix_micros("ts").alias("valid_from_us"),
         F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
     ).withColumn("is_current", F.col("valid_to_us").isNull())
+
+
+_PATH_N = 5
+_PATH_K = 50
+
+
+@register(
+    "window_user_paths",
+    # Top user journey paths (the product-analytics "paths" report):
+    # each user's first N events (by ts, event_id ties broken) as an
+    # ordered 'a>b>c' path string, counted across users, top-k by
+    # (count desc, path). The per-user window is PARTITIONED (parallel
+    # per user); path frequencies aggregate with map-side partials; the
+    # final slice is a heap top-k.
+    f"""
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    p AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= {_PATH_N} GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM p GROUP BY path
+    ORDER BY n_users DESC, path LIMIT {_PATH_K}
+    """,
+)
+def window_user_paths(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        ev.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _PATH_N)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        p.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(_PATH_K)
+    )
