@@ -375,8 +375,11 @@ def test_pagerank_message_joins_merge_hinted_no_graph_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
     import re
 
-    # 5 iterations × (ranks⋈edges + od⋈ + verts-left⋈contrib) merge joins
-    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) >= 15
+    # 5 iterations × exactly (ranks⋈edges + verts-left⋈contrib) merge
+    # joins — the od table is FOLDED INTO THE RANK STATE (late-r7
+    # restructure), so a third edge-volume join per round reappearing is
+    # a regression this asserts against in both directions
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 10
     assert len(re.findall(r"\(\d+\) InMemoryTableScan", plan)) >= 3
 
 
