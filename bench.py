@@ -64,6 +64,21 @@ HEADLINE = [
     # timings instead; the headline stays the cross-round-comparable 21.
 ]
 
+# Extended headline (VERDICT r7 next-round #3): representative post-r5
+# queries the cross-round instrument was blind to — every one is
+# job-count- or Python-worker-bound at toy scale (the reason they stay
+# OUT of the 21-query contract total), but their calibrated min-of-2
+# numbers are recorded here so a regression in the graph/BPE/DSIR/
+# semdedup/multimodal families shows up in BENCH_r{N}.json instead of
+# only in the noisier machine-relative sweep. Excluded from `value`.
+EXTENDED = [
+    "graph_pagerank",
+    "text_bpe_train",
+    "sample_dsir",
+    "sim_semdedup",
+    "multimodal_decode_dims",
+]
+
 # Idle-machine anchor for the self-normalizing `calibrated_value` field
 # (VERDICT r5 next-round #4: three rounds of judges manually re-derived
 # machine-load corrections from calibration_sec). The calibration op was
@@ -131,6 +146,20 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
 
+    # extended (non-contract) section: same min-of-2 noop-sink protocol;
+    # caches dropped between queries because several of these persist()
+    # intermediates they can't safely unpersist (see tools/sweep.py)
+    ext_times: dict[str, float] = {}
+    for name in EXTENDED:
+        best = float("inf")
+        for _ in range(2):
+            df = qs[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        ext_times[name] = round(best, 3)
+        spark.catalog.clearCache()
+
     # bracket load drift (VERDICT r6 wrong #1: a 5× bench-vs-sweep spread
     # on one query was unadjudicable because only a START-of-run
     # calibration existed): re-time the same calibration op AFTER the
@@ -173,6 +202,14 @@ def main() -> None:
                     for n, t in times.items()
                 },
                 "pinned_idle_calibration": PINNED_IDLE_CALIBRATION,
+                # extended headline: post-r5 representatives, min-of-2,
+                # NOT in `value` (job-count-bound at toy scale) — diff
+                # the calibrated numbers round-over-round
+                "extended_queries": ext_times,
+                "extended_calibrated": {
+                    n: round(t * (PINNED_IDLE_CALIBRATION / calibration_sec), 3)
+                    for n, t in ext_times.items()
+                },
             }
         )
     )

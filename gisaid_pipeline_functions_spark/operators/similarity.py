@@ -867,3 +867,206 @@ def rrf_fusion_topk(
         .filter(F.col("fused_rank") <= k)
         .select("query_id", "cand_id", "rank_a", "rank_b", "rrf", "fused_rank")
     )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+) -> DataFrame:
+    """Contrastive hard-negative mining (r8): for each anchor, the top-k
+    most-similar candidates with a DIFFERENT label — the pairs a
+    contrastive/embedding trainer wants in the batch because they sit
+    closest to the decision boundary (the in-batch-negatives upgrade
+    every retrieval-training pipeline ships).
+
+    Norms are hoisted to ONE fold per row on each side before the pair
+    join (the r7 semdedup rule: interpreted HOF folds inside a pair
+    predicate re-run per pair); the pair expression is then a single
+    zip_with dot over presented arrays. Anchors broadcast (query sets
+    are small); ranking is per-anchor rounded-cosine with id tie-break."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _to_double(F.col(vec_col)).alias("qvec"),
+        F.col(label_col).alias("qlabel"),
+        norm(_to_double(F.col(vec_col))).alias("qnorm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        _to_double(F.col(vec_col)).alias("cvec"),
+        F.col(label_col).alias("clabel"),
+        norm(_to_double(F.col(vec_col))).alias("cnorm"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("qlabel") != F.col("clabel")
+    ).select(
+        "query_id",
+        "cand_id",
+        F.round(
+            dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
+
+
+def kcenter_greedy(
+    corpus: DataFrame,
+    k: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 2-approximation;
+    the geometric data-pruning selector — "pick the k most mutually
+    distant exemplars"): seed with the lowest-id vector, then repeat
+    k−1 times: select the point with the MAXIMUM distance to its nearest
+    already-chosen center.
+
+    Determinism/parity rules: distances are squared-L2 doubles ROUNDED
+    TO THE 9dp LATTICE at every update (the CLAUDE.md float-bound rule —
+    comparisons against raw doubles drift between engines), argmax ties
+    break on ascending id, and the maintained min-distance column folds
+    with least() so update order is irrelevant.
+
+    Scale shape: the per-round state is ONE double per corpus row
+    (min-dist-to-centers), localCheckpoint-ed each round (two consumers:
+    the argmax and the next update — the iterative-state rule); each
+    round's chosen center is a 1-row sink-sized collect whose embedding
+    re-enters the plan as LITERAL doubles (the JL literal-array rule:
+    64 literals fold into one codegen'd zip_with, no join). Total work
+    is k linear scans — exactly how a production coreset pass runs."""
+    ev = corpus.select(
+        F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v")
+    )
+    seed = ev.orderBy("vid").limit(1).collect()[0]
+    sel = [(1, int(seed["vid"]), None)]
+
+    def d2_to(lit_vec: list[float]) -> Column:
+        arr = F.array(*[F.lit(float(x)) for x in lit_vec])
+        return F.round(
+            F.aggregate(
+                F.zip_with(F.col("v"), arr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        )
+
+    state = (
+        ev.filter(F.col("vid") != int(seed["vid"]))
+        .select("vid", "v", d2_to(list(seed["v"])).alias("md"))
+        .localCheckpoint(eager=True)
+    )
+    for r in range(2, k + 1):
+        far = state.orderBy(F.desc("md"), F.asc("vid")).limit(1).collect()[0]
+        sel.append((r, int(far["vid"]), float(far["md"])))
+        if r == k:
+            break
+        state = (
+            state.filter(F.col("vid") != int(far["vid"]))
+            .select(
+                "vid",
+                "v",
+                F.least(F.col("md"), d2_to(list(far["v"]))).alias("md"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    spark = corpus.sparkSession
+    out = spark.createDataFrame(
+        sel, "sel_rank long, vec_id long, dist_sq double"
+    )
+    return out.select(
+        "sel_rank", "vec_id", F.round("dist_sq", 6).alias("dist_sq")
+    )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    query_id: int = 0,
+    shortlist_n: int = 10,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98 — the diversity-aware second stage of every two-stage
+    retrieval): shortlist the top-``shortlist_n`` by query cosine, then
+    greedily pick k items maximizing λ·sim(q,d) − (1−λ)·max_{s∈S}
+    sim(d,s).
+
+    Parity rules: every cosine lands on the 6dp lattice BEFORE the MMR
+    arithmetic, the MMR score is one fixed-tree expression rounded 6 IN
+    ENGINE (never Python's banker-rounding round()), ties break on
+    ascending id. Scale shape: the corpus-wide stage is the shortlist
+    scan (query vector enters as literals — one codegen'd fold per
+    row); the greedy loop then runs over the shortlist-sized frames
+    only (shortlist² pair sims, k tiny argmax jobs) — exactly the
+    head-node rerank of a production retrieval stack, with both small
+    frames localCheckpoint-ed for their per-round consumers."""
+    ev = corpus.select(
+        F.col(id_col).alias("cand_id"), _to_double(F.col(vec_col)).alias("v")
+    )
+    qrow = ev.filter(F.col("cand_id") == query_id).collect()[0]
+    qarr = F.array(*[F.lit(float(x)) for x in qrow["v"]])
+    simq = F.round(
+        dot(qarr, F.col("v")) / (norm(qarr) * norm(F.col("v"))), 6
+    )
+    cands = (
+        ev.filter(F.col("cand_id") != query_id)
+        .select("cand_id", "v", simq.alias("simq"))
+        .orderBy(F.desc("simq"), F.asc("cand_id"))
+        .limit(shortlist_n)
+        .localCheckpoint(eager=True)
+    )
+    a = cands.select(F.col("cand_id").alias("a"), F.col("v").alias("va"))
+    b = cands.select(F.col("cand_id").alias("b"), F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (norm(F.col("va")) * norm(F.col("vb"))),
+                6,
+            ).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    selected: list[int] = []
+    out: list[tuple] = []
+    for r in range(1, k + 1):
+        elig = cands.filter(~F.col("cand_id").isin(selected or [-1]))
+        if not selected:
+            scored = elig.select(
+                "cand_id", F.round(lam * F.col("simq"), 6).alias("mmr")
+            )
+        else:
+            pen = (
+                pairs.filter(F.col("b").isin(selected))
+                .groupBy("a")
+                .agg(F.max("s").alias("mp"))
+            )
+            scored = elig.join(
+                pen, elig["cand_id"] == pen["a"]
+            ).select(
+                "cand_id",
+                F.round(
+                    lam * F.col("simq") - (1.0 - lam) * F.col("mp"), 6
+                ).alias("mmr"),
+            )
+        pick = scored.orderBy(F.desc("mmr"), F.asc("cand_id")).limit(1).collect()[0]
+        selected.append(int(pick["cand_id"]))
+        out.append((r, int(pick["cand_id"]), float(pick["mmr"])))
+    return corpus.sparkSession.createDataFrame(
+        out, "sel_rank long, cand_id long, mmr_score double"
+    )

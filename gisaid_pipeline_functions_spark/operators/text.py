@@ -724,10 +724,15 @@ def pmi_collocations(
     )
     c1 = uc.select(F.col("t").alias("w1"), F.col("c").alias("c1"))
     c2 = uc.select(F.col("t").alias("w2"), F.col("c").alias("c2"))
-    pmi = F.log2(
-        (F.col("cb") / F.col("tb"))
-        / ((F.col("c1") / F.col("tt")) * (F.col("c2") / F.col("tt")))
+    # ln(ratio)/ln(2), NOT F.log2: the registered oracle computes the
+    # ln-ratio form, and log2() implementations differ in the last ulp
+    # across libm builds — spelling the convention out keeps parity
+    # independent of how Spark's Log2 happens to be implemented
+    # (ADVICE r7).
+    ratio = (F.col("cb") / F.col("tb")) / (
+        (F.col("c1") / F.col("tt")) * (F.col("c2") / F.col("tt"))
     )
+    pmi = F.log(ratio) / F.log(F.lit(2.0))
     return (
         bc.join(c1.hint("merge"), "w1")
         .join(c2.hint("merge"), "w2")
@@ -1232,4 +1237,186 @@ def bpe_segment(
         "word",
         F.size("syms").cast("long").alias("n_tokens"),
         F.array_join("syms", " ").alias("segmented"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 retrieval (Robertson–Spärck Jones; the Lucene/Okapi ranking
+    every search stack ships) for a fixed conjunctive-OR term set:
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with
+    the Lucene idf form ln(1 + (N−df+0.5)/(df+0.5)). Top-k docs under
+    the (6dp-rounded score desc, id) total order.
+
+    Scale shape: the corpus-sized frames are the token explode and the
+    per-doc (tf, dl) aggregates; everything query-term-sized (df table,
+    N, avgdl) is a broadcast — the classic inverted-index probe
+    expressed relationally. The rounded-score ranking is a
+    TakeOrderedAndProject top-k, never a global sort."""
+    from pyspark.sql import Window
+
+    w = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    ).filter(F.length("word") > 0)
+    dl = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    terms = w.filter(F.col("word").isin(list(query_terms)))
+    tf = terms.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        tf.join(F.broadcast(df_t), "word")
+        .join(dl.hint("merge"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.round(F.sum("c"), 6).alias("bm25")
+    )
+    wd = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wd).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "bm25", "rank")
+    )
+
+
+def chi2_keywords(
+    docs: DataFrame,
+    class_col: str = "lang",
+    top_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-class discriminative keywords by chi-squared over the 2×2
+    document-presence table (the classic feature-selection statistic —
+    Yang & Pedersen 1997): for each (class, word), a = docs in class
+    containing word, b = docs outside class containing it, c/d the
+    complements; χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)). Top-k words per
+    class under (χ² desc, word).
+
+    Scale shape: presence pairs are DISTINCT (doc, word) — one explode +
+    distinct; the (class, word) contingency derives from two vocab-sized
+    count tables joined on word (merge-hinted: vocab grows with the
+    corpus); class sizes and N are a broadcast dict-sized frame. All
+    counts integers; the single float expression is fixed-tree + round 6."""
+    from pyspark.sql import Window
+
+    pres = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(class_col).alias("cls"),
+            F.explode(F.split(F.col(text_col), " ")).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+        .distinct()
+    )
+    cls_word = pres.groupBy("cls", "word").agg(F.count(F.lit(1)).alias("a"))
+    word_tot = pres.groupBy("word").agg(F.count(F.lit(1)).alias("wt"))
+    cls_tot = pres.select("doc_id", "cls").distinct().groupBy("cls").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    n = pres.select("doc_id").distinct().agg(F.count(F.lit(1)).alias("n"))
+    j = (
+        cls_word.join(word_tot.hint("merge"), "word")
+        .join(F.broadcast(cls_tot), "cls")
+        .crossJoin(F.broadcast(n))
+    )
+    a = F.col("a").cast("double")
+    bb = (F.col("wt") - F.col("a")).cast("double")
+    c = (F.col("ct") - F.col("a")).cast("double")
+    d = (F.col("n") - F.col("ct") - (F.col("wt") - F.col("a"))).cast("double")
+    chi2 = (
+        F.col("n").cast("double")
+        * (a * d - bb * c)
+        * (a * d - bb * c)
+        / ((a + bb) * (c + d) * (a + c) * (bb + d))
+    )
+    # a word present in EVERY document has (c+d) = 0 → 0/0 NaN on both
+    # engines (and zero discriminative power): filter it before scoring
+    scored = j.filter(F.col("wt") < F.col("n")).select(
+        "cls", "word", F.round(chi2, 6).alias("chi2")
+    )
+    wd = Window.partitionBy("cls").orderBy(F.desc("chi2"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wd).cast("long"))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
+def perceptron_train(
+    docs: DataFrame,
+    rounds: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    positive: str = "en",
+) -> DataFrame:
+    """Batch-gradient perceptron (Rosenblatt 1958, the batch update
+    w += Σ_{misclassified} y·x) on INTEGER features — the iteration-
+    exact training loop: every quantity is an integer (labels ±1,
+    features counts, weights integer sums), so the DuckDB oracle
+    replays each round bit-for-bit with no float lattice at all — the
+    strongest form of the Lloyd/BPE replay convention.
+
+    Features per doc: x = (1 bias, word count, char count). One
+    aggregation job per round computes the misclassified-set sums with
+    map-side partials (three longs + a count); the weight vector is
+    FIXED-SIZE driver state between rounds (the fixed-size-model rule —
+    same shape as classifier_train's 1024-bucket table, smaller).
+    Output: one row per round with the post-update weights and that
+    round's misclassified count."""
+    y = F.when(F.col(label_col) == positive, F.lit(1)).otherwise(F.lit(-1))
+    feats = docs.select(
+        y.alias("y"),
+        F.lit(1).cast("long").alias("x0"),
+        F.size(words(F.col(text_col))).cast("long").alias("x1"),
+        F.length(F.col(text_col)).cast("long").alias("x2"),
+    ).localCheckpoint(eager=True)  # two+ consumers: one agg per round
+
+    w = [0, 0, 0]
+    out_rows = []
+    for r in range(1, rounds + 1):
+        margin = F.col("y") * (
+            w[0] * F.col("x0") + w[1] * F.col("x1") + w[2] * F.col("x2")
+        )
+        mis = F.when(margin <= 0, F.lit(1)).otherwise(F.lit(0))
+        row = feats.agg(
+            F.sum(mis * F.col("y") * F.col("x0")).alias("d0"),
+            F.sum(mis * F.col("y") * F.col("x1")).alias("d1"),
+            F.sum(mis * F.col("y") * F.col("x2")).alias("d2"),
+            F.sum(mis).alias("n_miss"),
+        ).collect()[0]
+        w = [
+            w[0] + int(row["d0"] or 0),
+            w[1] + int(row["d1"] or 0),
+            w[2] + int(row["d2"] or 0),
+        ]
+        out_rows.append((r, w[0], w[1], w[2], int(row["n_miss"] or 0)))
+    return docs.sparkSession.createDataFrame(
+        out_rows,
+        "round long, w_bias long, w_words long, w_chars long, n_miss long",
     )

@@ -140,3 +140,36 @@ def counts_by_region_rollup(
         )
         .drop("_gr", "_gw")
     )
+
+
+def scd2_history(events: DataFrame) -> DataFrame:
+    """SCD Type-2 history build (the lakehouse MERGE pattern, batch
+    form): compact each user's event-type stream to its CHANGE points
+    (event_type differs from the previous row under the (ts, event_id)
+    total order), then assign [valid_from, valid_to) validity via
+    lead(); NULL valid_to marks the current row. Bounds are epoch micros
+    (integers — timestamp objects drift 1µs between engines).
+
+    Shared by the batch query (queries/windows.py:window_scd2_history)
+    and the r8 streaming CDC upsert twin (streaming/cdc.py) so both
+    paths are the same code by construction. Both windows are
+    user-partitioned (parallel per user, never global); the
+    change-compaction SHRINKS the stream before the second window."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (
+        events.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("event_type") != F.col("prev")))
+        .drop("prev")
+    )
+    return ch.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+    ).withColumn("is_current", F.col("valid_to_us").isNull())

@@ -863,3 +863,95 @@ def agg_association_rules(spark, sf_dir):
         .orderBy(F.desc("lift"), "antecedent", "consequent")
         .limit(_AR_K)
     )
+
+
+@register(
+    "agg_gini_concentration",
+    # Gini coefficient of per-customer revenue (the inequality /
+    # concentration KPI; r8): G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) with
+    # ranks under the (revenue, custkey) total order. Revenue goes onto
+    # an exact INTEGER cents lattice before the rank sums, so both Σ are
+    # order-independent integers and the only float op is the final
+    # division — deterministic by construction. The global rank is the
+    # scale-safe bucketed block-prefix rank (operators/topk.py:
+    # global_rank), never an unpartitioned window.
+    """
+    WITH rev AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY o_custkey
+    ),
+    cents AS (
+      SELECT o_custkey, CAST(round(revenue * 100) AS BIGINT) AS xc,
+             revenue
+      FROM rev
+    ),
+    ranked AS (
+      SELECT xc, row_number() OVER (ORDER BY revenue, o_custkey) AS rank
+      FROM cents
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(xc) AS BIGINT) AS total_cents,
+             CAST(sum(rank * xc) AS BIGINT) AS rank_weighted
+      FROM ranked
+    )
+    SELECT n_customers, total_cents,
+           round((2.0 * rank_weighted - (n_customers + 1) * total_cents)
+                 / (n_customers * total_cents), 6) AS gini
+    FROM s
+    """,
+)
+def agg_gini_concentration(spark, sf_dir):
+    from ..operators.topk import global_rank
+
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .withColumn(
+            "xc", F.round(F.col("revenue") * 100, 0).cast("long")
+        )
+    )
+    ranked = global_rank(rev, "revenue", "o_custkey")
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("xc").alias("total_cents"),
+        F.sum(F.col("rank") * F.col("xc")).alias("rank_weighted"),
+    )
+    return s.select(
+        "n_customers",
+        "total_cents",
+        F.round(
+            (2.0 * F.col("rank_weighted")
+             - (F.col("n_customers") + 1) * F.col("total_cents"))
+            / (F.col("n_customers") * F.col("total_cents")),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "agg_log2_histogram",
+    # Log₂-bucketed value histogram (the HDR-histogram / latency-bucket
+    # shape; r8): bucket = number of binary digits of floor(price) —
+    # integer-exact on both engines via the binary-string length, no
+    # float log anywhere (floor(log2(x)) via ln() drifts at exact powers
+    # of two). One grouped pass, map-side partials.
+    """
+    SELECT CAST(length(bin(CAST(floor(o_totalprice) AS BIGINT))) AS BIGINT)
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_log2_histogram(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.length(F.bin(F.floor("o_totalprice").cast("long"))).cast("long")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )

@@ -786,3 +786,88 @@ def dedup_prefix_filter_join(spark, sf_dir):
         "id", F.col("shingle").alias("token")
     )
     return prefix_filter_pairs(tokens, threshold=0.8)
+
+
+@register(
+    "dedup_url_canonical",
+    # URL canonicalization + keep-first dedup (the CommonCrawl-style
+    # crawl-frontier dedup every web-corpus pipeline runs first; r8):
+    # four crawl variants of each logical URL (plain / http+www+slash /
+    # uppercase / utm-tagged+fragment) are synthesized deterministically
+    # from doc_id, then canonicalized — lowercase, http→https, strip
+    # www., strip utm query, strip fragment, strip trailing slash — and
+    # deduped to the minimum doc_id per canonical URL. All native string
+    # ops; patterns occur at most once per URL so DuckDB's first-match
+    # regexp_replace equals Spark's replace-all. Entirely map-side +
+    # one grouped pass shuffling canonical strings.
+    """
+    WITH raw AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN 'https://site' || (doc_id // 4) || '.com/item/a'
+          WHEN 1 THEN 'http://www.site' || (doc_id // 4) || '.com/item/a/'
+          WHEN 2 THEN 'HTTPS://SITE' || (doc_id // 4) ||
+                      '.COM/item/a?utm_source=feed'
+          ELSE 'https://site' || (doc_id // 4) || '.com/item/a#section'
+        END AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(lower(url), '^http://', 'https://'),
+                '^https://www\\.', 'https://'),
+              '\\?utm[^#]*', ''),
+            '#.*$', ''),
+          '/$', '') AS canonical_url
+      FROM raw
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_dups,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def dedup_url_canonical(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    k = (F.col("doc_id") / 4).cast("long").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("https://site"), k, F.lit(".com/item/a")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("http://www.site"), k, F.lit(".com/item/a/")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("HTTPS://SITE"), k, F.lit(".COM/item/a?utm_source=feed")
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("https://site"), k, F.lit(".com/item/a#section"))
+        )
+    )
+    canon = F.col("url")
+    for pat, rep in (
+        ("^http://", "https://"),
+        ("^https://www\\.", "https://"),
+        ("\\?utm[^#]*", ""),
+        ("#.*$", ""),
+        ("/$", ""),
+    ):
+        canon = F.regexp_replace(canon, pat, rep)
+    return (
+        docs.select("doc_id", F.lower(url).alias("url"))
+        .select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )

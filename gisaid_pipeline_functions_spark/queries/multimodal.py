@@ -91,7 +91,8 @@ def multimodal_frame_sample(spark, sf_dir):
     # hash-fails on content, not just shape.
     """
     WITH dims AS (
-      SELECT doc_id, text,
+      SELECT doc_id,
+             coalesce(nullif(text, ''), '?') AS text,
              CAST(doc_id % 21 + 4 AS BIGINT) AS w,
              CAST(doc_id % 13 + 4 AS BIGINT) AS h
       FROM documents
@@ -122,7 +123,9 @@ def multimodal_decode_dims(spark, sf_dir):
     # len)] with y = 2*(i // out_w), x = 2*(i mod out_w).
     """
     WITH dims AS (
-      SELECT doc_id, text, strlen(text) AS n,
+      SELECT doc_id,
+             coalesce(nullif(text, ''), '?') AS text,
+             strlen(coalesce(nullif(text, ''), '?')) AS n,
              CAST(doc_id % 21 + 4 AS BIGINT) AS w,
              CAST(doc_id % 13 + 4 AS BIGINT) AS h
       FROM documents
@@ -202,34 +205,47 @@ def multimodal_byte_budget(spark, sf_dir):
 
 @register(
     "multimodal_phash_neardup",
-    # Perceptual near-dup pairs over GP-framed media payloads
-    # (operators/multimodal.py phash_near_dups): 32-block positional
-    # dHash — bit j = block_sum_j > block_sum_j+1, exact integer math —
-    # banded 4×8 bits for Hamming-ball LSH (pigeonhole-exact for the
-    # d <= 3 threshold), exact bit_count(xor) on candidates. The oracle
-    # replays fingerprints, banding, AND distances; the media payload is
-    # the GP header + utf-8 text, and the operator skips the 10 header
-    # bytes, so the oracle hashes the raw text bytes.
+    # TRUE perceptual near-dup pairs over DECODED PIXELS (upgraded r8,
+    # VERDICT r7 #4; operators/multimodal.py bmp_phash_near_dups): each
+    # document becomes a real 24-bit BMP (documents_as_bmp), the Spark
+    # side PARSES the file (header offset, little-endian dims, stride
+    # padding, bottom-up row flip), nearest-neighbor-resamples the
+    # raster to an 8×8 thumbnail (sample (y*h//8, x*w//8)), and takes
+    # the dHash gradient bits thumb[y][x] > thumb[y][x+1] row-major
+    # MSB-first (56 bits). Hamming-ball LSH: 7 disjoint 8-bit bands —
+    # pigeonhole-exact for d <= 3 — then exact bit_count(xor). The
+    # oracle replays thumbnail, fingerprint, banding AND distances from
+    # the generation rule (ASCII testdata: pixel (y, x) = byte of
+    # txt[((y*w + x) mod len)]), so a parse/resample/bit-order slip
+    # hash-fails on content.
     """
-    WITH base AS (SELECT doc_id, hex(encode(text)) AS H FROM documents),
-    dims AS (SELECT doc_id, H, (length(H)//2)//32 AS L FROM base),
-    sums AS (
+    WITH base AS (
       SELECT doc_id,
-        [list_sum([CAST(('0x' || substr(H, 2*(s*L+i)+1, 2)) AS INT)
-                   FOR i IN range(0, L)])
-         FOR s IN range(0, 32)] AS cs
-      FROM dims WHERE L >= 1
+             coalesce(nullif(text, ''), '?') AS txt,
+             strlen(coalesce(nullif(text, ''), '?')) AS n,
+             doc_id % 21 + 4 AS w,
+             doc_id % 13 + 4 AS h
+      FROM documents
+    ),
+    thumb AS (
+      SELECT doc_id,
+        [ascii(substr(txt,
+           CAST(((((i // 8) * h // 8) * w + ((i % 8) * w // 8)) % n) + 1
+                AS INT), 1))
+         FOR i IN range(0, 64)] AS t
+      FROM base
     ),
     ph AS (
       SELECT doc_id,
-        list_sum([CASE WHEN cs[j] > cs[j+1]
-                  THEN (CAST(1 AS BIGINT) << (31 - j)) ELSE 0 END
-                  FOR j IN range(1, 32)]) AS phash
-      FROM sums
+        CAST(list_sum(
+          [CASE WHEN t[(j // 7) * 8 + (j % 7) + 1] > t[(j // 7) * 8 + (j % 7) + 2]
+                THEN (CAST(1 AS BIGINT) << (55 - j)) ELSE 0 END
+           FOR j IN range(0, 56)]) AS BIGINT) AS phash
+      FROM thumb
     ),
     bands AS (
       SELECT doc_id, b, (phash >> (8*b)) & 255 AS sig, phash
-      FROM ph, (SELECT unnest(range(4)) AS b)
+      FROM ph, (SELECT unnest(range(7)) AS b)
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
@@ -245,7 +261,51 @@ def multimodal_byte_budget(spark, sf_dir):
     """,
 )
 def multimodal_phash_neardup(spark, sf_dir):
-    from ..operators.multimodal import media_with_header, phash_near_dups
+    from ..operators.multimodal import bmp_phash_near_dups, documents_as_bmp
 
-    media = media_with_header(load_table(spark, sf_dir, "documents"))
-    return phash_near_dups(media, skip_header_bytes=10, threshold=3)
+    media = documents_as_bmp(load_table(spark, sf_dir, "documents"))
+    return bmp_phash_near_dups(media, threshold=3)
+
+
+@register(
+    "multimodal_wav_stats",
+    # Audio ingest stats over REAL WAV files (r8 — the audio twin of the
+    # r7 BMP story; operators/multimodal.py encode_wav_pcm16 /
+    # parse_wav_pcm16 / wav_decode_stats): each document becomes a
+    # spec-compliant PCM16 mono RIFF/WAVE whose waveform is the text's
+    # bytes cycled and centered (sample i = (byte − 64) · 256); the
+    # Spark side PARSES the file (RIFF/fmt/data chunks, little-endian
+    # int16 unpack) and emits rate, count, integer-exact µs duration,
+    # peak |amplitude|, exact Σs² energy, and RMS. The oracle rebuilds
+    # the waveform from the generation rule, so a chunk-offset or
+    # sign/endianness slip in the parser hash-fails on content.
+    """
+    WITH base AS (
+      SELECT doc_id,
+             coalesce(nullif(text, ''), '?') AS txt,
+             strlen(coalesce(nullif(text, ''), '?')) AS n,
+             doc_id % 50 + 20 AS ns
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, ns,
+             [(ascii(substr(txt, CAST((i % n) + 1 AS INT), 1)) - 64) * 256
+              FOR i IN range(0, ns)] AS sm
+      FROM base
+    )
+    SELECT doc_id AS media_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(ns AS BIGINT) AS n_samples,
+           CAST(ns * 1000000 // 8000 AS BIGINT) AS duration_us,
+           CAST(list_max(list_transform(sm, x -> abs(x))) AS BIGINT) AS peak,
+           CAST(list_sum(list_transform(sm, x -> x * x)) AS BIGINT) AS energy,
+           round(sqrt(list_sum(list_transform(sm, x -> x * x)) * 1.0 / ns), 6)
+             AS rms
+    FROM s
+    """,
+)
+def multimodal_wav_stats(spark, sf_dir):
+    from ..operators.multimodal import documents_as_wav, wav_decode_stats
+
+    media = documents_as_wav(load_table(spark, sf_dir, "documents"))
+    return wav_decode_stats(media)

@@ -930,3 +930,96 @@ def sim_matryoshka_recall(spark, sf_dir):
             ),
         )
     )
+
+
+_HN_K = 3
+
+
+@register(
+    "sim_hard_negatives",
+    # Contrastive hard-negative mining (r8; operators/similarity.py
+    # hard_negative_topk): for each anchor (vec_id < 5), the top-k
+    # most-similar candidates with a DIFFERENT label — the
+    # decision-boundary pairs a contrastive trainer batches. Spark
+    # hoists per-row norms before the pair join (r7 semdedup rule); the
+    # oracle's inline-norm cosine is arithmetically identical and both
+    # rank on the 6dp-rounded cosine with id tie-breaks.
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cand_id, embedding AS cvec, label AS clabel
+          FROM embeddings),
+    scored AS (
+      SELECT query_id, cand_id, round({_cos_sql('qvec', 'cvec')}, 6) AS cos
+      FROM q JOIN c ON qlabel <> clabel
+    )
+    SELECT query_id, cand_id, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_HN_K}
+    """,
+)
+def sim_hard_negatives(spark, sf_dir):
+    from ..operators.similarity import hard_negative_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negative_topk(emb, emb.filter(F.col("vec_id") < 5), k=_HN_K)
+
+
+_KC_K = 6
+
+
+def _kcenter_d2(a: str, b: str) -> str:
+    diff = f"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    return (
+        f"round(list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> {diff} * {diff})), 9)"
+    )
+
+
+def _kcenter_oracle(k: int) -> str:
+    parts = [
+        "c1 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1)",
+        (
+            "m1 AS (SELECT e.vec_id, e.embedding, "
+            + _kcenter_d2("e.embedding", "c.embedding")
+            + " AS md FROM embeddings e, c1 c WHERE e.vec_id <> c.vec_id)"
+        ),
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"s{r} AS (SELECT vec_id, embedding, md FROM m{r - 1} "
+            f"ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        if r < k:
+            parts.append(
+                f"m{r} AS (SELECT m.vec_id, m.embedding, least(m.md, "
+                + _kcenter_d2("m.embedding", "s.embedding")
+                + f") AS md FROM m{r - 1} m, s{r} s WHERE m.vec_id <> s.vec_id)"
+            )
+    selects = [
+        "SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id, "
+        "CAST(NULL AS DOUBLE) AS dist_sq FROM c1"
+    ] + [
+        f"SELECT CAST({r} AS BIGINT), vec_id, round(md, 6) FROM s{r}"
+        for r in range(2, k + 1)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@register(
+    "sample_kcenter_coreset",
+    # Greedy k-center coreset selection (Gonzalez 1985; the geometric
+    # data-pruning selector — r8, operators/similarity.py
+    # kcenter_greedy): seed at the lowest id, then k-1 rounds of
+    # "farthest point from the chosen set". The oracle replays EVERY
+    # round as a CTE pair (argmax under the (9dp-rounded dist desc, id)
+    # total order, then the least() min-dist update) — iteration-exact,
+    # the Lloyd/BPE replay convention.
+    _kcenter_oracle(_KC_K),
+)
+def sample_kcenter_coreset(spark, sf_dir):
+    from ..operators.similarity import kcenter_greedy
+
+    return kcenter_greedy(load_table(spark, sf_dir, "embeddings"), k=_KC_K)

@@ -1122,3 +1122,109 @@ def text_perplexity_buckets(spark, sf_dir):
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+_BM25_TERMS = ("data", "merge", "vector")
+_BM25_K = 20
+
+
+@register(
+    "text_bm25_topk",
+    # BM25 retrieval (Robertson–Spärck Jones / Lucene practical form;
+    # operators/text.py bm25_topk — r8): fixed OR-query term set, Lucene
+    # idf ln(1 + (N−df+0.5)/(df+0.5)), k1=1.2 b=0.75, top-20 docs under
+    # the (6dp-rounded score desc, doc_id) order. The oracle replays the
+    # per-term contributions with the identical expression tree; the
+    # only cross-engine float risk is the ≤3-term per-doc sum order,
+    # absorbed by the 6dp round (registry convention).
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    ww AS (SELECT doc_id, word FROM w WHERE length(word) > 0),
+    dl AS (SELECT doc_id, count(*) AS dl FROM ww GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM ww
+      WHERE word IN ('data', 'merge', 'vector') GROUP BY doc_id, word
+    ),
+    dft AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    contrib AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+      FROM tf JOIN dft USING (word) JOIN dl USING (doc_id), stats s
+    ),
+    scored AS (
+      SELECT doc_id, round(sum(c), 6) AS bm25 FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, bm25, rank FROM (
+      SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_BM25_K}
+    """,
+)
+def text_bm25_topk(spark, sf_dir):
+    from ..operators.text import bm25_topk
+
+    return bm25_topk(
+        load_table(spark, sf_dir, "documents"),
+        list(_BM25_TERMS),
+        k=_BM25_K,
+    )
+
+
+_CHI2_TOPK = 3
+
+
+@register(
+    "text_chi2_keywords",
+    # Per-language discriminative keywords by χ² feature selection
+    # (Yang & Pedersen 1997; operators/text.py chi2_keywords — r8):
+    # document-presence 2×2 contingency per (lang, word), χ² =
+    # N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)), top-3 words per lang under
+    # (χ² desc, word). All counts are integers; the single float
+    # expression is fixed-tree + 6dp round. Words present in every
+    # document are excluded on both engines (0/0).
+    f"""
+    WITH pres AS (
+      SELECT DISTINCT doc_id, cls, word FROM (
+        SELECT doc_id, lang AS cls, unnest(string_split(text, ' ')) AS word
+        FROM documents
+      ) WHERE length(word) > 0
+    ),
+    cw AS (SELECT cls, word, count(*) AS a FROM pres GROUP BY cls, word),
+    wt AS (SELECT word, count(*) AS wt FROM pres GROUP BY word),
+    ct AS (SELECT cls, count(*) AS ct FROM
+           (SELECT DISTINCT doc_id, cls FROM pres) GROUP BY cls),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM pres),
+    j AS (
+      SELECT cw.cls, cw.word,
+             CAST(cw.a AS DOUBLE) AS a,
+             CAST(wt.wt - cw.a AS DOUBLE) AS b,
+             CAST(ct.ct - cw.a AS DOUBLE) AS c,
+             CAST(n.n - ct.ct - (wt.wt - cw.a) AS DOUBLE) AS d,
+             CAST(n.n AS DOUBLE) AS nn
+      FROM cw JOIN wt USING (word) JOIN ct USING (cls), n
+      WHERE wt.wt < n.n
+    ),
+    scored AS (
+      SELECT cls, word,
+             round(nn * (a * d - b * c) * (a * d - b * c)
+                   / ((a + b) * (c + d) * (a + c) * (b + d)), 6) AS chi2
+      FROM j
+    )
+    SELECT cls, word, chi2, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY cls
+                                   ORDER BY chi2 DESC, word) AS rank
+      FROM scored
+    ) WHERE rank <= {_CHI2_TOPK}
+    """,
+)
+def text_chi2_keywords(spark, sf_dir):
+    from ..operators.text import chi2_keywords
+
+    return chi2_keywords(
+        load_table(spark, sf_dir, "documents"), top_k=_CHI2_TOPK
+    )

@@ -227,3 +227,40 @@ def heatmap_table(spark, sf_dir):
     pct = weekly_percentage(weekly_frequency(events, "ts", "event_type"))
     pct = pct.withColumn("pct", F.round("pct", 6)).drop("freq")
     return gradient_shades(pct, key_col="key", value_col="pct", buckets=4)
+
+
+@register(
+    "ts_seasonality_index",
+    # Day-of-week seasonality index (the load-shape decomposition every
+    # capacity planner runs; r8): per weekday event count vs the uniform
+    # 1/7 expectation — index = n_dow · 7 / N (counts only, one fixed
+    # division rounded 6) — plus the weekday's 6dp mean value. Weekday
+    # keys are English day NAMES on both engines (Spark date_format
+    # 'EEEE' ≡ DuckDB dayname — integer dow codes DIFFER between the
+    # two: Spark 1=Sunday, DuckDB 0=Sunday).
+    """
+    WITH d AS (
+      SELECT dayname(ts) AS weekday, count(*) AS n,
+             round(avg(value), 6) AS avg_value
+      FROM events GROUP BY 1
+    ),
+    t AS (SELECT sum(n) AS total FROM d)
+    SELECT weekday, CAST(n AS BIGINT) AS n,
+           round(n * 7.0 / total, 6) AS seasonality_index,
+           avg_value
+    FROM d, t
+    """,
+)
+def ts_seasonality_index(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_format("ts", "EEEE").alias("weekday")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    t = d.agg(F.sum("n").alias("total"))
+    return d.crossJoin(F.broadcast(t)).select(
+        "weekday",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") * 7.0 / F.col("total"), 6).alias("seasonality_index"),
+        "avg_value",
+    )

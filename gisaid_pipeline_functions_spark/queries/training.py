@@ -773,3 +773,109 @@ def sample_group_split(spark, sf_dir):
         )
         .select("split", "n_events", "n_users", "leaked_users")
     )
+
+
+_PCT_ROUNDS = 3
+
+
+def _perceptron_oracle(rounds: int) -> str:
+    margin = "y * (w.b * x0 + w.w1 * x1 + w.w2 * x2)"
+
+    def s(expr: str) -> str:
+        return (
+            f"CAST(coalesce(sum(CASE WHEN {margin} <= 0 "
+            f"THEN {expr} ELSE 0 END), 0) AS BIGINT)"
+        )
+
+    parts = [
+        """f AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+             CAST(1 AS BIGINT) AS x0,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> length(w) > 0)) AS BIGINT) AS x1,
+             CAST(strlen(text) AS BIGINT) AS x2
+      FROM documents
+    )""",
+        "w0 AS (SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS w1, "
+        "CAST(0 AS BIGINT) AS w2)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"m{r} AS (SELECT {s('y * x0')} AS d0, {s('y * x1')} AS d1, "
+            f"{s('y * x2')} AS d2, {s('1')} AS miss "
+            f"FROM f, w{r - 1} w)"
+        )
+        parts.append(
+            f"w{r} AS (SELECT w.b + m.d0 AS b, w.w1 + m.d1 AS w1, "
+            f"w.w2 + m.d2 AS w2 FROM w{r - 1} w, m{r} m)"
+        )
+    selects = [
+        f"SELECT CAST({r} AS BIGINT) AS round, w.b AS w_bias, "
+        f"w.w1 AS w_words, w.w2 AS w_chars, m.miss AS n_miss "
+        f"FROM w{r} w, m{r} m"
+        for r in range(1, rounds + 1)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@register(
+    "train_perceptron_lang",
+    # Batch-gradient perceptron on INTEGER features (r8;
+    # operators/text.py perceptron_train): labels ±1 from lang='en',
+    # features (1, word count, char count), update w += Σ_mis y·x per
+    # round — every quantity an integer, so the oracle replays all 3
+    # rounds bit-for-bit with NO float lattice anywhere (the strongest
+    # form of the Lloyd/BPE iteration-replay convention). The weight
+    # vector is fixed-size driver state (the fixed-size-model rule);
+    # one map-side-partial aggregation job per round.
+    _perceptron_oracle(_PCT_ROUNDS),
+)
+def train_perceptron_lang(spark, sf_dir):
+    from ..operators.text import perceptron_train
+
+    return perceptron_train(
+        load_table(spark, sf_dir, "documents"), rounds=_PCT_ROUNDS
+    )
+
+
+_TE_SMOOTH = 20
+
+
+@register(
+    "train_target_encoding",
+    # Smoothed target (mean) encoding (Micci-Barreca 2001 — the standard
+    # categorical-feature encoder; r8): enc(seg) = (Σy + m·prior)/(n + m)
+    # with the global-mean prior and m=20. Both the per-segment sum and
+    # the prior go onto the 6dp lattice BEFORE the blend so the single
+    # fixed-tree float expression is engine-identical. One grouped pass
+    # + a 1-row broadcast prior — map-side partials, no window.
+    f"""
+    WITH p AS (SELECT round(avg(c_acctbal), 6) AS prior FROM customer),
+    g AS (
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+             round(sum(c_acctbal), 6) AS sum_y
+      FROM customer GROUP BY 1
+    )
+    SELECT g.c_mktsegment, g.n, p.prior,
+           round((g.sum_y + {_TE_SMOOTH} * p.prior) / (g.n + {_TE_SMOOTH}), 6)
+             AS encoded
+    FROM g, p
+    """,
+)
+def train_target_encoding(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    prior = c.agg(F.round(F.avg("c_acctbal"), 6).alias("prior"))
+    g = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("c_acctbal"), 6).alias("sum_y"),
+    )
+    return g.crossJoin(F.broadcast(prior)).select(
+        "c_mktsegment",
+        "n",
+        "prior",
+        F.round(
+            (F.col("sum_y") + _TE_SMOOTH * F.col("prior"))
+            / (F.col("n") + _TE_SMOOTH),
+            6,
+        ).alias("encoded"),
+    )

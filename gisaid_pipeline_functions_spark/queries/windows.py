@@ -867,17 +867,13 @@ def streaming_time_decay_hash(spark, sf_dir):
     )
 
 
-@register(
-    "window_scd2_history",
-    # SCD Type-2 history build (the lakehouse MERGE pattern, batch form):
-    # compact each user's event-type stream to its CHANGE points
-    # (event_type differs from the previous row), then assign
-    # [valid_from, valid_to) intervals via lead() — NULL valid_to marks
-    # the current row. Validity bounds emitted as epoch micros (the
-    # join_interval_overlap convention — timestamp objects drift 1µs
-    # between engines; integers don't). event_id breaks ts ties in BOTH
-    # windows so the compaction is deterministic.
-    """
+# SCD2 oracle — shared verbatim by the batch build and the r8 streaming
+# CDC upsert twin (streaming/cdc.py): the stream's foreachBatch MERGE
+# must converge to exactly the batch result, so both register the SAME
+# SQL. Validity bounds are epoch micros (the join_interval_overlap
+# convention — timestamp objects drift 1µs between engines); event_id
+# breaks ts ties in BOTH windows so the compaction is deterministic.
+_SCD2_ORACLE = """
     WITH o AS (
       SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER (PARTITION BY user_id
@@ -899,31 +895,32 @@ def streaming_time_decay_hash(spark, sf_dir):
     SELECT user_id, event_type, valid_from_us, valid_to_us,
            valid_to_us IS NULL AS is_current
     FROM v
-    """,
-)
+    """
+
+
+@register("window_scd2_history", _SCD2_ORACLE)
 def window_scd2_history(spark, sf_dir):
-    """Scale shape: two user-partitioned windows (parallel per user,
-    never global) over a stream that the change-compaction SHRINKS
-    before the second — the standard CDC/SCD2 batch build."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ch = (
-        ev.select(
-            "user_id",
-            "event_type",
-            "ts",
-            "event_id",
-            F.lag("event_type").over(w).alias("prev"),
-        )
-        .filter(F.col("prev").isNull() | (F.col("event_type") != F.col("prev")))
-        .drop("prev")
-    )
-    return ch.select(
-        "user_id",
-        "event_type",
-        F.unix_micros("ts").alias("valid_from_us"),
-        F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
-    ).withColumn("is_current", F.col("valid_to_us").isNull())
+    """SCD Type-2 history build, batch form (operators/timeseries.py:
+    scd2_history — shared with the streaming CDC twin). Scale shape: two
+    user-partitioned windows (parallel per user, never global) over a
+    stream that the change-compaction SHRINKS before the second."""
+    from ..operators.timeseries import scd2_history
+
+    return scd2_history(load_table(spark, sf_dir, "events"))
+
+
+@register("streaming_scd2_hash", _SCD2_ORACLE)
+def streaming_scd2_hash(spark, sf_dir):
+    """Streaming CDC upsert twin (r8, VERDICT r7 #5): the events backlog
+    drives a foreachBatch MERGE (streaming/cdc.py) that maintains the
+    SCD2 dimension incrementally — per batch, only the touched users'
+    rows are recomputed from their staged history and swapped in. The
+    maintained table must hash-match the BATCH oracle exactly (same
+    _SCD2_ORACLE), arbitrary arrival order included — the same
+    batch/stream twin contract as streaming_time_decay_hash."""
+    from ..streaming.cdc import streaming_scd2
+
+    return streaming_scd2(spark, sf_dir)
 
 
 _PATH_N = 5
@@ -977,4 +974,161 @@ def window_user_paths(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy(F.desc("n_users"), "path")
         .limit(_PATH_K)
+    )
+
+
+@register(
+    "window_rfm_segmentation",
+    # RFM customer segmentation (the classic CRM scoring; r8): per
+    # customer recency (latest order date), frequency (order count) and
+    # monetary (2dp revenue), each quartiled with ntile(4) WITHIN the
+    # customer's market segment — the windows stay PARTITIONED (parallel
+    # per segment, never global), which is also the realistic scoring
+    # (segment-relative quartiles). Deterministic tie-breaks on custkey
+    # in every ntile ordering; the composite code concatenates the three
+    # scores. Both engines' ntile splits remainders to the leading
+    # buckets (SQL standard), so integer parity is exact.
+    """
+    WITH rfm AS (
+      SELECT o.o_custkey AS custkey, c.c_mktsegment AS segment,
+             max(o.o_orderdate) AS last_order,
+             count(*) AS n_orders,
+             round(sum(o.o_totalprice), 2) AS monetary
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT custkey, segment,
+           CAST(ntile(4) OVER (PARTITION BY segment
+                               ORDER BY last_order DESC, custkey) AS BIGINT)
+             AS r_score,
+           CAST(ntile(4) OVER (PARTITION BY segment
+                               ORDER BY n_orders DESC, custkey) AS BIGINT)
+             AS f_score,
+           CAST(ntile(4) OVER (PARTITION BY segment
+                               ORDER BY monetary DESC, custkey) AS BIGINT)
+             AS m_score,
+           CAST(ntile(4) OVER (PARTITION BY segment
+                               ORDER BY last_order DESC, custkey) AS VARCHAR)
+           || CAST(ntile(4) OVER (PARTITION BY segment
+                                  ORDER BY n_orders DESC, custkey) AS VARCHAR)
+           || CAST(ntile(4) OVER (PARTITION BY segment
+                                  ORDER BY monetary DESC, custkey) AS VARCHAR)
+             AS rfm_code
+    FROM rfm
+    """,
+)
+def window_rfm_segmentation(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    rfm = (
+        o.join(c.hint("merge"), "o_custkey")
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    wr = Window.partitionBy("segment").orderBy(F.desc("last_order"), "custkey")
+    wf = Window.partitionBy("segment").orderBy(F.desc("n_orders"), "custkey")
+    wm = Window.partitionBy("segment").orderBy(F.desc("monetary"), "custkey")
+    r, f_, m = (F.ntile(4).over(w) for w in (wr, wf, wm))
+    return rfm.select(
+        "custkey",
+        "segment",
+        r.cast("long").alias("r_score"),
+        f_.cast("long").alias("f_score"),
+        m.cast("long").alias("m_score"),
+        F.concat(
+            r.cast("string"), f_.cast("string"), m.cast("string")
+        ).alias("rfm_code"),
+    )
+
+
+@register(
+    "window_forward_fill",
+    # Forward fill (the sparse-metric LOCF imputation every feature
+    # pipeline ships; r8): the purchase-event value is the sparse
+    # signal; every event carries the user's most recent purchase value
+    # via last_value(... IGNORE NULLS) over the user-partitioned
+    # (ts, event_id) order — NULL until the user's first purchase.
+    # Partitioned window only; the value goes through round(6) BEFORE
+    # the fill so both engines propagate the identical lattice value.
+    """
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'purchase'
+                           THEN round(value, 6) END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value
+    FROM events
+    """,
+)
+def window_forward_fill(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(
+        F.col("event_type") == "purchase", F.round("value", 6)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(v, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+@register(
+    "agg_markov_transitions",
+    # First-order Markov transition matrix over user event streams (the
+    # product-analytics "what happens after X" table; r8): lag() pairs
+    # under the user-partitioned (ts, event_id) order, transition counts
+    # + row-normalized probabilities. The event-type vocabulary is FIXED
+    # (not corpus-growing), so the per-source totals broadcast; counts
+    # integer, the probability a single fixed-tree division rounded 6.
+    """
+    WITH o AS (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    c AS (
+      SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+      FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+           round(c.n * 1.0 / t.tot, 6) AS p
+    FROM c JOIN t USING (from_type)
+    """,
+)
+def agg_markov_transitions(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "event_type", F.lag("event_type").over(w).alias("prev")
+        )
+        .filter(F.col("prev").isNotNull())
+        .groupBy(
+            F.col("prev").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return pairs.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") * 1.0 / F.col("tot"), 6).alias("p"),
     )

@@ -56,27 +56,30 @@ def register(name: str, sql: str | None = None):
 # the round the change was made in — forced to the front until a green
 # driver row from that round (or later) exists, then they rotate back
 # into the normal staleness order automatically.
-_RECHECK_ROUND = 7
+_RECHECK_ROUND = 8
 _RECHECK_FIRST = frozenset(
     {
-        # round 7 implementation changes that must re-prove (kept MINIMAL
-        # per VERDICT r6 next-round #1 so the 35 last-green-r3 queries all
-        # fit the window: 35 + 7 new registrations + these 7 = 49 ≤ ~50;
-        # new registrations sort first via the zero-evidence floor and
-        # need no entry here):
-        "dedup_prefix_filter_join",  # robust 9dp-rounded ceilings on the
-        # prefix length + equivalent-overlap bound (ADVICE r6)
-        "sink_bucketed_join_roundtrip",  # now asserts the SORT-free plan
-        # too: 1-file-per-bucket write + sorted-scan conf (ADVICE r6)
-        "multimodal_decode_dims",  # real BMP parse replaces the GP
-        # header format (VERDICT r6 next-round #4)
-        "multimodal_resize",  # real 2-D pixel decimation over parsed BMPs
-        "text_classifier_score",  # train/apply split for the streaming
-        # twin (value-identical; bias from a direct per-doc pass)
-        "sim_semdedup",  # assignment checkpoint + hoisted per-row norms
-        # (bit-identical arithmetic; 9.9 s → 3.0 s, r7 noop-sweep find)
-        "agg_approx_distinct",  # exact/approx split into separate aggs —
-        # the combined distinct-Expand form was 10× (r7 noop-sweep find)
+        # round 8 implementation/oracle changes that must re-prove.
+        # Window arithmetic (VERDICT r7 #1: cap new registrations so the
+        # 16 last-green-r3 queries drain): 16 r3-stale + these 6 + ~25
+        # new registrations ≈ 47 ≤ ~50. New registrations sort first via
+        # the zero-evidence floor and need no entry here. Since r8 the
+        # end-of-round FULLDRIVE_r{N}.json (tools/fulldrive.py) also
+        # counts as last-green evidence, so nothing can stay stale even
+        # if the driver window misses it.
+        "text_pmi_collocations",  # Spark side now computes ln/ln(2)
+        # explicitly instead of relying on Log2's libm form (ADVICE r7)
+        "multimodal_decode_dims",  # oracle empty-text '?' fallback
+        # mirrored from the Spark generator (ADVICE r7)
+        "multimodal_resize",  # same oracle guard
+        "multimodal_phash_neardup",  # UPGRADED: dHash over DECODED
+        # pixels (8x8 NN thumbnail of the parsed BMP raster, 56 bits,
+        # 7x8 pigeonhole bands) — VERDICT r7 next-round #4
+        "graph_link_prediction",  # routed through operators/graph.py:
+        # link_prediction with the degree_cap parameter (VERDICT r7 #6;
+        # cap inactive here, plan-identical)
+        "window_scd2_history",  # extracted to operators/timeseries.py:
+        # scd2_history, shared with the r8 streaming CDC twin
     }
 )
 
@@ -84,14 +87,20 @@ _RECHECK_FIRST = frozenset(
 def _last_green_round() -> dict[str, int]:
     """Each query's most recent round with a green driver row, scanned
     from repo-root CORRECTNESS_r*.json (a recorded rows-only row counts —
-    it is the strongest evidence that query can ever get)."""
+    it is the strongest evidence that query can ever get) PLUS
+    FULLDRIVE_r*.json — the builder's end-of-round all-registry contract
+    drive in the same schema (tools/fulldrive.py, VERDICT r7 #1/#2), so
+    full-drive greens count toward the staleness rotation."""
     import json
     import re
     from pathlib import Path
 
     out: dict[str, int] = {}
     root = Path(__file__).resolve().parents[1]
-    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+    records = sorted(root.glob("CORRECTNESS_r*.json")) + sorted(
+        root.glob("FULLDRIVE_r*.json")
+    )
+    for p in records:
         m = re.search(r"r(\d+)$", p.stem)
         if not m:
             continue

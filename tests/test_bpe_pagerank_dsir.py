@@ -66,9 +66,12 @@ def test_bpe_learn_matches_python_reference(spark, ws, seed):
         wf.update(w for w in r["text"].split(" ") if w)
     rm, rv = _ref_bpe(dict(wf), 3)
     merges, vocab = bpe_learn(docs, n_merges=3)
+    # merges is a chain of unioned 1-row frames: row ORDER is not
+    # contractual, so sort by merge_rank before the positional compare
+    # (ADVICE r7).
     sm = [
         (r["merge_rank"], r["pair_a"], r["pair_b"], r["merged"], r["cnt"])
-        for r in merges.collect()
+        for r in merges.orderBy("merge_rank").collect()
     ]
     sv = {r["word"]: list(r["syms"]) for r in vocab.collect()}
     assert sm == rm
@@ -124,3 +127,38 @@ def test_bpe_token_counts_consistent_with_vocab(spark):
     assert out[0]["n_bpe_tokens"] == 2 * tok["aa"] + tok["ab"]
     assert out[1]["n_bpe_tokens"] == tok["b"] + tok["aa"]
     spark.catalog.clearCache()
+
+
+def test_link_prediction_degree_cap_invariant_below_cap(spark):
+    """degree_cap >= max degree must be a no-op (the row_number filter
+    keeps every neighbor), and an ACTIVE cap must still find pairs whose
+    wedge centers survive truncation — on a graph whose hub exceeds the
+    cap, the hub's wedge fan-out is bounded at cap^2."""
+    from gisaid_pipeline_functions_spark.operators.graph import link_prediction
+
+    # two 4-cliques sharing no edge, plus TWO hubs wired to everything
+    # (two hubs -> cross-clique pairs get cn = 2 and pass min_cn)
+    clique = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    clique2 = [(i + 10, j + 10) for i, j in clique]
+    hubs = [
+        (i, h)
+        for h in (98, 99)
+        for i in list(range(4)) + list(range(10, 14))
+    ]
+    edges = spark.createDataFrame(clique + clique2 + hubs, "u long, v long")
+
+    exact = link_prediction(edges, min_cn=2, k=100, degree_cap=None).collect()
+    capped_noop = link_prediction(edges, min_cn=2, k=100, degree_cap=8).collect()
+    # max degree is the hubs' 8 -> cap 8 keeps everything: identical
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, capped_noop))
+    assert exact  # the two cliques' non-adjacent cross-hub pairs score
+
+    active = link_prediction(edges, min_cn=2, k=100, degree_cap=3).collect()
+    # with cap 3 the hub keeps neighbors {0,1,2}: pairs among them still
+    # have cn >= 2 via clique wedges; every reported pair is a subset of
+    # the exact candidate set with cn a lower bound of the exact cn
+    exact_cn = {(r["u"], r["v"]): r["common_neighbors"] for r in exact}
+    for r in active:
+        key = (r["u"], r["v"])
+        assert key in exact_cn
+        assert r["common_neighbors"] <= exact_cn[key]

@@ -229,3 +229,80 @@ def test_bmp_decode_through_extract_features_injection(spark, sf_dir):
         assert [round(v, 6) for v in r["features"]] == [
             round(c / len(px), 6) for c in hist
         ]
+
+
+def test_bmp_dhash_matches_python_reference_and_finds_pixel_edit(spark):
+    """The r8 pixel dHash (decode -> 8x8 NN thumbnail -> 56 gradient
+    bits): bit-exact vs a from-scratch Python replay, robust to a
+    single-pixel edit, and blind to header/padding differences by
+    construction (it hashes DECODED pixels)."""
+    from gisaid_pipeline_functions_spark.operators.multimodal import (
+        bmp_dhash_fingerprints,
+        bmp_phash_near_dups,
+        encode_bmp_gray,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    w, h = 23, 14  # stride class w%4==3, bigger than the 8x8 grid
+    base_px = bytes(rng.randrange(256) for _ in range(w * h))
+    near_px = bytearray(base_px)
+    near_px[5] ^= 1  # one-pixel, one-unit edit
+    other_px = bytes(rng.randrange(256) for _ in range(w * h))
+    rows = [
+        (0, encode_bmp_gray(w, h, base_px)),
+        (1, encode_bmp_gray(w, h, bytes(near_px))),
+        (2, encode_bmp_gray(w, h, other_px)),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+
+    def ref_dhash(px: bytes) -> int:
+        t = [
+            px[(y * h // 8) * w + (x * w // 8)]
+            for y in range(8)
+            for x in range(8)
+        ]
+        ph = 0
+        for y in range(8):
+            for x in range(7):
+                ph = ph * 2 + (1 if t[y * 8 + x] > t[y * 8 + x + 1] else 0)
+        return ph
+
+    out = {
+        r["media_id"]: r["phash"]
+        for r in bmp_dhash_fingerprints(media).collect()
+    }
+    assert out[0] == ref_dhash(base_px)
+    assert out[1] == ref_dhash(bytes(near_px))
+    assert out[2] == ref_dhash(other_px)
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in bmp_phash_near_dups(media, threshold=3).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 3
+    assert all(2 not in p for p in pairs)
+
+
+def test_wav_encode_parse_roundtrip_and_stats():
+    """The WAV writer/parser pair is the identity on the samples,
+    including negative amplitudes and odd lengths."""
+    from gisaid_pipeline_functions_spark.operators.multimodal import (
+        encode_wav_pcm16,
+        parse_wav_pcm16,
+    )
+
+    for samples in ([0], [-32768, 32767, 0, -1, 1], list(range(-50, 53))):
+        rate, got = parse_wav_pcm16(encode_wav_pcm16(8000, samples))
+        assert rate == 8000
+        assert got == samples
+
+    import pytest
+
+    with pytest.raises(ValueError, match="magic"):
+        parse_wav_pcm16(b"RIFX" + b"\x00" * 60)
+    bad = bytearray(encode_wav_pcm16(8000, [0, 1]))
+    bad[22] = 2  # stereo
+    with pytest.raises(ValueError, match="unsupported"):
+        parse_wav_pcm16(bytes(bad))

@@ -225,6 +225,37 @@ def main() -> None:
     t1 = timed(lambda e: kcore_peel(e, k=10, rounds=4), edges1)
     tn = timed(lambda e: kcore_peel(e, k=10, rounds=4), edgesN)
     print(f"{'kcore_peel':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (disjoint vertex-shifted copies)")
+
+    # r8: link prediction with the degree cap ACTIVE on a graph whose
+    # HUBS GROW with scale (VERDICT r7 #6 — the vertex-shifted copies
+    # above can't test this: they replicate hubs instead of fattening
+    # them). Complete bipartite K(H, L): H=40 hub vertices, L leaves,
+    # L grows Nx — hub degree L at 1x, N·L at Nx, so the UNCAPPED wedge
+    # volume grows N² (hub centers contribute L² wedges each) while the
+    # capped plan bounds every hub at cap²; a ~N ratio here means the
+    # cap turned the power-law head sub-quadratic.
+    from gisaid_pipeline_functions_spark.operators.graph import link_prediction
+
+    H, L = 40, 250
+    def _star(mult: int):
+        return (
+            spark.range(H * L * mult)
+            .selectExpr(f"id % {H} AS u", f"{H} + id // {H} AS v")
+            .repartition(cpus)
+            .localCheckpoint(eager=True)
+        )
+
+    star1, starN = _star(1), _star(n)
+    t1 = timed(
+        lambda e: link_prediction(e, min_cn=2, k=100, degree_cap=64), star1
+    )
+    tn = timed(
+        lambda e: link_prediction(e, min_cn=2, k=100, degree_cap=64), starN
+    )
+    print(
+        f"{'link_pred_capped':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}"
+        f"  (K({H},L) with L growing {n}x: hub degree grows {n}x, cap=64)"
+    )
     spark.stop()
 
 

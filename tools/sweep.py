@@ -117,10 +117,23 @@ def main() -> None:
         if p.exists():
             try:
                 pj = json.loads(p.read_text())
-                prev = {
-                    k: v["sec"] for k, v in pj.get("queries", {}).items()
-                }
-                prev_cal = pj.get("calibration_sec")
+                # suppress deltas entirely when the prior sweep's
+                # measurement semantics differ (r5/r6 used count(),
+                # which column-prunes computed columns — a delta against
+                # those mixes a one-time semantic shift into every
+                # map-side-heavy query and reads as a fake regression;
+                # VERDICT r7 wrong #1)
+                if pj.get("measure") == "noop_write":
+                    prev = {
+                        k: v["sec"] for k, v in pj.get("queries", {}).items()
+                    }
+                    prev_cal = pj.get("calibration_sec")
+                else:
+                    print(
+                        f"note: SWEEP_r{r:02d} used count() semantics — "
+                        "deltas suppressed (would mix the count→noop "
+                        "shift into every map-side-heavy query)"
+                    )
             except (OSError, ValueError):
                 pass
             break
