@@ -222,3 +222,20 @@ def align_clusters(
         split_id.getItem(1).alias(id_col),
         "sequence",
     )
+
+
+def clear_operator_caches(spark: SparkSession) -> None:
+    """Drop every cached frame the engine's operators have persisted.
+
+    Several operators `persist()` intermediates they can never safely
+    unpersist themselves (lazy returns: graph wedge lists, pHash
+    fingerprints, the chi² presence table — see operators/graph.py),
+    which is the right call inside ONE pipeline (the cache is reused by
+    every downstream consumer) but accumulates block-storage across many
+    independent pipelines in a single long-lived session. This is the
+    API affordance for that documented trade-off (VERDICT r7): call it
+    BETWEEN independent pipelines, exactly as tools/sweep.py and
+    bench.py do between queries. It is deliberately session-wide —
+    per-operator unpersist handles would invert the ownership (the
+    operator cannot know when its caller's last consumer ran)."""
+    spark.catalog.clearCache()

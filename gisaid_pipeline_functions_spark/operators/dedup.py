@@ -763,3 +763,168 @@ def prefix_filter_pairs(tokens: DataFrame, threshold: float) -> DataFrame:
         )
         .filter(F.col("jaccard") >= tau)
     )
+
+
+def exactsubstr_chars(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 25,
+    w: int = 8,
+    min_run: int = 26,
+    prefilter: bool = True,
+) -> DataFrame:
+    """Character-level exact-substring dedup surgery (Lee et al. 2022's
+    ExactSubstr at its PUBLISHED granularity; VERDICT r7 #8): remove from
+    every document the character spans repeated verbatim across >= 2
+    distinct documents, where a removable span is a maximal run of
+    >= ``min_run`` consecutive duplicated char ``k``-gram starts — i.e.
+    matches of >= min_run + k - 1 chars (defaults: 26 + 25 - 1 = 50, the
+    paper's length-50 threshold). ``dedup.span_surgery`` is the word-
+    shingle approximation of this; here the unit is the character, so
+    matches that cross word boundaries or differ in tokenization are
+    caught too.
+
+    The paper builds a suffix array, which doesn't distribute; the scale
+    path here is a winnowing anchor PREFILTER (Schleimer et al. SIGMOD'03)
+    in front of the exact pass:
+
+    1. anchors: winnow the per-position gram hashes (window ``w``, keep
+       each window's min, distinct per doc) — ~2/(w+1) of positions;
+    2. candidate docs: docs sharing an anchor hash with >= 1 other doc.
+       The winnowing guarantee (any shared run of >= k + w - 1 chars
+       shares a fingerprint) plus w <= min_run means every doc carrying
+       a flaggable span IS a candidate — the prefilter only sheds docs
+       that cannot be cut;
+    3. exact pass restricted to candidates: per-position dup marking
+       (>= 2 distinct candidate docs), gaps-and-islands runs, span
+       rebuild — the span_surgery chain at char granularity.
+
+    Non-candidates pass through untouched, so the output covers every
+    input doc. The restriction is part of the SEMANTICS (the oracle
+    replays it): versus an unfiltered pass, flagged spans can differ only
+    where a sub-(k+w-1)-char coincidental collision with an otherwise-
+    unrelated doc abuts a real span; ``prefilter=False`` runs the
+    unfiltered variant and the parity test pins equality on the test
+    corpus.
+
+    Scale shape: the anchor phase shuffles ~2/(w+1) of positions (32-hex
+    keys); the exact phase's full position explode — the expensive part
+    a suffix array would also pay in sort volume — runs only on the
+    candidate subcorpus (74% pruned on the synthetic corpus); the
+    anchor-candidacy join is merge-hinted (the anchor set grows with
+    the corpus — r6 rule), while the exact-phase dup/spans joins stay
+    hint-free like span_surgery's (AQE re-plans them from runtime
+    sizes); the candidate id set persists (two consumers: the dup
+    pipeline and the rebuild join); islands use per-doc windows only."""
+    if prefilter and w > min_run:
+        raise ValueError("w must be <= min_run for the no-lost-span guarantee")
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    t = F.col("text")
+    grams = F.when(
+        F.length(t) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (k - 1)),
+            lambda i: F.md5(t.substr(i.cast("int"), F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = base.select("id", "text", grams.alias("h"))
+    h = F.col("h")
+
+    if prefilter:
+        winmins = (
+            F.when(
+                F.size(h) >= w,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(h) - (w - 1)),
+                    lambda i: F.array_min(F.slice(h, i, w)),
+                ),
+            )
+            .when(F.size(h) > 0, F.array(F.array_min(h)))
+            .otherwise(F.array().cast("array<string>"))
+        )
+        anch = staged.select(
+            "id", F.explode(F.array_distinct(winmins)).alias("ah")
+        )
+        dupa = (
+            anch.groupBy("ah")
+            .agg(F.count_distinct("id").alias("nd"))
+            .filter(F.col("nd") >= 2)
+            .select("ah")
+        )
+        cand = (
+            anch.join(dupa.hint("merge"), "ah", "semi")
+            .select("id")
+            .distinct()
+            .persist()
+        )
+        heavy = staged.join(cand, "id", "semi")
+    else:
+        heavy = staged
+
+    sh = heavy.select(
+        "id", F.posexplode(h).alias("pos", "gh")
+    ).select("id", F.col("pos").cast("long").alias("pos"), "gh")
+    dup = (
+        sh.groupBy("gh")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    ds = sh.join(dup, "gh").select("id", "pos")
+
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("id").orderBy("pos")
+    runs = (
+        ds.withColumn("isl", F.col("pos") - F.row_number().over(win))
+        .groupBy("id", "isl")
+        .agg(
+            F.min("pos").alias("lo"),
+            (F.max("pos") + F.lit(k - 1)).alias("hi"),
+            F.count(F.lit(1)).alias("rl"),
+        )
+        .filter(F.col("rl") >= min_run)
+    )
+    spans = runs.groupBy("id").agg(
+        F.collect_list(F.struct("lo", "hi")).alias("sp"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+    )
+    joined = heavy.join(spans, "id", "left")
+    idxs = F.sequence(F.lit(0).cast("long"), (F.length(t) - 1).cast("long"))
+    keep = F.filter(
+        idxs,
+        lambda i: ~F.exists(
+            F.col("sp"), lambda s: (i >= s["lo"]) & (i <= s["hi"])
+        ),
+    )
+    touched = F.col("n_spans").isNotNull()
+    clean = F.when(
+        touched,
+        F.array_join(
+            F.transform(
+                keep, lambda i: t.substr((i + 1).cast("int"), F.lit(1))
+            ),
+            "",
+        ),
+    ).otherwise(t)
+    n_removed = (
+        F.when(touched, F.length(t) - F.size(keep))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    cut = joined.select(
+        F.col("id").alias("doc_id"),
+        clean.alias("clean_text"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        n_removed.alias("n_removed_chars"),
+    )
+    if not prefilter:
+        return cut
+    untouched = base.join(cand, "id", "left_anti").select(
+        F.col("id").alias("doc_id"),
+        t.alias("clean_text"),
+        F.lit(0).cast("long").alias("n_spans"),
+        F.lit(0).cast("long").alias("n_removed_chars"),
+    )
+    return cut.unionByName(untouched)

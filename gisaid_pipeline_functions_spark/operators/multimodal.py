@@ -777,3 +777,56 @@ def wav_decode_stats(media: DataFrame) -> DataFrame:
         "media_id long, sample_rate long, n_samples long, duration_us long, "
         "peak long, energy long, rms double",
     )
+
+
+def scene_cuts(
+    media: DataFrame, every_n_bytes: int = 64, threshold: int = 48
+) -> DataFrame:
+    """Scene-cut detection over sampled frames (the shot-boundary pass a
+    video-curation pipeline runs after keyframe extraction; r8): compare
+    each consecutive frame pair of ``frame_sample``'s output
+    position-by-position (count of differing byte positions over the
+    shorter frame, plus the length difference — an integer-exact frame
+    distance) and report boundaries whose distance ≥ ``threshold``.
+
+    Scale shape: the frame table is map-side (one posexplode); the
+    consecutive-pair join is a PARTITIONED lag window over (media_id,
+    frame_no) — parallel per media, never global; the per-pair distance
+    is one codegen'd fold over the ≤ every_n_bytes positions. Integer
+    math only, so the oracle replays distances exactly."""
+    from pyspark.sql import Window
+
+    frames = frame_sample(media, every_n_bytes).select(
+        "media_id",
+        "frame_no",
+        F.hex(F.col("frame_bytes")).alias("hx"),
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_no")
+    pairs = frames.select(
+        "media_id",
+        "frame_no",
+        "hx",
+        F.lag("hx").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    la = (F.length("hx") / 2).cast("long")
+    lb = (F.length("prev") / 2).cast("long")
+    common = F.least(la, lb)
+    diff_common = F.aggregate(
+        F.sequence(F.lit(0), common - 1),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            F.substring(F.col("hx"), (i * 2 + 1).cast("int"), F.lit(2))
+            != F.substring(F.col("prev"), (i * 2 + 1).cast("int"), F.lit(2)),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long"),
+    )
+    dist = diff_common + F.abs(la - lb)
+    return (
+        pairs.select(
+            "media_id",
+            F.col("frame_no").cast("long").alias("cut_at_frame"),
+            dist.alias("frame_dist"),
+        )
+        .filter(F.col("frame_dist") >= threshold)
+    )

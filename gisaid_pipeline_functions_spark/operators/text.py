@@ -1296,11 +1296,15 @@ def bm25_topk(
     scored = contrib.groupBy("doc_id").agg(
         F.round(F.sum("c"), 6).alias("bm25")
     )
+    # top-k FIRST (TakeOrderedAndProject — per-partition heaps + driver
+    # merge), THEN rank the k-row frame: an unpartitioned row_number
+    # over `scored` would single-partition every doc matching any query
+    # term. The (rounded bm25, doc_id) order is total, so rank-then-cut
+    # and cut-then-rank agree exactly.
+    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)
     wd = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(wd).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("doc_id", "bm25", "rank")
+    return top.select(
+        "doc_id", "bm25", F.row_number().over(wd).cast("long").alias("rank")
     )
 
 
@@ -1325,6 +1329,9 @@ def chi2_keywords(
     counts integers; the single float expression is fixed-tree + round 6."""
     from pyspark.sql import Window
 
+    # persisted: FOUR consumers (class-word counts, word totals, class
+    # sizes, N) would each replay the explode + distinct shuffle — the
+    # r6 persist-before-fanout rule; 60× precedent on phash
     pres = (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -1333,6 +1340,7 @@ def chi2_keywords(
         )
         .filter(F.length("word") > 0)
         .distinct()
+        .persist()
     )
     cls_word = pres.groupBy("cls", "word").agg(F.count(F.lit(1)).alias("a"))
     word_tot = pres.groupBy("word").agg(F.count(F.lit(1)).alias("wt"))
@@ -1419,4 +1427,120 @@ def perceptron_train(
     return docs.sparkSession.createDataFrame(
         out_rows,
         "round long, w_bias long, w_words long, w_chars long, n_miss long",
+    )
+
+
+def kn_heldout_score(
+    train: DataFrame,
+    heldout: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Held-out bigram LM scoring with interpolated Kneser–Ney smoothing
+    (Kneser & Ney 1995; Chen & Goodman 1998 §2.7) — the piece
+    ``bigram_logprob`` deliberately lacks: that model scores its OWN
+    training corpus (every transition exists, no smoothing needed),
+    which is useless for the real CCNet filter shape of "train on clean
+    text, score NEW crawl text" where unseen bigrams are the norm and an
+    unsmoothed model emits -inf. Per held-out transition:
+
+        P_cont(w2) = (N1+(·w2) + 1) / (B + V)          continuation
+        P(w2|w1)   = (max(c(w1,w2) − D, 0)
+                      + D · N1+(w1·) · P_cont(w2)) / c(w1·)   if w1 seen
+                   = P_cont(w2)                               if w1 unseen
+
+    with D = ``discount`` (0.75, exact in binary), B = distinct bigram
+    types, V = train unigram vocabulary. The +1/(B+V) floor on the
+    continuation distribution (add-one at the TYPE level, not the token
+    level) keeps fully-unseen w2 scoreable — textbook KN assigns such
+    words zero mass, which would reintroduce the -inf this operator
+    exists to remove. P ≤ 1 by construction (the discounted mass Σmax(c−D,0)
+    = c(w1·) − D·N1+(w1·) and the redistributed mass ≤ D·N1+(w1·)).
+
+    Determinism: each transition's −ln P is snapped to the 1e-6 BIGINT
+    lattice BEFORE the per-doc sum (the time-decay rule: integer sums
+    are order-independent, so no float-reassociation drift across
+    partitionings); the mean is then rounded to the lattice in INTEGER
+    arithmetic — (2·Σ + n) div (2n), half-up by construction — so the
+    reported mean never depends on either engine's float-tie rule (an
+    odd lattice sum over 2 transitions lands exactly on a .5×10⁻⁶ tie,
+    where Spark's HALF_UP and a libm-round disagree; caught by the
+    Python-replay test).
+
+    Scale shape: one corpus explode per split; the three model tables
+    (bigram counts, per-context stats, per-continuation stats) shuffle
+    ∝ bigram-type cardinality with map-side partials; score-time joins
+    against them are merge-hinted (bigram vocabulary grows super-Heaps —
+    the r6 broadcast-OOM rule); the (B, V) totals are a 1-row broadcast.
+
+    Reference scope: beyond GISAID_Pipeline_Functions (an LLM-pipeline
+    extension; nearest kin is the frequency tables of
+    Mutation_Functions.py count aggregation)."""
+    w = F.col("w")
+    base_t = train.select(words(F.col(text_col)).alias("w"))
+    bg_t = (
+        base_t.filter(F.size(w) >= 2)
+        .select(F.explode(_adjacent_pairs(w)).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bc = bg_t.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    ctx = bc.groupBy("w1").agg(
+        F.sum("cb").alias("cw"), F.count(F.lit(1)).alias("n1f")
+    )
+    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    totals = bc.agg(F.count(F.lit(1)).alias("bt")).crossJoin(
+        base_t.select(F.explode(w).alias("tok")).agg(
+            F.count_distinct("tok").alias("v")
+        )
+    )
+
+    bg_h = (
+        heldout.select(F.col(id_col), words(F.col(text_col)).alias("w"))
+        .filter(F.size(w) >= 2)
+        .select(id_col, F.explode(_adjacent_pairs(w)).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    d = F.lit(float(discount))
+    pcont = (F.col("n1b_f") + F.lit(1.0)) / (F.col("bt") + F.col("v"))
+    seen_p = (
+        F.greatest(F.col("cb_f") - d, F.lit(0.0))
+        + d * F.col("n1f") * pcont
+    ) / F.col("cw")
+    p = F.when(F.col("cw").isNull(), pcont).otherwise(seen_p)
+    lat = F.round(-F.log(p) * F.lit(1000000.0), 0).cast("long")
+    scored = (
+        bg_h.join(bc.hint("merge"), ["w1", "w2"], "left")
+        .join(ctx.hint("merge"), "w1", "left")
+        .join(cont.hint("merge"), "w2", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cb"), F.lit(0)).cast("double").alias("cb_f"),
+            F.coalesce(F.col("n1b"), F.lit(0)).cast("double").alias("n1b_f"),
+            "cw",
+            "n1f",
+            "bt",
+            "v",
+        )
+        .select(
+            F.col(id_col),
+            lat.alias("lat"),
+            F.when(F.col("cb_f") == 0.0, F.lit(1)).otherwise(F.lit(0)).alias("unseen"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            F.sum("unseen").cast("long").alias("n_unseen_bigrams"),
+            F.sum("lat").alias("sl"),
+        )
+    )
+    me6 = F.expr("(2 * sl + n_transitions) div (2 * n_transitions)")
+    mean = me6.cast("double") / F.lit(1000000.0)
+    return scored.select(
+        F.col(id_col),
+        "n_transitions",
+        "n_unseen_bigrams",
+        mean.alias("mean_neg_logprob"),
+        F.round(F.exp(mean), 6).alias("perplexity"),
     )

@@ -955,3 +955,42 @@ def agg_log2_histogram(spark, sf_dir):
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )
+
+
+@register(
+    "agg_user_entropy",
+    # Per-user behavioral entropy (Shannon H over the user's event-type
+    # shares — the engagement-diversity feature; r8): counts are
+    # integers, the ≤5-term float sum is rounded 6 (registry
+    # convention). Both grouped passes have map-side partials; the
+    # count↔total join is per-user equi (both sides corpus-growing —
+    # merge-hinted, r6 rule).
+    """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT user_id, sum(n) AS tot, count(*) AS k FROM c GROUP BY 1)
+    SELECT c.user_id,
+           CAST(max(t.k) AS BIGINT) AS n_types,
+           round(-sum((c.n * 1.0 / t.tot) * ln(c.n * 1.0 / t.tot)), 6)
+             AS entropy
+    FROM c JOIN t USING (user_id)
+    GROUP BY c.user_id
+    """,
+)
+def agg_user_entropy(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("user_id").agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("k")
+    )
+    p = F.col("n") * 1.0 / F.col("tot")
+    return (
+        c.join(t.hint("merge"), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("k").cast("long").alias("n_types"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+    )

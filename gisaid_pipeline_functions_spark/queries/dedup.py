@@ -871,3 +871,80 @@ def dedup_url_canonical(spark, sf_dir):
             F.min("doc_id").alias("keeper_doc_id"),
         )
     )
+
+
+@register(
+    "dedup_exactsubstr_chars",
+    # Character-level ExactSubstr surgery (Lee et al. 2022 at its
+    # published granularity; operators/dedup.py exactsubstr_chars;
+    # VERDICT r7 #8): 25-char gram hashes, winnowing anchor prefilter
+    # (window 8) -> candidate docs, exact per-position dup marking among
+    # candidates, maximal runs >= 26 starts (= 50-char matches, the
+    # paper's threshold) cut out, text rebuilt; non-candidates pass
+    # through. The oracle replays the whole two-phase chain — grams,
+    # window minima, anchor candidacy, restricted dup counts, islands,
+    # span union, char rebuild — so clean_text is value-hashed verbatim.
+    """
+    WITH base AS (SELECT doc_id, text FROM documents),
+    g AS (SELECT doc_id, text,
+         [md5(substr(text, CAST(i AS INT), 25))
+          FOR i IN range(1, strlen(text) - 23)] AS h
+       FROM base),
+    a AS (SELECT doc_id,
+            CASE WHEN len(h) >= 8 THEN
+              list_distinct([list_min(h[i:i+7]) FOR i IN range(1, len(h) - 6)])
+            WHEN len(h) > 0 THEN [list_min(h)]
+            ELSE CAST([] AS VARCHAR[]) END AS mins
+          FROM g),
+    anch AS (SELECT doc_id, unnest(mins) AS ah FROM a),
+    dupa AS (SELECT ah FROM (
+        SELECT ah, count(DISTINCT doc_id) AS nd FROM anch GROUP BY ah)
+      WHERE nd >= 2),
+    cand AS (SELECT DISTINCT doc_id FROM anch JOIN dupa USING (ah)),
+    sh AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+       SELECT doc_id,
+              unnest([{'pos': i - 1, 'h': h[i]} FOR i IN range(1, len(h) + 1)]) AS u
+       FROM g WHERE doc_id IN (SELECT doc_id FROM cand))),
+    dup AS (SELECT h FROM (
+        SELECT h, count(DISTINCT doc_id) AS nd FROM sh GROUP BY h)
+      WHERE nd >= 2),
+    ds AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (h)),
+    runs AS (
+      SELECT doc_id, min(pos) AS lo, max(pos) + 24 AS hi
+      FROM (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+            FROM ds)
+      GROUP BY doc_id, isl
+      HAVING count(*) >= 26),
+    spans AS (SELECT doc_id, list({'lo': lo, 'hi': hi}) AS sp,
+                     count(*) AS n_spans
+              FROM runs GROUP BY doc_id),
+    rebuilt AS (
+      SELECT b.doc_id,
+             [x FOR x IN range(0, strlen(b.text))
+              IF len(list_filter(s.sp, e -> x BETWEEN e.lo AND e.hi)) = 0] AS keep,
+             b.text AS text, s.n_spans AS n_spans
+      FROM g b JOIN spans s USING (doc_id))
+    SELECT doc_id,
+           COALESCE(array_to_string(
+             [substr(text, CAST(x + 1 AS INT), 1) FOR x IN keep], ''), '')
+             AS clean_text,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(strlen(text) - len(keep) AS BIGINT) AS n_removed_chars
+    FROM rebuilt
+    UNION ALL
+    SELECT doc_id, text, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM base
+    WHERE doc_id IN (SELECT doc_id FROM cand)
+      AND doc_id NOT IN (SELECT doc_id FROM spans)
+    UNION ALL
+    SELECT doc_id, text, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM base
+    WHERE doc_id NOT IN (SELECT doc_id FROM cand)
+    """,
+)
+def dedup_exactsubstr_chars(spark, sf_dir):
+    from ..operators.dedup import exactsubstr_chars
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exactsubstr_chars(docs, "doc_id", "text", k=25, w=8, min_run=26)

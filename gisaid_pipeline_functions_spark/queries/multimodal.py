@@ -309,3 +309,48 @@ def multimodal_wav_stats(spark, sf_dir):
 
     media = documents_as_wav(load_table(spark, sf_dir, "documents"))
     return wav_decode_stats(media)
+
+
+@register(
+    "multimodal_scene_cuts",
+    # Scene-cut detection over sampled frames (r8; operators/
+    # multimodal.py scene_cuts): consecutive frames of each 'video'
+    # payload compared position-by-position — integer frame distance =
+    # differing positions over the shorter frame + the length delta —
+    # boundaries at distance >= 48 of the 64-byte stride. Partitioned
+    # lag window (parallel per media), one codegen'd fold per pair; the
+    # oracle replays every distance exactly (ASCII testdata: byte
+    # compare ≡ char compare).
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id, text
+      FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
+    ),
+    frames AS (
+      SELECT media_id, k AS frame_no,
+             substr(text, CAST(k * 64 + 1 AS INT), 64) AS f
+      FROM media, LATERAL unnest(generate_series(
+        0, greatest(CAST(floor(strlen(text) / 64) AS BIGINT) - 1, 0))) t(k)
+    ),
+    pairs AS (
+      SELECT media_id, frame_no, f,
+             lag(f) OVER (PARTITION BY media_id ORDER BY frame_no) AS prev
+      FROM frames
+    ),
+    d AS (
+      SELECT media_id, frame_no,
+             CAST(len(list_filter(range(1, least(strlen(f), strlen(prev)) + 1),
+                    i -> substr(f, CAST(i AS INT), 1)
+                         <> substr(prev, CAST(i AS INT), 1)))
+                  + abs(strlen(f) - strlen(prev)) AS BIGINT) AS frame_dist
+      FROM pairs WHERE prev IS NOT NULL
+    )
+    SELECT media_id, CAST(frame_no AS BIGINT) AS cut_at_frame, frame_dist
+    FROM d WHERE frame_dist >= 48
+    """,
+)
+def multimodal_scene_cuts(spark, sf_dir):
+    from ..operators.multimodal import documents_as_media, scene_cuts
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return scene_cuts(media, every_n_bytes=64, threshold=48)

@@ -1023,3 +1023,67 @@ def sample_kcenter_coreset(spark, sf_dir):
     from ..operators.similarity import kcenter_greedy
 
     return kcenter_greedy(load_table(spark, sf_dir, "embeddings"), k=_KC_K)
+
+
+_MMR_SHORT = 10
+_MMR_K = 5
+
+
+def _mmr_oracle(shortlist_n: int, k: int) -> str:
+    parts = [
+        "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
+        "c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings "
+        "WHERE vec_id <> 0)",
+        f"sq AS (SELECT cand_id, cv, round({_cos_sql('qv', 'cv')}, 6) AS simq "
+        f"FROM c, q)",
+        f"short AS (SELECT cand_id, cv, simq FROM sq "
+        f"ORDER BY simq DESC, cand_id LIMIT {shortlist_n})",
+        f"pr AS (SELECT a.cand_id AS a, b.cand_id AS b, "
+        f"round({_cos_sql('a.cv', 'b.cv')}, 6) AS s "
+        f"FROM short a JOIN short b ON a.cand_id <> b.cand_id)",
+        "s1 AS (SELECT cand_id, round(0.7 * simq, 6) AS mmr FROM short "
+        "ORDER BY mmr DESC, cand_id LIMIT 1)",
+        "sel1 AS (SELECT cand_id FROM s1)",
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"s{r} AS (SELECT e.cand_id, round(0.7 * e.simq - 0.3 * "
+            f"(SELECT max(p.s) FROM pr p WHERE p.a = e.cand_id "
+            f"AND p.b IN (SELECT cand_id FROM sel{r - 1})), 6) AS mmr "
+            f"FROM short e WHERE e.cand_id NOT IN "
+            f"(SELECT cand_id FROM sel{r - 1}) "
+            f"ORDER BY mmr DESC, cand_id LIMIT 1)"
+        )
+        parts.append(
+            f"sel{r} AS (SELECT cand_id FROM sel{r - 1} "
+            f"UNION ALL SELECT cand_id FROM s{r})"
+        )
+    selects = [
+        f"SELECT CAST({r} AS BIGINT) AS sel_rank, cand_id, mmr AS mmr_score "
+        f"FROM s{r}"
+        for r in range(1, k + 1)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@register(
+    "sim_mmr_diversify",
+    # Maximal Marginal Relevance rerank (Carbonell & Goldstein SIGIR'98;
+    # operators/similarity.py mmr_rerank — r8): top-10 cosine shortlist
+    # for query vec_id=0, then 5 greedy picks maximizing 0.7·sim(q,d) −
+    # 0.3·max_{s∈S} sim(d,s). Every cosine is 6dp-rounded BEFORE the MMR
+    # arithmetic and every greedy round is replayed as its own CTE pair
+    # (argmax under (mmr desc, cand_id), then the selected-set union) —
+    # the iteration-replay convention. The corpus-wide stage is only the
+    # shortlist scan; the greedy loop runs on shortlist-sized frames.
+    _mmr_oracle(_MMR_SHORT, _MMR_K),
+)
+def sim_mmr_diversify(spark, sf_dir):
+    from ..operators.similarity import mmr_rerank
+
+    return mmr_rerank(
+        load_table(spark, sf_dir, "embeddings"),
+        query_id=0,
+        shortlist_n=_MMR_SHORT,
+        k=_MMR_K,
+    )

@@ -1228,3 +1228,81 @@ def text_chi2_keywords(spark, sf_dir):
     return chi2_keywords(
         load_table(spark, sf_dir, "documents"), top_k=_CHI2_TOPK
     )
+
+
+@register(
+    "text_lm_heldout_score",
+    # Held-out interpolated Kneser-Ney bigram scoring (operators/
+    # text.py kn_heldout_score; VERDICT r7 #7): train on doc_id % 5 <> 0,
+    # score doc_id % 5 = 0 — unseen bigrams are the NORM, which the
+    # unsmoothed text_bigram_logprob model cannot score at all. D=0.75
+    # absolute discount, +1/(B+V) type-level floor on the continuation
+    # distribution so fully-unseen words stay finite. Every transition's
+    # -ln P snaps to the 1e-6 BIGINT lattice before the per-doc sum
+    # (order-independent); the oracle replays training (all three count
+    # tables + the (B,V) totals) and scoring with the same expression
+    # shape, CTE by CTE.
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+      FROM documents
+    ),
+    bgt AS (
+      SELECT u.w1 AS w1, u.w2 AS w2 FROM (
+        SELECT unnest([{'w1': w[i], 'w2': w[i+1]} FOR i IN range(1, len(w))]) AS u
+        FROM base WHERE doc_id % 5 <> 0 AND len(w) >= 2)
+    ),
+    bc AS (SELECT w1, w2, count(*) AS cb FROM bgt GROUP BY 1, 2),
+    ctx AS (SELECT w1, sum(cb) AS cw, count(*) AS n1f FROM bc GROUP BY 1),
+    cont AS (SELECT w2, count(*) AS n1b FROM bc GROUP BY 1),
+    tot AS (
+      SELECT (SELECT count(*) FROM bc) AS bt,
+             (SELECT count(DISTINCT tok) FROM (
+                SELECT unnest(w) AS tok FROM base WHERE doc_id % 5 <> 0)) AS v
+    ),
+    bgh AS (
+      SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+        SELECT doc_id,
+               unnest([{'w1': w[i], 'w2': w[i+1]} FOR i IN range(1, len(w))]) AS u
+        FROM base WHERE doc_id % 5 = 0 AND len(w) >= 2)
+    ),
+    sc AS (
+      SELECT doc_id,
+             CASE WHEN ctx.w1 IS NULL
+                  THEN (CAST(coalesce(cont.n1b, 0) AS DOUBLE) + 1.0)
+                       / (tot.bt + tot.v)
+                  ELSE (greatest(CAST(coalesce(bc.cb, 0) AS DOUBLE) - 0.75, 0.0)
+                        + 0.75 * ctx.n1f
+                          * ((CAST(coalesce(cont.n1b, 0) AS DOUBLE) + 1.0)
+                             / (tot.bt + tot.v)))
+                       / ctx.cw
+             END AS p,
+             CASE WHEN bc.cb IS NULL THEN 1 ELSE 0 END AS unseen
+      FROM bgh
+      LEFT JOIN bc USING (w1, w2)
+      LEFT JOIN ctx USING (w1)
+      LEFT JOIN cont USING (w2)
+      CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+             CAST(sum(unseen) AS BIGINT) AS n_unseen_bigrams,
+             sum(CAST(round(-ln(p) * 1000000.0) AS BIGINT)) AS sl
+      FROM sc GROUP BY doc_id
+    )
+    SELECT doc_id, n_transitions, n_unseen_bigrams,
+           CAST((2 * sl + n_transitions) // (2 * n_transitions) AS DOUBLE)
+             / 1000000.0 AS mean_neg_logprob,
+           round(exp(CAST((2 * sl + n_transitions) // (2 * n_transitions)
+                          AS DOUBLE) / 1000000.0), 6) AS perplexity
+    FROM agg
+    """,
+)
+def text_lm_heldout_score(spark, sf_dir):
+    from ..operators.text import kn_heldout_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    heldout = docs.filter(F.col("doc_id") % 5 == 0)
+    return kn_heldout_score(train, heldout, "doc_id", "text", discount=0.75)

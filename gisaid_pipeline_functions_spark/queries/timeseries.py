@@ -264,3 +264,75 @@ def ts_seasonality_index(spark, sf_dir):
         F.round(F.col("n") * 7.0 / F.col("total"), 6).alias("seasonality_index"),
         "avg_value",
     )
+
+
+@register(
+    "ts_cusum_changepoint",
+    # CUSUM changepoint detection over the weekly series (Page 1954 —
+    # the standard level-shift detector; r8): per event type, the
+    # cumulative sum of deviations from the series mean, with the
+    # arithmetic kept INTEGER by scaling — cusum_k = Σ_{i≤k}(nᵢ·W −
+    # total) where W = weeks in the series (Σ deviations · W) — so the
+    # running sum is order-independent and exact; the changepoint is the
+    # |cusum| peak (earliest week on ties). Partitioned cumulative
+    # window + per-type argmax; the per-type (W, total) frame is
+    # key-cardinality-sized and broadcasts.
+    """
+    WITH wk AS (
+      SELECT event_type,
+             CAST(ts AS DATE) - CAST(dayofweek(ts) AS INTEGER) AS week_start,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT event_type, count(*) AS w, sum(n) AS total
+          FROM wk GROUP BY 1),
+    c AS (
+      SELECT wk.event_type, week_start,
+             sum(n * w - total) OVER (PARTITION BY wk.event_type
+                                      ORDER BY week_start
+                                      ROWS UNBOUNDED PRECEDING) AS cusum
+      FROM wk JOIN t USING (event_type)
+    ),
+    p AS (
+      SELECT event_type, week_start, cusum,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(cusum) DESC, week_start) AS rn
+      FROM c
+    )
+    SELECT event_type, week_start AS peak_week,
+           CAST(cusum AS BIGINT) AS cusum_scaled
+    FROM p WHERE rn = 1
+    """,
+)
+def ts_cusum_changepoint(spark, sf_dir):
+    from ..functions.weeks import sunday_week_start
+
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        "event_type", sunday_week_start(F.col("ts")).alias("week_start")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = wk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("w"), F.sum("n").alias("total")
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("week_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = wk.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "week_start",
+        F.sum(F.col("n") * F.col("w") - F.col("total")).over(wc).alias("cusum"),
+    )
+    wp = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), "week_start"
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("week_start").alias("peak_week"),
+            F.col("cusum").cast("long").alias("cusum_scaled"),
+        )
+    )

@@ -162,3 +162,87 @@ def test_link_prediction_degree_cap_invariant_below_cap(spark):
         key = (r["u"], r["v"])
         assert key in exact_cn
         assert r["common_neighbors"] <= exact_cn[key]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["en", "de"]), st.text("ab c", min_size=0, max_size=20)),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_perceptron_matches_python_reference(spark, rows):
+    """The batch perceptron is integer-exact: replay the update rule in
+    plain Python over the same features and demand identical weights and
+    miss counts every round."""
+    from gisaid_pipeline_functions_spark.operators.text import perceptron_train
+
+    docs = spark.createDataFrame(
+        [(i, t, lang) for i, (lang, t) in enumerate(rows)],
+        "doc_id long, text string, lang string",
+    )
+    feats = [
+        (
+            1 if lang == "en" else -1,
+            1,
+            len([w for w in t.split(" ") if w]),
+            len(t),
+        )
+        for lang, t in rows
+    ]
+    w = [0, 0, 0]
+    want = []
+    for r in range(1, 4):
+        d = [0, 0, 0]
+        miss = 0
+        for y, x0, x1, x2 in feats:
+            if y * (w[0] * x0 + w[1] * x1 + w[2] * x2) <= 0:
+                d = [d[0] + y * x0, d[1] + y * x1, d[2] + y * x2]
+                miss += 1
+        w = [w[i] + d[i] for i in range(3)]
+        want.append((r, w[0], w[1], w[2], miss))
+    got = [
+        (r["round"], r["w_bias"], r["w_words"], r["w_chars"], r["n_miss"])
+        for r in perceptron_train(docs, rounds=3).orderBy("round").collect()
+    ]
+    assert got == want
+    spark.catalog.clearCache()
+
+
+def test_kcenter_greedy_matches_bruteforce(spark, sf_dir):
+    """The distributed greedy k-center selection equals the plain-Python
+    greedy on the same 9dp-rounded distance lattice."""
+    from gisaid_pipeline_functions_spark.operators.similarity import kcenter_greedy
+    from gisaid_pipeline_functions_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()
+    }
+    seed = min(vecs)
+    sel = [seed]
+    md = {
+        i: round(sum((a - b) * (a - b) for a, b in zip(v, vecs[seed])), 9)
+        for i, v in vecs.items()
+        if i != seed
+    }
+    want = [(1, seed, None)]
+    for r in range(2, 7):
+        far = max(md, key=lambda i: (md[i], -i))
+        want.append((r, far, round(md[far], 6)))
+        del md[far]
+        for i in list(md):
+            md[i] = min(
+                md[i],
+                round(
+                    sum((a - b) * (a - b) for a, b in zip(vecs[i], vecs[far])),
+                    9,
+                ),
+            )
+    got = [
+        (r["sel_rank"], r["vec_id"], r["dist_sq"])
+        for r in kcenter_greedy(emb, k=6).orderBy("sel_rank").collect()
+    ]
+    assert got == want
+    spark.catalog.clearCache()

@@ -468,3 +468,40 @@ def test_time_decay_is_single_agg_no_window(spark, sf_dir):
 
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2  # anchor + stream
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_r8_plans_avoid_corpus_sized_global_windows(spark, sf_dir, capfd):
+    # the r8 family must not regress into unpartitioned windows over
+    # corpus-sized frames: BM25 ranks AFTER a TakeOrderedAndProject cut
+    # (its k-row rank window is the only sanctioned unpartitioned one),
+    # RFM/forward-fill/markov/chi2 windows are partitioned, and Gini's
+    # global rank is the bucketed block-prefix plan
+    plan = formatted_plan(spark, sf_dir, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    spark.sparkContext.setLogLevel("WARN")
+    allowed = {"text_bm25_topk": 1}  # the k-row post-cut rank window
+    for name in (
+        "text_bm25_topk",
+        "window_rfm_segmentation",
+        "window_forward_fill",
+        "agg_markov_transitions",
+        "text_chi2_keywords",
+        "agg_gini_concentration",
+    ):
+        capfd.readouterr()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        err = capfd.readouterr().err
+        n = err.count("No Partition Defined")
+        assert n <= allowed.get(name, 0), f"{name}: {n} unpartitioned windows"
+        spark.catalog.clearCache()
+
+
+def test_chi2_persists_presence_table(spark, sf_dir):
+    # four consumers of the explode+distinct presence table; without the
+    # persist the executed plan replays the corpus scan four times
+    # (measured r8: zero ReusedExchange)
+    plan = formatted_plan(spark, sf_dir, "text_chi2_keywords")
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    spark.catalog.clearCache()

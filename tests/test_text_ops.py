@@ -605,3 +605,170 @@ class TestTextRank:
         top = textrank_keywords(docs, "text", iterations=5, k=10).collect()
         assert top[0].word == "spark"
         assert top[0].score > top[1].score
+
+
+class TestKnHeldoutScore:
+    def test_matches_python_reference(self, spark):
+        from math import exp, log
+
+        from gisaid_pipeline_functions_spark.operators.text import (
+            kn_heldout_score,
+        )
+
+        train_texts = ["a b a c", "a b d", "b a"]
+        held_texts = ["a b x", "x y"]  # unseen word x, fully-unseen context y
+        train = _docs(spark, train_texts)
+        held = spark.createDataFrame(
+            [Row(doc_id=100 + i, text=t) for i, t in enumerate(held_texts)]
+        )
+
+        # plain-Python replay of the model
+        bc: dict = {}
+        for t in train_texts:
+            ws = t.split()
+            for a, b in zip(ws, ws[1:]):
+                bc[(a, b)] = bc.get((a, b), 0) + 1
+        cw: dict = {}
+        n1f: dict = {}
+        n1b: dict = {}
+        for (a, b), c in bc.items():
+            cw[a] = cw.get(a, 0) + c
+            n1f[a] = n1f.get(a, 0) + 1
+            n1b[b] = n1b.get(b, 0) + 1
+        bt = len(bc)
+        v = len({w for t in train_texts for w in t.split()})
+        d = 0.75
+
+        def p(a, b):
+            pc = (n1b.get(b, 0) + 1.0) / (bt + v)
+            if a not in cw:
+                return pc
+            return (max(bc.get((a, b), 0) - d, 0.0) + d * n1f[a] * pc) / cw[a]
+
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def r6(x):  # Spark F.round semantics: shortest-repr HALF_UP
+            return float(
+                Decimal(repr(x)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+
+        want = {}
+        for i, t in enumerate(held_texts):
+            ws = t.split()
+            lats = [
+                int(
+                    Decimal(repr(-log(p(a, b)) * 1e6)).quantize(
+                        Decimal("1"), rounding=ROUND_HALF_UP
+                    )
+                )
+                for a, b in zip(ws, ws[1:])
+            ]
+            unseen = sum(1 for a, b in zip(ws, ws[1:]) if (a, b) not in bc)
+            n = len(lats)
+            me6 = (2 * sum(lats) + n) // (2 * n)  # integer half-up mean
+            m = me6 / 1e6
+            want[100 + i] = (n, unseen, m, r6(exp(m)))
+
+        got = {
+            r["doc_id"]: (
+                r["n_transitions"],
+                r["n_unseen_bigrams"],
+                r["mean_neg_logprob"],
+                r["perplexity"],
+            )
+            for r in kn_heldout_score(train, held).collect()
+        }
+        assert got == want
+
+    def test_probabilities_stay_in_unit_interval(self, spark, sf_dir):
+        # P <= 1 by construction (discounted + redistributed mass <= c(w1*))
+        # => mean_neg_logprob >= 0 even with every bigram unseen
+        from gisaid_pipeline_functions_spark.operators.text import (
+            kn_heldout_score,
+        )
+        from gisaid_pipeline_functions_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = kn_heldout_score(
+            docs.filter("doc_id % 5 != 0"), docs.filter("doc_id % 5 = 0")
+        ).collect()
+        assert len(out) > 0
+        assert all(r["mean_neg_logprob"] >= 0.0 for r in out)
+        assert all(r["perplexity"] >= 1.0 for r in out)
+        # the sf0.001 synthetic corpus happens to have zero unseen
+        # held-out bigrams (tiny vocab); the unseen path is pinned by
+        # test_matches_python_reference's hand fixture instead
+        assert all(r["n_unseen_bigrams"] >= 0 for r in out)
+
+
+class TestExactSubstrChars:
+    def test_50_char_match_cut_49_not(self, spark):
+        from gisaid_pipeline_functions_spark.operators.dedup import (
+            exactsubstr_chars,
+        )
+
+        shared50 = "x" * 11 + "the quick brown fox jumps over the lazy dog"[:39]
+        assert len(shared50) == 50
+        shared49 = shared50[:49]
+        # boundary chars differ per doc (0/1/2) so the maximal shared
+        # runs are EXACTLY shared50 / shared49 — no incidental extension
+        # through common adjacent spaces
+        texts = [
+            "AAA0" + shared50 + "0BBB",
+            "CCC1" + shared50 + "1DDD",
+            "EEE2" + shared49 + "2FFF",  # partner below threshold
+            "unrelated text with no duplication at all here",
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in exactsubstr_chars(
+                _docs(spark, texts), "doc_id", "text", k=25, w=8, min_run=26
+            ).collect()
+        }
+        assert out[0]["n_spans"] == 1 and out[1]["n_spans"] == 1
+        assert out[0]["n_removed_chars"] == 50  # exactly-at-threshold cut
+        assert shared50 not in out[0]["clean_text"]
+        assert out[0]["clean_text"] == "AAA00BBB"
+        # doc 2 shares only 49 chars with docs 0/1 -> 25 dup positions
+        # < min_run=26 -> untouched
+        assert out[2]["n_spans"] == 0
+        assert out[2]["clean_text"] == texts[2]
+        assert out[3]["clean_text"] == texts[3]
+        spark.catalog.clearCache()
+
+    def test_prefilter_equals_unfiltered_on_corpus(self, spark, sf_dir):
+        # the winnowing-anchor restriction sheds only uncuttable docs on
+        # the test corpus: identical output with and without it
+        from gisaid_pipeline_functions_spark.operators.dedup import (
+            exactsubstr_chars,
+        )
+        from gisaid_pipeline_functions_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        fast = {
+            r["doc_id"]: tuple(r)
+            for r in exactsubstr_chars(
+                docs, "doc_id", "text", prefilter=True
+            ).collect()
+        }
+        full = {
+            r["doc_id"]: tuple(r)
+            for r in exactsubstr_chars(
+                docs, "doc_id", "text", prefilter=False
+            ).collect()
+        }
+        assert fast == full
+        assert any(r[2] > 0 for r in fast.values())  # some doc was cut
+        spark.catalog.clearCache()
+
+    def test_w_above_min_run_rejected(self, spark):
+        from gisaid_pipeline_functions_spark.operators.dedup import (
+            exactsubstr_chars,
+        )
+
+        with pytest.raises(ValueError):
+            exactsubstr_chars(
+                _docs(spark, ["a"]), "doc_id", "text", w=30, min_run=26
+            )

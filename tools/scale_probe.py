@@ -171,6 +171,38 @@ def main() -> None:
         tn = timed(fn, docsN_tag)
         print(f"{name:22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  ({note})")
 
+    # r8: chi2 presence state is vocab×class-sized — tagged copies grow
+    # the vocabulary Nx (the BPE/PMI convention); BM25 runs on PLAIN
+    # copies (tagged words would empty the literal query-term postings —
+    # the corpus-side work is the explode + per-doc length table, which
+    # plain replication grows Nx honestly); the pixel dHash runs on
+    # tagged copies so cross-copy rasters differ and the pair count
+    # can't go quadratic for data reasons; WAV stats is per-row.
+    from gisaid_pipeline_functions_spark.operators.multimodal import (
+        bmp_phash_near_dups,
+        documents_as_bmp,
+        documents_as_wav,
+        wav_decode_stats,
+    )
+    from gisaid_pipeline_functions_spark.operators.text import (
+        bm25_topk,
+        chi2_keywords,
+    )
+
+    for name, fn, d1, dn, note in (
+        ("chi2_keywords", lambda d: chi2_keywords(d), docs1_tag, docsN_tag,
+         "disjoint-vocab copies"),
+        ("bm25_topk", lambda d: bm25_topk(d, ["data", "merge", "vector"]),
+         docs1, docsN, "plain copies"),
+        ("bmp_pixel_phash", lambda d: bmp_phash_near_dups(documents_as_bmp(d)),
+         docs1_tag, docsN_tag, "disjoint-vocab copies"),
+        ("wav_stats", lambda d: wav_decode_stats(documents_as_wav(d)),
+         docs1, docsN, "plain copies"),
+    ):
+        t1 = timed(fn, d1)
+        tn = timed(fn, dn)
+        print(f"{name:22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  ({note})")
+
     # graph linearity: N disjoint vertex-shifted copies of the co-purchase
     # graph → triangle output exactly N× (degree distribution preserved,
     # zero cross-copy edges), so a super-linear wall ratio means the wedge
@@ -240,7 +272,7 @@ def main() -> None:
     def _star(mult: int):
         return (
             spark.range(H * L * mult)
-            .selectExpr(f"id % {H} AS u", f"{H} + id // {H} AS v")
+            .selectExpr(f"id % {H} AS u", f"{H} + id div {H} AS v")
             .repartition(cpus)
             .localCheckpoint(eager=True)
         )
@@ -256,6 +288,37 @@ def main() -> None:
         f"{'link_pred_capped':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}"
         f"  (K({H},L) with L growing {n}x: hub degree grows {n}x, cap=64)"
     )
+
+    # r8b: KN held-out scoring — tagged copies grow the bigram/unigram
+    # vocabularies Nx (the BPE/PMI convention), so all three model
+    # tables AND the score-time merge joins scale honestly; char-level
+    # ExactSubstr runs on tagged copies too (the c<i>_ word prefixes
+    # perturb every 25-char gram, so cross-copy dup is zero and the
+    # candidate set stays ~linear — plain replication would make every
+    # doc a 100%-duplicated candidate and probe the data, not the plan)
+    from gisaid_pipeline_functions_spark.operators.dedup import (
+        exactsubstr_chars,
+    )
+    from gisaid_pipeline_functions_spark.operators.text import (
+        kn_heldout_score,
+    )
+
+    def _kn(d):
+        return kn_heldout_score(
+            d.filter(F.col("doc_id") % 5 != 0),
+            d.filter(F.col("doc_id") % 5 == 0),
+        )
+
+    for name, fn in (
+        ("kn_heldout_score", _kn),
+        (
+            "exactsubstr_chars",
+            lambda d: exactsubstr_chars(d, "doc_id", "text"),
+        ),
+    ):
+        t1 = timed(fn, docs1_tag)
+        tn = timed(fn, docsN_tag)
+        print(f"{name:22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (disjoint-vocab copies)")
     spark.stop()
 
 
