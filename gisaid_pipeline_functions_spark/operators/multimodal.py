@@ -411,8 +411,22 @@ def bmp_phash_near_dups(
     candidate stage is exact, recall 1.0). The fingerprint frame is
     persisted before the self-join (the r6 60× pushdown-re-inlining
     lesson: without the barrier the whole decode+thumbnail stage runs
-    once per candidate-pair side)."""
-    n_bands = grid * (grid - 1) // 8
+    once per candidate-pair side).
+
+    The pigeonhole recall guarantee requires every fingerprint bit to
+    live in some band (``grid*(grid-1)`` divisible by 8) AND more bands
+    than the hamming budget (``n_bands > threshold``) — e.g. grid=5
+    yields 20 bits / 2 bands with 4 bits in no band, so a within-budget
+    pair can touch every band and be missed (ADVICE r8). Reject such
+    configurations rather than silently losing recall."""
+    bits = grid * (grid - 1)
+    n_bands = bits // 8
+    if bits % 8 != 0 or n_bands <= threshold:
+        raise ValueError(
+            f"bmp_phash_near_dups recall guarantee needs grid*(grid-1) "
+            f"divisible by 8 and n_bands > threshold; got grid={grid} "
+            f"({bits} bits, {n_bands} bands) with threshold={threshold}"
+        )
     ph = bmp_dhash_fingerprints(media, grid=grid).persist()
     bands = ph.select(
         "media_id",

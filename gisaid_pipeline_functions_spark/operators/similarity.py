@@ -994,14 +994,19 @@ def mmr_rerank(
     shortlist_n: int = 10,
     k: int = 5,
     lam: float = 0.7,
+    mu: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
     SIGIR'98 — the diversity-aware second stage of every two-stage
     retrieval): shortlist the top-``shortlist_n`` by query cosine, then
-    greedily pick k items maximizing λ·sim(q,d) − (1−λ)·max_{s∈S}
-    sim(d,s).
+    greedily pick k items maximizing λ·sim(q,d) − μ·max_{s∈S}
+    sim(d,s). ``mu`` is an INDEPENDENT literal, not ``1.0 - lam``:
+    the oracle hardcodes the same decimal (0.3), and the double
+    nearest 0.3 differs from ``1.0 - 0.7`` by 1 ulp — computing it
+    would break the fixed-tree-identical-literal convention (ADVICE
+    r8) and can flip exact 0.5e-6 lattice ties per engine.
 
     Parity rules: every cosine lands on the 6dp lattice BEFORE the MMR
     arithmetic, the MMR score is one fixed-tree expression rounded 6 IN
@@ -1061,7 +1066,7 @@ def mmr_rerank(
             ).select(
                 "cand_id",
                 F.round(
-                    lam * F.col("simq") - (1.0 - lam) * F.col("mp"), 6
+                    lam * F.col("simq") - mu * F.col("mp"), 6
                 ).alias("mmr"),
             )
         pick = scored.orderBy(F.desc("mmr"), F.asc("cand_id")).limit(1).collect()[0]

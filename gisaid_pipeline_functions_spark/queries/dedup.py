@@ -888,7 +888,7 @@ def dedup_url_canonical(spark, sf_dir):
     WITH base AS (SELECT doc_id, text FROM documents),
     g AS (SELECT doc_id, text,
          [md5(substr(text, CAST(i AS INT), 25))
-          FOR i IN range(1, strlen(text) - 23)] AS h
+          FOR i IN range(1, length(text) - 23)] AS h
        FROM base),
     a AS (SELECT doc_id,
             CASE WHEN len(h) >= 8 THEN
@@ -921,7 +921,7 @@ def dedup_url_canonical(spark, sf_dir):
               FROM runs GROUP BY doc_id),
     rebuilt AS (
       SELECT b.doc_id,
-             [x FOR x IN range(0, strlen(b.text))
+             [x FOR x IN range(0, length(b.text))
               IF len(list_filter(s.sp, e -> x BETWEEN e.lo AND e.hi)) = 0] AS keep,
              b.text AS text, s.n_spans AS n_spans
       FROM g b JOIN spans s USING (doc_id))
@@ -930,7 +930,7 @@ def dedup_url_canonical(spark, sf_dir):
              [substr(text, CAST(x + 1 AS INT), 1) FOR x IN keep], ''), '')
              AS clean_text,
            CAST(n_spans AS BIGINT) AS n_spans,
-           CAST(strlen(text) - len(keep) AS BIGINT) AS n_removed_chars
+           CAST(length(text) - len(keep) AS BIGINT) AS n_removed_chars
     FROM rebuilt
     UNION ALL
     SELECT doc_id, text, CAST(0 AS BIGINT), CAST(0 AS BIGINT)

@@ -793,7 +793,7 @@ def _perceptron_oracle(rounds: int) -> str:
              CAST(1 AS BIGINT) AS x0,
              CAST(len(list_filter(string_split(text, ' '),
                                   w -> length(w) > 0)) AS BIGINT) AS x1,
-             CAST(strlen(text) AS BIGINT) AS x2
+             CAST(length(text) AS BIGINT) AS x2
       FROM documents
     )""",
         "w0 AS (SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS w1, "

@@ -56,46 +56,41 @@ def register(name: str, sql: str | None = None):
 # the round the change was made in — forced to the front until a green
 # driver row from that round (or later) exists, then they rotate back
 # into the normal staleness order automatically.
-_RECHECK_ROUND = 8
+_RECHECK_ROUND = 9
 _RECHECK_FIRST = frozenset(
     {
-        # round 8 implementation/oracle changes that must re-prove.
-        # Window arithmetic (VERDICT r7 #1: cap new registrations so the
-        # 16 last-green-r3 queries drain): 16 r3-stale + these 6 + ~25
-        # new registrations ≈ 47 ≤ ~50. New registrations sort first via
-        # the zero-evidence floor and need no entry here. Since r8 the
-        # end-of-round FULLDRIVE_r{N}.json (tools/fulldrive.py) also
-        # counts as last-green evidence, so nothing can stay stale even
-        # if the driver window misses it.
-        "text_pmi_collocations",  # Spark side now computes ln/ln(2)
-        # explicitly instead of relying on Log2's libm form (ADVICE r7)
-        "multimodal_decode_dims",  # oracle empty-text '?' fallback
-        # mirrored from the Spark generator (ADVICE r7)
-        "multimodal_resize",  # same oracle guard
-        "multimodal_phash_neardup",  # UPGRADED: dHash over DECODED
-        # pixels (8x8 NN thumbnail of the parsed BMP raster, 56 bits,
-        # 7x8 pigeonhole bands) — VERDICT r7 next-round #4
-        "graph_link_prediction",  # routed through operators/graph.py:
-        # link_prediction with the degree_cap parameter (VERDICT r7 #6;
-        # cap inactive here, plan-identical)
-        "window_scd2_history",  # extracted to operators/timeseries.py:
-        # scd2_history, shared with the r8 streaming CDC twin
+        # round 9 implementation/oracle changes that must re-prove
+        # (all four ADVICE r8 items; each re-proven green at sf0.01 by
+        # the builder before commit, but the driver row is the real
+        # evidence). New registrations sort first via the zero-evidence
+        # floor and need no entry here.
+        "sim_mmr_diversify",  # diversity weight is now an independent
+        # 0.3 literal matching the oracle (was 1.0-0.7, 1 ulp off)
+        "dedup_exactsubstr_chars",  # oracle strlen()→length() so the
+        # parity doesn't rest on an ASCII-only corpus assumption
+        "train_perceptron_lang",  # same strlen()→length() oracle fix
+        "multimodal_phash_neardup",  # bmp_phash_near_dups now rejects
+        # grids that break the pigeonhole recall guarantee
     }
 )
 
 
-def _last_green_round() -> dict[str, int]:
+def _last_green_round() -> dict[str, float]:
     """Each query's most recent round with a green driver row, scanned
     from repo-root CORRECTNESS_r*.json (a recorded rows-only row counts —
     it is the strongest evidence that query can ever get) PLUS
     FULLDRIVE_r*.json — the builder's end-of-round all-registry contract
-    drive in the same schema (tools/fulldrive.py, VERDICT r7 #1/#2), so
-    full-drive greens count toward the staleness rotation."""
+    drive in the same schema (tools/fulldrive.py, VERDICT r7 #1/#2).
+    FULLDRIVE evidence is self-reported, so it is weighted BELOW driver
+    evidence (round − 0.5) and its rows-only ``err='no_oracle'`` entries
+    don't count at all (they validate nothing) — a fulldrive green
+    freshens a query relative to same-round peers but can never
+    permanently suppress independent driver re-checks (ADVICE r8)."""
     import json
     import re
     from pathlib import Path
 
-    out: dict[str, int] = {}
+    out: dict[str, float] = {}
     root = Path(__file__).resolve().parents[1]
     records = sorted(root.glob("CORRECTNESS_r*.json")) + sorted(
         root.glob("FULLDRIVE_r*.json")
@@ -104,7 +99,8 @@ def _last_green_round() -> dict[str, int]:
         m = re.search(r"r(\d+)$", p.stem)
         if not m:
             continue
-        rnd = int(m.group(1))
+        self_reported = p.stem.startswith("FULLDRIVE")
+        rnd = int(m.group(1)) - (0.5 if self_reported else 0.0)
         try:
             data = json.loads(p.read_text())
         except (OSError, ValueError):
@@ -114,8 +110,11 @@ def _last_green_round() -> dict[str, int]:
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match") is True or row.get("err") == "no_oracle":
-                out[name] = max(out.get(name, 0), rnd)
+            green = row.get("hash_match") is True or (
+                not self_reported and row.get("err") == "no_oracle"
+            )
+            if green:
+                out[name] = max(out.get(name, 0.0), rnd)
     return out
 
 
@@ -189,6 +188,7 @@ def _load_all() -> None:
         roundtrip,
         similarity,
         text,
+        tpch,
     )
 
     _LOADED = True

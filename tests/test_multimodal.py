@@ -284,6 +284,16 @@ def test_bmp_dhash_matches_python_reference_and_finds_pixel_edit(spark):
     assert (0, 1) in pairs and pairs[(0, 1)] <= 3
     assert all(2 not in p for p in pairs)
 
+    # Configurations that void the pigeonhole recall guarantee are
+    # rejected, not silently lossy (ADVICE r8): grid=5 leaves 4 of 20
+    # bits in no band; threshold=7 equals the default band count.
+    import pytest
+
+    with pytest.raises(ValueError, match="recall guarantee"):
+        bmp_phash_near_dups(media, threshold=3, grid=5)
+    with pytest.raises(ValueError, match="recall guarantee"):
+        bmp_phash_near_dups(media, threshold=7, grid=8)
+
 
 def test_wav_encode_parse_roundtrip_and_stats():
     """The WAV writer/parser pair is the identity on the samples,
