@@ -1075,3 +1075,111 @@ def mmr_rerank(
     return corpus.sparkSession.createDataFrame(
         out, "sel_rank long, cand_id long, mmr_score double"
     )
+
+
+def sign_bit_fingerprints(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """1-bit (sign) quantization of an embedding column — the most
+    aggressive point on the quantization curve (64× smaller than fp32;
+    int8 twin: :func:`quantize_int8`): bit i = 1 iff ``v[i] > 0``,
+    packed into two 32-bit words ``(sig_lo, sig_hi)`` so dim-64 vectors
+    never touch the BIGINT sign bit and hamming distance is
+    ``bit_count(lo⊕lo') + bit_count(hi⊕hi')``.
+
+    The packing is a per-row map-side 32-term sum with the bit weights
+    ``1<<i`` folded in as LITERAL longs (32 Add nodes — well under the
+    r6 expression-chain threshold; the double-cast vector is
+    materialized ONCE in a sub-select so the 64 element_at terms don't
+    each re-run the cast, the split() trap from SCALING.md) — no
+    shuffle, no UDF; the 16-byte signature is what ships to the ANN
+    index at 100 TB (the corpus scan reads only the two packed columns
+    thereafter)."""
+    base = corpus.select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("v")
+    )
+
+    def pack(lo: int, hi: int) -> Column:
+        terms = [
+            F.when(
+                F.element_at(F.col("v"), i + 1) > 0.0,
+                F.lit(1 << (i - lo)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(lo, hi)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    return base.select(
+        F.col(id_col),
+        pack(0, 32).alias("sig_lo"),
+        pack(32, 64).alias("sig_hi"),
+    )
+
+
+def sign_bit_ann(
+    corpus: DataFrame,
+    query_id: int = 0,
+    shortlist_n: int = 32,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN over 1-bit sign signatures: hamming-distance
+    shortlist on the packed 16-byte fingerprints (charikar-style — the
+    sign of each coordinate IS a fixed hyperplane; random-plane twin:
+    :func:`hyperplane_lsh_neardups`), then exact-cosine rerank of the
+    ``shortlist_n`` survivors, top-``k`` under (cos desc, id asc).
+
+    Scale shape: the hamming stage scans ONLY the packed signature
+    columns (two longs/row — at 100 TB this is the entire point: the
+    fp32 vectors are read back for just ``shortlist_n`` rows via the
+    candidate semi-join); both stages are TakeOrderedAndProject top-k,
+    never a full sort; the query's signature and vector enter as
+    literals (one codegen'd fold per row, the mmr_rerank pattern).
+    Determinism: hamming is integer-exact, the shortlist order is the
+    total (hamming asc, id asc), cosines are 6dp-rounded before the
+    final (cos desc, id asc) rank."""
+    sigs = sign_bit_fingerprints(corpus, id_col=id_col, vec_col=vec_col)
+    qsig = sigs.filter(F.col(id_col) == query_id).collect()[0]
+    qrow = (
+        corpus.filter(F.col(id_col) == query_id)
+        .select(_to_double(F.col(vec_col)).alias("v"))
+        .collect()[0]
+    )
+    qarr = F.array(*[F.lit(float(x)) for x in qrow["v"]])
+    shortlist = (
+        sigs.filter(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col),
+            (
+                F.bit_count(
+                    F.col("sig_lo").bitwiseXOR(F.lit(int(qsig["sig_lo"])))
+                )
+                + F.bit_count(
+                    F.col("sig_hi").bitwiseXOR(F.lit(int(qsig["sig_hi"])))
+                )
+            ).alias("hamming"),
+        )
+        .orderBy(F.asc("hamming"), F.asc(id_col))
+        .limit(shortlist_n)
+    )
+    vecs = corpus.select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("v")
+    )
+    return (
+        shortlist.join(vecs, id_col)
+        .select(
+            F.col(id_col),
+            "hamming",
+            F.round(
+                dot(qarr, F.col("v")) / (norm(qarr) * norm(F.col("v"))), 6
+            ).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1544,3 +1544,106 @@ def kn_heldout_score(
         mean.alias("mean_neg_logprob"),
         F.round(F.exp(mean), 6).alias("perplexity"),
     )
+
+
+def naive_bayes_confusion(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Multinomial Naive Bayes with add-one smoothing, trained and
+    scored on the corpus itself (the self-consistency convention of
+    bigram_logprob), returning the label confusion matrix
+    ``(actual, predicted, n_docs)`` — the classic bag-of-words
+    language/domain classifier (McCallum & Nigam, AAAI'98 workshop).
+
+    Parity: token and class counts are exact integers; the only floats
+    are ``ll(w,c) = ln((count+1)/(total_c+V))`` and the prior, both
+    6dp-rounded (ln is the proven cross-engine libm call —
+    bigram_logprob/PMI precedent); per-doc scores are
+    Σ cnt·ll + prior, re-rounded to 6 before the (score desc, label
+    asc) argmax so summation order can't flip a prediction. Docs with
+    no tokens fall back to the prior-only score via the left join.
+
+    Scale shape: one explode + two grouped passes build the model (all
+    map-side partial); the DENSE word×label likelihood table is
+    |V|·|labels| rows (labels a small constant) built with a broadcast
+    of the label totals and the 1-row vocab size — the word-keyed join
+    of doc term counts against it is merge-hinted on both sides (vocab
+    and corpus both grow); the argmax is a per-doc window, never
+    global.
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(label_col).alias("actual"),
+        F.col(text_col).alias("text"),
+    )
+    tok = base.select(
+        "doc_id", "actual", F.explode(words(F.col("text"))).alias("word")
+    )
+    docword = tok.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wl = tok.groupBy("word", F.col("actual").alias("label")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = wl.groupBy("label").agg(F.sum("c").alias("t"))
+    vocab = wl.select("word").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    dense = (
+        vocab.crossJoin(F.broadcast(tot))
+        .join(wl.hint("merge"), ["word", "label"], "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "word",
+            "label",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("t") + F.col("v")).cast("double")
+                ),
+                6,
+            ).alias("ll"),
+        )
+    )
+    sumll = (
+        docword.join(dense.hint("merge"), "word")
+        .groupBy("doc_id", "label")
+        .agg(F.sum(F.col("cnt") * F.col("ll")).alias("s"))
+    )
+    ndocs = base.agg(F.count(F.lit(1)).alias("n_total"))
+    priors = (
+        base.groupBy(F.col("actual").alias("label"))
+        .agg(F.count(F.lit(1)).alias("n_label"))
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "label",
+            F.round(
+                F.log(F.col("n_label").cast("double") / F.col("n_total")), 6
+            ).alias("prior"),
+        )
+    )
+    scored = (
+        base.select("doc_id", "actual")
+        .crossJoin(F.broadcast(priors))
+        .join(sumll.hint("merge"), ["doc_id", "label"], "left")
+        .select(
+            "doc_id",
+            "actual",
+            "label",
+            F.round(
+                F.col("prior") + F.coalesce(F.col("s"), F.lit(0.0)), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("label"))
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("actual", F.col("label").alias("predicted"))
+    )
+    return pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

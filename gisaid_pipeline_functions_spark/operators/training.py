@@ -298,3 +298,64 @@ def sliding_chunks(
             ).alias("chunk"),
         )
     )
+
+
+def linreg_normal_eq(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group simple linear regression by the closed-form normal
+    equations — the one-pass training job every feature pipeline runs
+    (per-segment trend fits, target calibration): slope =
+    (n·Σxy − Σx·Σy) / (n·Σxx − Σx²), intercept = (Σy − slope·Σx)/n.
+
+    Determinism: ``x`` and ``y`` must be INTEGER-valued columns (cast to
+    long here) so every sufficient statistic is an exact BIGINT — no
+    float lattice anywhere until the final two quotients, which are
+    6dp-rounded, and the intercept is computed from the ALREADY-ROUNDED
+    slope so both engines use the identical double. Overflow bound:
+    n·Σxy must stay below 2⁶³ — holds to ~10⁹ rows per group at these
+    feature magnitudes; beyond that, shift to per-group means first
+    (Welford) or DECIMAL sums.
+
+    Scale shape: ONE groupBy with five map-side-partial integer sums —
+    the whole regression is a single shuffle of |groups| tiny rows;
+    degenerate groups (zero x-variance) return NULL slope/intercept
+    rather than dividing by zero.
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    stats = (
+        df.select(F.col(group_col).alias("grp"), x.alias("x"), y.alias("y"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        det != 0,
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / det.cast("double"),
+            6,
+        ),
+    )
+    return stats.select(
+        F.col("grp"),
+        F.col("n").alias("n_rows"),
+        slope.alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double"),
+            6,
+        ).alias("intercept"),
+    )

@@ -719,3 +719,76 @@ def graph_bfs_distance(spark, sf_dir):
     )
     sources = verts.orderBy("vertex").limit(_BFS_N_SRC)
     return bfs_distances(edges, sources, rounds=_BFS_ROUNDS)
+
+
+def _hits_ctes(iters: int) -> str:
+    """CTE chain replaying operators/graph.py:hits half-round by
+    half-round on the customer→part purchase graph: the UNNORMALIZED
+    integer power iteration (h₀ = 1, alternating neighbor sums — every
+    intermediate an exact BIGINT, no float lattice), then ONE final L1
+    quotient per role, 6dp-rounded — the operator's only inexact step,
+    so any drift in any half-round hash-fails bit-for-bit."""
+    parts = [
+        """e AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_quantity >= 45
+    ),
+    h0 AS (SELECT DISTINCT src AS vertex, CAST(1 AS BIGINT) AS score
+           FROM e)"""
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"""a{k} AS (
+      SELECT e.dst AS vertex, CAST(sum(h.score) AS BIGINT) AS score
+      FROM e JOIN h{p} h ON e.src = h.vertex GROUP BY e.dst
+    ),
+    h{k} AS (
+      SELECT e.src AS vertex, CAST(sum(a.score) AS BIGINT) AS score
+      FROM e JOIN a{k} a ON e.dst = a.vertex GROUP BY e.src
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+_HITS_ITERS = 4
+
+
+@register(
+    "graph_hits",
+    # HITS hubs/authorities on the bipartite customer→part purchase
+    # graph (operators/graph.py:hits — r9): 4 power-method rounds with
+    # DEFERRED L1 normalization — the iteration is exact-integer
+    # message passing (linear lineage, zero in-loop materializations,
+    # the pagerank shape), normalized once at the end on the 6dp
+    # lattice. Directed twin of graph_pagerank: alternating-key merge
+    # joins against two pre-partitioned edge copies.
+    "WITH "
+    + _hits_ctes(_HITS_ITERS)
+    + f""",
+    an AS (SELECT CAST(sum(score) AS BIGINT) AS nrm FROM a{_HITS_ITERS}),
+    hn AS (SELECT CAST(sum(score) AS BIGINT) AS nrm FROM h{_HITS_ITERS})
+    SELECT vertex, 'hub' AS role,
+           round(CAST(score AS DOUBLE) / CAST(nrm AS DOUBLE), 6) AS score
+    FROM h{_HITS_ITERS} CROSS JOIN hn
+    UNION ALL
+    SELECT vertex, 'authority' AS role,
+           round(CAST(score AS DOUBLE) / CAST(nrm AS DOUBLE), 6) AS score
+    FROM a{_HITS_ITERS} CROSS JOIN an""",
+)
+def graph_hits(spark, sf_dir):
+    from ..operators.graph import hits
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 45
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst"))
+        .distinct()
+    )
+    return hits(edges, iterations=_HITS_ITERS)

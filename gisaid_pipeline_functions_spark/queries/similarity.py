@@ -1087,3 +1087,52 @@ def sim_mmr_diversify(spark, sf_dir):
         shortlist_n=_MMR_SHORT,
         k=_MMR_K,
     )
+
+
+_SIGN_LO = (
+    "CAST(list_sum([CASE WHEN e[i + 1] > 0 THEN (CAST(1 AS BIGINT) << i) "
+    "ELSE CAST(0 AS BIGINT) END FOR i IN range(0, 32)]) AS BIGINT)"
+)
+_SIGN_HI = (
+    "CAST(list_sum([CASE WHEN e[i + 1] > 0 THEN "
+    "(CAST(1 AS BIGINT) << (i - 32)) ELSE CAST(0 AS BIGINT) END "
+    "FOR i IN range(32, 64)]) AS BIGINT)"
+)
+
+
+@register(
+    "sim_sign_bit_ann",
+    # 1-bit sign quantization ANN (r9; operators/similarity.py
+    # sign_bit_ann): pack sign bits into two 32-bit words, hamming
+    # shortlist of 32 on the 16-byte signatures (integer-exact, total
+    # order hamming asc/id asc), exact-cosine rerank to top-10. The
+    # oracle replays the packing, the xor-popcount distance, both
+    # ranks.
+    f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding AS e,
+             {_SIGN_LO} AS sig_lo, {_SIGN_HI} AS sig_hi
+      FROM embeddings
+    ),
+    q AS (SELECT sig_lo AS qlo, sig_hi AS qhi, e AS qvec
+          FROM sigs WHERE vec_id = 0),
+    short AS (
+      SELECT s.vec_id, s.e,
+             CAST(bit_count(xor(s.sig_lo, q.qlo))
+                  + bit_count(xor(s.sig_hi, q.qhi)) AS BIGINT) AS hamming,
+             q.qvec
+      FROM sigs s CROSS JOIN q
+      WHERE s.vec_id <> 0
+      ORDER BY hamming ASC, s.vec_id ASC LIMIT 32
+    )
+    SELECT vec_id, hamming,
+           round({_cos_sql('qvec', 'e')}, 6) AS cos
+    FROM short
+    ORDER BY cos DESC, vec_id ASC LIMIT 10
+    """,
+)
+def sim_sign_bit_ann(spark, sf_dir):
+    from ..operators.similarity import sign_bit_ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sign_bit_ann(emb, query_id=0, shortlist_n=32, k=10)

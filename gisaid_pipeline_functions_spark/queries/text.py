@@ -1306,3 +1306,71 @@ def text_lm_heldout_score(spark, sf_dir):
     train = docs.filter(F.col("doc_id") % 5 != 0)
     heldout = docs.filter(F.col("doc_id") % 5 == 0)
     return kn_heldout_score(train, heldout, "doc_id", "text", discount=0.75)
+
+
+@register(
+    "text_naive_bayes_confusion",
+    # Multinomial add-one Naive Bayes trained/scored on the corpus
+    # (r9; operators/text.py naive_bayes_confusion): integer token
+    # counts, 6dp ln-likelihoods and priors, per-doc score re-rounded
+    # before the (score desc, label asc) argmax, prior-only fallback
+    # for token-free docs. The oracle replays model build + dense
+    # smoothing + scoring + argmax + confusion rollup.
+    """
+    WITH base AS (SELECT doc_id, lang AS actual, text FROM documents),
+    tok AS (
+      SELECT doc_id, actual, unnest(list_filter(string_split(text, ' '),
+                                                w -> length(w) > 0)) AS word
+      FROM base
+    ),
+    docword AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY doc_id, word
+    ),
+    wl AS (
+      SELECT word, actual AS label, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY word, actual
+    ),
+    tot AS (SELECT label, CAST(sum(c) AS BIGINT) AS t FROM wl GROUP BY label),
+    vocab AS (SELECT DISTINCT word FROM wl),
+    vsize AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+    dense AS (
+      SELECT vo.word, tt.label,
+             round(ln(CAST(coalesce(w.c, 0) + 1 AS DOUBLE)
+                      / CAST(tt.t + vs.v AS DOUBLE)), 6) AS ll
+      FROM vocab vo CROSS JOIN tot tt CROSS JOIN vsize vs
+      LEFT JOIN wl w ON w.word = vo.word AND w.label = tt.label
+    ),
+    sumll AS (
+      SELECT d.doc_id, n.label, sum(d.cnt * n.ll) AS s
+      FROM docword d JOIN dense n ON d.word = n.word
+      GROUP BY d.doc_id, n.label
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM base),
+    priors AS (
+      SELECT actual AS label,
+             round(ln(CAST(count(*) AS DOUBLE) / nd.n_total), 6) AS prior
+      FROM base CROSS JOIN nd GROUP BY actual, nd.n_total
+    ),
+    scored AS (
+      SELECT b.doc_id, b.actual, p.label,
+             round(p.prior + coalesce(s.s, 0.0), 6) AS score
+      FROM base b CROSS JOIN priors p
+      LEFT JOIN sumll s ON s.doc_id = b.doc_id AND s.label = p.label
+    ),
+    pred AS (
+      SELECT actual, label AS predicted FROM (
+        SELECT actual, label,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, label) AS rn
+        FROM scored) WHERE rn = 1
+    )
+    SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY actual, predicted
+    """,
+)
+def text_naive_bayes_confusion(spark, sf_dir):
+    from ..operators.text import naive_bayes_confusion
+
+    docs = load_table(spark, sf_dir, "documents")
+    return naive_bayes_confusion(docs)

@@ -879,3 +879,51 @@ def train_target_encoding(spark, sf_dir):
             6,
         ).alias("encoded"),
     )
+
+
+@register(
+    "train_linreg_normal_eq",
+    # Closed-form per-language OLS of n_chars on word count (r9;
+    # operators/training.py linreg_normal_eq): every sufficient
+    # statistic an exact BIGINT (integer features, one grouped pass),
+    # the slope quotient 6dp-rounded, and the intercept computed from
+    # the ALREADY-ROUNDED slope so both engines share the double.
+    """
+    WITH f AS (
+      SELECT lang AS grp,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> length(w) > 0)) AS BIGINT) AS x,
+             n_chars AS y
+      FROM documents
+    ),
+    s AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM f GROUP BY grp
+    ),
+    sl AS (
+      SELECT grp, n, sx, sy,
+             CASE WHEN n * sxx - sx * sx <> 0 THEN
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+             END AS slope
+      FROM s
+    )
+    SELECT grp, n AS n_rows, slope,
+           round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS intercept
+    FROM sl
+    """,
+)
+def train_linreg_normal_eq(spark, sf_dir):
+    from ..operators.training import linreg_normal_eq
+    from ..operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "n_chars",
+        F.size(words(F.col("text"))).alias("n_words"),
+    )
+    return linreg_normal_eq(docs, y_col="n_chars", x_col="n_words", group_col="lang")
