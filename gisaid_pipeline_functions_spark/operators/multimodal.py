@@ -844,3 +844,57 @@ def scene_cuts(
         )
         .filter(F.col("frame_dist") >= threshold)
     )
+
+
+def wav_energy_windows(
+    media: DataFrame, window_samples: int = 8, silence_peak: int = 2048
+) -> DataFrame:
+    """Windowed audio energy / silence detection over REAL WAV payloads
+    (the VAD-style framing pass an audio-curation pipeline runs after
+    ingest stats; decode boundary shared with wav_decode_stats): parse
+    each PCM16 file, split the samples into fixed ``window_samples``
+    frames (the tail keeps its partial length), and emit per frame the
+    exact Σs² energy (BIGINT — bit-replayable), the derived RMS
+    (rounded 6) and an integer-exact silence flag
+    (peak |amplitude| < ``silence_peak``, no float threshold anywhere).
+
+    Scale shape: Arrow-batched mapInPandas, zero shuffle — each file's
+    frames are emitted by the partition that decoded it; the output is
+    ~n_samples/window rows per file, the same fan-out class as
+    frame sampling (multimodal_frame_sample)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import math
+
+        import pandas as pd
+
+        cols = ("media_id", "window_no", "n_samples", "energy", "rms",
+                "is_silent")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _, samples = parse_wav_pcm16(bytes(content))
+                for k in range(
+                    (len(samples) + window_samples - 1) // window_samples
+                ):
+                    wn = samples[k * window_samples : (k + 1) * window_samples]
+                    energy = sum(s * s for s in wn)
+                    out["media_id"].append(int(mid))
+                    out["window_no"].append(k)
+                    out["n_samples"].append(len(wn))
+                    out["energy"].append(energy)
+                    out["rms"].append(round(math.sqrt(energy / len(wn)), 6))
+                    out["is_silent"].append(
+                        max(abs(s) for s in wn) < silence_peak
+                    )
+            yield pd.DataFrame(out)
+
+    target = media.sparkSession.sparkContext.defaultParallelism
+    inp = media
+    if inp.rdd.getNumPartitions() < target:
+        inp = inp.repartition(target)
+    return inp.mapInPandas(
+        run,
+        "media_id long, window_no long, n_samples long, energy long, "
+        "rms double, is_silent boolean",
+    )

@@ -1647,3 +1647,115 @@ def naive_bayes_confusion(
     return pred.groupBy("actual", "predicted").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+def span_corruption(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 3,
+    mask_rate_16ths: int = 4,
+) -> DataFrame:
+    """T5-style span corruption (Raffel et al., JMLR 2020 §3.1.4) as a
+    deterministic batch transform — the denoising-objective data prep a
+    pretraining pipeline runs over the whole corpus: words are grouped
+    into fixed ``span_words`` spans, a span is masked iff the first hex
+    digit of ``md5(doc_id|span_no)`` is below ``mask_rate_16ths`` (a
+    portable hash draw, the stratified-sample convention — identical
+    literals in both engines, reproducible under retries), and each
+    masked span collapses to a numbered sentinel ``<extra_id_k>`` in
+    reading order.
+
+    Output: ``(doc_id, corrupted, n_spans, n_words_masked)`` with
+    canonical single-space joins; word-free docs pass through with an
+    empty corruption.
+
+    Scale shape: one explode + two grouped rebuilds, all map-side
+    expressions (md5 draw, array_sort+transform reassembly) — the only
+    shuffles are the two doc-keyed groupBys; the sentinel numbering is
+    a per-doc window over MASKED spans only, never global."""
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    toks = base.select(
+        "doc_id", F.posexplode(words(F.col("text"))).alias("pos", "w")
+    )
+    grp = (
+        toks.groupBy("doc_id", F.floor(F.col("pos") / span_words).alias("g"))
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            ).alias("chunk"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .withColumn(
+            "masked",
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit("|"),
+                            F.col("g").cast("string"),
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+            )
+            <= mask_rate_16ths,
+        )
+    )
+    grp = grp.withColumn(
+        "k",
+        F.when(
+            F.col("masked"),
+            F.row_number().over(
+                Window.partitionBy("doc_id", "masked").orderBy("g")
+            )
+            - 1,
+        ),
+    ).select(
+        "doc_id",
+        "g",
+        F.when(
+            F.col("masked"),
+            F.concat(F.lit("<extra_id_"), F.col("k"), F.lit(">")),
+        )
+        .otherwise(F.col("chunk"))
+        .alias("token"),
+        F.col("masked"),
+        F.when(F.col("masked"), F.col("n_words")).otherwise(F.lit(0)).alias(
+            "mw"
+        ),
+    )
+    rebuilt = grp.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("g", "token"))),
+                lambda s: s["token"],
+            ),
+        ).alias("corrupted"),
+        F.sum(F.col("masked").cast("long")).alias("n_spans"),
+        F.sum("mw").alias("n_words_masked"),
+    )
+    return (
+        base.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("corrupted"), F.lit("")).alias("corrupted"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+            F.coalesce(F.col("n_words_masked"), F.lit(0)).alias(
+                "n_words_masked"
+            ),
+        )
+    )

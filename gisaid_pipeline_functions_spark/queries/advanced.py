@@ -462,3 +462,72 @@ def streaming_dropdup_watermark(spark, sf_dir):
         "dropdup_stream_drv_" + uuid.uuid4().hex[:8],
         output_mode="append",
     )
+
+
+# Per-type top-3 oracle — shared semantics for the batch shape and the
+# streaming twin: per (event_type, user_id) counters, then the
+# (n desc, user asc) rank read off the counter state.
+_STREAM_TOPK_ORACLE = """
+    WITH c AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n,
+             round(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                   / 1000000.0, 6) AS total_value
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type, user_id, n, total_value, rk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+                                        ORDER BY n DESC, user_id)
+                     AS BIGINT) AS rk
+      FROM c)
+    WHERE rk <= 3
+    """
+
+
+@register(
+    "streaming_topk_hash",
+    # Streaming top-k maintenance (r9): the leaderboard shape a live
+    # ranking service runs — per-(event_type, user) counters maintained
+    # by a complete-mode streaming aggregation (state store carries one
+    # long + one 6dp sum per key, the constant-size-state rule), with
+    # the top-3 RANK applied on read over the materialized counter
+    # state — exactly how production serves top-k: rank at query time
+    # over the state store, never rank-inside-the-stream (window
+    # functions aren't incremental). The AvailableNow output must
+    # hash-match the batch oracle; value sums ride the 1e-6 integer
+    # lattice map-side (the time-decay convention) so stream-side
+    # micro-batch addition order can't drift the 6dp totals.
+    _STREAM_TOPK_ORACLE,
+)
+def streaming_topk_hash(spark, sf_dir):
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..streaming.source import stream_events
+    from ..streaming.weekly import run_stream_to_memory
+
+    counters = (
+        stream_events(spark, sf_dir)
+        .select(
+            "event_type",
+            "user_id",
+            F.floor(F.col("value") * 1000000.0 + 0.5).cast("long").alias("v_u"),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v_u").alias("sv_u"))
+    )
+    state = run_stream_to_memory(
+        spark, counters, "topk_stream_drv_" + uuid.uuid4().hex[:8]
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        state.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "event_type",
+            "user_id",
+            "n",
+            F.round(F.col("sv_u") / 1000000.0, 6).alias("total_value"),
+            "rk",
+        )
+    )

@@ -354,3 +354,49 @@ def multimodal_scene_cuts(spark, sf_dir):
 
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return scene_cuts(media, every_n_bytes=64, threshold=48)
+
+
+@register(
+    "multimodal_audio_energy",
+    # Windowed audio energy / silence framing over REAL WAV payloads
+    # (r9; operators/multimodal.py wav_energy_windows): 8-sample frames
+    # (partial tail kept), exact BIGINT Σs² energy per frame, RMS
+    # rounded 6, integer-exact silence flag (peak < 2048 — no float
+    # threshold). The oracle rebuilds the waveform from the
+    # documents_as_wav generation rule and replays every frame, so a
+    # windowing off-by-one or decode slip hash-fails on content.
+    """
+    WITH base AS (
+      SELECT doc_id,
+             coalesce(nullif(text, ''), '?') AS txt,
+             strlen(coalesce(nullif(text, ''), '?')) AS n,
+             doc_id % 50 + 20 AS ns
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, ns,
+             [(ascii(substr(txt, CAST((i % n) + 1 AS INT), 1)) - 64) * 256
+              FOR i IN range(0, ns)] AS sm
+      FROM base
+    ),
+    w AS (
+      SELECT doc_id, k AS window_no,
+             sm[CAST(k * 8 + 1 AS INT):CAST(least((k + 1) * 8, ns) AS INT)]
+               AS wn
+      FROM s, LATERAL unnest(range(0, CAST(ceil(ns / 8.0) AS BIGINT))) t(k)
+    )
+    SELECT doc_id AS media_id,
+           CAST(window_no AS BIGINT) AS window_no,
+           CAST(len(wn) AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(wn, x -> x * x)) AS BIGINT) AS energy,
+           round(sqrt(list_sum(list_transform(wn, x -> x * x)) * 1.0
+                      / len(wn)), 6) AS rms,
+           list_max(list_transform(wn, x -> abs(x))) < 2048 AS is_silent
+    FROM w
+    """,
+)
+def multimodal_audio_energy(spark, sf_dir):
+    from ..operators.multimodal import documents_as_wav, wav_energy_windows
+
+    media = documents_as_wav(load_table(spark, sf_dir, "documents"))
+    return wav_energy_windows(media, window_samples=8, silence_peak=2048)

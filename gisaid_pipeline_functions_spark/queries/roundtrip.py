@@ -711,3 +711,66 @@ def layout_zorder_pruning(spark, sf_dir):
             "band_sum_x",
         )
     )
+
+
+@register(
+    "layout_compaction_plan",
+    # Small-file compaction planning (r9 — the OPTIMIZE bin-packing
+    # pass every lakehouse table needs): treat each document as a file
+    # of n_chars bytes, order files largest-first per source (the
+    # standard packing heuristic), and assign output bins by cumulative
+    # size over a 2000-byte target — bin = floor((cumsum - size) /
+    # target), i.e. a file opens in the bin where its predecessor run
+    # left off. Pure integer window arithmetic, deterministic
+    # (size desc, doc_id) total order. Scale note: the input is FILE
+    # METADATA (one row per file — millions, not the data itself), so
+    # the per-source running-sum window is over catalog-listing-sized
+    # partitions; the plan ships to the rewriter, the data never
+    # shuffles here.
+    """
+    WITH f AS (
+      SELECT source, doc_id, n_chars AS size,
+             sum(n_chars) OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    ),
+    b AS (
+      SELECT source, doc_id, size,
+             CAST(floor((cum - size) / 2000.0) AS BIGINT) AS bin_id
+      FROM f
+    )
+    SELECT source, bin_id, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(size) AS BIGINT) AS total_bytes,
+           min(doc_id) AS first_doc
+    FROM b GROUP BY source, bin_id
+    """,
+)
+def layout_compaction_plan(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.col("n_chars").alias("size")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("size"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.withColumn("cum", F.sum("size").over(w))
+        .select(
+            "source",
+            "doc_id",
+            "size",
+            F.floor((F.col("cum") - F.col("size")) / 2000.0)
+            .cast("long")
+            .alias("bin_id"),
+        )
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("size").alias("total_bytes"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )

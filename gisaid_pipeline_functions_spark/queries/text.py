@@ -1374,3 +1374,60 @@ def text_naive_bayes_confusion(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return naive_bayes_confusion(docs)
+
+
+@register(
+    "text_span_corruption",
+    # T5-style span corruption (r9; operators/text.py span_corruption):
+    # 3-word spans, a span masked iff the first md5(doc_id|g) hex digit
+    # falls in the lowest 4/16 (the portable hash-draw convention),
+    # masked spans collapsed to reading-order '<extra_id_k>' sentinels,
+    # canonical single-space rebuild. The oracle replays the grouping,
+    # the draw, the sentinel numbering and the rebuild verbatim.
+    """
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '),
+                                 x -> length(x) > 0) AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, k AS g,
+             array_to_string(ws[CAST(k * 3 + 1 AS INT)
+                               :CAST(least((k + 1) * 3, len(ws)) AS INT)],
+                             ' ') AS chunk,
+             CAST(least((k + 1) * 3, len(ws)) - k * 3 AS BIGINT) AS n_words,
+             strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR) || '|'
+                               || CAST(k AS VARCHAR)), 1, 1)) <= 4 AS masked
+      FROM w, LATERAL unnest(range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT)))
+                t(k)
+    ),
+    s AS (
+      SELECT doc_id, g, masked, n_words,
+             CASE WHEN masked THEN
+               '<extra_id_'
+               || CAST(row_number() OVER (PARTITION BY doc_id, masked
+                                          ORDER BY g) - 1 AS VARCHAR)
+               || '>'
+             ELSE chunk END AS token
+      FROM g
+    ),
+    r AS (
+      SELECT doc_id, string_agg(token, ' ' ORDER BY g) AS corrupted,
+             CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_spans,
+             CAST(sum(CASE WHEN masked THEN n_words ELSE 0 END) AS BIGINT)
+               AS n_words_masked
+      FROM s GROUP BY doc_id
+    )
+    SELECT b.doc_id, coalesce(r.corrupted, '') AS corrupted,
+           CAST(coalesce(r.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(r.n_words_masked, 0) AS BIGINT) AS n_words_masked
+    FROM documents b LEFT JOIN r ON b.doc_id = r.doc_id
+    """,
+)
+def text_span_corruption(spark, sf_dir):
+    from ..operators.text import span_corruption
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_corruption(docs, span_words=3, mask_rate_16ths=4)

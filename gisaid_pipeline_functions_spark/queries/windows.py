@@ -1132,3 +1132,114 @@ def agg_markov_transitions(spark, sf_dir):
         F.col("n").cast("long").alias("n"),
         F.round(F.col("n") * 1.0 / F.col("tot"), 6).alias("p"),
     )
+
+
+@register(
+    "window_gap_fill_interpolate",
+    # Calendar gap-fill + linear interpolation of a per-user daily
+    # metric (r9 — the feature-store "forward-fill's smarter sibling",
+    # and the standard time-series regularization before any model):
+    # per user, build the day spine between their first and last
+    # observed day, left-join the observed 6dp daily sums, and fill
+    # interior gaps with prev + (next − prev) · elapsed/gap — prev/next
+    # via IGNORE NULLS frame windows, the fraction an exact integer
+    # ratio, the fill re-rounded to 6. Edges are observed by
+    # construction (the spine spans observed days), so no extrapolation
+    # branch. Scale: two per-user frame windows over spine-sized rows
+    # (users × their own span, never the calendar cross join); the
+    # spine explode is map-side.
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             round(sum(value), 6) AS v
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(min(day), max(day),
+                                             INTERVAL 1 DAY))::DATE AS day
+      FROM daily GROUP BY user_id
+    ),
+    j AS (
+      SELECT s.user_id, s.day, d.v,
+             last_value(d.v IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             last_value(CASE WHEN d.v IS NOT NULL THEN s.day END
+                        IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+             first_value(d.v IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN d.v IS NOT NULL THEN s.day END
+                         IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd
+      FROM spine s LEFT JOIN daily d
+        ON s.user_id = d.user_id AND s.day = d.day
+    )
+    SELECT user_id, day,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE round(pv + (nv - pv)
+                           * ((day - pd) * 1.0 / (nd - pd)), 6) END
+             AS value_filled,
+           v IS NULL AS is_interpolated
+    FROM j
+    """,
+)
+def window_gap_fill_interpolate(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("user_id", F.to_date("ts").alias("day"), "value")
+        .groupBy("user_id", "day")
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    spine = daily.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    ).select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    known_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    j = j.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(known_day, ignorenulls=True).over(wp).alias("pd"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(known_day, ignorenulls=True).over(wn).alias("nd"),
+    )
+    fill = F.round(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (
+            F.datediff(F.col("day"), F.col("pd"))
+            * F.lit(1.0)
+            / F.datediff(F.col("nd"), F.col("pd"))
+        ),
+        6,
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.when(F.col("v").isNotNull(), F.col("v")).otherwise(fill).alias(
+            "value_filled"
+        ),
+        F.col("v").isNull().alias("is_interpolated"),
+    )
