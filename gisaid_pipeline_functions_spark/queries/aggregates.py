@@ -994,3 +994,130 @@ def agg_user_entropy(spark, sf_dir):
             F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
         )
     )
+
+
+# Poisson(1) CDF x 256, the byte thresholds for the deterministic
+# bootstrap weight draw: P(0)=.36788 -> 94, P(<=1)=.73576 -> 188,
+# P(<=2)=.91970 -> 235, P(<=3)=.98101 -> 251, else w=4.
+_BOOT_B = 50
+_BOOT_W_SQL = (
+    "CASE WHEN byte < 94 THEN 0 WHEN byte < 188 THEN 1 "
+    "WHEN byte < 235 THEN 2 WHEN byte < 251 THEN 3 ELSE 4 END"
+)
+
+
+@register(
+    "agg_poisson_bootstrap_ci",
+    # Deterministic Poisson bootstrap CI of the mean event value (r9 —
+    # THE scale-out bootstrap: per-row independent Poisson(1) weights
+    # need no resampling pass, so one exploded scan computes every
+    # replica; Chamandy et al., Google 2012). Weights come from a
+    # PORTABLE hash draw — two md5(event_id|replica) hex digits -> a
+    # byte against the Poisson CDF thresholds (the stratified-sample
+    # convention) — values ride the 1e-6 BIGINT lattice, each replica
+    # mean is one 6dp quotient, and the CI is the exact 2nd/49th order
+    # statistic of the 50 replica means (B-sized window, a constant).
+    f"""
+    WITH v AS (
+      SELECT event_id,
+             CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vu
+      FROM events
+    ),
+    rep AS (
+      SELECT b, event_id, vu,
+             ((strpos('0123456789abcdef',
+                      substr(md5(CAST(event_id AS VARCHAR) || '|'
+                                 || CAST(b AS VARCHAR)), 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef',
+                        substr(md5(CAST(event_id AS VARCHAR) || '|'
+                                   || CAST(b AS VARCHAR)), 2, 1)) - 1))
+               AS byte
+      FROM v, LATERAL unnest(range(0, {_BOOT_B})) t(b)
+    ),
+    means AS (
+      SELECT b,
+             round(CAST(sum(w * vu) AS DOUBLE) / 1000000.0 / sum(w), 6)
+               AS mean_b
+      FROM (SELECT b, vu, {_BOOT_W_SQL} AS w FROM rep)
+      GROUP BY b
+    ),
+    ranked AS (
+      SELECT mean_b,
+             row_number() OVER (ORDER BY mean_b, b) AS rn
+      FROM means
+    ),
+    pt AS (
+      SELECT round(CAST(sum(vu) AS DOUBLE) / 1000000.0 / count(*), 6)
+               AS mean_point
+      FROM v
+    )
+    SELECT CAST({_BOOT_B} AS BIGINT) AS n_replicas, pt.mean_point,
+           lo.mean_b AS ci_lo, hi.mean_b AS ci_hi
+    FROM pt,
+         (SELECT mean_b FROM ranked WHERE rn = 2) lo,
+         (SELECT mean_b FROM ranked WHERE rn = {_BOOT_B - 1}) hi
+    """,
+)
+def agg_poisson_bootstrap_ci(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.floor(F.col("value") * 1000000.0 + 0.5).cast("long").alias("vu"),
+    )
+    rep = ev.withColumn(
+        "b", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))
+    )
+    h = F.md5(
+        F.concat(
+            F.col("event_id").cast("string"),
+            F.lit("|"),
+            F.col("b").cast("string"),
+        )
+    )
+    hx = "0123456789abcdef"
+    byte = (F.instr(F.lit(hx), F.substring(h, 1, 1)) - 1) * 16 + (
+        F.instr(F.lit(hx), F.substring(h, 2, 1)) - 1
+    )
+    w = (
+        F.when(byte < 94, 0)
+        .when(byte < 188, 1)
+        .when(byte < 235, 2)
+        .when(byte < 251, 3)
+        .otherwise(4)
+    )
+    means = (
+        rep.select("b", "vu", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("vu")).cast("double")
+                / 1000000.0
+                / F.sum("w"),
+                6,
+            ).alias("mean_b")
+        )
+    )
+    ranked = means.select(
+        "mean_b",
+        F.row_number()
+        .over(Window.orderBy(F.asc("mean_b"), F.asc("b")))
+        .alias("rn"),
+    )
+    lo = ranked.filter(F.col("rn") == 2).select(
+        F.col("mean_b").alias("ci_lo")
+    )
+    hi = ranked.filter(F.col("rn") == _BOOT_B - 1).select(
+        F.col("mean_b").alias("ci_hi")
+    )
+    pt = ev.agg(
+        F.round(
+            F.sum("vu").cast("double") / 1000000.0 / F.count(F.lit(1)), 6
+        ).alias("mean_point")
+    )
+    return (
+        pt.withColumn("n_replicas", F.lit(_BOOT_B).cast("long"))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select("n_replicas", "mean_point", "ci_lo", "ci_hi")
+    )

@@ -1136,3 +1136,129 @@ def sim_sign_bit_ann(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return sign_bit_ann(emb, query_id=0, shortlist_n=32, k=10)
+
+
+@register(
+    "sim_ndcg_eval",
+    # NDCG@10 retrieval-quality evaluation (r9): score the IVF probe=1
+    # ranking against the exact brute-force ranking for queries
+    # vec_id < 5 — graded relevance rel = 11 − exact_rank for candidates
+    # inside the exact top-10, 0 outside; gains use ln(x)/ln(2)
+    # EXPLICITLY on both engines (the text_pmi_collocations log2-libm
+    # lesson), each term 6dp-rounded before the per-query sum, dcg/idcg
+    # re-rounded, ndcg = round(dcg/idcg, 6). Completes the eval suite
+    # next to sim_recall_at_k (binary) and sim_matryoshka_recall.
+    f"""
+    WITH dims AS (
+      SELECT label AS cell,
+             unnest(range(1, len(embedding) + 1)) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT cell, list(avg_x ORDER BY pos) AS centroid FROM (
+        SELECT cell, pos, avg(x) AS avg_x FROM dims GROUP BY cell, pos
+      ) GROUP BY cell
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+          WHERE vec_id < 5),
+    routed AS (
+      SELECT query_id, qvec, cell,
+             round({_cos_sql('qvec', 'centroid')}, 6) AS ccos
+      FROM q CROSS JOIN cents
+    ),
+    assigned AS (
+      SELECT query_id, qvec, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ccos DESC, cell) AS rn
+        FROM routed
+      ) WHERE rn = 1
+    ),
+    sys_scored AS (
+      SELECT a.query_id, e.vec_id AS cand_id,
+             round({_cos_sql('a.qvec', 'e.embedding')}, 6) AS cos
+      FROM assigned a JOIN embeddings e
+        ON e.label = a.cell AND e.vec_id <> a.query_id
+    ),
+    sys AS (
+      SELECT query_id, cand_id, srank FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, cand_id) AS srank
+        FROM sys_scored
+      ) WHERE srank <= 10
+    ),
+    ideal_scored AS (
+      SELECT q.query_id, e.vec_id AS cand_id,
+             round({_cos_sql('q.qvec', 'e.embedding')}, 6) AS cos
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ),
+    ideal AS (
+      SELECT query_id, cand_id, irank FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, cand_id) AS irank
+        FROM ideal_scored
+      ) WHERE irank <= 10
+    ),
+    dcg AS (
+      SELECT s.query_id,
+             round(sum(round(CAST(CASE WHEN i.irank IS NOT NULL
+                                       THEN 11 - i.irank ELSE 0 END
+                             AS DOUBLE)
+                             * ln(2.0) / ln(s.srank + 1.0), 6)), 6) AS dcg
+      FROM sys s LEFT JOIN ideal i
+        ON s.query_id = i.query_id AND s.cand_id = i.cand_id
+      GROUP BY s.query_id
+    ),
+    idcg AS (
+      SELECT query_id,
+             round(sum(round(CAST(11 - irank AS DOUBLE)
+                             * ln(2.0) / ln(irank + 1.0), 6)), 6) AS idcg
+      FROM ideal GROUP BY query_id
+    )
+    SELECT d.query_id, d.dcg, i.idcg,
+           round(d.dcg / i.idcg, 6) AS ndcg
+    FROM dcg d JOIN idcg i ON d.query_id = i.query_id
+    """,
+)
+def sim_ndcg_eval(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q5 = emb.filter(F.col("vec_id") < 5)
+    system = ivf_topk(emb, q5, k=10).select(
+        "query_id", "cand_id", F.col("rank").alias("srank")
+    )
+    ideal = brute_force_topk(emb, q5, k=10).select(
+        "query_id", "cand_id", F.col("rank").alias("irank")
+    )
+    ln2 = F.log(F.lit(2.0))
+    rel = F.when(
+        F.col("irank").isNotNull(), (F.lit(11) - F.col("irank"))
+    ).otherwise(F.lit(0))
+    dcg = (
+        system.join(ideal, ["query_id", "cand_id"], "left")
+        .select(
+            "query_id",
+            F.round(
+                rel.cast("double") * ln2 / F.log(F.col("srank") + F.lit(1.0)),
+                6,
+            ).alias("term"),
+        )
+        .groupBy("query_id")
+        .agg(F.round(F.sum("term"), 6).alias("dcg"))
+    )
+    idcg = ideal.select(
+        "query_id",
+        F.round(
+            (F.lit(11) - F.col("irank")).cast("double")
+            * ln2
+            / F.log(F.col("irank") + F.lit(1.0)),
+            6,
+        ).alias("term"),
+    ).groupBy("query_id").agg(F.round(F.sum("term"), 6).alias("idcg"))
+    return dcg.join(idcg, "query_id").select(
+        "query_id",
+        "dcg",
+        "idcg",
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+    )

@@ -1243,3 +1243,102 @@ def window_gap_fill_interpolate(spark, sf_dir):
         ),
         F.col("v").isNull().alias("is_interpolated"),
     )
+
+
+@register(
+    "ts_holt_linear",
+    # Holt's linear-trend double exponential smoothing (r9 — the
+    # two-state sibling of ts_exponential_smoothing; the standard
+    # short-horizon forecaster): per event type over the DAILY count
+    # series, l_t = 0.4·y + 0.6·(l+b), b_t = 0.3·(l_t − l_prev) + 0.7·b
+    # (0.6/0.7 written literally, never 1−α — the r8 mmr ulp lesson;
+    # α=0.5 is specifically AVOIDED: halving an odd 6dp-lattice value
+    # lands exactly on the .5e-7 decimal midpoint where Spark's
+    # BigDecimal HALF_UP and DuckDB's float-path round() disagree —
+    # observed on this very series),
+    # init l₁ = y₁, b₁ = 0; every state lands on the 6dp lattice and
+    # b_t uses the ALREADY-ROUNDED l_t, so the recursive-CTE oracle
+    # replays both states row by row; forecast = round(l + b, 6). The
+    # fold is map-side over the per-key collected series (days, not
+    # events — aggregate-sized).
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type AS key, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT key, day, y,
+             row_number() OVER (PARTITION BY key ORDER BY day) AS rn
+      FROM daily
+    ),
+    h(key, day, y, rn, l, b) AS (
+      SELECT key, day, y, rn, round(CAST(y AS DOUBLE), 6),
+             CAST(0.0 AS DOUBLE)
+      FROM idx WHERE rn = 1
+      UNION ALL
+      SELECT i.key, i.day, i.y, i.rn,
+             round(0.4 * i.y + 0.6 * (h.l + h.b), 6),
+             round(0.3 * (round(0.4 * i.y + 0.6 * (h.l + h.b), 6) - h.l)
+                   + 0.7 * h.b, 6)
+      FROM idx i JOIN h ON i.key = h.key AND i.rn = h.rn + 1
+    )
+    SELECT key, day, y, l AS level, b AS trend,
+           round(l + b, 6) AS forecast_next
+    FROM h
+    """,
+)
+def ts_holt_linear(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("key"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    series = daily.groupBy("key").agg(
+        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("s")
+    )
+    acc_type = (
+        "array<struct<day:date,y:bigint,l:double,b:double>>"
+    )
+    empty = F.array().cast(acc_type)
+
+    def step(acc, x):
+        prev = F.element_at(acc, -1)
+        first = F.coalesce(F.size(acc), F.lit(0)) == 0
+        new_l = F.when(first, F.round(x["y"].cast("double"), 6)).otherwise(
+            F.round(0.4 * x["y"] + 0.6 * (prev["l"] + prev["b"]), 6)
+        )
+        new_b = F.when(first, F.lit(0.0)).otherwise(
+            F.round(
+                0.3
+                * (
+                    F.round(0.4 * x["y"] + 0.6 * (prev["l"] + prev["b"]), 6)
+                    - prev["l"]
+                )
+                + 0.7 * prev["b"],
+                6,
+            )
+        )
+        return F.concat(
+            F.coalesce(acc, empty),
+            F.array(
+                F.struct(
+                    x["day"].alias("day"),
+                    x["y"].alias("y"),
+                    new_l.alias("l"),
+                    new_b.alias("b"),
+                )
+            ),
+        )
+
+    folded = F.aggregate(F.col("s"), F.lit(None).cast(acc_type), step)
+    return (
+        series.select("key", F.explode(folded).alias("r"))
+        .select(
+            "key",
+            F.col("r.day").alias("day"),
+            F.col("r.y").alias("y"),
+            F.col("r.l").alias("level"),
+            F.col("r.b").alias("trend"),
+            F.round(F.col("r.l") + F.col("r.b"), 6).alias("forecast_next"),
+        )
+    )

@@ -319,6 +319,60 @@ def main() -> None:
         t1 = timed(fn, docs1_tag)
         tn = timed(fn, docsN_tag)
         print(f"{name:22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (disjoint-vocab copies)")
+
+    # r9: Naive Bayes on disjoint-vocab copies — vocabulary, the dense
+    # V x label model table, and the word-keyed scoring join all grow Nx
+    # (labels stay constant); span corruption and WAV energy framing on
+    # plain shifted copies (per-doc map-side work, linear by shape)
+    from gisaid_pipeline_functions_spark.operators.multimodal import (
+        documents_as_wav,
+        wav_energy_windows,
+    )
+    from gisaid_pipeline_functions_spark.operators.text import (
+        naive_bayes_confusion,
+        span_corruption,
+    )
+
+    t1 = timed(lambda d: naive_bayes_confusion(d), docs1_tag)
+    tn = timed(lambda d: naive_bayes_confusion(d), docsN_tag)
+    print(f"{'naive_bayes':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (disjoint-vocab copies)")
+    for name, fn in (
+        ("span_corruption", lambda d: span_corruption(d)),
+        ("wav_energy_windows",
+         lambda d: wav_energy_windows(documents_as_wav(d))),
+    ):
+        t1 = timed(fn, docs1)
+        tn = timed(fn, docsN)
+        print(f"{name:22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (shifted copies)")
+
+    # r9b: HITS on the growing-hub bipartite K(H, L) (the link-pred
+    # probe graph): per-iteration join volume is |E| and |E| grows Nx —
+    # the deferred-normalization chain must stay linear even as hub
+    # degree fattens Nx (AQE handles the dst skew)
+    from gisaid_pipeline_functions_spark.operators.graph import hits
+
+    t1 = timed(lambda e: hits(e, iterations=4), star1)
+    tn = timed(lambda e: hits(e, iterations=4), starN)
+    print(f"{'hits_bipartite':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (K(H,L), hub degree grows {n}x)")
+
+    # r9c: sign-bit ANN on an Nx-replicated embedding corpus (shifted
+    # ids) — fingerprint packing is map-side, the hamming shortlist is
+    # TakeOrdered (never a full sort), the rerank joins shortlist_n rows
+    from gisaid_pipeline_functions_spark.operators.similarity import (
+        sign_bit_ann,
+    )
+
+    emb1 = load_table(spark, sf_dir, "embeddings")
+    embN = emb1
+    for i in range(1, n):
+        embN = embN.unionByName(
+            emb1.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        )
+    emb1 = emb1.repartition(cpus).localCheckpoint(eager=True)
+    embN = embN.repartition(cpus).localCheckpoint(eager=True)
+    t1 = timed(lambda e: sign_bit_ann(e, query_id=0, shortlist_n=32, k=10), emb1)
+    tn = timed(lambda e: sign_bit_ann(e, query_id=0, shortlist_n=32, k=10), embN)
+    print(f"{'sign_bit_ann':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (shifted embedding copies)")
     spark.stop()
 
 
