@@ -820,6 +820,15 @@ def exactsubstr_chars(
     if prefilter and w > min_run:
         raise ValueError("w must be <= min_run for the no-lost-span guarantee")
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    # The per-position md5 gram fold is the most CPU-intensive map stage
+    # in the repo (O(chars) digests per doc, interpreted HOF) and the
+    # corpus often arrives as one parquet file -> ONE task (measured r9:
+    # the whole 20 s sf0.1 wall was a single-core gram stage; 3.3x
+    # end-to-end from spreading it). Repartition the scan BEFORE the
+    # fold — the repartition-CPU-bound-stages rule from SCALING.md.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target)
     t = F.col("text")
     grams = F.when(
         F.length(t) >= k,
