@@ -1121,3 +1121,178 @@ def agg_poisson_bootstrap_ci(spark, sf_dir):
         .crossJoin(F.broadcast(hi))
         .select("n_replicas", "mean_point", "ci_lo", "ci_hi")
     )
+
+
+@register(
+    "profile_psi_drift",
+    # Population Stability Index drift monitor (r9 — THE production
+    # feature-drift metric): decile cut points from the REFERENCE
+    # window (first 15 days, exact interpolated percentiles — the
+    # agg_exact_percentiles parity pair — rounded 6), add-one-smoothed
+    # shares over the 10 buckets on both windows, per-bucket
+    # contribution (pB − pA)·ln(pB/pA) with EXPLICIT ln, shares rounded
+    # 6 BEFORE the ln so both engines take the log of the identical
+    # double. The 1-row cut vector broadcasts; counts are one grouped
+    # pass; the psi total is a constant-10-row window.
+    """
+    WITH ref AS (SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+    cuts AS (
+      SELECT round(quantile_cont(value, 0.1), 6) AS c1, round(quantile_cont(value, 0.2), 6) AS c2, round(quantile_cont(value, 0.3), 6) AS c3, round(quantile_cont(value, 0.4), 6) AS c4, round(quantile_cont(value, 0.5), 6) AS c5, round(quantile_cont(value, 0.6), 6) AS c6, round(quantile_cont(value, 0.7), 6) AS c7, round(quantile_cont(value, 0.8), 6) AS c8, round(quantile_cont(value, 0.9), 6) AS c9
+      FROM ref
+    ),
+    tagged AS (
+      SELECT CAST(CASE WHEN round(e.value, 6) > cuts.c1 THEN 1 ELSE 0 END + CASE WHEN round(e.value, 6) > cuts.c2 THEN 1 ELSE 0 END + CASE WHEN round(e.value, 6) > cuts.c3 THEN 1 ELSE 0 END + CASE WHEN round(e.value, 6) > cuts.c4 THEN 1 ELSE 0 END + CASE WHEN round(e.value, 6) > cuts.c5 THEN 1 ELSE 0 END + CASE WHEN round(e.value, 6) > cuts.c6 THEN 1 ELSE 0 END + CASE WHEN round(e.value, 6) > cuts.c7 THEN 1 ELSE 0 END + CASE WHEN round(e.value, 6) > cuts.c8 THEN 1 ELSE 0 END + CASE WHEN round(e.value, 6) > cuts.c9 THEN 1 ELSE 0 END AS BIGINT) AS bucket,
+             CASE WHEN e.ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+               AS is_ref
+      FROM events e CROSS JOIN cuts
+    ),
+    counts AS (
+      SELECT bucket,
+             CAST(sum(is_ref) AS BIGINT) AS n_ref,
+             CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
+      FROM tagged GROUP BY bucket
+    ),
+    shares AS (
+      SELECT bucket, n_ref, n_cur,
+             round(CAST(n_ref + 1 AS DOUBLE)
+                   / (sum(n_ref) OVER () + 10), 6) AS pa,
+             round(CAST(n_cur + 1 AS DOUBLE)
+                   / (sum(n_cur) OVER () + 10), 6) AS pb
+      FROM counts
+    ),
+    terms AS (
+      SELECT bucket, n_ref, n_cur,
+             round((pb - pa) * ln(pb / pa), 6) AS psi_term
+      FROM shares
+    )
+    SELECT bucket, n_ref, n_cur, psi_term,
+           round(sum(psi_term) OVER (), 6) AS psi_total
+    FROM terms
+    """,
+)
+def profile_psi_drift(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "value",
+        (F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+        .cast("int")
+        .alias("is_ref"),
+    )
+    ref = ev.filter(F.col("is_ref") == 1)
+    cuts = ref.agg(
+        *[
+            F.round(F.percentile("value", F.lit(x / 10.0)), 6).alias(f"c{x}")
+            for x in range(1, 10)
+        ]
+    )
+    bucket = sum(
+        (F.round(F.col("value"), 6) > F.col(f"c{x}")).cast("int")
+        for x in range(1, 10)
+    ).cast("long")
+    counts = (
+        ev.crossJoin(F.broadcast(cuts))
+        .select(bucket.alias("bucket"), "is_ref")
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_ref").alias("n_ref"),
+            F.sum(1 - F.col("is_ref")).alias("n_cur"),
+        )
+    )
+    wall = Window.partitionBy()
+    pa = F.round(
+        (F.col("n_ref") + 1).cast("double")
+        / (F.sum("n_ref").over(wall) + 10),
+        6,
+    )
+    pb = F.round(
+        (F.col("n_cur") + 1).cast("double")
+        / (F.sum("n_cur").over(wall) + 10),
+        6,
+    )
+    terms = counts.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round((pb - pa) * F.log(pb / pa), 6).alias("psi_term"),
+    )
+    return terms.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        "psi_term",
+        F.round(F.sum("psi_term").over(wall), 6).alias("psi_total"),
+    )
+
+
+@register(
+    "agg_mann_whitney",
+    # Mann–Whitney rank-sum test (r9 — the nonparametric A/B twin of
+    # agg_ab_ttest): 'click' vs 'purchase' event values. Everything is
+    # INTEGER-exact: values land on the 6dp lattice, per-value midranks
+    # come from min/max of the exact global rank under (value,
+    # event_id) — 2·midrank = min + max, so no halves — and the
+    # statistics are reported DOUBLED (u1_x2 = 2·R1 − n1(n1+1)) to stay
+    # on integers; u1_x2 + u2_x2 = 2·n1·n2 is the built-in invariant.
+    # Scale: the Spark side ranks with operators/topk.py:global_rank
+    # (bucketed block-prefix — never a single-partition window; the
+    # oracle's plain row_number is the same total order).
+    """
+    WITH pooled AS (
+      SELECT event_id, round(value, 6) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    ranked AS (
+      SELECT v, g1,
+             row_number() OVER (ORDER BY v, event_id) AS rank
+      FROM pooled
+    ),
+    pervalue AS (
+      SELECT v, min(rank) AS lo, max(rank) AS hi,
+             sum(g1) AS n1v, sum(1 - g1) AS n2v
+      FROM ranked GROUP BY v
+    ),
+    tot AS (
+      SELECT CAST(sum(n1v) AS BIGINT) AS n1, CAST(sum(n2v) AS BIGINT) AS n2,
+             CAST(sum(n1v * (lo + hi)) AS BIGINT) AS r1_x2,
+             CAST(sum(n2v * (lo + hi)) AS BIGINT) AS r2_x2
+      FROM pervalue
+    )
+    SELECT n1, n2,
+           CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           CAST(r2_x2 - n2 * (n2 + 1) AS BIGINT) AS u2_x2
+    FROM tot
+    """,
+)
+def agg_mann_whitney(spark, sf_dir):
+    from ..operators.topk import global_rank
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            F.round("value", 6).alias("v"),
+            (F.col("event_type") == "click").cast("int").alias("g1"),
+        )
+    )
+    ranked = global_rank(ev, "v", "event_id")
+    pervalue = ranked.groupBy("v").agg(
+        F.min("rank").alias("lo"),
+        F.max("rank").alias("hi"),
+        F.sum("g1").alias("n1v"),
+        F.sum(1 - F.col("g1")).alias("n2v"),
+    )
+    tot = pervalue.agg(
+        F.sum("n1v").alias("n1"),
+        F.sum("n2v").alias("n2"),
+        F.sum(F.col("n1v") * (F.col("lo") + F.col("hi"))).alias("r1_x2"),
+        F.sum(F.col("n2v") * (F.col("lo") + F.col("hi"))).alias("r2_x2"),
+    )
+    return tot.select(
+        "n1",
+        "n2",
+        (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)).alias("u1_x2"),
+        (F.col("r2_x2") - F.col("n2") * (F.col("n2") + 1)).alias("u2_x2"),
+    )

@@ -948,3 +948,80 @@ def dedup_exactsubstr_chars(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return exactsubstr_chars(docs, "doc_id", "text", k=25, w=8, min_run=26)
+
+
+@register(
+    "dedup_lsh_pr_eval",
+    # LSH band-tuning evaluation (r9 — the measurement every dedup
+    # deployment runs before picking B/R): candidate pairs from the
+    # banded MinHash (B=2, R=4 → S-curve threshold ≈ 0.84) scored
+    # against the EXACT Jaccard ≥ 0.8 truth set (prefix-filter join on
+    # the Spark side — lossless, so the brute-force oracle states the
+    # same contract as dedup_prefix_filter_join). Counts are integers;
+    # precision/recall are single 6dp quotients. Composes two
+    # already-gated operators into the quality metric itself.
+    f"""
+    WITH {_SHINGLES}, {_MINHASH}, {_BANDS},
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.8
+    ),
+    tp AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_tp
+      FROM truth t JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+    ),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+    nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand)
+    SELECT n_truth, n_cand, n_tp,
+           round(CAST(n_tp AS DOUBLE) / n_cand, 6) AS precision,
+           round(CAST(n_tp AS DOUBLE) / n_truth, 6) AS recall
+    FROM nt, nc, tp
+    """,
+)
+def dedup_lsh_pr_eval(spark, sf_dir):
+    from ..operators.dedup import prefix_filter_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = word_shingles(docs, "doc_id", "text", k=3, distinct=True).select(
+        "id", F.col("shingle").alias("token")
+    )
+    truth = prefix_filter_pairs(tokens, threshold=0.8).select("id_a", "id_b")
+    sh = word_shingles(docs, "doc_id", "text", k=3, distinct=False)
+    cand = lsh_candidate_pairs(
+        minhash_signatures(sh, n_hashes=8), n_bands=2, rows_per_band=4
+    ).select("id_a", "id_b")
+    tp = truth.join(cand.hint("merge"), ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_tp")
+    )
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(tp))
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_tp",
+            F.round(F.col("n_tp").cast("double") / F.col("n_cand"), 6).alias(
+                "precision"
+            ),
+            F.round(F.col("n_tp").cast("double") / F.col("n_truth"), 6).alias(
+                "recall"
+            ),
+        )
+    )

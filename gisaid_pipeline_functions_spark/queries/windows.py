@@ -1342,3 +1342,107 @@ def ts_holt_linear(spark, sf_dir):
             F.round(F.col("r.l") + F.col("r.b"), 6).alias("forecast_next"),
         )
     )
+
+
+@register(
+    "ts_stl_decompose",
+    # Additive seasonal-trend decomposition (r9 — the classical
+    # moving-average STL a monitoring pipeline runs before anomaly
+    # thresholds): per event type over daily counts, trend = 7-day
+    # CENTERED mean (only where the full window exists), seasonal =
+    # day-of-week mean of the detrended series, residual = the rest.
+    # The trend (÷7, non-terminating decimal, provably >1e-9 from any
+    # 1e-7 midpoint) rounds safely, but the seasonal mean divides by the
+    # dow COUNT (~4) whose quarters land EXACTLY on .5-micro midpoints
+    # where the engines' round() disagree (the r9 holt lesson) — so it
+    # uses the KN integer half-up division on the 1e-6 lattice,
+    # offset-shifted positive (Spark `div` truncates toward zero, DuckDB
+    # `//` floors; they agree only for non-negative numerators). Day-of-week is epoch-arithmetic
+    # ((day − 1970-01-01) % 7) on BOTH engines — Spark dayofweek() is
+    # 1-Sunday while DuckDB's is 0-Sunday (the recorded parity trap).
+    """
+    WITH daily AS (
+      SELECT event_type AS key, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT key, day, y,
+             CASE WHEN count(*) OVER w7 = 7
+                  THEN round(avg(CAST(y AS DOUBLE)) OVER w7, 6) END AS trend
+      FROM daily
+      WINDOW w7 AS (PARTITION BY key ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT key, day, y, trend,
+             CAST((day - DATE '1970-01-01') % 7 AS BIGINT) AS dow,
+             round(y - trend, 6) AS detr,
+             CAST(floor((y - trend) * 1000000.0 + 0.5) AS BIGINT) AS detr_u
+      FROM tr
+    ),
+    seas AS (
+      SELECT key, dow,
+             ((2 * sum(detr_u + 1000000000) + count(*))
+              // (2 * count(*)) - 1000000000) AS seas_u
+      FROM det WHERE detr IS NOT NULL GROUP BY key, dow
+    )
+    SELECT d.key, d.day, d.y, d.trend,
+           CAST(s.seas_u AS DOUBLE) / 1000000.0 AS seasonal,
+           round(d.detr - CAST(s.seas_u AS DOUBLE) / 1000000.0, 6)
+             AS residual
+    FROM det d JOIN seas s ON d.key = s.key AND d.dow = s.dow
+    """,
+)
+def ts_stl_decompose(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("key"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w7 = Window.partitionBy("key").orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "key",
+        "day",
+        "y",
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7,
+            F.round(F.avg(F.col("y").cast("double")).over(w7), 6),
+        ).alias("trend"),
+    )
+    det = tr.select(
+        "key",
+        "day",
+        "y",
+        "trend",
+        (F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % 7)
+        .cast("long")
+        .alias("dow"),
+        F.round(F.col("y") - F.col("trend"), 6).alias("detr"),
+        F.floor((F.col("y") - F.col("trend")) * 1000000.0 + 0.5)
+        .cast("long")
+        .alias("detr_u"),
+    )
+    seas = (
+        det.filter(F.col("detr").isNotNull())
+        .groupBy("key", "dow")
+        .agg(
+            F.sum(F.col("detr_u") + 1000000000).alias("s_off"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "key",
+            "dow",
+            (
+                F.expr("(2 * s_off + n) div (2 * n)") - F.lit(1000000000)
+            ).alias("seas_u"),
+        )
+    )
+    seasonal = F.col("seas_u").cast("double") / 1000000.0
+    return det.join(seas, ["key", "dow"]).select(
+        "key",
+        "day",
+        "y",
+        "trend",
+        seasonal.alias("seasonal"),
+        F.round(F.col("detr") - seasonal, 6).alias("residual"),
+    )
