@@ -1759,3 +1759,220 @@ def span_corruption(
             ),
         )
     )
+
+
+def unigram_lm_em(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    min_count: int = 2,
+    rounds: int = 2,
+) -> DataFrame:
+    """SentencePiece-style unigram language-model tokenizer training
+    (Kudo, ACL 2018) — the EM alternative to :func:`bpe_learn`: seed a
+    substring vocabulary, then alternate Viterbi-best segmentation of
+    every word (E-step) with piece-probability re-estimation from the
+    segment counts (M-step).
+
+    Determinism/parity: piece log-probs live on an INTEGER micro
+    lattice (ll_u = half-up(ln((cnt+1)/(total+V))·10⁶), Laplace over
+    the fixed seed vocab so M-step zeros stay finite), which makes
+    every Viterbi path score an EXACT BIGINT sum — the DP argmax
+    compares integers with the (score desc, start asc) tie-break
+    encoded as one comparable key, so segmentations can never drift
+    between engines; the oracle replays both EM rounds position by
+    position with unrolled DP CTEs.
+
+    Scale shape (why this is the 100 TB tokenizer-training plan):
+    - Everything after the first explode is VOCABULARY-sized, not
+      corpus-sized: word frequencies are one map-side-partial groupBy
+      over the corpus; the E-step DP runs per DISTINCT word (a fold
+      over ≤ |word| positions with ≤ max_piece_len·|word| candidate
+      pieces — interpreted HOF over short arrays), and the M-step is a
+      groupBy over path pieces weighted by word frequency.
+    - The piece-lookup join (word substrings × current vocab) is
+      merge-hinted on both sides — vocabulary and substring tables both
+      grow with the corpus (Heaps' law), the r6 estimate rule.
+    - Per-round model state (the vocab ll table) is vocab-sized and
+      feeds two consumers (next E-step join + the output), so it is
+      localCheckpoint-ed per round (the r7 iterative-state rule).
+    Candidate-vocab PRUNING (drop pieces whose EM count stays 0 and
+    re-normalize, SentencePiece's shrinking schedule) is the documented
+    next step for open-vocabulary corpora; the fixed-seed-vocab EM here
+    is the complete inner loop it wraps.
+    """
+    wf = (
+        docs.select(F.explode(words(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    L = max_piece_len
+    # seed vocabulary: every substring (s, e) of every distinct word,
+    # length <= L, weighted by word frequency with multiplicity
+    subs = wf.select(
+        "word",
+        "freq",
+        F.explode(
+            F.sequence(F.lit(0), F.length("word") - 1)
+        ).alias("s"),
+    ).select(
+        "word",
+        "freq",
+        "s",
+        F.explode(
+            F.sequence(
+                F.col("s") + 1,
+                F.least(F.col("s") + L, F.length("word")),
+            )
+        ).alias("e"),
+    ).select(
+        F.expr("substr(word, s + 1, e - s)").alias("piece"), "freq"
+    )
+    vocab = (
+        subs.groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+        .filter(
+            (F.col("cnt") >= min_count) | (F.length("piece") == 1)
+        )
+        .localCheckpoint(eager=True)
+    )
+    vtot = vocab.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("cnt").alias("total")
+    )
+
+    def llu(cnt_col, total_col, v_col):
+        return F.floor(
+            F.log(
+                (cnt_col + 1).cast("double") / (total_col + v_col).cast("double")
+            )
+            * 1000000.0
+            + 0.5
+        ).cast("long")
+
+    model = vocab.crossJoin(F.broadcast(vtot)).select(
+        "piece", llu(F.col("cnt"), F.col("total"), F.col("v")).alias("ll_u")
+    ).localCheckpoint(eager=True)
+
+    acc_type = (
+        "array<struct<su:bigint,path:array<struct<s:int,e:int>>>>"
+    )
+    counts = None
+    for _ in range(rounds):
+        # E-step: per distinct word, collect candidate pieces with their
+        # current scores, then Viterbi via an integer-score fold
+        cand = (
+            wf.select(
+                "word",
+                "freq",
+                F.explode(F.sequence(F.lit(0), F.length("word") - 1)).alias(
+                    "s"
+                ),
+            )
+            .select(
+                "word",
+                "freq",
+                "s",
+                F.explode(
+                    F.sequence(
+                        F.col("s") + 1,
+                        F.least(F.col("s") + L, F.length("word")),
+                    )
+                ).alias("e"),
+            )
+            .select(
+                "word",
+                "freq",
+                F.col("s").cast("int").alias("s"),
+                F.col("e").cast("int").alias("e"),
+                F.expr("substr(word, s + 1, e - s)").alias("piece"),
+            )
+            .join(model.hint("merge"), "piece")
+            .groupBy("word", "freq")
+            .agg(
+                F.collect_list(F.struct("s", "e", "ll_u")).alias("pieces")
+            )
+        )
+        init = F.array(
+            F.struct(
+                F.lit(0).cast("bigint").alias("su"),
+                F.array().cast("array<struct<s:int,e:int>>").alias("path"),
+            )
+        ).cast(acc_type)
+
+        def step(acc, j):
+            cs = F.filter(
+                F.col("pieces"), lambda p: p["e"] == j.cast("int")
+            )
+            scored = F.transform(
+                cs,
+                lambda p: F.struct(
+                    (
+                        F.element_at(acc, p["s"] + 1)["su"] + p["ll_u"]
+                    ).alias("su"),
+                    p["s"].alias("s"),
+                    p["e"].alias("e"),
+                ),
+            )
+            keys = F.transform(
+                scored,
+                lambda c: c["su"] * 128 + (127 - c["s"].cast("bigint")),
+            )
+            bk = F.array_max(keys)
+            best = F.element_at(
+                F.filter(
+                    scored,
+                    lambda c: (c["su"] * 128 + (127 - c["s"].cast("bigint")))
+                    == bk,
+                ),
+                1,
+            )
+            entry = F.struct(
+                best["su"].alias("su"),
+                F.concat(
+                    F.element_at(acc, best["s"] + 1)["path"],
+                    F.array(F.struct(best["s"].alias("s"), best["e"].alias("e"))),
+                ).alias("path"),
+            )
+            return F.concat(acc, F.array(entry))
+
+        folded = F.aggregate(
+            F.sequence(F.lit(1), F.length("word")), init, step
+        )
+        segs = cand.select(
+            "word",
+            "freq",
+            F.explode(
+                F.element_at(folded, F.length("word") + 1)["path"]
+            ).alias("pc"),
+        ).select(
+            F.expr("substr(word, pc.s + 1, pc.e - pc.s)").alias("piece"),
+            "freq",
+        )
+        counts = segs.groupBy("piece").agg(F.sum("freq").alias("cnt"))
+        # M-step: Laplace re-estimate over the FIXED seed vocab
+        joined = (
+            vocab.select("piece")
+            .join(counts.hint("merge"), "piece", "left")
+            .select(
+                "piece", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+            )
+        )
+        tot = joined.agg(
+            F.count(F.lit(1)).alias("v"), F.sum("cnt").alias("total")
+        )
+        model = (
+            joined.crossJoin(F.broadcast(tot))
+            .select(
+                "piece",
+                "cnt",
+                llu(F.col("cnt"), F.col("total"), F.col("v")).alias("ll_u"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return model.select(
+        "piece",
+        F.col("cnt").cast("long").alias("n_count"),
+        (F.col("ll_u").cast("double") / 1000000.0).alias("ll"),
+    )

@@ -1431,3 +1431,130 @@ def text_span_corruption(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return span_corruption(docs, span_words=3, mask_rate_16ths=4)
+
+
+def _unigram_em_oracle(
+    L: int = 4, min_count: int = 2, rounds: int = 2, maxj: int = 16
+) -> str:
+    """Unrolled-DP replay of operators/text.py:unigram_lm_em — the seed
+    vocabulary, then per EM round the Viterbi DP position by position
+    (dp{r}_{j} joins the previous L position tables; the argmax is the
+    same integer (score desc, start asc) order) and the Laplace M-step.
+    ``maxj`` bounds word length (corpus max is 8; longer words would
+    need a wider unroll, asserted by the final-position join)."""
+    subs_q = (
+        "SELECT w.word, w.freq, CAST(t.s AS INT) AS s, "
+        "CAST(t.s + u.l AS INT) AS e, "
+        "substr(w.word, CAST(t.s + 1 AS INT), CAST(u.l AS INT)) AS piece "
+        "FROM wf w, LATERAL unnest(range(0, length(w.word))) t(s), "
+        f"LATERAL unnest(range(1, {L + 1})) u(l) "
+        "WHERE t.s + u.l <= length(w.word)"
+    )
+    llu = (
+        "CAST(floor(ln(CAST(cnt + 1 AS DOUBLE) / (total + v)) "
+        "* 1000000.0 + 0.5) AS BIGINT)"
+    )
+    parts = [
+        f"""wf AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                      x -> length(x) > 0)) AS word
+            FROM documents)
+      GROUP BY word
+    ),
+    subs AS MATERIALIZED ({subs_q}),
+    vocab AS MATERIALIZED (
+      SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM subs GROUP BY piece
+      HAVING sum(freq) >= {min_count} OR length(piece) = 1
+    ),
+    vt0 AS (SELECT CAST(count(*) AS BIGINT) AS v,
+                   CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+    m0 AS MATERIALIZED (
+      SELECT piece, {llu} AS ll_u FROM vocab CROSS JOIN vt0
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""cand{r} AS MATERIALIZED (
+      SELECT q.word, q.freq, q.s, q.e, m.ll_u
+      FROM ({subs_q.replace('wf w', 'wf w')}) q
+      JOIN m{r - 1} m ON m.piece = q.piece
+    ),
+    dp{r}_0 AS MATERIALIZED (
+      SELECT word, CAST(0 AS INT) AS pos, CAST(0 AS BIGINT) AS su,
+             CAST([] AS STRUCT(s INT, e INT)[]) AS path
+      FROM wf
+    )"""
+        )
+        for j in range(1, maxj + 1):
+            prevs = " UNION ALL ".join(
+                f"SELECT * FROM dp{r}_{i}"
+                for i in range(max(0, j - L), j)
+            )
+            parts.append(
+                f"""dp{r}_{j} AS MATERIALIZED (
+      SELECT word, CAST({j} AS INT) AS pos, su, path FROM (
+        SELECT c.word, p.su + c.ll_u AS su,
+               list_append(p.path, {{'s': c.s, 'e': c.e}}) AS path,
+               row_number() OVER (PARTITION BY c.word
+                                  ORDER BY p.su + c.ll_u DESC, c.s ASC)
+                 AS rn
+        FROM cand{r} c
+        JOIN ({prevs}) p ON p.word = c.word AND p.pos = c.s
+        WHERE c.e = {j}
+      ) WHERE rn = 1
+    )"""
+            )
+        alldp = " UNION ALL ".join(
+            f"SELECT * FROM dp{r}_{j}" for j in range(1, maxj + 1)
+        )
+        parts.append(
+            f"""final{r} AS MATERIALIZED (
+      SELECT w.word, w.freq, d.path
+      FROM wf w JOIN ({alldp}) d
+        ON d.word = w.word AND d.pos = length(w.word)
+    ),
+    segs{r} AS (
+      SELECT substr(f.word, CAST(t.pc.s + 1 AS INT),
+                    CAST(t.pc.e - t.pc.s AS INT)) AS piece, f.freq
+      FROM final{r} f, LATERAL unnest(f.path) t(pc)
+    ),
+    cnt{r} AS MATERIALIZED (
+      SELECT v.piece, CAST(coalesce(sum(s.freq), 0) AS BIGINT) AS cnt
+      FROM vocab v LEFT JOIN segs{r} s ON s.piece = v.piece
+      GROUP BY v.piece
+    ),
+    vt{r} AS (SELECT CAST(count(*) AS BIGINT) AS v,
+                     CAST(sum(cnt) AS BIGINT) AS total FROM cnt{r}),
+    m{r} AS MATERIALIZED (
+      SELECT piece, cnt, {llu} AS ll_u FROM cnt{r} CROSS JOIN vt{r}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT piece, cnt AS n_count,
+           CAST(ll_u AS DOUBLE) / 1000000.0 AS ll
+    FROM m{rounds}"""
+    )
+
+
+@register(
+    "train_unigram_lm_em",
+    # SentencePiece unigram-LM tokenizer training (Kudo 2018; r9;
+    # operators/text.py unigram_lm_em): substring seed vocab (len <= 4,
+    # count >= 2 or single char), then 2 EM rounds of Viterbi-best
+    # segmentation (integer micro-lattice path scores, (score desc,
+    # start asc) argmax) + Laplace re-estimation over the fixed vocab.
+    # The oracle replays BOTH rounds with position-unrolled DP CTEs —
+    # the EM twin of the BPE merge-replay convention, and everything
+    # after the first explode is vocabulary-sized.
+    _unigram_em_oracle(),
+)
+def train_unigram_lm_em(spark, sf_dir):
+    from ..operators.text import unigram_lm_em
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_lm_em(docs)

@@ -336,6 +336,17 @@ def main() -> None:
     t1 = timed(lambda d: naive_bayes_confusion(d), docs1_tag)
     tn = timed(lambda d: naive_bayes_confusion(d), docsN_tag)
     print(f"{'naive_bayes':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (disjoint-vocab copies)")
+
+    # r9: unigram-LM EM on disjoint-vocab copies — the word table, seed
+    # vocabulary, candidate join and DP all grow Nx (the corpus-sized
+    # stage is only the word-frequency scan)
+    from gisaid_pipeline_functions_spark.operators.text import (
+        unigram_lm_em,
+    )
+
+    t1 = timed(lambda d: unigram_lm_em(d), docs1_tag)
+    tn = timed(lambda d: unigram_lm_em(d), docsN_tag)
+    print(f"{'unigram_lm_em':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (disjoint-vocab copies)")
     for name, fn in (
         ("span_corruption", lambda d: span_corruption(d)),
         ("wav_energy_windows",
