@@ -77,6 +77,10 @@ EXTENDED = [
     "sample_dsir",
     "sim_semdedup",
     "multimodal_decode_dims",
+    # r9 representatives (non-contract, same protocol): the EM tokenizer
+    # (~3.5 s sf0.1 idle) and the spread-fold ExactSubstr (~8.8 s)
+    "train_unigram_lm_em",
+    "dedup_exactsubstr_chars",
 ]
 
 # Idle-machine anchor for the self-normalizing `calibrated_value` field

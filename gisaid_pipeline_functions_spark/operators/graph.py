@@ -476,7 +476,15 @@ def hits(edges: DataFrame, iterations: int = 4) -> DataFrame:
     h = h.localCheckpoint(eager=True)
 
     def _normed(state: DataFrame, role: str) -> DataFrame:
-        nrm = state.agg(F.sum("score").alias("nrm"))
+        # the norm SUMS the per-vertex scores, so it overflows BIGINT a
+        # vertex-count factor before the scores themselves do (caught by
+        # the 10x growing-hub probe: 40 hubs x 3.9e17 > 2^63) — sum in
+        # DECIMAL(38,0) (exact; DuckDB's sum(BIGINT) is HUGEINT) and
+        # take the quotient in double (deterministic IEEE rounding of
+        # the same exact integers on both engines)
+        nrm = state.agg(
+            F.sum(F.col("score").cast("decimal(38,0)")).alias("nrm")
+        )
         return state.crossJoin(F.broadcast(nrm)).select(
             "vertex",
             F.lit(role).alias("role"),

@@ -767,8 +767,8 @@ _HITS_ITERS = 4
     "WITH "
     + _hits_ctes(_HITS_ITERS)
     + f""",
-    an AS (SELECT CAST(sum(score) AS BIGINT) AS nrm FROM a{_HITS_ITERS}),
-    hn AS (SELECT CAST(sum(score) AS BIGINT) AS nrm FROM h{_HITS_ITERS})
+    an AS (SELECT sum(score) AS nrm FROM a{_HITS_ITERS}),
+    hn AS (SELECT sum(score) AS nrm FROM h{_HITS_ITERS})
     SELECT vertex, 'hub' AS role,
            round(CAST(score AS DOUBLE) / CAST(nrm AS DOUBLE), 6) AS score
     FROM h{_HITS_ITERS} CROSS JOIN hn

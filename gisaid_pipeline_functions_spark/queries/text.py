@@ -1558,3 +1558,91 @@ def train_unigram_lm_em(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_lm_em(docs)
+
+
+@register(
+    "text_calibration_curve",
+    # Reliability diagram for the learned quality classifier (r9 — the
+    # calibration eval every production filter ships with): the
+    # classifier_score chain, then 8 equal-width score bins between the
+    # corpus min/max (bin edges are a broadcast 1-row aggregate; the
+    # bin index is floor arithmetic on identical doubles — no
+    # round-half anywhere), per bin the doc count, weak-positive count,
+    # and the mean score / positive rate both via the KN integer
+    # half-up division on the 1e-6 lattice (quotients like 1/128 land
+    # exactly on .5e-7 midpoints — the r9 round() divergence class).
+    _CLASSIFIER_ORACLE.replace(
+        """    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, label_weak,
+           round(bias + mw, 6) AS score, (bias + mw) > 0 AS pred
+    FROM scored CROSS JOIN nb
+    """,
+        """,
+    sc AS (
+      SELECT doc_id, label_weak, round(bias + mw, 6) AS score
+      FROM scored CROSS JOIN nb
+    ),
+    edges AS (SELECT min(score) AS mn, max(score) AS mx FROM sc),
+    binned AS (
+      SELECT least(CAST(floor((score - mn) * 8.0 / (mx - mn)) AS BIGINT),
+                   7) AS bin,
+             label_weak,
+             CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS s_u
+      FROM sc CROSS JOIN edges
+    ),
+    agg AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN label_weak THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+             CAST(sum(s_u + 1000000000) AS BIGINT) AS s_off
+      FROM binned GROUP BY bin
+    )
+    SELECT bin, n_docs, n_pos,
+           CAST((2 * s_off + n_docs) // (2 * n_docs) - 1000000000
+                AS DOUBLE) / 1000000.0 AS mean_score,
+           CAST((2 * n_pos * 1000000 + n_docs) // (2 * n_docs)
+                AS DOUBLE) / 1000000.0 AS pos_rate
+    FROM agg
+    """,
+    ),
+)
+def text_calibration_curve(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.text import classifier_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    sc = classifier_score(docs).select("doc_id", "label_weak", "score")
+    edges = sc.agg(F.min("score").alias("mn"), F.max("score").alias("mx"))
+    binned = sc.crossJoin(F.broadcast(edges)).select(
+        F.least(
+            F.floor(
+                (F.col("score") - F.col("mn")) * 8.0
+                / (F.col("mx") - F.col("mn"))
+            ).cast("long"),
+            F.lit(7).cast("long"),
+        ).alias("bin"),
+        "label_weak",
+        F.floor(F.col("score") * 1000000.0 + 0.5).cast("long").alias("s_u"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("label_weak").cast("long")).alias("n_pos"),
+        F.sum(F.col("s_u") + 1000000000).alias("s_off"),
+    )
+    return agg.select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        (
+            (
+                F.expr("(2 * s_off + n_docs) div (2 * n_docs)")
+                - F.lit(1000000000)
+            ).cast("double")
+            / 1000000.0
+        ).alias("mean_score"),
+        (
+            F.expr("(2 * n_pos * 1000000 + n_docs) div (2 * n_docs)")
+            .cast("double")
+            / 1000000.0
+        ).alias("pos_rate"),
+    )

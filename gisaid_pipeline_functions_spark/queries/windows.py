@@ -1446,3 +1446,77 @@ def ts_stl_decompose(spark, sf_dir):
         seasonal.alias("seasonal"),
         F.round(F.col("detr") - seasonal, 6).alias("residual"),
     )
+
+
+@register(
+    "ts_theil_sen_trend",
+    # Theil–Sen robust trend estimator per event type (r9 — the
+    # outlier-proof slope a monitoring pipeline prefers over OLS): all
+    # day-pair slopes of the daily count series, lower median under the
+    # (slope, d1, d2) total order. Slopes are integer/integer doubles
+    # (day deltas <= series length, so no terminating expansion reaches
+    # the 7th decimal — round(…, 6) is midpoint-free by construction);
+    # the pair join is per-key over AGGREGATE-sized series (days, not
+    # events), the same scale class as the smoothing folds.
+    """
+    WITH daily AS (
+      SELECT event_type AS key, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.key, a.day AS d1, b.day AS d2,
+             round(CAST(b.y - a.y AS DOUBLE) / (b.day - a.day), 6)
+               AS slope
+      FROM daily a JOIN daily b
+        ON a.key = b.key AND a.day < b.day
+    ),
+    ranked AS (
+      SELECT key, slope,
+             row_number() OVER (PARTITION BY key
+                                ORDER BY slope, d1, d2) AS rn,
+             count(*) OVER (PARTITION BY key) AS n
+      FROM pairs
+    )
+    SELECT key, CAST(n AS BIGINT) AS n_pairs, slope AS theil_sen_slope
+    FROM ranked
+    WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+    """,
+)
+def ts_theil_sen_trend(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("key"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    a = daily.select("key", F.col("day").alias("d1"), F.col("y").alias("y1"))
+    b = daily.select(
+        F.col("key").alias("kb"), F.col("day").alias("d2"), F.col("y").alias("y2")
+    )
+    pairs = (
+        a.join(b, (a["key"] == b["kb"]) & (a["d1"] < b["d2"]))
+        .select(
+            "key",
+            "d1",
+            "d2",
+            F.round(
+                (F.col("y2") - F.col("y1")).cast("double")
+                / F.datediff(F.col("d2"), F.col("d1")),
+                6,
+            ).alias("slope"),
+        )
+    )
+    wr = Window.partitionBy("key").orderBy("slope", "d1", "d2")
+    wn = Window.partitionBy("key")
+    ranked = pairs.select(
+        "key",
+        "slope",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.ceil(F.col("n") / 2.0).cast("long")
+    ).select(
+        "key",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.col("slope").alias("theil_sen_slope"),
+    )
