@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.tables import load_table
+from .aggregates import _PSI_ORACLE
 
 
 @register(
@@ -530,4 +531,88 @@ def streaming_topk_hash(spark, sf_dir):
             F.round(F.col("sv_u") / 1000000.0, 6).alias("total_value"),
             "rk",
         )
+    )
+
+
+@register(
+    "streaming_psi_hash",
+    # Streaming twin of profile_psi_drift (r9 — the live drift monitor
+    # a model-serving fleet actually runs): the decile cut vector is
+    # PINNED from the batch reference window before the stream starts
+    # (the classifier/time-decay model-pinning convention — per-batch
+    # cuts would re-anchor every micro-batch), bucket + window tags are
+    # map-side in the stream, and a complete-mode aggregation maintains
+    # the per-bucket (n_ref, n_cur) counters — two longs per bucket of
+    # state. The PSI shares/terms/total are computed ON READ over the
+    # 10-row materialized state (rank-at-query-time, the
+    # streaming_topk_hash convention). Must hash-match the batch PSI
+    # oracle exactly.
+    _PSI_ORACLE,
+)
+def streaming_psi_hash(spark, sf_dir):
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..streaming.source import stream_events
+    from ..streaming.weekly import run_stream_to_memory
+
+    ev = load_table(spark, sf_dir, "events")
+    split_ts = F.lit("2024-01-16").cast("timestamp")
+    cuts_row = (
+        ev.filter(F.col("ts") < split_ts)
+        .agg(
+            *[
+                F.round(F.percentile("value", F.lit(x / 10.0)), 6).alias(
+                    f"c{x}"
+                )
+                for x in range(1, 10)
+            ]
+        )
+        .collect()[0]
+    )
+    bucket = sum(
+        (F.round(F.col("value"), 6) > F.lit(float(cuts_row[f"c{x}"]))).cast(
+            "int"
+        )
+        for x in range(1, 10)
+    ).cast("long")
+    counters = (
+        stream_events(spark, sf_dir)
+        .select(
+            bucket.alias("bucket"),
+            (F.col("ts") < split_ts).cast("int").alias("is_ref"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_ref").alias("n_ref"),
+            F.sum(1 - F.col("is_ref")).alias("n_cur"),
+        )
+    )
+    state = run_stream_to_memory(
+        spark, counters, "psi_stream_drv_" + uuid.uuid4().hex[:8]
+    )
+    wall = Window.partitionBy()
+    pa = F.round(
+        (F.col("n_ref") + 1).cast("double")
+        / (F.sum("n_ref").over(wall) + 10),
+        6,
+    )
+    pb = F.round(
+        (F.col("n_cur") + 1).cast("double")
+        / (F.sum("n_cur").over(wall) + 10),
+        6,
+    )
+    terms = state.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round((pb - pa) * F.log(pb / pa), 6).alias("psi_term"),
+    )
+    return terms.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        "psi_term",
+        F.round(F.sum("psi_term").over(wall), 6).alias("psi_total"),
     )

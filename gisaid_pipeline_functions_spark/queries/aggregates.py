@@ -1123,18 +1123,12 @@ def agg_poisson_bootstrap_ci(spark, sf_dir):
     )
 
 
-@register(
-    "profile_psi_drift",
-    # Population Stability Index drift monitor (r9 — THE production
-    # feature-drift metric): decile cut points from the REFERENCE
-    # window (first 15 days, exact interpolated percentiles — the
-    # agg_exact_percentiles parity pair — rounded 6), add-one-smoothed
-    # shares over the 10 buckets on both windows, per-bucket
-    # contribution (pB − pA)·ln(pB/pA) with EXPLICIT ln, shares rounded
-    # 6 BEFORE the ln so both engines take the log of the identical
-    # double. The 1-row cut vector broadcasts; counts are one grouped
-    # pass; the psi total is a constant-10-row window.
-    """
+
+
+# Shared by profile_psi_drift and its streaming twin
+# (queries/advanced.py streaming_psi_hash): both must reproduce this
+# exact PSI table.
+_PSI_ORACLE = """
     WITH ref AS (SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-16'),
     cuts AS (
       SELECT round(quantile_cont(value, 0.1), 6) AS c1, round(quantile_cont(value, 0.2), 6) AS c2, round(quantile_cont(value, 0.3), 6) AS c3, round(quantile_cont(value, 0.4), 6) AS c4, round(quantile_cont(value, 0.5), 6) AS c5, round(quantile_cont(value, 0.6), 6) AS c6, round(quantile_cont(value, 0.7), 6) AS c7, round(quantile_cont(value, 0.8), 6) AS c8, round(quantile_cont(value, 0.9), 6) AS c9
@@ -1168,7 +1162,21 @@ def agg_poisson_bootstrap_ci(spark, sf_dir):
     SELECT bucket, n_ref, n_cur, psi_term,
            round(sum(psi_term) OVER (), 6) AS psi_total
     FROM terms
-    """,
+    """
+
+
+@register(
+    "profile_psi_drift",
+    # Population Stability Index drift monitor (r9 — THE production
+    # feature-drift metric): decile cut points from the REFERENCE
+    # window (first 15 days, exact interpolated percentiles — the
+    # agg_exact_percentiles parity pair — rounded 6), add-one-smoothed
+    # shares over the 10 buckets on both windows, per-bucket
+    # contribution (pB − pA)·ln(pB/pA) with EXPLICIT ln, shares rounded
+    # 6 BEFORE the ln so both engines take the log of the identical
+    # double. The 1-row cut vector broadcasts; counts are one grouped
+    # pass; the psi total is a constant-10-row window.
+    _PSI_ORACLE,
 )
 def profile_psi_drift(spark, sf_dir):
     from pyspark.sql import Window

@@ -1520,3 +1520,62 @@ def ts_theil_sen_trend(spark, sf_dir):
         F.col("n").cast("long").alias("n_pairs"),
         F.col("slope").alias("theil_sen_slope"),
     )
+
+
+@register(
+    "window_mad_anomaly",
+    # Median-absolute-deviation outliers per event type (r9 — the
+    # robust twin of window_zscore_anomaly; MAD ignores the outliers
+    # that inflate a stddev): med = exact interpolated median (rounded
+    # 6, broadcast), mad = exact median of |value − med| (rounded 6),
+    # flag rows with round(|value − med|, 6) > 3·mad. Two grouped
+    # passes + one broadcast join per stats row; deterministic because
+    # every compared quantity is a lattice double identical on both
+    # engines.
+    """
+    WITH med AS (
+      SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             round(abs(e.value - m.med), 6) AS adev
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, round(d.value, 6) AS value,
+           d.adev, m.mad
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    WHERE d.adev > 3 * m.mad
+    """,
+)
+def window_mad_anomaly(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    med = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.abs(F.col("value") - F.col("med")), 6).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("adev", F.lit(0.5)), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > 3 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            "adev",
+            "mad",
+        )
+    )
