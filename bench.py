@@ -141,7 +141,18 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in HEADLINE:
         # min of two runs: single-machine GC/scheduling noise is ±2s+,
-        # and the plan/codegen caches reflect steady-state cluster behavior
+        # and the plan/codegen caches reflect steady-state cluster
+        # behavior. The 21 contract queries time the WRITE ONLY (the
+        # r1-comparable semantics): all are lazy-built pure DataFrame
+        # compositions, so nothing executes at build beyond analysis +
+        # parquet-footer reads (~0.27 s/query, measured r9 — counting it
+        # would add ~5.7 s of non-execution time and break the
+        # cross-round contract series). Queries with EAGER build work
+        # (training checkpoints, literal-pinning collects) are exactly
+        # why the EXTENDED section below times build+write instead —
+        # write-only on those masks their real cost (the r7
+        # count()-pruning class: train_unigram_lm_em 0.02 s write-only
+        # vs ~2 s end-to-end).
         best = float("inf")
         for _ in range(2):
             df = qs[name](spark, sf_dir)
@@ -150,15 +161,16 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
 
-    # extended (non-contract) section: same min-of-2 noop-sink protocol;
-    # caches dropped between queries because several of these persist()
-    # intermediates they can't safely unpersist (see tools/sweep.py)
+    # extended (non-contract) section: min-of-2, BUILD+write timed (r9 —
+    # several of these do their real work eagerly at build; see the
+    # headline comment); caches dropped between queries because several
+    # persist() intermediates they can't safely unpersist (sweep.py)
     ext_times: dict[str, float] = {}
     for name in EXTENDED:
         best = float("inf")
         for _ in range(2):
-            df = qs[name](spark, sf_dir)
             t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         ext_times[name] = round(best, 3)
