@@ -1080,6 +1080,7 @@ def dsir_resample(
     text_col: str = "text",
     n_buckets: int = 1024,
     k: int = 100,
+    scores_only: bool = False,
 ) -> DataFrame:
     """DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
     NeurIPS; the standard targeted data-selection stage between quality
@@ -1174,6 +1175,13 @@ def dsir_resample(
             F.round(F.sum("lam"), 6).alias("logw"),
         )
     )
+    if scores_only:
+        # the pre-Gumbel importance-weight frame (doc_id, n_grams,
+        # logw) — consumed by the r9 ESS diagnostic, which needs the
+        # WEIGHTS, not the draw
+        return scored.select(
+            F.col("id").alias("doc_id"), "n_grams", "logw"
+        )
     u = (hex_uniform_u32(F.col("id")) + F.lit(0.5)) / F.lit(float(2**32))
     g6 = F.round(-F.log(-F.log(u)), 6)
     return (

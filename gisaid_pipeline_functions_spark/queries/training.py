@@ -642,17 +642,11 @@ def sample_quality_bernoulli(spark, sf_dir):
     )
 
 
-@register(
-    "sample_dsir",
-    # DSIR importance resampling (Xie et al. 2023; operators/text.py
-    # dsir_resample — VERDICT r6 next-round #5): hashed unigram+bigram
-    # bucket counts give target-vs-raw log-likelihood-ratio weights
-    # (6dp lattice), Gumbel top-k over logw + md5-lattice noise = a
-    # deterministic without-replacement draw ∝ importance weight. The
-    # oracle replays feature hashing, both models, the λ table, per-doc
-    # sums, the Gumbel keys, and the top-100 cut — drift anywhere
-    # hash-fails.
-    f"""
+
+# DSIR importance-weight chain (features -> bucket counts -> lambda
+# table -> per-doc logw), shared by sample_dsir and the r9 ESS
+# diagnostic so the weight model can never drift between them.
+_DSIR_LOGW_CTES = """
     WITH base AS (
       SELECT doc_id,
              list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
@@ -693,6 +687,22 @@ def sample_quality_bernoulli(spark, sf_dir):
              round(sum(lam), 6) AS logw
       FROM bk JOIN lam USING (b) GROUP BY doc_id
     )
+"""
+
+
+@register(
+    "sample_dsir",
+    # DSIR importance resampling (Xie et al. 2023; operators/text.py
+    # dsir_resample — VERDICT r6 next-round #5): hashed unigram+bigram
+    # bucket counts give target-vs-raw log-likelihood-ratio weights
+    # (6dp lattice), Gumbel top-k over logw + md5-lattice noise = a
+    # deterministic without-replacement draw ∝ importance weight. The
+    # oracle replays feature hashing, both models, the λ table, per-doc
+    # sums, the Gumbel keys, and the top-100 cut — drift anywhere
+    # hash-fails.
+    "WITH "
+    + _DSIR_LOGW_CTES.strip().removeprefix("WITH ")
+    + f"""
     SELECT doc_id, n_grams, logw,
            round(logw + round(-ln(-ln(({_U32_SQL} + 0.5) / 4294967296.0)),
                               6), 6) AS gumbel_key
@@ -927,3 +937,63 @@ def train_linreg_normal_eq(spark, sf_dir):
         F.size(words(F.col("text"))).alias("n_words"),
     )
     return linreg_normal_eq(docs, y_col="n_chars", x_col="n_words", group_col="lang")
+
+
+@register(
+    "sample_ess_diagnostic",
+    # Effective sample size of the DSIR importance weights (r9 — the
+    # go/no-go diagnostic every importance-sampling pipeline checks
+    # before trusting a resample: ESS = (Σw)²/Σw²; Kong 1992). Weights
+    # ride the 1e-6 integer lattice (w_u = half-up(e^logw·10⁶)); Σw_u
+    # and Σw_u² are summed in DECIMAL(38,0)/HUGEINT (the graph_hits
+    # overflow lesson — w_u² alone is ~10¹⁶ per row), and the two
+    # quotients are deterministic double division of the exact sums.
+    # Shares _DSIR_LOGW_CTES with sample_dsir, so the weight model
+    # can't drift between the sampler and its diagnostic.
+    "WITH "
+    + _DSIR_LOGW_CTES.strip().removeprefix("WITH ")
+    + """,
+    w AS (
+      SELECT CAST(floor(exp(logw) * 1000000.0 + 0.5) AS BIGINT) AS wu
+      FROM sc
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             sum(wu) AS s1, sum(wu * wu) AS s2
+      FROM w
+    )
+    SELECT n_docs,
+           round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 / CAST(s2 AS DOUBLE), 6) AS ess,
+           round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 / CAST(s2 AS DOUBLE) / n_docs, 6) AS ess_fraction
+    FROM t
+    """,
+)
+def sample_ess_diagnostic(spark, sf_dir):
+    from ..operators.text import dsir_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    logw = dsir_resample(
+        docs, "doc_id", "text", n_buckets=1024, k=100, scores_only=True
+    )
+    w = logw.select(
+        F.floor(F.exp(F.col("logw")) * 1000000.0 + 0.5)
+        .cast("long")
+        .alias("wu")
+    )
+    t = w.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("wu").cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.col("wu") * F.col("wu")).cast("decimal(38,0)")).alias("s2"),
+    )
+    ess = (
+        F.col("s1").cast("double")
+        * F.col("s1").cast("double")
+        / F.col("s2").cast("double")
+    )
+    return t.select(
+        "n_docs",
+        F.round(ess, 6).alias("ess"),
+        F.round(ess / F.col("n_docs"), 6).alias("ess_fraction"),
+    )

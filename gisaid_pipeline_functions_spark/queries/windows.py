@@ -1579,3 +1579,75 @@ def window_mad_anomaly(spark, sf_dir):
             "mad",
         )
     )
+
+
+@register(
+    "ts_late_data_audit",
+    # Watermark lateness audit (r9 — the measurement that PICKS a
+    # streaming watermark delay): replay the per-partition high-water
+    # mark in batch (running max event time in ARRIVAL order = event_id,
+    # partitioned by event_type — the kafka-partition analog; a global
+    # arrival window would serialize) and count, per delay candidate
+    # {0s, 5min, 30min}, the events that would be dropped as late
+    # (event time <= high-water-mark − delay, strictly — Spark's
+    # semantics). Everything is exact integer micros; one partitioned
+    # cumulative-max window + one map-side explode of 3 delay rows.
+    """
+    WITH arr AS (
+      SELECT event_type, ts,
+             max(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS hwm
+      FROM events
+    ),
+    tagged AS (
+      SELECT event_type, d.delay_s,
+             CASE WHEN hwm IS NOT NULL
+                       AND epoch_us(ts) < epoch_us(hwm) - d.delay_s * 1000000
+                  THEN 1 ELSE 0 END AS late
+      FROM arr, (VALUES (0), (300), (1800)) d(delay_s)
+    )
+    SELECT event_type, CAST(delay_s AS BIGINT) AS delay_s,
+           CAST(sum(late) AS BIGINT) AS n_late,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM tagged GROUP BY event_type, delay_s
+    """,
+)
+def ts_late_data_audit(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "ts"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = ev.select(
+        "event_type", "ts", F.max("ts").over(w).alias("hwm")
+    )
+    tagged = arr.withColumn(
+        "delay_s", F.explode(F.array(F.lit(0), F.lit(300), F.lit(1800)))
+    ).select(
+        "event_type",
+        "delay_s",
+        F.when(
+            F.col("hwm").isNotNull()
+            & (
+                F.unix_micros(F.col("ts"))
+                < F.unix_micros(F.col("hwm"))
+                - F.col("delay_s").cast("long") * 1000000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("late"),
+    )
+    return tagged.groupBy("event_type", "delay_s").agg(
+        F.sum("late").alias("n_late"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        "event_type",
+        F.col("delay_s").cast("long").alias("delay_s"),
+        "n_late",
+        "n_events",
+    )
