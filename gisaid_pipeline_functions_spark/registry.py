@@ -71,6 +71,9 @@ _RECHECK_FIRST = frozenset(
         "train_perceptron_lang",  # same strlen()→length() oracle fix
         "multimodal_phash_neardup",  # bmp_phash_near_dups now rejects
         # grids that break the pigeonhole recall guarantee
+        "sample_dsir",  # oracle rebuilt from the factored
+        # _DSIR_LOGW_CTES shared with the r9 ESS diagnostic
+        "graph_hits",  # L1 norm now DECIMAL(38,0) (2^63 overflow fix)
     }
 )
 
