@@ -1304,3 +1304,215 @@ def agg_mann_whitney(spark, sf_dir):
         (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)).alias("u1_x2"),
         (F.col("r2_x2") - F.col("n2") * (F.col("n2") + 1)).alias("u2_x2"),
     )
+
+
+# Benford expected first-digit fractions log10(1 + 1/d), computed ONCE
+# in Python and injected as the SAME shortest-round-trip literal into
+# both engines (repr(float) → both parsers land on the identical
+# double; neither engine ever evaluates log10 itself).
+_BENFORD_P = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+_BENFORD_VALUES_SQL = ", ".join(
+    f"({d}, {p!r})" for d, p in _BENFORD_P.items()
+)
+
+
+@register(
+    "agg_benford_digit_test",
+    # Benford first-significant-digit audit over l_extendedprice — the
+    # classic fabricated-data / ingestion-corruption screen a data-
+    # quality pipeline runs on monetary columns. First digit is
+    # extracted EXACTLY: prices are 2-decimal values stored as DOUBLE,
+    # so floor(x·100 + 0.5) recovers integer cents bit-identically in
+    # both engines, and the leading digit of the cents BIGINT equals
+    # the first significant digit for any positive 2-decimal price.
+    # (No log10() in-engine — its ulp error flips the digit exactly at
+    # powers of ten.) chi² terms use identical expression trees on
+    # shared literals; per-digit rows only (no cross-row float total,
+    # which would re-introduce sum-order drift).
+    f"""
+    WITH cents AS (
+      SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c
+      FROM lineitem WHERE l_extendedprice > 0
+    ),
+    obs AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+             CAST(count(*) AS BIGINT) AS observed
+      FROM cents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM obs),
+    exp AS (
+      -- CAST: DuckDB types the literal as DECIMAL(17,17), which both
+      -- strings the output column and risks a non-round-trip re-quant
+      -- (the recorded anchor-literal trap).
+      SELECT digit, CAST(p AS DOUBLE) AS p
+      FROM (VALUES {_BENFORD_VALUES_SQL}) AS t(digit, p)
+    )
+    SELECT e.digit, coalesce(o.observed, 0) AS observed, t.n,
+           round(t.n * e.p, 6) AS expected,
+           round((CAST(coalesce(o.observed, 0) AS DOUBLE) - t.n * e.p)
+                 * (CAST(coalesce(o.observed, 0) AS DOUBLE) - t.n * e.p)
+                 / (t.n * e.p), 6) AS chi2_term
+    FROM exp e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN tot t
+    """,
+)
+def agg_benford_digit_test(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.filter(F.col("l_extendedprice") > 0).select(
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("c")
+    )
+    obs = cents.groupBy(
+        F.substring(F.col("c").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    ).agg(F.count(F.lit(1)).alias("observed"))
+    tot = obs.agg(F.sum("observed").alias("n"))
+    exp = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_P.items()], "digit int, p double"
+    )
+    o = (
+        exp.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("observed"), F.lit(0)).alias("observed"),
+            "n",
+            F.col("p"),
+        )
+    )
+    dev = F.col("observed").cast("double") - F.col("n") * F.col("p")
+    return o.select(
+        "digit",
+        "observed",
+        "n",
+        F.round(F.col("n") * F.col("p"), 6).alias("expected"),
+        F.round(dev * dev / (F.col("n") * F.col("p")), 6).alias(
+            "chi2_term"
+        ),
+    )
+
+
+@register(
+    "profile_expectation_audit",
+    # Expectation-suite validation report over lineitem — the
+    # Great-Expectations-style contract audit a training-data pipeline
+    # runs per ingest batch (companions: profile_table_columns for the
+    # shape summary, filter_quality_tally for row-level rejects).
+    # Row-level expectations compute in ONE scan as conditional sums
+    # (map-side partial aggregation, no shuffle beyond the single-row
+    # combine); the primary-key uniqueness check is a SEPARATE
+    # aggregate (the r7 rule: never drag a distinct-Expand rewrite
+    # through an agg that carries other buffers) cross-joined at one
+    # row. violation_rate divides two BIGINTs once — deterministic.
+    """
+    WITH row_checks AS (
+      SELECT CAST(count(*) AS BIGINT) AS total,
+        CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+        CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+        CAST(sum(CASE WHEN l_tax < 0.0 OR l_tax > 0.08
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v_tax,
+        CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS v_ship,
+        CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v_rf,
+        CAST(sum(CASE WHEN l_linestatus NOT IN ('O', 'F')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v_ls,
+        CAST(sum(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS v_price
+      FROM lineitem
+    ),
+    pk AS (
+      SELECT CAST(count(*) AS BIGINT)
+             - CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+             AS v_pk
+      FROM lineitem
+    ),
+    wide AS (SELECT * FROM row_checks CROSS JOIN pk),
+    long AS (
+      SELECT 'quantity_between_1_50' AS expectation, v_qty AS violations,
+             total FROM wide
+      UNION ALL SELECT 'discount_between_0_0.1', v_disc, total FROM wide
+      UNION ALL SELECT 'tax_between_0_0.08', v_tax, total FROM wide
+      UNION ALL SELECT 'shipdate_not_null', v_ship, total FROM wide
+      UNION ALL SELECT 'returnflag_in_set', v_rf, total FROM wide
+      UNION ALL SELECT 'linestatus_in_set', v_ls, total FROM wide
+      UNION ALL SELECT 'extendedprice_positive', v_price, total FROM wide
+      UNION ALL SELECT 'pk_orderkey_linenumber_unique', v_pk, total
+                FROM wide
+    )
+    SELECT expectation, violations, total,
+           violations = 0 AS passed,
+           round(CAST(violations AS DOUBLE) / CAST(total AS DOUBLE), 6)
+             AS violation_rate
+    FROM long
+    """,
+)
+def profile_expectation_audit(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def v(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    row_checks = li.agg(
+        F.count(F.lit(1)).alias("total"),
+        v((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias(
+            "v_qty"
+        ),
+        v(
+            (F.col("l_discount") < 0.0) | (F.col("l_discount") > 0.1)
+        ).alias("v_disc"),
+        v((F.col("l_tax") < 0.0) | (F.col("l_tax") > 0.08)).alias("v_tax"),
+        v(F.col("l_shipdate").isNull()).alias("v_ship"),
+        v(~F.col("l_returnflag").isin("A", "N", "R")).alias("v_rf"),
+        v(~F.col("l_linestatus").isin("O", "F")).alias("v_ls"),
+        v(F.col("l_extendedprice") <= 0.0).alias("v_price"),
+    )
+    pk = li.agg(
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber"))
+        )
+        .cast("long")
+        .alias("v_pk")
+    )
+    wide = row_checks.crossJoin(F.broadcast(pk))
+    names = [
+        ("quantity_between_1_50", "v_qty"),
+        ("discount_between_0_0.1", "v_disc"),
+        ("tax_between_0_0.08", "v_tax"),
+        ("shipdate_not_null", "v_ship"),
+        ("returnflag_in_set", "v_rf"),
+        ("linestatus_in_set", "v_ls"),
+        ("extendedprice_positive", "v_price"),
+        ("pk_orderkey_linenumber_unique", "v_pk"),
+    ]
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("expectation"),
+                F.col(c).alias("violations"),
+            )
+            for n, c in names
+        ]
+    )
+    long = wide.select(
+        F.explode(pairs).alias("e"), F.col("total")
+    ).select(
+        F.col("e.expectation").alias("expectation"),
+        F.col("e.violations").alias("violations"),
+        "total",
+    )
+    return long.select(
+        "expectation",
+        "violations",
+        "total",
+        (F.col("violations") == 0).alias("passed"),
+        F.round(
+            F.col("violations").cast("double")
+            / F.col("total").cast("double"),
+            6,
+        ).alias("violation_rate"),
+    )

@@ -336,3 +336,241 @@ def ts_cusum_changepoint(spark, sf_dir):
             F.col("cusum").cast("long").alias("cusum_scaled"),
         )
     )
+
+
+# Shared centered-daily-series CTEs for the spectral/autocorrelation
+# family (ts_acf / ts_periodogram): per-key daily counts, a row_number
+# index, and the EXACT-INTEGER centered value c = n·y − Σy (the value
+# (y − ȳ) scaled by n, the ts_cusum_changepoint trick) so every
+# downstream product/sum stays on BIGINT with zero float drift until
+# one final deterministic division.
+_CENTERED_DAILY_CTES = """
+daily AS (
+  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT key, y,
+         row_number() OVER (PARTITION BY key ORDER BY day) AS rn
+  FROM daily
+),
+st AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+  FROM idx GROUP BY key
+),
+cy AS (
+  SELECT i.key, i.rn, st.n, (st.n * i.y - st.s) AS c
+  FROM idx i JOIN st ON i.key = st.key
+)
+"""
+
+
+@register(
+    "ts_acf",
+    # Sample autocorrelation function, lags 1..7, per event type over
+    # the daily count series (the pre-model diagnostic every
+    # forecasting pipeline runs — reference analogue: the weekly
+    # prevalence trend checks around Time_Series.py:731).
+    # r_k = Σ(y_t−ȳ)(y_{t−k}−ȳ) / Σ(y_t−ȳ)²; multiplying through by n²
+    # makes both sums pure-BIGINT (c = n·y − Σy), so numerator and
+    # denominator are EXACT integers (|c|≲1e6, squares×90 days ≪ 2⁶³)
+    # and the single final division is one deterministic IEEE op —
+    # no float-sum order, no lattice midpoints. The daily rollup is
+    # calendar-bounded (days × types), so every join below is
+    # aggregate-sized and broadcast; scale-invariant in corpus rows.
+    f"""
+    WITH {_CENTERED_DAILY_CTES.strip()},
+    den AS (
+      SELECT key, CAST(sum(c * c) AS BIGINT) AS denom, max(n) AS n_days
+      FROM cy GROUP BY key
+    ),
+    lg AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) AS t(lag)),
+    num AS (
+      SELECT a.key, lg.lag, CAST(sum(a.c * b.c) AS BIGINT) AS numer,
+             CAST(count(*) AS BIGINT) AS pairs
+      FROM cy a
+      CROSS JOIN lg
+      JOIN cy b ON b.key = a.key AND b.rn = a.rn - lg.lag
+      GROUP BY 1, 2
+    )
+    SELECT n.key AS event_type, n.lag, n.pairs, d.n_days,
+           CASE WHEN d.denom > 0
+                THEN round(CAST(n.numer AS DOUBLE)
+                           / CAST(d.denom AS DOUBLE), 6) END AS acf
+    FROM num n JOIN den d ON n.key = d.key
+    """,
+)
+def ts_acf(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("key"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w = Window.partitionBy("key").orderBy("day")
+    idx = daily.select("key", "y", F.row_number().over(w).alias("rn"))
+    st = idx.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    cy = idx.join(F.broadcast(st), "key").select(
+        "key",
+        "rn",
+        "n",
+        (F.col("n") * F.col("y") - F.col("s")).alias("c"),
+    )
+    den = cy.groupBy("key").agg(
+        F.sum(F.col("c") * F.col("c")).alias("denom"),
+        F.max("n").alias("n_days"),
+    )
+    lg = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    b = cy.select(
+        F.col("key").alias("bkey"),
+        F.col("rn").alias("brn"),
+        F.col("c").alias("bc"),
+    )
+    num = (
+        cy.crossJoin(F.broadcast(lg))
+        .join(
+            b,
+            (F.col("bkey") == F.col("key"))
+            & (F.col("brn") == F.col("rn") - F.col("lag")),
+        )
+        .groupBy("key", "lag")
+        .agg(
+            F.sum(F.col("c") * F.col("bc")).alias("numer"),
+            F.count(F.lit(1)).alias("pairs"),
+        )
+    )
+    return num.join(F.broadcast(den), "key").select(
+        F.col("key").alias("event_type"),
+        "lag",
+        "pairs",
+        "n_days",
+        F.when(
+            F.col("denom") > 0,
+            F.round(
+                F.col("numer").cast("double") / F.col("denom").cast("double"),
+                6,
+            ),
+        ).alias("acf"),
+    )
+
+
+# Quantized trig lookup for ts_periodogram: cos/sin(2πr/p) for periods
+# 3..10, scaled to the 1e-6 integer lattice. The SAME literal table is
+# injected into the Spark plan (createDataFrame) and the DuckDB oracle
+# (VALUES) — libm cos() differs by ulps across engines, so the trig
+# NEVER evaluates inside either engine; every per-term product is
+# BIGINT-exact and only the final normalization divides in doubles
+# (identical expression trees → identical IEEE results).
+def _trig_rows():
+    import math
+
+    rows = []
+    for p in range(3, 11):
+        for r in range(p):
+            ang = 2.0 * math.pi * r / p
+            rows.append(
+                (
+                    p,
+                    r,
+                    int(math.floor(math.cos(ang) * 1e6 + 0.5)),
+                    int(math.floor(math.sin(ang) * 1e6 + 0.5)),
+                )
+            )
+    return rows
+
+
+_TRIG_ROWS = _trig_rows()
+_TRIG_VALUES_SQL = ", ".join(
+    f"({p}, {r}, {cu}, {su})" for p, r, cu, su in _TRIG_ROWS
+)
+
+
+@register(
+    "ts_periodogram",
+    # Discrete periodogram over the mean-centered daily count series,
+    # candidate periods 3..10 days, per event type — the dominant-cycle
+    # detector a seasonality-aware pipeline runs before picking a
+    # seasonal window (companion to ts_seasonality_index's fixed m=7).
+    # I(p) = ((Σc·cos_q)/1e6/n)² + ((Σc·sin_q)/1e6/n)²  all over n,
+    # with c = n·y − Σy (exact-integer centering, see ts_acf) and
+    # cos_q/sin_q the shared 1e-6-quantized literals — sums are
+    # BIGINT-exact (≲1e14 ≪ 2⁵³ so even the double cast is exact),
+    # then one identical-tree float normalization, round 6.
+    # is_dominant marks the argmax period per key (computed on the
+    # ROUNDED power in both engines, so ties agree bit-for-bit).
+    f"""
+    WITH {_CENTERED_DAILY_CTES.strip()},
+    trig AS (
+      SELECT * FROM (VALUES {_TRIG_VALUES_SQL}) AS t(p, r, cu, su)
+    ),
+    g AS (
+      SELECT cy.key, t.p, max(cy.n) AS n,
+             CAST(sum(cy.c * t.cu) AS BIGINT) AS c_u,
+             CAST(sum(cy.c * t.su) AS BIGINT) AS s_u
+      FROM cy JOIN trig t ON (cy.rn - 1) % t.p = t.r
+      GROUP BY 1, 2
+    ),
+    pw AS (
+      SELECT key, p, n,
+             round(
+               ((CAST(c_u AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE))
+                * (CAST(c_u AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE))
+                + (CAST(s_u AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE))
+                * (CAST(s_u AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)))
+               / CAST(n AS DOUBLE), 6) AS power
+      FROM g
+    )
+    SELECT key AS event_type, p AS period, n AS n_days, power,
+           power = max(power) OVER (PARTITION BY key) AS is_dominant
+    FROM pw
+    """,
+)
+def ts_periodogram(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("key"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w = Window.partitionBy("key").orderBy("day")
+    idx = daily.select("key", "y", F.row_number().over(w).alias("rn"))
+    st = idx.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    cy = idx.join(F.broadcast(st), "key").select(
+        "key",
+        "rn",
+        "n",
+        (F.col("n") * F.col("y") - F.col("s")).alias("c"),
+    )
+    trig = spark.createDataFrame(
+        _TRIG_ROWS, "p int, r int, cu long, su long"
+    )
+    g = (
+        cy.join(
+            F.broadcast(trig),
+            ((F.col("rn") - 1) % F.col("p")) == F.col("r"),
+        )
+        .groupBy("key", "p")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.col("c") * F.col("cu")).alias("c_u"),
+            F.sum(F.col("c") * F.col("su")).alias("s_u"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    cx = F.col("c_u").cast("double") / F.lit(1000000.0) / nd
+    sx = F.col("s_u").cast("double") / F.lit(1000000.0) / nd
+    pw = g.select(
+        "key",
+        "p",
+        "n",
+        F.round((cx * cx + sx * sx) / nd, 6).alias("power"),
+    )
+    wk = Window.partitionBy("key")
+    return pw.select(
+        F.col("key").alias("event_type"),
+        F.col("p").alias("period"),
+        F.col("n").alias("n_days"),
+        "power",
+        (F.col("power") == F.max("power").over(wk)).alias("is_dominant"),
+    )
