@@ -1516,3 +1516,95 @@ def profile_expectation_audit(spark, sf_dir):
             6,
         ).alias("violation_rate"),
     )
+
+
+@register(
+    "sample_neyman_allocation",
+    # Neyman-optimal stratified sampling design over orders: allocate a
+    # 10 000-row budget across o_orderpriority strata proportionally to
+    # N_h·σ_h (the variance-minimizing allocation a survey-sampling /
+    # training-data curation pipeline computes before drawing). Prices
+    # become exact cents BIGINTs; Σx is BIGINT, Σx² runs in
+    # DECIMAL(19,0)² → DECIMAL(38,0) (cents² ≈ 2.5e15 per row overflows
+    # BIGINT by sf0.1 row counts; at larger scale rescale to whole
+    # dollars first). σ_h and the allocation shares are identical-tree
+    # float ops; the cross-stratum normalizer sums 1e-6-QUANTIZED
+    # weights (BIGINT, order-free) — never raw floats across rows.
+    """
+    WITH cents AS (
+      SELECT o_orderpriority AS stratum,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+      FROM orders
+    ),
+    st AS (
+      SELECT stratum, CAST(count(*) AS BIGINT) AS nh,
+             CAST(sum(c) AS BIGINT) AS sx,
+             CAST(sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS sxx
+      FROM cents GROUP BY 1
+    ),
+    sd AS (
+      SELECT stratum, nh,
+             sqrt(CAST(sxx AS DOUBLE) / CAST(nh AS DOUBLE)
+                  - (CAST(sx AS DOUBLE) / CAST(nh AS DOUBLE))
+                    * (CAST(sx AS DOUBLE) / CAST(nh AS DOUBLE)))
+               / 100.0 AS sigma
+      FROM st
+    ),
+    w AS (
+      SELECT stratum, nh, sigma,
+             CAST(floor(CAST(nh AS DOUBLE) * sigma * 1000000.0 + 0.5)
+                  AS BIGINT) AS w_u
+      FROM sd
+    ),
+    t AS (SELECT CAST(sum(w_u) AS BIGINT) AS tot_u FROM w)
+    SELECT stratum, nh, round(sigma, 6) AS sigma,
+           round(10000.0 * CAST(w_u AS DOUBLE) / CAST(tot_u AS DOUBLE), 6)
+             AS neyman_alloc,
+           CAST(floor(10000.0 * CAST(w_u AS DOUBLE)
+                      / CAST(tot_u AS DOUBLE)) AS BIGINT) AS alloc_floor
+    FROM w CROSS JOIN t
+    """,
+)
+def sample_neyman_allocation(spark, sf_dir):
+    od = load_table(spark, sf_dir, "orders")
+    cents = od.select(
+        F.col("o_orderpriority").alias("stratum"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("c"),
+    )
+    cd = F.col("c").cast("decimal(19,0)")
+    st = cents.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("c").alias("sx"),
+        F.sum(cd * cd).cast("decimal(38,0)").alias("sxx"),
+    )
+    nhd = F.col("nh").cast("double")
+    sxd = F.col("sx").cast("double")
+    sigma = (
+        F.sqrt(
+            F.col("sxx").cast("double") / nhd
+            - (sxd / nhd) * (sxd / nhd)
+        )
+        / 100.0
+    )
+    w = st.select(
+        "stratum",
+        "nh",
+        sigma.alias("sigma"),
+        F.floor(nhd * sigma * 1000000.0 + 0.5).cast("long").alias("w_u"),
+    )
+    t = w.agg(F.sum("w_u").alias("tot_u"))
+    share = (
+        F.lit(10000.0)
+        * F.col("w_u").cast("double")
+        / F.col("tot_u").cast("double")
+    )
+    return w.crossJoin(F.broadcast(t)).select(
+        "stratum",
+        "nh",
+        F.round(F.col("sigma"), 6).alias("sigma"),
+        F.round(share, 6).alias("neyman_alloc"),
+        F.floor(share).cast("long").alias("alloc_floor"),
+    )

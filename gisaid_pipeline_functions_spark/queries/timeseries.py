@@ -574,3 +574,287 @@ def ts_periodogram(spark, sf_dir):
         "power",
         (F.col("power") == F.max("power").over(wk)).alias("is_dominant"),
     )
+
+
+@register(
+    "ts_ccf_pairs",
+    # Cross-correlation function between every ordered pair of event
+    # types (ka < kb), lags −3..3, over their COMMON daily index (inner
+    # join on day, then row_number — lag is in common-sample space, not
+    # calendar space; documented, matches how a monitoring pipeline
+    # lead/lag-screens metric pairs). Same exact-integer centering as
+    # ts_acf (c = n·v − Σv per pair), so numerator and the two
+    # denominator power sums are BIGINT-exact; the only float ops are
+    # one sqrt of a product of two exact-double casts (≲2⁵³ each) and
+    # one division — identical trees both engines, round 6.
+    f"""
+    WITH daily AS (
+      SELECT event_type AS key, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    common AS (
+      SELECT a.key AS ka, b.key AS kb, a.day,
+             a.y AS ya, b.y AS yb,
+             row_number() OVER (PARTITION BY a.key, b.key
+                                ORDER BY a.day) AS rn
+      FROM daily a JOIN daily b ON a.day = b.day AND a.key < b.key
+    ),
+    st AS (
+      SELECT ka, kb, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ya) AS BIGINT) AS sa, CAST(sum(yb) AS BIGINT) AS sb
+      FROM common GROUP BY 1, 2
+    ),
+    cz AS (
+      SELECT c.ka, c.kb, c.rn, st.n,
+             (st.n * c.ya - st.sa) AS ca, (st.n * c.yb - st.sb) AS cb
+      FROM common c JOIN st ON c.ka = st.ka AND c.kb = st.kb
+    ),
+    den AS (
+      SELECT ka, kb, max(n) AS n_days,
+             CAST(sum(ca * ca) AS BIGINT) AS da,
+             CAST(sum(cb * cb) AS BIGINT) AS db
+      FROM cz GROUP BY 1, 2
+    ),
+    lg AS (SELECT * FROM (VALUES (-3),(-2),(-1),(0),(1),(2),(3)) AS t(lag)),
+    num AS (
+      SELECT a.ka, a.kb, lg.lag,
+             CAST(sum(a.ca * b.cb) AS BIGINT) AS numer,
+             CAST(count(*) AS BIGINT) AS pairs
+      FROM cz a
+      CROSS JOIN lg
+      JOIN cz b ON b.ka = a.ka AND b.kb = a.kb AND b.rn = a.rn - lg.lag
+      GROUP BY 1, 2, 3
+    )
+    SELECT n.ka AS key_a, n.kb AS key_b, n.lag, n.pairs, d.n_days,
+           CASE WHEN d.da > 0 AND d.db > 0
+                THEN round(CAST(n.numer AS DOUBLE)
+                           / sqrt(CAST(d.da AS DOUBLE)
+                                  * CAST(d.db AS DOUBLE)), 6) END AS ccf
+    FROM num n JOIN den d ON n.ka = d.ka AND n.kb = d.kb
+    """,
+)
+def ts_ccf_pairs(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("key"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    a = daily.select(
+        F.col("key").alias("ka"), "day", F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("key").alias("kb"), F.col("day").alias("bday"),
+        F.col("y").alias("yb"),
+    )
+    common = (
+        a.join(b, (F.col("day") == F.col("bday")) & (F.col("ka") < F.col("kb")))
+        .select(
+            "ka", "kb", "day", "ya", "yb",
+            F.row_number()
+            .over(Window.partitionBy("ka", "kb").orderBy("day"))
+            .alias("rn"),
+        )
+    )
+    st = common.groupBy("ka", "kb").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ya").alias("sa"),
+        F.sum("yb").alias("sb"),
+    )
+    cz = common.join(F.broadcast(st), ["ka", "kb"]).select(
+        "ka", "kb", "rn", "n",
+        (F.col("n") * F.col("ya") - F.col("sa")).alias("ca"),
+        (F.col("n") * F.col("yb") - F.col("sb")).alias("cb"),
+    )
+    den = cz.groupBy("ka", "kb").agg(
+        F.max("n").alias("n_days"),
+        F.sum(F.col("ca") * F.col("ca")).alias("da"),
+        F.sum(F.col("cb") * F.col("cb")).alias("db"),
+    )
+    lg = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    rhs = cz.select(
+        F.col("ka").alias("rka"), F.col("kb").alias("rkb"),
+        F.col("rn").alias("brn"), F.col("cb").alias("bcb"),
+    )
+    num = (
+        cz.crossJoin(F.broadcast(lg))
+        .join(
+            rhs,
+            (F.col("rka") == F.col("ka"))
+            & (F.col("rkb") == F.col("kb"))
+            & (F.col("brn") == F.col("rn") - F.col("lag")),
+        )
+        .groupBy("ka", "kb", "lag")
+        .agg(
+            F.sum(F.col("ca") * F.col("bcb")).alias("numer"),
+            F.count(F.lit(1)).alias("pairs"),
+        )
+    )
+    return num.join(F.broadcast(den), ["ka", "kb"]).select(
+        F.col("ka").alias("key_a"),
+        F.col("kb").alias("key_b"),
+        "lag",
+        "pairs",
+        "n_days",
+        F.when(
+            (F.col("da") > 0) & (F.col("db") > 0),
+            F.round(
+                F.col("numer").cast("double")
+                / F.sqrt(
+                    F.col("da").cast("double") * F.col("db").cast("double")
+                ),
+                6,
+            ),
+        ).alias("ccf"),
+    )
+
+
+@register(
+    "ts_holt_winters",
+    # Additive Holt-Winters triple exponential smoothing, period m=7,
+    # per event type over daily counts — the seasonal completion of the
+    # ts_exponential_smoothing / ts_holt_linear family. Coefficients
+    # 0.4/0.6 (level), 0.3/0.7 (trend), 0.2/0.8 (seasonal) written
+    # literally on BOTH sides, and no power-of-two coefficient: an
+    # EXACT-power-of-2 weight (0.5, 0.25) times a lattice value is
+    # float-exact and can land precisely on the .5e-7 round-6 midpoint
+    # where the engines disagree (the r9 holt lesson); inexact weights
+    # keep results ~1e-12 off any midpoint, which both engines round
+    # identically. Seed: l₇ = round(mean of first 7, 6), b₇ = 0,
+    # s₁..₇ = round(yᵢ − l₇, 6); recursion from t=8 with every state
+    # re-rounded to the 6dp lattice so the recursive-CTE oracle (which
+    # carries the 7-slot seasonal ring as a LIST column, sliced+appended
+    # per step) replays the Spark fold bit-for-bit. Keys with ≤7 days
+    # emit nothing on either side. The fold is map-side over per-key
+    # collected series (calendar-bounded, aggregate-sized).
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type AS key, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT key, day, y,
+             row_number() OVER (PARTITION BY key ORDER BY day) AS rn
+      FROM daily
+    ),
+    seed AS (
+      SELECT key,
+             round(sum(CASE WHEN rn <= 7 THEN CAST(y AS DOUBLE) END)
+                   / 7.0, 6) AS l0
+      FROM idx GROUP BY key
+    ),
+    svec0 AS (
+      SELECT i.key,
+             list(round(CAST(i.y AS DOUBLE) - s.l0, 6) ORDER BY i.rn)
+               AS sv
+      FROM idx i JOIN seed s ON i.key = s.key
+      WHERE i.rn <= 7
+      GROUP BY i.key
+    ),
+    h(key, rn, day, y, l, b, sv) AS (
+      SELECT i.key, i.rn, i.day, i.y, s.l0, CAST(0.0 AS DOUBLE), v.sv
+      FROM idx i
+      JOIN seed s ON i.key = s.key
+      JOIN svec0 v ON i.key = v.key
+      WHERE i.rn = 7
+      UNION ALL
+      SELECT i.key, i.rn, i.day, i.y,
+             round(0.4 * (i.y - h.sv[1]) + 0.6 * (h.l + h.b), 6),
+             round(0.3 * (round(0.4 * (i.y - h.sv[1])
+                                + 0.6 * (h.l + h.b), 6) - h.l)
+                   + 0.7 * h.b, 6),
+             list_append(
+               h.sv[2:],
+               round(0.2 * (i.y - round(0.4 * (i.y - h.sv[1])
+                                        + 0.6 * (h.l + h.b), 6))
+                     + 0.8 * h.sv[1], 6))
+      FROM idx i JOIN h ON i.key = h.key AND i.rn = h.rn + 1
+    )
+    SELECT key AS event_type, day, y, l AS level, b AS trend,
+           sv[7] AS seasonal, round(l + b + sv[1], 6) AS forecast_next
+    FROM h WHERE rn > 7
+    """,
+)
+def ts_holt_winters(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("key"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    series = (
+        daily.groupBy("key")
+        .agg(F.array_sort(F.collect_list(F.struct("day", "y"))).alias("s"))
+        .filter(F.size("s") > 7)
+    )
+    head = F.slice(F.col("s"), 1, 7)
+    with_seed = series.withColumn(
+        "l0",
+        F.round(
+            F.aggregate(
+                head, F.lit(0.0), lambda a, x: a + x["y"].cast("double")
+            )
+            / 7.0,
+            6,
+        ),
+    ).withColumn(
+        "sv0",
+        F.transform(
+            head, lambda x: F.round(x["y"].cast("double") - F.col("l0"), 6)
+        ),
+    )
+    out_type = (
+        "array<struct<day:date,y:bigint,l:double,b:double,"
+        "seas:double,fc:double>>"
+    )
+    acc_type = (
+        "struct<l:double,b:double,sv:array<double>,out:" + out_type + ">"
+    )
+
+    def step(acc, x):
+        sprev = F.element_at(acc["sv"], 1)
+        yt = x["y"].cast("double")
+        lt = F.round(
+            0.4 * (yt - sprev) + 0.6 * (acc["l"] + acc["b"]), 6
+        )
+        bt = F.round(0.3 * (lt - acc["l"]) + 0.7 * acc["b"], 6)
+        st_ = F.round(0.2 * (yt - lt) + 0.8 * sprev, 6)
+        fc = F.round(lt + bt + F.element_at(acc["sv"], 2), 6)
+        return F.struct(
+            lt.alias("l"),
+            bt.alias("b"),
+            F.concat(F.slice(acc["sv"], 2, 6), F.array(st_)).alias("sv"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        x["day"].alias("day"),
+                        x["y"].alias("y"),
+                        lt.alias("l"),
+                        bt.alias("b"),
+                        st_.alias("seas"),
+                        fc.alias("fc"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    init = F.struct(
+        F.col("l0").alias("l"),
+        F.lit(0.0).alias("b"),
+        F.col("sv0").alias("sv"),
+        F.array().cast(out_type).alias("out"),
+    ).cast(acc_type)
+    tail = F.slice(F.col("s"), 8, F.size("s") - 7)
+    folded = F.aggregate(tail, init, step)
+    return (
+        with_seed.select(
+            "key", F.explode(folded["out"]).alias("r")
+        ).select(
+            F.col("key").alias("event_type"),
+            F.col("r.day").alias("day"),
+            F.col("r.y").alias("y"),
+            F.col("r.l").alias("level"),
+            F.col("r.b").alias("trend"),
+            F.col("r.seas").alias("seasonal"),
+            F.col("r.fc").alias("forecast_next"),
+        )
+    )
