@@ -1651,3 +1651,174 @@ def ts_late_data_audit(spark, sf_dir):
         "n_late",
         "n_events",
     )
+
+
+@register(
+    "window_kaplan_meier",
+    # Kaplan-Meier survival curve over user lifetimes (a churn /
+    # retention estimator — the survival-analysis family's first
+    # entry, complementing window_cohort_retention's fixed-grid view).
+    # Lifetime = days between a user's first and last event; a user
+    # still active on the global horizon day (max event date) is
+    # CENSORED, otherwise the lifetime end is an observed churn.
+    # Cohort = event type of the user's first event (tie-broken by
+    # event_id — deterministic). S(t) = Π(1 − d/n) over death times:
+    # the product recursion runs ENTIRELY on the 1e-6 integer lattice
+    # with the KN half-up division (2·S·(n−d) + n) // (2n) — BIGINT
+    # in, BIGINT out, no float until the final display division, so
+    # no d/n = exact-decimal-midpoint class at all (1/640-style risk
+    # sets would otherwise print as round-6 midpoints). Spark's
+    # integer division is (x − x%y)/y on exact longs (Spark `div`
+    # truncates, DuckDB // floors; identical for non-negatives).
+    # Risk sets shrink with t: n_risk = reverse-cumulative (d+c).
+    """
+    WITH RECURSIVE u AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day,
+             max(CAST(ts AS DATE)) AS last_day
+      FROM events GROUP BY 1
+    ),
+    hz AS (SELECT max(last_day) AS horizon FROM u),
+    fe AS (
+      SELECT user_id, event_type AS cohort FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    pu AS (
+      SELECT f.cohort, u.user_id,
+             CAST(u.last_day - u.first_day AS BIGINT) AS dur,
+             CASE WHEN u.last_day < h.horizon THEN 1 ELSE 0 END
+               AS observed
+      FROM u JOIN fe f USING (user_id) CROSS JOIN hz h
+    ),
+    g AS (
+      SELECT cohort, dur AS t, CAST(sum(observed) AS BIGINT) AS d,
+             CAST(sum(1 - observed) AS BIGINT) AS c
+      FROM pu GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT cohort, t, d, c,
+             CAST(sum(d + c) OVER (PARTITION BY cohort ORDER BY t
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                  AS BIGINT) AS n_risk
+      FROM g
+    ),
+    k AS (
+      SELECT cohort, t, d, c, n_risk,
+             row_number() OVER (PARTITION BY cohort ORDER BY t) AS rn
+      FROM r WHERE d > 0
+    ),
+    s(cohort, t, d, c, n_risk, rn, su) AS (
+      SELECT cohort, t, d, c, n_risk, rn,
+             (2 * 1000000 * (n_risk - d) + n_risk) // (2 * n_risk)
+      FROM k WHERE rn = 1
+      UNION ALL
+      SELECT k.cohort, k.t, k.d, k.c, k.n_risk, k.rn,
+             (2 * s.su * (k.n_risk - k.d) + k.n_risk) // (2 * k.n_risk)
+      FROM k JOIN s ON k.cohort = s.cohort AND k.rn = s.rn + 1
+    )
+    SELECT cohort, t AS duration_days, d AS deaths, c AS censored,
+           n_risk, CAST(su AS DOUBLE) / 1000000.0 AS survival
+    FROM s
+    """,
+)
+def window_kaplan_meier(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    hz = u.agg(F.max("last_day").alias("horizon"))
+    fe = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("cohort"))
+    )
+    pu = (
+        u.join(fe, "user_id")
+        .crossJoin(F.broadcast(hz))
+        .select(
+            "cohort",
+            F.datediff("last_day", "first_day").cast("long").alias("dur"),
+            F.when(F.col("last_day") < F.col("horizon"), 1)
+            .otherwise(0)
+            .alias("observed"),
+        )
+    )
+    g = pu.groupBy("cohort", F.col("dur").alias("t")).agg(
+        F.sum("observed").alias("d"),
+        F.sum(1 - F.col("observed")).alias("c"),
+    )
+    wrev = (
+        Window.partitionBy("cohort")
+        .orderBy("t")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    r = g.select(
+        "cohort", "t", "d", "c",
+        F.sum(F.col("d") + F.col("c")).over(wrev).alias("n_risk"),
+    )
+    k = (
+        r.filter(F.col("d") > 0)
+        .groupBy("cohort")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("t", "d", "c", "n_risk"))
+            ).alias("steps")
+        )
+    )
+    out_type = (
+        "array<struct<t:bigint,d:bigint,c:bigint,n_risk:bigint,"
+        "su:bigint>>"
+    )
+    acc_type = "struct<su:bigint,out:" + out_type + ">"
+
+    def idiv(x, y):
+        # exact integer floor-division on non-negative longs: subtract
+        # the exact remainder, then the double division is exact
+        return ((x - x % y) / y).cast("long")
+
+    def step(acc, x):
+        su = idiv(
+            F.lit(2) * acc["su"] * (x["n_risk"] - x["d"]) + x["n_risk"],
+            F.lit(2) * x["n_risk"],
+        )
+        return F.struct(
+            su.alias("su"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        x["t"].alias("t"),
+                        x["d"].alias("d"),
+                        x["c"].alias("c"),
+                        x["n_risk"].alias("n_risk"),
+                        su.alias("su"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    init = F.struct(
+        F.lit(1000000).cast("long").alias("su"),
+        F.array().cast(out_type).alias("out"),
+    ).cast(acc_type)
+    folded = F.aggregate(F.col("steps"), init, step)
+    return k.select("cohort", F.explode(folded["out"]).alias("r")).select(
+        "cohort",
+        F.col("r.t").alias("duration_days"),
+        F.col("r.d").alias("deaths"),
+        F.col("r.c").alias("censored"),
+        F.col("r.n_risk").alias("n_risk"),
+        (F.col("r.su").cast("double") / F.lit(1000000.0)).alias(
+            "survival"
+        ),
+    )
