@@ -616,3 +616,79 @@ def streaming_psi_hash(spark, sf_dir):
         "psi_term",
         F.round(F.sum("psi_term").over(wall), 6).alias("psi_total"),
     )
+
+
+@register(
+    "join_asof_forward",
+    # Forward as-of join — pandas merge_asof(direction="forward"),
+    # applied as conversion attribution: each CLICK matched to the same
+    # user's EARLIEST purchase at-or-after the click (ts >= click ts,
+    # earliest wins; a same-instant purchase counts — inclusive >=).
+    # Same one-shuffle tagged-union carry as join_asof, mirrored:
+    # clicks sort BEFORE purchases at an equal instant (tag 0 < 1) and
+    # the carry is FIRST-ignore-nulls over the forward window — no
+    # ranged join materializing clicks × all-later-purchases (the
+    # scale-killer shape at deep per-user histories). Purchases
+    # deduplicated to one per (user, ts) — min event_id — because
+    # ASOF's pick among exact-tie rows is engine-arbitrary. DuckDB
+    # verifies with native ASOF JOIN, which accepts >= for forward.
+    """
+    WITH p AS (
+      SELECT user_id, ts, min(event_id) AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id, ts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT c.click_id, c.user_id,
+           p.purchase_id, p.ts AS purchase_ts
+    FROM c
+    ASOF JOIN p
+      ON c.user_id = p.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_forward(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("purchase_id"))
+    )
+    c_tag = clicks.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("tag"),
+        "click_id",
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(None).cast("timestamp").alias("purchase_ts"),
+    )
+    p_tag = purchases.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("click_id"),
+        "purchase_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "tag").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    merged = c_tag.unionByName(p_tag).select(
+        "click_id",
+        "user_id",
+        "tag",
+        F.first("purchase_id", ignorenulls=True).over(w).alias(
+            "purchase_id"
+        ),
+        F.first("purchase_ts", ignorenulls=True).over(w).alias(
+            "purchase_ts"
+        ),
+    )
+    return merged.filter(
+        (F.col("tag") == 0) & F.col("purchase_id").isNotNull()
+    ).select("click_id", "user_id", "purchase_id", "purchase_ts")

@@ -1653,78 +1653,49 @@ def ts_late_data_audit(spark, sf_dir):
     )
 
 
-@register(
-    "window_kaplan_meier",
-    # Kaplan-Meier survival curve over user lifetimes (a churn /
-    # retention estimator — the survival-analysis family's first
-    # entry, complementing window_cohort_retention's fixed-grid view).
-    # Lifetime = days between a user's first and last event; a user
-    # still active on the global horizon day (max event date) is
-    # CENSORED, otherwise the lifetime end is an observed churn.
-    # Cohort = event type of the user's first event (tie-broken by
-    # event_id — deterministic). S(t) = Π(1 − d/n) over death times:
-    # the product recursion runs ENTIRELY on the 1e-6 integer lattice
-    # with the KN half-up division (2·S·(n−d) + n) // (2n) — BIGINT
-    # in, BIGINT out, no float until the final display division, so
-    # no d/n = exact-decimal-midpoint class at all (1/640-style risk
-    # sets would otherwise print as round-6 midpoints). Spark's
-    # integer division is (x − x%y)/y on exact longs (Spark `div`
-    # truncates, DuckDB // floors; identical for non-negatives).
-    # Risk sets shrink with t: n_risk = reverse-cumulative (d+c).
-    """
-    WITH RECURSIVE u AS (
-      SELECT user_id, min(CAST(ts AS DATE)) AS first_day,
-             max(CAST(ts AS DATE)) AS last_day
-      FROM events GROUP BY 1
-    ),
-    hz AS (SELECT max(last_day) AS horizon FROM u),
-    fe AS (
-      SELECT user_id, event_type AS cohort FROM (
-        SELECT user_id, event_type,
-               row_number() OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id) AS rn
-        FROM events
-      ) WHERE rn = 1
-    ),
-    pu AS (
-      SELECT f.cohort, u.user_id,
-             CAST(u.last_day - u.first_day AS BIGINT) AS dur,
-             CASE WHEN u.last_day < h.horizon THEN 1 ELSE 0 END
-               AS observed
-      FROM u JOIN fe f USING (user_id) CROSS JOIN hz h
-    ),
-    g AS (
-      SELECT cohort, dur AS t, CAST(sum(observed) AS BIGINT) AS d,
-             CAST(sum(1 - observed) AS BIGINT) AS c
-      FROM pu GROUP BY 1, 2
-    ),
-    r AS (
-      SELECT cohort, t, d, c,
-             CAST(sum(d + c) OVER (PARTITION BY cohort ORDER BY t
-                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-                  AS BIGINT) AS n_risk
-      FROM g
-    ),
-    k AS (
-      SELECT cohort, t, d, c, n_risk,
-             row_number() OVER (PARTITION BY cohort ORDER BY t) AS rn
-      FROM r WHERE d > 0
-    ),
-    s(cohort, t, d, c, n_risk, rn, su) AS (
-      SELECT cohort, t, d, c, n_risk, rn,
-             (2 * 1000000 * (n_risk - d) + n_risk) // (2 * n_risk)
-      FROM k WHERE rn = 1
-      UNION ALL
-      SELECT k.cohort, k.t, k.d, k.c, k.n_risk, k.rn,
-             (2 * s.su * (k.n_risk - k.d) + k.n_risk) // (2 * k.n_risk)
-      FROM k JOIN s ON k.cohort = s.cohort AND k.rn = s.rn + 1
-    )
-    SELECT cohort, t AS duration_days, d AS deaths, c AS censored,
-           n_risk, CAST(su AS DOUBLE) / 1000000.0 AS survival
-    FROM s
-    """,
+# Shared survival-analysis risk-set CTEs (window_kaplan_meier /
+# window_nelson_aalen): user lifetimes with horizon censoring, first-
+# event cohorts, per-duration death/censor tallies, and the reverse-
+# cumulative risk set — all BIGINT-exact.
+_SURV_RISK_CTES = """
+u AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day,
+         max(CAST(ts AS DATE)) AS last_day
+  FROM events GROUP BY 1
+),
+hz AS (SELECT max(last_day) AS horizon FROM u),
+fe AS (
+  SELECT user_id, event_type AS cohort FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+pu AS (
+  SELECT f.cohort, u.user_id,
+         CAST(u.last_day - u.first_day AS BIGINT) AS dur,
+         CASE WHEN u.last_day < h.horizon THEN 1 ELSE 0 END
+           AS observed
+  FROM u JOIN fe f USING (user_id) CROSS JOIN hz h
+),
+g AS (
+  SELECT cohort, dur AS t, CAST(sum(observed) AS BIGINT) AS d,
+         CAST(sum(1 - observed) AS BIGINT) AS c
+  FROM pu GROUP BY 1, 2
+),
+r AS (
+  SELECT cohort, t, d, c,
+         CAST(sum(d + c) OVER (PARTITION BY cohort ORDER BY t
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+              AS BIGINT) AS n_risk
+  FROM g
 )
-def window_kaplan_meier(spark, sf_dir):
+"""
+
+
+def _survival_risk_sets(spark, sf_dir):
+    """Spark twin of _SURV_RISK_CTES → (cohort, t, d, c, n_risk)."""
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.min(F.to_date("ts")).alias("first_day"),
@@ -1762,10 +1733,53 @@ def window_kaplan_meier(spark, sf_dir):
         .orderBy("t")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    r = g.select(
+    return g.select(
         "cohort", "t", "d", "c",
         F.sum(F.col("d") + F.col("c")).over(wrev).alias("n_risk"),
     )
+
+
+@register(
+    "window_kaplan_meier",
+    # Kaplan-Meier survival curve over user lifetimes (a churn /
+    # retention estimator — the survival-analysis family's first
+    # entry, complementing window_cohort_retention's fixed-grid view).
+    # Lifetime = days between a user's first and last event; a user
+    # still active on the global horizon day (max event date) is
+    # CENSORED, otherwise the lifetime end is an observed churn.
+    # Cohort = event type of the user's first event (tie-broken by
+    # event_id — deterministic). S(t) = Π(1 − d/n) over death times:
+    # the product recursion runs ENTIRELY on the 1e-6 integer lattice
+    # with the KN half-up division (2·S·(n−d) + n) // (2n) — BIGINT
+    # in, BIGINT out, no float until the final display division, so
+    # no d/n = exact-decimal-midpoint class at all (1/640-style risk
+    # sets would otherwise print as round-6 midpoints). Spark's
+    # integer division is (x − x%y)/y on exact longs (Spark `div`
+    # truncates, DuckDB // floors; identical for non-negatives).
+    # Risk sets shrink with t: n_risk = reverse-cumulative (d+c).
+    f"""
+    WITH RECURSIVE {_SURV_RISK_CTES.strip()},
+    k AS (
+      SELECT cohort, t, d, c, n_risk,
+             row_number() OVER (PARTITION BY cohort ORDER BY t) AS rn
+      FROM r WHERE d > 0
+    ),
+    s(cohort, t, d, c, n_risk, rn, su) AS (
+      SELECT cohort, t, d, c, n_risk, rn,
+             (2 * 1000000 * (n_risk - d) + n_risk) // (2 * n_risk)
+      FROM k WHERE rn = 1
+      UNION ALL
+      SELECT k.cohort, k.t, k.d, k.c, k.n_risk, k.rn,
+             (2 * s.su * (k.n_risk - k.d) + k.n_risk) // (2 * k.n_risk)
+      FROM k JOIN s ON k.cohort = s.cohort AND k.rn = s.rn + 1
+    )
+    SELECT cohort, t AS duration_days, d AS deaths, c AS censored,
+           n_risk, CAST(su AS DOUBLE) / 1000000.0 AS survival
+    FROM s
+    """,
+)
+def window_kaplan_meier(spark, sf_dir):
+    r = _survival_risk_sets(spark, sf_dir)
     k = (
         r.filter(F.col("d") > 0)
         .groupBy("cohort")
@@ -1821,4 +1835,58 @@ def window_kaplan_meier(spark, sf_dir):
         (F.col("r.su").cast("double") / F.lit(1000000.0)).alias(
             "survival"
         ),
+    )
+
+
+@register(
+    "window_nelson_aalen",
+    # Nelson-Aalen cumulative hazard — the additive sibling of
+    # window_kaplan_meier (H(t) = Σ d/n over death times ≤ t), sharing
+    # _SURV_RISK_CTES / _survival_risk_sets verbatim so the two
+    # estimators agree on lifetimes, censoring, and risk sets by
+    # construction. Each hazard step quantizes d/n with the KN half-up
+    # division (2·1e6·d + n)//(2n) — BIGINT — and the cumulative sum
+    # runs over integers (order-free), so unlike the KM product no
+    # recursion is needed at all: one window cumsum. Float appears
+    # only in the final display divisions.
+    f"""
+    WITH {_SURV_RISK_CTES.strip()},
+    steps AS (
+      SELECT cohort, t, d, n_risk,
+             (2 * 1000000 * d + n_risk) // (2 * n_risk) AS h_u
+      FROM r WHERE d > 0
+    )
+    SELECT cohort, t AS duration_days, d AS deaths, n_risk,
+           CAST(h_u AS DOUBLE) / 1000000.0 AS hazard_step,
+           CAST(CAST(sum(h_u) OVER (PARTITION BY cohort ORDER BY t
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS cum_hazard
+    FROM steps
+    """,
+)
+def window_nelson_aalen(spark, sf_dir):
+    r = _survival_risk_sets(spark, sf_dir)
+    two_n = F.lit(2) * F.col("n_risk")
+    num = F.lit(2) * F.lit(1000000) * F.col("d") + F.col("n_risk")
+    h_u = ((num - num % two_n) / two_n).cast("long")
+    steps = r.filter(F.col("d") > 0).select(
+        "cohort", "t", "d", "n_risk", h_u.alias("h_u")
+    )
+    wcum = (
+        Window.partitionBy("cohort")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return steps.select(
+        "cohort",
+        F.col("t").alias("duration_days"),
+        F.col("d").alias("deaths"),
+        "n_risk",
+        (F.col("h_u").cast("double") / F.lit(1000000.0)).alias(
+            "hazard_step"
+        ),
+        (
+            F.sum("h_u").over(wcum).cast("long").cast("double")
+            / F.lit(1000000.0)
+        ).alias("cum_hazard"),
     )
