@@ -1714,7 +1714,13 @@ def _survival_risk_sets(spark, sf_dir):
         .select("user_id", F.col("event_type").alias("cohort"))
     )
     pu = (
-        u.join(fe, "user_id")
+        # merge hint: BOTH sides are per-user frames that grow with the
+        # corpus — the static planner otherwise broadcasts the lifetime
+        # aggregate u on garbage size estimates (the r6 OOM class).
+        # Both inputs are already exchanged on user_id (groupBy /
+        # window), so the sort-merge join reuses those exchanges.
+        u.hint("merge")
+        .join(fe, "user_id")
         .crossJoin(F.broadcast(hz))
         .select(
             "cohort",
