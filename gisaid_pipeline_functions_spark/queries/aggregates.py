@@ -1608,3 +1608,87 @@ def sample_neyman_allocation(spark, sf_dir):
         F.round(share, 6).alias("neyman_alloc"),
         F.floor(share).cast("long").alias("alloc_floor"),
     )
+
+
+@register(
+    "agg_cohens_kappa",
+    # Cohen's kappa between two deterministic document-quality raters
+    # (rater A: character length ≥ 500; rater B: whitespace word count
+    # ≥ 80) — the inter-annotator agreement statistic a labeling /
+    # curation pipeline reports before trusting a rater. Computed from
+    # the 2×2 contingency in ONE conditional-sum scan, then by the
+    # ALL-INTEGER identity κ = (N·Σnᵢᵢ − Σrᵢcᵢ) / (N² − Σrᵢcᵢ): both
+    # terms are exact BIGINTs (N ≤ 1e9 safe), so the single final
+    # division is one deterministic IEEE op. Character semantics on
+    # both sides: DuckDB length() (not strlen — the r8 ADVICE byte/char
+    # trap); word count via the split-on-whitespace array length,
+    # identical regex both engines.
+    """
+    WITH rated AS (
+      SELECT CASE WHEN length(text) >= 500 THEN 1 ELSE 0 END AS a,
+             CASE WHEN length(list_filter(string_split_regex(text,
+                    '\\s+'), x -> x <> '')) >= 80
+                  THEN 1 ELSE 0 END AS b
+      FROM documents
+    ),
+    ct AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a * b) AS BIGINT) AS n11,
+             CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+             CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+             CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+      FROM rated
+    )
+    SELECT n, n11, n10, n01, n00,
+           round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS po,
+           round(CAST((n11 + n10) * (n11 + n01)
+                      + (n01 + n00) * (n10 + n00) AS DOUBLE)
+                 / CAST(n * n AS DOUBLE), 6) AS pe,
+           round(CAST(n * (n11 + n00)
+                      - ((n11 + n10) * (n11 + n01)
+                         + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+                 / CAST(n * n
+                        - ((n11 + n10) * (n11 + n01)
+                           + (n01 + n00) * (n10 + n00)) AS DOUBLE), 6)
+             AS kappa
+    FROM ct
+    """,
+)
+def agg_cohens_kappa(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    rated = docs.select(
+        F.when(F.length("text") >= 500, 1).otherwise(0).alias("a"),
+        F.when(F.size(words) >= 80, 1).otherwise(0).alias("b"),
+    )
+    ct = rated.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("a") * F.col("b")).alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).alias("n00"),
+    )
+    chance = (F.col("n11") + F.col("n10")) * (
+        F.col("n11") + F.col("n01")
+    ) + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    return ct.select(
+        "n", "n11", "n10", "n01", "n00",
+        F.round(
+            (F.col("n11") + F.col("n00")).cast("double")
+            / F.col("n").cast("double"),
+            6,
+        ).alias("po"),
+        F.round(
+            chance.cast("double")
+            / (F.col("n") * F.col("n")).cast("double"),
+            6,
+        ).alias("pe"),
+        F.round(
+            (F.col("n") * (F.col("n11") + F.col("n00")) - chance).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("n") - chance).cast("double"),
+            6,
+        ).alias("kappa"),
+    )
