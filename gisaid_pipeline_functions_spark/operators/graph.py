@@ -494,3 +494,95 @@ def hits(edges: DataFrame, iterations: int = 4) -> DataFrame:
         )
 
     return _normed(h, "hub").unionByName(_normed(a, "authority"))
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002, "Assortative
+    mixing in networks"): the Pearson correlation of endpoint degrees
+    over every DIRECTED edge of the undirected graph — positive when
+    hubs attach to hubs, negative for hub-and-spoke topologies. A
+    training-data-pipeline health metric for co-occurrence graphs
+    (a near-complete or star-shaped dedup graph behaves pathologically
+    downstream; assortativity is the one-number screen).
+
+    Input: ``(u, v)`` distinct undirected edges, u < v. Output: one row
+    ``(m_directed, n_vertices, assortativity)``.
+
+    Exactness: degrees are BIGINT; every cross-row moment (Σxy, Σx²,
+    Σy², Σx, Σy) is summed in DECIMAL(38,0) per the graph_hits /
+    neyman-allocation overflow convention (deg ≤ 1e6 ⇒ per-edge
+    products ≤ 1e12; 38 digits carries ~1e26 directed edges). The
+    Pearson numerator/denominators are formed in DECIMAL — exact, no
+    cancellation — and only the final divide + sqrt are IEEE ops on
+    identical expression trees, then 6dp-rounded.
+
+    Scale shape: one explode + groupBy for degrees, two merge-hinted
+    equi-joins to annotate endpoints (degree table grows with the
+    graph — never broadcast, the r6 rule), one global aggregate.
+    """
+    d = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = d.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    x = deg.select(F.col("src"), F.col("deg").alias("x"))
+    y = deg.select(F.col("src").alias("dst"), F.col("deg").alias("y"))
+    ann = d.join(x.hint("merge"), "src").join(y.hint("merge"), "dst")
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    s = ann.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dec("x") * dec("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dec("x") * dec("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec("y") * dec("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    nv = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
+    md = F.col("m").cast("decimal(38,0)")
+    num = (md * F.col("sxy") - dec("sx") * dec("sy")).cast("double")
+    dx = (md * F.col("sxx") - dec("sx") * dec("sx")).cast("double")
+    dy = (md * F.col("syy") - dec("sy") * dec("sy")).cast("double")
+    return s.crossJoin(F.broadcast(nv)).select(
+        F.col("m").alias("m_directed"),
+        "n_vertices",
+        F.round(num / F.sqrt(dx * dy), 6).alias("assortativity"),
+    )
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-vertex local clustering coefficient: lcc(v) = 2·tri(v) /
+    (deg(v)·(deg(v)−1)) for deg ≥ 2 (Watts–Strogatz 1998). Rides the
+    degree-ordered ``triangle_counts`` wedge join (same O(m^1.5)
+    skew bound), then one merge-hinted left join to attach triangle
+    counts to the degree table — triangle-free vertices keep 0.
+
+    Output: ``(vertex, degree, n_triangles, lcc)`` for every vertex
+    with degree ≥ 2; integer-exact until the single final division.
+    """
+    deg = (
+        edges.select(F.explode(F.array("u", "v")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(edges)
+    out = (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri.hint("merge"), "vertex", "left")
+        .select(
+            "vertex",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+        )
+    )
+    return out.select(
+        "vertex",
+        "degree",
+        "n_triangles",
+        F.round(
+            (2.0 * F.col("n_triangles").cast("double"))
+            / (
+                F.col("degree").cast("double")
+                * (F.col("degree") - 1).cast("double")
+            ),
+            6,
+        ).alias("lcc"),
+    )

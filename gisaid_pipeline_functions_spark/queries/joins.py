@@ -792,3 +792,99 @@ def graph_hits(spark, sf_dir):
         .distinct()
     )
     return hits(edges, iterations=_HITS_ITERS)
+
+
+@register(
+    "graph_assortativity",
+    # Degree assortativity (Newman 2002) of the thresholded co-purchase
+    # graph — the one-number topology screen (hub-hub vs hub-spoke) a
+    # pipeline runs before trusting graph-derived features. The oracle
+    # recomputes the Pearson moments from the brute-force edge list:
+    # DECIMAL/HUGEINT-exact Σxy/Σx²/Σy² (the graph_hits overflow
+    # convention), single final divide+sqrt on identical trees.
+    "WITH "
+    + _COPURCHASE_E
+    + """,
+    d AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS dg FROM d GROUP BY src),
+    ann AS (
+      SELECT dx.dg AS x, dy.dg AS y
+      FROM d JOIN deg dx ON d.src = dx.src JOIN deg dy ON d.dst = dy.src
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS sxy,
+             CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS syy
+      FROM ann
+    ),
+    nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices FROM deg)
+    SELECT m AS m_directed, n_vertices,
+           round(CAST(CAST(m AS DECIMAL(38,0)) * sxy
+                      - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+                      AS DOUBLE)
+                 / sqrt(CAST(CAST(m AS DECIMAL(38,0)) * sxx
+                             - CAST(sx AS DECIMAL(19,0))
+                               * CAST(sx AS DECIMAL(19,0)) AS DOUBLE)
+                        * CAST(CAST(m AS DECIMAL(38,0)) * syy
+                               - CAST(sy AS DECIMAL(19,0))
+                                 * CAST(sy AS DECIMAL(19,0)) AS DOUBLE)),
+                 6) AS assortativity
+    FROM s CROSS JOIN nv
+    """,
+)
+def graph_assortativity(spark, sf_dir):
+    from ..operators.graph import degree_assortativity
+
+    return degree_assortativity(_copurchase_edges(spark, sf_dir))
+
+
+@register(
+    "graph_clustering_coeff",
+    # Watts–Strogatz local clustering coefficient per vertex of the
+    # co-purchase graph (operators/graph.py:local_clustering — rides
+    # the degree-ordered triangle_counts wedge join). Oracle: the
+    # brute-force id-ordered 3-way edge join for triangles LEFT-joined
+    # onto the degree table, so a vertex whose triangles the oriented
+    # wedge join misses (or double-counts) hash-fails, and
+    # triangle-free degree-≥2 vertices must appear with lcc = 0.
+    "WITH "
+    + _COPURCHASE_E
+    + """,
+    t AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e1.v = e2.u
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tri AS (
+      SELECT vertex, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM (
+        SELECT a AS vertex FROM t
+        UNION ALL SELECT b FROM t
+        UNION ALL SELECT c FROM t
+      )
+      GROUP BY vertex
+    ),
+    deg AS (
+      SELECT vertex, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT u AS vertex FROM e UNION ALL SELECT v FROM e)
+      GROUP BY vertex
+    )
+    SELECT d.vertex, d.degree,
+           CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           round(2.0 * CAST(coalesce(t.n_triangles, 0) AS DOUBLE)
+                 / (CAST(d.degree AS DOUBLE)
+                    * CAST(d.degree - 1 AS DOUBLE)), 6) AS lcc
+    FROM deg d LEFT JOIN tri t ON d.vertex = t.vertex
+    WHERE d.degree >= 2
+    """,
+)
+def graph_clustering_coeff(spark, sf_dir):
+    from ..operators.graph import local_clustering
+
+    return local_clustering(_copurchase_edges(spark, sf_dir))
