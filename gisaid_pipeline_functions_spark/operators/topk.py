@@ -120,3 +120,69 @@ def global_rank(
         .withColumn("rank", (F.col("_prefix") + local_rn).cast("long"))
         .drop("_bkt", "_prefix")
     )
+
+
+def block_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_cols: list[str],
+    tiebreak_col: str | None = None,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Scale-safe GLOBAL running sum of ``value_cols`` under the
+    ``order_col`` total order — ``global_rank``'s block-prefix trick
+    (approx-quantile cut points → per-bucket totals → broadcast
+    triangular prefix → bucket-partitioned window sum + offset)
+    generalized from rank (count) to arbitrary sum columns, for ECDF /
+    KS-statistic consumers. An unpartitioned running-sum window would
+    move the whole table to one partition (the VERDICT r3 #3 rule).
+
+    Adds ``cum_<col>`` (LongType) for each value column: the sum of
+    that column over all rows ≤ the current row in the
+    (order_col, tiebreak_col) order, INCLUDING the current row. Ties on
+    order_col land in one bucket (cuts compare strictly); pass a
+    tiebreak for a total order when order_col has duplicates, else the
+    running sum at equal keys is frame-order-dependent.
+    """
+    spark = df.sparkSession
+    n = num_buckets or spark.sparkContext.defaultParallelism
+    try:
+        qs = [i / n for i in range(1, n)]
+        cuts = (
+            sorted(set(df.stat.approxQuantile(order_col, qs, 0.001)))
+            if n > 1
+            else []
+        )
+    except Exception:
+        cuts = []
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + (F.col(order_col) > F.lit(c)).cast("int")
+    parts = df.withColumn("_bkt", F.coalesce(bucket, F.lit(-1)))
+    totals = parts.groupBy("_bkt").agg(
+        *[F.sum(c).alias(f"_tot_{c}") for c in value_cols]
+    )
+    prefixes = (
+        totals.alias("a")
+        .join(totals.alias("b"), F.col("b._bkt") < F.col("a._bkt"), "left")
+        .groupBy(F.col("a._bkt").alias("_bkt"))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"b._tot_{c}"), F.lit(0)).alias(f"_pre_{c}")
+                for c in value_cols
+            ]
+        )
+    )
+    order = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+    win = (
+        Window.partitionBy("_bkt")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = parts.join(F.broadcast(prefixes), "_bkt")
+    for c in value_cols:
+        out = out.withColumn(
+            f"cum_{c}",
+            (F.col(f"_pre_{c}") + F.sum(c).over(win)).cast("long"),
+        )
+    return out.drop("_bkt", *[f"_pre_{c}" for c in value_cols])

@@ -1692,3 +1692,618 @@ def agg_cohens_kappa(spark, sf_dir):
             6,
         ).alias("kappa"),
     )
+
+
+@register(
+    "agg_ks_test",
+    # Two-sample Kolmogorov–Smirnov statistic between the order-price
+    # distributions of urgent (1-URGENT/2-HIGH) and non-urgent orders —
+    # the classic distribution-shift screen (the continuous twin of
+    # profile_psi_drift). Everything cross-row is INTEGER-exact: prices
+    # become cents BIGINTs (the Benford floor(x·100+0.5) recovery), the
+    # two group ECDFs are per-distinct-value cumulative COUNTS from
+    # operators/topk.py:block_cumsum (block-prefix — never a global
+    # single-partition window), and the sup-distance is maximized on the
+    # scaled integer |c1·n2 − c2·n1| (exact while n1·n2 < 2⁶³ ≈ 3e9 rows
+    # per side). Only the final D = max/(n1·n2), the asymptotic
+    # λ = D·√(n1n2/(n1+n2)), and the argmax price are IEEE ops on
+    # identical trees; argmax tie-break = smallest value.
+    """
+    WITH cents AS (
+      SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS g1
+      FROM orders
+    ),
+    pv AS (
+      SELECT v, sum(g1) AS n1v, sum(1 - g1) AS n2v FROM cents GROUP BY v
+    ),
+    cum AS (
+      SELECT v,
+             CAST(sum(n1v) OVER (ORDER BY v) AS BIGINT) AS c1,
+             CAST(sum(n2v) OVER (ORDER BY v) AS BIGINT) AS c2
+      FROM pv
+    ),
+    tot AS (
+      SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+             CAST(sum(n2v) AS BIGINT) AS n2
+      FROM pv
+    ),
+    d AS (
+      SELECT v, abs(c1 * n2 - c2 * n1) AS dn FROM cum CROSS JOIN tot
+    ),
+    mx AS (SELECT CAST(max(dn) AS BIGINT) AS d_num FROM d),
+    am AS (
+      SELECT CAST(min(v) AS BIGINT) AS vmax
+      FROM d JOIN mx ON d.dn = mx.d_num
+    )
+    SELECT n1, n2, d_num,
+           round(CAST(d_num AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS ks_d,
+           round(CAST(d_num AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                        / CAST(n1 + n2 AS DOUBLE)), 6) AS ks_lambda,
+           round(CAST(vmax AS DOUBLE) / 100.0, 2) AS price_at_max
+    FROM tot CROSS JOIN mx CROSS JOIN am
+    """,
+)
+def agg_ks_test(spark, sf_dir):
+    from ..operators.topk import block_cumsum
+
+    od = load_table(spark, sf_dir, "orders")
+    cents = od.select(
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("v"),
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("int")
+        .alias("g1"),
+    )
+    pv = cents.groupBy("v").agg(
+        F.sum("g1").alias("n1v"), F.sum(1 - F.col("g1")).alias("n2v")
+    )
+    cum = block_cumsum(pv, "v", ["n1v", "n2v"])
+    tot = pv.agg(F.sum("n1v").alias("n1"), F.sum("n2v").alias("n2"))
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        F.abs(
+            F.col("cum_n1v") * F.col("n2") - F.col("cum_n2v") * F.col("n1")
+        ).alias("dn"),
+    )
+    mx = d.agg(F.max("dn").alias("d_num"))
+    am = (
+        d.join(F.broadcast(mx), d["dn"] == mx["d_num"])
+        .agg(F.min("v").alias("vmax"))
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    ks = F.col("d_num").cast("double") / (n1d * n2d)
+    return (
+        tot.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(am))
+        .select(
+            "n1",
+            "n2",
+            "d_num",
+            F.round(ks, 6).alias("ks_d"),
+            F.round(
+                ks * F.sqrt(n1d * n2d / (F.col("n1") + F.col("n2")).cast("double")),
+                6,
+            ).alias("ks_lambda"),
+            F.round(F.col("vmax").cast("double") / 100.0, 2).alias(
+                "price_at_max"
+            ),
+        )
+    )
+
+
+@register(
+    "agg_spearman_rho",
+    # Spearman rank correlation between line-item quantity and extended
+    # price — the monotone-association screen run where Pearson's
+    # linearity assumption fails. INTEGER-exact throughout: both columns
+    # quantize exactly (quantities are whole numbers, prices 2-decimal
+    # cents), per-value DOUBLED midranks come closed-form from the
+    # grouped value histogram + block_cumsum (2·midrank = 2·cum − cnt +
+    # 1 — no halves, no row-level rank window), rows join their rank
+    # maps merge-hinted (value-distinct tables grow with the corpus),
+    # and the five Pearson moments over doubled ranks are summed in
+    # DECIMAL(38,0) (the assortativity convention). One final
+    # divide+sqrt on identical trees.
+    """
+    WITH rows_q AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    xm AS (
+      SELECT x, 2 * CAST(sum(count(*)) OVER (ORDER BY x) AS BIGINT)
+                  - count(*) + 1 AS rx2
+      FROM rows_q GROUP BY x
+    ),
+    ym AS (
+      SELECT y, 2 * CAST(sum(count(*)) OVER (ORDER BY y) AS BIGINT)
+                  - count(*) + 1 AS ry2
+      FROM rows_q GROUP BY y
+    ),
+    rr AS (
+      SELECT rx2, ry2 FROM rows_q JOIN xm USING (x) JOIN ym USING (y)
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rx2) AS BIGINT) AS sx,
+             CAST(sum(ry2) AS BIGINT) AS sy,
+             CAST(sum(CAST(rx2 AS DECIMAL(19,0)) * CAST(ry2 AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS sxy,
+             CAST(sum(CAST(rx2 AS DECIMAL(19,0)) * CAST(rx2 AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(CAST(ry2 AS DECIMAL(19,0)) * CAST(ry2 AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS syy
+      FROM rr
+    )
+    SELECT n,
+           round(CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                      - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+                      AS DOUBLE)
+                 / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                             - CAST(sx AS DECIMAL(19,0))
+                               * CAST(sx AS DECIMAL(19,0)) AS DOUBLE)
+                        * CAST(CAST(n AS DECIMAL(38,0)) * syy
+                               - CAST(sy AS DECIMAL(19,0))
+                                 * CAST(sy AS DECIMAL(19,0)) AS DOUBLE)),
+                 6) AS spearman_rho
+    FROM s
+    """,
+)
+def agg_spearman_rho(spark, sf_dir):
+    from ..operators.topk import block_cumsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_q = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("y"),
+    )
+
+    def midrank_map(col):
+        hist = rows_q.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        cum = block_cumsum(hist, col, ["cnt"])
+        return cum.select(
+            col,
+            (2 * F.col("cum_cnt") - F.col("cnt") + 1).alias(f"r{col}2"),
+        )
+
+    rr = (
+        rows_q.join(midrank_map("x").hint("merge"), "x")
+        .join(midrank_map("y").hint("merge"), "y")
+        .select("rx2", "ry2")
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    s = rr.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(dec("rx2") * dec("ry2")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dec("rx2") * dec("rx2")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec("ry2") * dec("ry2")).cast("decimal(38,0)").alias("syy"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    num = (nd * F.col("sxy") - dec("sx") * dec("sy")).cast("double")
+    dx = (nd * F.col("sxx") - dec("sx") * dec("sx")).cast("double")
+    dy = (nd * F.col("syy") - dec("sy") * dec("sy")).cast("double")
+    return s.select(
+        "n", F.round(num / F.sqrt(dx * dy), 6).alias("spearman_rho")
+    )
+
+
+@register(
+    "agg_kendall_tau",
+    # Kendall τ-b between the weekly click and purchase counts — the
+    # ordinal-association test over the SMALL aggregated series (weeks
+    # grow with the calendar, not the corpus, so the quadratic pair
+    # join is calendar-bounded and one side broadcasts — the week-spine
+    # precedent). Concordant / discordant / tied-pair counts are exact
+    # BIGINTs from strict sign comparisons; τ-b's single final
+    # divide+sqrt runs on identical trees. Sunday-anchored weeks match
+    # the ts_* family convention.
+    """
+    WITH wk AS (
+      SELECT CAST(ts AS DATE) - CAST(dayofweek(ts) AS INTEGER) AS week_start,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ),
+    pr AS (
+      SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+      FROM wk a JOIN wk b ON a.week_start < b.week_start
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN (x2 - x1) * (y2 - y1) > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nc,
+             CAST(sum(CASE WHEN (x2 - x1) * (y2 - y1) < 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nd,
+             CAST(sum(CASE WHEN x1 = x2 THEN 1 ELSE 0 END) AS BIGINT) AS px,
+             CAST(sum(CASE WHEN y1 = y2 THEN 1 ELSE 0 END) AS BIGINT) AS py
+      FROM pr
+    ),
+    nw AS (SELECT CAST(count(*) AS BIGINT) AS n_weeks FROM wk)
+    SELECT n_weeks, n0, nc, nd, px, py,
+           round(CAST(nc - nd AS DOUBLE)
+                 / sqrt(CAST(n0 - px AS DOUBLE) * CAST(n0 - py AS DOUBLE)),
+                 6) AS kendall_tau_b
+    FROM s CROSS JOIN nw
+    """,
+)
+def agg_kendall_tau(spark, sf_dir):
+    from ..functions.weeks import sunday_week_start
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    wk = ev.groupBy(
+        sunday_week_start(F.col("ts")).alias("week_start")
+    ).agg(
+        F.sum((F.col("event_type") == "click").cast("int")).alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("y"),
+    )
+    a = wk.select(
+        F.col("week_start").alias("w1"),
+        F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+    )
+    b = wk.select(
+        F.col("week_start").alias("w2"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+    pr = a.join(F.broadcast(b), F.col("w1") < F.col("w2"))
+    dx, dy = F.col("x2") - F.col("x1"), F.col("y2") - F.col("y1")
+    s = pr.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum((dx * dy > 0).cast("int")).alias("nc"),
+        F.sum((dx * dy < 0).cast("int")).alias("nd"),
+        F.sum((F.col("x1") == F.col("x2")).cast("int")).alias("px"),
+        F.sum((F.col("y1") == F.col("y2")).cast("int")).alias("py"),
+    )
+    nw = wk.agg(F.count(F.lit(1)).alias("n_weeks"))
+    return s.crossJoin(F.broadcast(nw)).select(
+        "n_weeks", "n0", "nc", "nd", "px", "py",
+        F.round(
+            (F.col("nc") - F.col("nd")).cast("double")
+            / F.sqrt(
+                (F.col("n0") - F.col("px")).cast("double")
+                * (F.col("n0") - F.col("py")).cast("double")
+            ),
+            6,
+        ).alias("kendall_tau_b"),
+    )
+
+
+@register(
+    "agg_fleiss_kappa",
+    # Fleiss' κ across THREE rule-based document-quality raters (the
+    # multi-rater generalization of agg_cohens_kappa): A = char length
+    # ≥ 500, B = word count ≥ 80, C = mean word length in [3, 10] —
+    # rater C evaluated by integer CROSS-MULTIPLICATION (3·nw ≤ Σlen ≤
+    # 10·nw), never a float mean. With n = 3 raters the whole statistic
+    # collapses to three exact totals — N, T₁ = Σ positive votes, S =
+    # Σ(k² + (3−k)²) — and the all-integer identity κ = (3N(S − 3N) −
+    # 2(T₁² + T₀²)) / (2(9N² − T₁² − T₀²)); products run in
+    # DECIMAL(38,0) and the single final division is one IEEE op.
+    # Zero-word docs vote C-positive (0 ≤ 0 ≤ 0) — deterministic on
+    # both engines. Char semantics: DuckDB length() (the r8 trap).
+    """
+    WITH rated AS (
+      SELECT CASE WHEN length(text) >= 500 THEN 1 ELSE 0 END
+             + CASE WHEN length(list_filter(string_split_regex(text,
+                      '\\s+'), x -> x <> '')) >= 80 THEN 1 ELSE 0 END
+             + CASE WHEN 3 * length(list_filter(string_split_regex(text,
+                      '\\s+'), x -> x <> ''))
+                      <= list_reduce(list_prepend(0,
+                           [length(w) FOR w IN list_filter(
+                              string_split_regex(text, '\\s+'),
+                              x -> x <> '')]), (a, b) -> a + b)
+                    AND list_reduce(list_prepend(0,
+                           [length(w) FOR w IN list_filter(
+                              string_split_regex(text, '\\s+'),
+                              x -> x <> '')]), (a, b) -> a + b)
+                      <= 10 * length(list_filter(string_split_regex(text,
+                           '\\s+'), x -> x <> ''))
+                    THEN 1 ELSE 0 END AS k
+      FROM documents
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(k) AS BIGINT) AS t1,
+             CAST(sum(k * k + (3 - k) * (3 - k)) AS BIGINT) AS s
+      FROM rated
+    )
+    SELECT n, t1, s,
+           round(CAST(s - 3 * n AS DOUBLE) / CAST(6 * n AS DOUBLE), 6)
+             AS p_bar,
+           round(CAST(CAST(t1 AS DECIMAL(19,0)) * CAST(t1 AS DECIMAL(19,0))
+                      + CAST(3 * n - t1 AS DECIMAL(19,0))
+                        * CAST(3 * n - t1 AS DECIMAL(19,0)) AS DOUBLE)
+                 / CAST(9 * CAST(n AS DECIMAL(19,0))
+                        * CAST(n AS DECIMAL(19,0)) AS DOUBLE), 6) AS p_e,
+           round(CAST(3 * CAST(n AS DECIMAL(19,0))
+                        * CAST(s - 3 * n AS DECIMAL(19,0))
+                      - 2 * (CAST(t1 AS DECIMAL(19,0))
+                             * CAST(t1 AS DECIMAL(19,0))
+                             + CAST(3 * n - t1 AS DECIMAL(19,0))
+                               * CAST(3 * n - t1 AS DECIMAL(19,0)))
+                      AS DOUBLE)
+                 / CAST(2 * (9 * CAST(n AS DECIMAL(19,0))
+                               * CAST(n AS DECIMAL(19,0))
+                             - CAST(t1 AS DECIMAL(19,0))
+                               * CAST(t1 AS DECIMAL(19,0))
+                             - CAST(3 * n - t1 AS DECIMAL(19,0))
+                               * CAST(3 * n - t1 AS DECIMAL(19,0)))
+                      AS DOUBLE), 6) AS fleiss_kappa
+    FROM t
+    """,
+)
+def agg_fleiss_kappa(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    # materialize the split array ONCE (the split()-rematerialization
+    # perf rule) before the three raters reference it
+    w = docs.select(
+        F.length("text").alias("clen"),
+        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "").alias(
+            "w"
+        ),
+    ).select(
+        "clen",
+        F.size("w").alias("nw"),
+        F.aggregate(
+            "w", F.lit(0), lambda acc, x: acc + F.length(x)
+        ).alias("slen"),
+    )
+    k = (
+        (F.col("clen") >= 500).cast("int")
+        + (F.col("nw") >= 80).cast("int")
+        + (
+            (3 * F.col("nw") <= F.col("slen"))
+            & (F.col("slen") <= 10 * F.col("nw"))
+        ).cast("int")
+    )
+    t = w.select(k.alias("k")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("t1"),
+        F.sum(F.col("k") * F.col("k") + (3 - F.col("k")) * (3 - F.col("k"))).alias(
+            "s"
+        ),
+    )
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    nD, t1D = dec(F.col("n")), dec(F.col("t1"))
+    t0D = dec(3 * F.col("n") - F.col("t1"))
+    pe_num = (t1D * t1D + t0D * t0D).cast("double")
+    return t.select(
+        "n", "t1", "s",
+        F.round(
+            (F.col("s") - 3 * F.col("n")).cast("double")
+            / (6 * F.col("n")).cast("double"),
+            6,
+        ).alias("p_bar"),
+        F.round(pe_num / (9 * nD * nD).cast("double"), 6).alias("p_e"),
+        F.round(
+            (
+                3 * nD * dec(F.col("s") - 3 * F.col("n"))
+                - 2 * (t1D * t1D + t0D * t0D)
+            ).cast("double")
+            / (2 * (9 * nD * nD - t1D * t1D - t0D * t0D)).cast("double"),
+            6,
+        ).alias("fleiss_kappa"),
+    )
+
+
+@register(
+    "agg_anova_oneway",
+    # One-way ANOVA F across the five order-priority strata of order
+    # price (the k-group generalization of agg_ab_ttest). Per-stratum
+    # sufficient statistics are exact (cents BIGINT Σx, DECIMAL(38,0)
+    # Σx²); the one cross-group float reduction — Σ_g S_g²/n_g — folds
+    # LEFT-TO-RIGHT over the stratum-name-sorted term list on BOTH
+    # engines (Spark F.aggregate over array_sort(collect_list), DuckDB
+    # list_reduce over list(... ORDER BY ...), 0.0-seeded: 0+x ≡ x in
+    # IEEE), so the k=5 doubles add in one identical order — never a
+    # partial-aggregation sum whose order differs per engine. SS terms
+    # and F are identical trees. The cents² SS columns ship UNROUNDED:
+    # at 1e15+ magnitude DuckDB's round(x, 6) PERTURBS the double
+    # (x·1e6 overflows the 53-bit mantissa and divides back to a
+    # different value) while Spark's BigDecimal round is a no-op —
+    # identical trees make the raw doubles bit-identical, so rounding
+    # there is not just unnecessary but wrong. Only the ~1-magnitude
+    # F statistic is 6dp-rounded.
+    """
+    WITH cents AS (
+      SELECT o_orderpriority AS stratum,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+      FROM orders
+    ),
+    st AS (
+      SELECT stratum, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(c) AS BIGINT) AS sg,
+             CAST(sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS qg
+      FROM cents GROUP BY 1
+    ),
+    terms AS (
+      SELECT stratum, ng, sg, qg,
+             CAST(CAST(sg AS DECIMAL(19,0)) * CAST(sg AS DECIMAL(19,0))
+                  AS DOUBLE) / CAST(ng AS DOUBLE) AS term
+      FROM st
+    ),
+    gl AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(ng) AS BIGINT) AS n,
+             CAST(sum(sg) AS BIGINT) AS s,
+             CAST(sum(qg) AS DECIMAL(38,0)) AS q,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(term ORDER BY stratum)),
+                         (a, b) -> a + b) AS fold
+      FROM terms
+    )
+    SELECT k, n,
+           fold - CAST(CAST(s AS DECIMAL(19,0))
+                       * CAST(s AS DECIMAL(19,0)) AS DOUBLE)
+                  / CAST(n AS DOUBLE) AS ssb,
+           CAST(q AS DOUBLE) - fold AS ssw,
+           round((fold - CAST(CAST(s AS DECIMAL(19,0))
+                              * CAST(s AS DECIMAL(19,0)) AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                 / CAST(k - 1 AS DOUBLE)
+                 / ((CAST(q AS DOUBLE) - fold) / CAST(n - k AS DOUBLE)),
+                 6) AS f_stat
+    FROM gl
+    """,
+)
+def agg_anova_oneway(spark, sf_dir):
+    od = load_table(spark, sf_dir, "orders")
+    cents = od.select(
+        F.col("o_orderpriority").alias("stratum"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("c"),
+    )
+    cd = F.col("c").cast("decimal(19,0)")
+    st = cents.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("c").alias("sg"),
+        F.sum(cd * cd).cast("decimal(38,0)").alias("qg"),
+    )
+    sgd = F.col("sg").cast("decimal(19,0)")
+    terms = st.select(
+        "stratum", "ng", "sg", "qg",
+        ((sgd * sgd).cast("double") / F.col("ng").cast("double")).alias(
+            "term"
+        ),
+    )
+    gl = terms.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("qg").cast("decimal(38,0)").alias("q"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("stratum", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("fold"),
+    )
+    sD = F.col("s").cast("decimal(19,0)")
+    corr = (sD * sD).cast("double") / F.col("n").cast("double")
+    ssb = F.col("fold") - corr
+    ssw = F.col("q").cast("double") - F.col("fold")
+    return gl.select(
+        "k", "n",
+        ssb.alias("ssb"),
+        ssw.alias("ssw"),
+        F.round(
+            ssb
+            / (F.col("k") - 1).cast("double")
+            / (ssw / (F.col("n") - F.col("k")).cast("double")),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+@register(
+    "agg_chi2_independence",
+    # χ² test of independence on the order-priority × order-status
+    # contingency table (the k×m generalization of the chi2-keyword
+    # scorer, run as a data-quality screen for drifting categorical
+    # couplings). Per-cell terms are exact to the last step — (N·O −
+    # r·c)² and N·r·c in DECIMAL(38,0), one division each — and the
+    # 15-term χ² total folds left-to-right over the (priority, status)-
+    # sorted list on both engines (the agg_anova_oneway convention).
+    # Output: one row per cell with its contribution, plus the shared
+    # χ² total and dof.
+    """
+    WITH ct AS (
+      SELECT o_orderpriority AS priority, o_orderstatus AS status,
+             CAST(count(*) AS BIGINT) AS obs
+      FROM orders GROUP BY 1, 2
+    ),
+    rt AS (SELECT priority, CAST(sum(obs) AS BIGINT) AS r
+           FROM ct GROUP BY 1),
+    cl AS (SELECT status, CAST(sum(obs) AS BIGINT) AS c FROM ct GROUP BY 1),
+    nn AS (SELECT CAST(sum(obs) AS BIGINT) AS n,
+                  CAST(count(DISTINCT priority) AS BIGINT) AS nr,
+                  CAST(count(DISTINCT status) AS BIGINT) AS nc
+           FROM ct),
+    cells AS (
+      SELECT ct.priority, ct.status, ct.obs,
+             CAST(CAST(rt.r AS DECIMAL(19,0)) * CAST(cl.c AS DECIMAL(19,0))
+                  AS DOUBLE) / CAST(nn.n AS DOUBLE) AS expected,
+             CAST((CAST(nn.n AS DECIMAL(19,0)) * CAST(ct.obs AS DECIMAL(19,0))
+                   - CAST(rt.r AS DECIMAL(19,0)) * CAST(cl.c AS DECIMAL(19,0)))
+                  * (CAST(nn.n AS DECIMAL(19,0)) * CAST(ct.obs AS DECIMAL(19,0))
+                     - CAST(rt.r AS DECIMAL(19,0)) * CAST(cl.c AS DECIMAL(19,0)))
+                  AS DOUBLE)
+             / CAST(CAST(nn.n AS DECIMAL(19,0)) * CAST(rt.r AS DECIMAL(19,0))
+                    * CAST(cl.c AS DECIMAL(19,0)) AS DOUBLE) AS term
+      FROM ct JOIN rt ON ct.priority = rt.priority
+              JOIN cl ON ct.status = cl.status
+              CROSS JOIN nn
+    ),
+    tot AS (
+      SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(term ORDER BY priority, status)),
+                         (a, b) -> a + b) AS chi2
+      FROM cells
+    )
+    SELECT cells.priority, cells.status, cells.obs,
+           round(cells.expected, 6) AS expected,
+           round(cells.term, 6) AS term,
+           round(tot.chi2, 6) AS chi2,
+           (nn.nr - 1) * (nn.nc - 1) AS dof
+    FROM cells CROSS JOIN tot CROSS JOIN nn
+    """,
+)
+def agg_chi2_independence(spark, sf_dir):
+    od = load_table(spark, sf_dir, "orders")
+    ct = od.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    rt = ct.groupBy("priority").agg(F.sum("obs").alias("r"))
+    cl = ct.groupBy("status").agg(F.sum("obs").alias("c"))
+    nn = ct.agg(
+        F.sum("obs").alias("n"),
+        F.countDistinct("priority").alias("nr"),
+        F.countDistinct("status").alias("nc"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    num = dec("n") * dec("obs") - dec("r") * dec("c")
+    cells = (
+        ct.join(F.broadcast(rt), "priority")
+        .join(F.broadcast(cl), "status")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "priority", "status", "obs", "nr", "nc",
+            (
+                (dec("r") * dec("c")).cast("double")
+                / F.col("n").cast("double")
+            ).alias("expected"),
+            (
+                (num * num).cast("double")
+                / (dec("n") * dec("r") * dec("c")).cast("double")
+            ).alias("term"),
+        )
+    )
+    tot = cells.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("priority", "status", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("chi2")
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "priority", "status", "obs",
+        F.round("expected", 6).alias("expected"),
+        F.round("term", 6).alias("term"),
+        F.round("chi2", 6).alias("chi2"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
+    )
