@@ -898,3 +898,87 @@ def wav_energy_windows(
         "media_id long, window_no long, n_samples long, energy long, "
         "rms double, is_silent boolean",
     )
+
+
+# SDXL-style aspect-ratio bucket list (name, ratio_w, ratio_h). The
+# assignment metric |w/h − bw/bh| is compared EXACTLY across buckets by
+# clearing denominators: key_i = |w·bh_i − h·bw_i| · (P / bh_i) with
+# P = Π_j bh_j — all integers, so the argmin (ties → lowest index) is
+# engine-independent. Float ratio math would make near-tie dims (e.g.
+# 16×12 between 4:3 and 3:2) an ulp lottery.
+ASPECT_BUCKETS = [
+    ("1:1", 1, 1),
+    ("3:2", 3, 2),
+    ("2:3", 2, 3),
+    ("4:3", 4, 3),
+    ("3:4", 3, 4),
+    ("16:9", 16, 9),
+    ("9:16", 9, 16),
+]
+_ASPECT_P = 1
+for _, _, _bh in ASPECT_BUCKETS:
+    _ASPECT_P *= _bh
+
+
+def aspect_bucket_assign(dims: DataFrame) -> DataFrame:
+    """Aspect-ratio bucketing (the SDXL / NovelAI image-training
+    batching trick: group images by nearest aspect ratio so per-batch
+    resize distortion is minimal). Input: any frame with (media_id,
+    width, height). Output: per-bucket (bucket_idx, bucket, ratio_w,
+    ratio_h, n_images, total_pixels) for every non-empty bucket.
+
+    Scale shape: the bucket table is a FIXED literal array (7 entries)
+    — exploded map-side, so the per-image argmin is one projection +
+    one partitioned window; no join, no shuffle beyond the final
+    7-group aggregate. The exact-integer argmin key is documented at
+    ``ASPECT_BUCKETS``."""
+    from pyspark.sql import Window
+
+    bk = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("idx"),
+                F.lit(name).alias("bucket"),
+                F.lit(bw).alias("bw"),
+                F.lit(bh).alias("bh"),
+                F.lit(_ASPECT_P // bh).alias("scale"),
+            )
+            for i, (name, bw, bh) in enumerate(ASPECT_BUCKETS)
+        ]
+    )
+    scored = dims.select(
+        "media_id",
+        "width",
+        "height",
+        F.explode(bk).alias("b"),
+    ).select(
+        "media_id",
+        "width",
+        "height",
+        F.col("b.idx").alias("idx"),
+        F.col("b.bucket").alias("bucket"),
+        F.col("b.bw").alias("bw"),
+        F.col("b.bh").alias("bh"),
+        (
+            F.abs(
+                F.col("width") * F.col("b.bh")
+                - F.col("height") * F.col("b.bw")
+            )
+            * F.col("b.scale")
+        ).alias("key"),
+    )
+    w = Window.partitionBy("media_id").orderBy("key", "idx")
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return best.groupBy("idx", "bucket", "bw", "bh").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.col("width") * F.col("height")).alias("total_pixels"),
+    ).select(
+        F.col("idx").cast("long").alias("bucket_idx"),
+        "bucket",
+        F.col("bw").cast("long").alias("ratio_w"),
+        F.col("bh").cast("long").alias("ratio_h"),
+        "n_images",
+        "total_pixels",
+    )

@@ -888,3 +888,115 @@ def graph_clustering_coeff(spark, sf_dir):
     from ..operators.graph import local_clustering
 
     return local_clustering(_copurchase_edges(spark, sf_dir))
+
+
+@register(
+    "graph_modularity",
+    # Newman modularity Q of the LPA community partition on the
+    # co-purchase graph — the partition-quality number reported beside
+    # any community detection. ALL-INTEGER: Q = [Σ_c(4m·L_c − d_c²)] /
+    # (4m²) with L_c = intra-community edges and d_c = total community
+    # degree, so the whole numerator is one exact DECIMAL(38,0) sum
+    # (communities with no intra edge still contribute −d_c², via the
+    # degree-side left join) and the single final division is one IEEE
+    # op. The oracle replays the 4 LPA rounds (shared _lpa_ctes) then
+    # recomputes L_c / d_c from the brute-force edge list — a drifted
+    # community OR a miscounted intra edge hash-fails.
+    "WITH "
+    + _lpa_ctes(_LPA_ITERS)
+    + f""",
+    lab AS (SELECT vertex, label FROM l{_LPA_ITERS}),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+    intra AS (
+      SELECT lu.label, CAST(count(*) AS BIGINT) AS lc
+      FROM e JOIN lab lu ON e.u = lu.vertex
+             JOIN lab lv ON e.v = lv.vertex
+      WHERE lu.label = lv.label
+      GROUP BY lu.label
+    ),
+    degc AS (
+      SELECT lab.label, CAST(count(*) AS BIGINT) AS dc
+      FROM d JOIN lab ON d.src = lab.vertex
+      GROUP BY lab.label
+    ),
+    parts AS (
+      SELECT degc.label,
+             CAST(4 AS DECIMAL(19,0)) * CAST(mm.m AS DECIMAL(19,0))
+               * CAST(coalesce(intra.lc, 0) AS DECIMAL(19,0))
+             - CAST(degc.dc AS DECIMAL(19,0))
+               * CAST(degc.dc AS DECIMAL(19,0)) AS num
+      FROM degc LEFT JOIN intra ON degc.label = intra.label
+                CROSS JOIN mm
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_communities,
+             CAST(sum(num) AS DECIMAL(38,0)) AS q_num
+      FROM parts
+    )
+    SELECT n_communities, m,
+           round(CAST(q_num AS DOUBLE)
+                 / CAST(CAST(4 AS DECIMAL(19,0))
+                        * CAST(mm.m AS DECIMAL(19,0))
+                        * CAST(mm.m AS DECIMAL(19,0)) AS DOUBLE), 6)
+             AS q_modularity
+    FROM s CROSS JOIN mm
+    """,
+)
+def graph_modularity(spark, sf_dir):
+    from ..operators.graph import label_propagation
+
+    edges = _copurchase_edges(spark, sf_dir)
+    lab = label_propagation(edges, iterations=_LPA_ITERS).select(
+        "vertex", "label"
+    )
+    # the label frame grows with the graph — merge-hint every join
+    # against it (the r6 broadcast-estimate rule)
+    lu = lab.select(F.col("vertex").alias("u"), F.col("label").alias("lu"))
+    lv = lab.select(F.col("vertex").alias("v"), F.col("label").alias("lv"))
+    mm = edges.agg(F.count(F.lit(1)).alias("m"))
+    intra = (
+        edges.join(lu.hint("merge"), "u")
+        .join(lv.hint("merge"), "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count(F.lit(1)).alias("lc"))
+    )
+    d = edges.select(F.col("u").alias("x")).unionAll(
+        edges.select(F.col("v").alias("x"))
+    )
+    degc = (
+        d.join(
+            lab.select(F.col("vertex").alias("x"), "label").hint("merge"),
+            "x",
+        )
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("dc"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    parts = (
+        degc.join(intra.hint("merge"), "label", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            (
+                F.lit(4).cast("decimal(19,0)")
+                * dec("m")
+                * F.coalesce(F.col("lc"), F.lit(0)).cast("decimal(19,0)")
+                - dec("dc") * dec("dc")
+            ).alias("num")
+        )
+    )
+    s = parts.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.sum("num").cast("decimal(38,0)").alias("q_num"),
+    )
+    return s.crossJoin(F.broadcast(mm)).select(
+        "n_communities",
+        "m",
+        F.round(
+            F.col("q_num").cast("double")
+            / (F.lit(4).cast("decimal(19,0)") * dec("m") * dec("m")).cast(
+                "double"
+            ),
+            6,
+        ).alias("q_modularity"),
+    )

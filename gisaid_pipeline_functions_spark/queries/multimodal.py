@@ -400,3 +400,58 @@ def multimodal_audio_energy(spark, sf_dir):
 
     media = documents_as_wav(load_table(spark, sf_dir, "documents"))
     return wav_energy_windows(media, window_samples=8, silence_peak=2048)
+
+
+@register(
+    "multimodal_aspect_bucket",
+    # SDXL-style aspect-ratio bucketing over the decoded BMP corpus —
+    # the batching stage of an image-training pipeline (group images by
+    # nearest aspect ratio so per-batch resizes distort minimally).
+    # The Spark side parses dims from the REAL BMP payloads
+    # (bmp_decode's mapInPandas) then assigns buckets by the
+    # EXACT-integer argmin key |w·bh − h·bw|·(P/bh) with ties → lowest
+    # bucket index (operators/multimodal.py:ASPECT_BUCKETS — float
+    # ratio distance would make near-tie dims an ulp lottery). The
+    # oracle rebuilds dims from the generation arithmetic and replays
+    # the same integer argmin via a window — a header-parse slip OR a
+    # tie-break drift hash-fails. Bucket table: 7 literal rows, INT
+    # columns only (no VALUES-DECIMAL trap).
+    """
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             CAST(doc_id % 21 + 4 AS BIGINT) AS width,
+             CAST(doc_id % 13 + 4 AS BIGINT) AS height
+      FROM documents
+    ),
+    bk(idx, bucket, bw, bh, scale) AS (
+      VALUES (0, '1:1', 1, 1, 10368), (1, '3:2', 3, 2, 5184),
+             (2, '2:3', 2, 3, 3456), (3, '4:3', 4, 3, 3456),
+             (4, '3:4', 3, 4, 2592), (5, '16:9', 16, 9, 1152),
+             (6, '9:16', 9, 16, 648)
+    ),
+    scored AS (
+      SELECT media_id, width, height, idx, bucket, bw, bh,
+             abs(width * bh - height * bw) * scale AS key,
+             row_number() OVER (PARTITION BY media_id
+                                ORDER BY abs(width * bh - height * bw)
+                                         * scale, idx) AS rn
+      FROM dims CROSS JOIN bk
+    )
+    SELECT CAST(idx AS BIGINT) AS bucket_idx, bucket,
+           CAST(bw AS BIGINT) AS ratio_w, CAST(bh AS BIGINT) AS ratio_h,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(sum(width * height) AS BIGINT) AS total_pixels
+    FROM scored WHERE rn = 1
+    GROUP BY idx, bucket, bw, bh
+    """,
+)
+def multimodal_aspect_bucket(spark, sf_dir):
+    from ..operators.multimodal import (
+        aspect_bucket_assign,
+        bmp_decode,
+        documents_as_bmp,
+    )
+
+    media = documents_as_bmp(load_table(spark, sf_dir, "documents"))
+    dims = bmp_decode(media).select("media_id", "width", "height")
+    return aspect_bucket_assign(dims)

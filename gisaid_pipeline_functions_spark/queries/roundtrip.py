@@ -774,3 +774,41 @@ def layout_compaction_plan(spark, sf_dir):
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+@register(
+    "source_schema_merge",
+    # Schema-evolution scan (S-layer, beyond-reference): two parquet
+    # batches of the SAME logical table written with DIFFERENT schemas —
+    # batch 1 (even event_ids) predates the ``props`` column, batch 2
+    # (odd) carries it — then one mergeSchema=true read reconstructs the
+    # union schema with NULL back-fill, exactly the situation a 100 TB
+    # lake hits every time a column lands mid-history. The oracle
+    # computes the post-evolution aggregate straight from the source
+    # view (evens contribute NULL props), so a dropped column, a
+    # mis-backfilled NULL, or a batch lost by the merged scan
+    # hash-fails.
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(CASE WHEN event_id % 2 = 1 THEN props END)
+                AS BIGINT) AS n_props,
+           round(sum(value), 6) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def source_schema_merge(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    tmp = _scratch_dir("gisaid_schema_merge_")
+    ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type", "value"
+    ).write.mode("overwrite").parquet(tmp + "/batch=1")
+    ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", "value", "props"
+    ).write.mode("overwrite").parquet(tmp + "/batch=2")
+    back = spark.read.option("mergeSchema", "true").parquet(tmp)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("props").alias("n_props"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )

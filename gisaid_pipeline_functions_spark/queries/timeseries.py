@@ -858,3 +858,294 @@ def ts_holt_winters(spark, sf_dir):
             F.col("r.fc").alias("forecast_next"),
         )
     )
+
+
+@register(
+    "ts_dtw",
+    # Dynamic-time-warping distance between the weekly click and
+    # purchase count sequences (Sakoe & Chiba 1978) — the elastic
+    # series-similarity measure used where pointwise distance breaks on
+    # phase shift. ALL-INTEGER exact: |Δ| costs on BIGINT counts, the
+    # classic O(n·m) lattice folded row by row, and the row's apparent
+    # sequential dependence cur[j] = cost+min(prev,diag,cur[j-1])
+    # removed by the min-plus prefix identity cur[j] = c[j] +
+    # min_{k≤j}(a[k] − c[k]) (a = cost + min(up, diag), c = cost prefix
+    # sums) so each row is a pure array comprehension both engines
+    # replay bit-for-bit — Spark F.aggregate over the x-series with an
+    # array-state row, DuckDB a recursive CTE carrying the row list.
+    # INF sentinel 1e15 (path costs are ≤ Σcosts ≪ 1e15, no overflow:
+    # INF + max cost ≪ 2⁶³). Series are calendar-bounded aggregates —
+    # the whole fold is one map-side expression on a 1-row frame.
+    """
+    WITH RECURSIVE wkx AS (
+      SELECT CAST(ts AS DATE) - CAST(dayofweek(ts) AS INTEGER) AS w,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    wky AS (
+      SELECT CAST(ts AS DATE) - CAST(dayofweek(ts) AS INTEGER) AS w,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    sx AS (SELECT list(y ORDER BY w) AS xs FROM wkx),
+    sy AS (SELECT list(y ORDER BY w) AS ys FROM wky),
+    dims AS (
+      SELECT xs, ys, CAST(len(xs) AS BIGINT) AS n,
+             CAST(len(ys) AS BIGINT) AS m
+      FROM sx CROSS JOIN sy
+    ),
+    dp(i, row) AS (
+      SELECT 0,
+             list_prepend(CAST(0 AS BIGINT),
+                          [CAST(1000000000000000 AS BIGINT)
+                           FOR j IN range(1, CAST(m AS INT) + 1)])
+      FROM dims
+      UNION ALL
+      SELECT dp.i + 1,
+             list_prepend(
+               CAST(1000000000000000 AS BIGINT),
+               [CAST(list_reduce(
+                       list_slice([abs(d.xs[dp.i + 1] - yv)
+                                   FOR yv IN d.ys], 1, j),
+                       (p, q) -> p + q) AS BIGINT)
+                + list_min(
+                    list_slice(
+                      [[abs(d.xs[dp.i + 1] - yv) FOR yv IN d.ys][k]
+                       + least(dp.row[k + 1], dp.row[k])
+                       - CAST(list_reduce(
+                           list_slice([abs(d.xs[dp.i + 1] - yv)
+                                       FOR yv IN d.ys], 1, k),
+                           (p, q) -> p + q) AS BIGINT)
+                       FOR k IN range(1, CAST(d.m AS INT) + 1)],
+                      1, j))
+                FOR j IN range(1, CAST(d.m AS INT) + 1)])
+      FROM dp, dims d WHERE dp.i < d.n
+    )
+    SELECT d.n, d.m, dp.row[CAST(d.m AS INT) + 1] AS dtw_distance,
+           round(CAST(dp.row[CAST(d.m AS INT) + 1] AS DOUBLE)
+                 / CAST(d.n + d.m AS DOUBLE), 6) AS dtw_per_step
+    FROM dp JOIN dims d ON dp.i = d.n
+    """,
+)
+def ts_dtw(spark, sf_dir):
+    from ..functions.weeks import sunday_week_start
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def series(etype, alias):
+        wk = (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy(sunday_week_start(F.col("ts")).alias("w"))
+            .agg(F.count(F.lit(1)).alias("y"))
+        )
+        return wk.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("w", "y"))),
+                lambda s: s["y"],
+            ).alias(alias)
+        )
+
+    INF = F.lit(1000000000000000).cast("long")
+    both = series("click", "xs").crossJoin(series("purchase", "ys"))
+    m = F.size("ys")
+    row0 = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.transform(F.sequence(F.lit(1), m), lambda j: INF),
+    )
+
+    def step(prev, xi):
+        cost = F.transform(F.col("ys"), lambda yv: F.abs(xi - yv))
+        csum = F.transform(
+            F.sequence(F.lit(1), m),
+            lambda j: F.aggregate(
+                F.slice(cost, F.lit(1), j),
+                F.lit(0).cast("long"),
+                lambda p, q: p + q,
+            ),
+        )
+        amc = F.transform(
+            F.sequence(F.lit(1), m),
+            lambda k: F.element_at(cost, k)
+            + F.least(F.element_at(prev, k + 1), F.element_at(prev, k))
+            - F.element_at(csum, k),
+        )
+        cur = F.transform(
+            F.sequence(F.lit(1), m),
+            lambda j: F.element_at(csum, j)
+            + F.array_min(F.slice(amc, F.lit(1), j)),
+        )
+        return F.concat(F.array(INF), cur)
+
+    final = both.select(
+        F.size("xs").cast("long").alias("n"),
+        m.cast("long").alias("m"),
+        F.element_at(
+            F.aggregate(F.col("xs"), row0, step), F.size("ys") + 1
+        ).alias("dtw_distance"),
+    )
+    return final.select(
+        "n", "m", "dtw_distance",
+        F.round(
+            F.col("dtw_distance").cast("double")
+            / (F.col("n") + F.col("m")).cast("double"),
+            6,
+        ).alias("dtw_per_step"),
+    )
+
+
+@register(
+    "ts_granger_lite",
+    # Lag-1 Granger-causality screen: does last week's purchase count
+    # improve the prediction of this week's click count beyond last
+    # week's clicks? Restricted model y_t ~ (1, y_{t-1}) vs full model
+    # y_t ~ (1, y_{t-1}, x_{t-1}), both solved CLOSED-FORM by Cramer's
+    # rule on the normal equations (the train_linreg_normal_eq
+    # convention, one order up): every moment (n, Σy, Σa, Σb, Σa²,
+    # Σb², Σab, Σay, Σby, Σy²) is an exact BIGINT over weekly counts,
+    # the 3×3 determinants expand in DECIMAL(38,0), and each RSS is ONE
+    # division of exact decimals — RSS_f = (Σy²·D − Nα·Σy − Nβ·Σay −
+    # Nγ·Σby)/D. The F statistic is three IEEE ops on the two RSS
+    # doubles. Lag alignment = the calendar join w+7d = w' (exactly
+    # consecutive weeks; gaps drop the pair on both sides).
+    """
+    WITH wk AS (
+      SELECT CAST(ts AS DATE) - CAST(dayofweek(ts) AS INTEGER) AS w,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cl,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pu
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ),
+    pairs AS (
+      SELECT cur.cl AS y, prev.cl AS a, prev.pu AS b
+      FROM wk cur JOIN wk prev ON prev.w + 7 = cur.w
+    ),
+    mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sy, CAST(sum(a) AS BIGINT) AS sa,
+             CAST(sum(b) AS BIGINT) AS sb,
+             CAST(sum(a * a) AS BIGINT) AS saa,
+             CAST(sum(b * b) AS BIGINT) AS sbb,
+             CAST(sum(a * b) AS BIGINT) AS sab,
+             CAST(sum(a * y) AS BIGINT) AS say,
+             CAST(sum(b * y) AS BIGINT) AS sby,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pairs
+    ),
+    dec AS (
+      SELECT n, syy,
+             CAST(n AS DECIMAL(38,0)) AS dn, CAST(sy AS DECIMAL(38,0)) AS dsy,
+             CAST(sa AS DECIMAL(38,0)) AS dsa, CAST(sb AS DECIMAL(38,0)) AS dsb,
+             CAST(saa AS DECIMAL(38,0)) AS dsaa,
+             CAST(sbb AS DECIMAL(38,0)) AS dsbb,
+             CAST(sab AS DECIMAL(38,0)) AS dsab,
+             CAST(say AS DECIMAL(38,0)) AS dsay,
+             CAST(sby AS DECIMAL(38,0)) AS dsby,
+             CAST(syy AS DECIMAL(38,0)) AS dsyy
+      FROM mo
+    ),
+    rss AS (
+      SELECT n,
+             CAST(dsyy AS DOUBLE)
+               - CAST(dsy * (dsaa * dsy - dsa * dsay)
+                      + dsay * (dn * dsay - dsa * dsy) AS DOUBLE)
+                 / CAST(dn * dsaa - dsa * dsa AS DOUBLE) AS rss_r,
+             CAST(dsyy * (dn * (dsaa * dsbb - dsab * dsab)
+                           - dsa * (dsa * dsbb - dsab * dsb)
+                           + dsb * (dsa * dsab - dsaa * dsb))
+                   - (dsy * (dsaa * dsbb - dsab * dsab)
+                      - dsa * (dsay * dsbb - dsab * dsby)
+                      + dsb * (dsay * dsab - dsaa * dsby)) * dsy
+                   - (dn * (dsay * dsbb - dsab * dsby)
+                      - dsy * (dsa * dsbb - dsab * dsb)
+                      + dsb * (dsa * dsby - dsay * dsb)) * dsay
+                   - (dn * (dsaa * dsby - dsay * dsab)
+                      - dsa * (dsa * dsby - dsay * dsb)
+                      + dsy * (dsa * dsab - dsaa * dsb)) * dsby
+                  AS DOUBLE)
+                  / CAST(dn * (dsaa * dsbb - dsab * dsab)
+                         - dsa * (dsa * dsbb - dsab * dsb)
+                         + dsb * (dsa * dsab - dsaa * dsb) AS DOUBLE)
+               AS rss_f
+      FROM dec
+    )
+    SELECT n, round(rss_r, 6) AS rss_r, round(rss_f, 6) AS rss_f,
+           round((rss_r - rss_f) / (rss_f / CAST(n - 3 AS DOUBLE)), 6)
+             AS f_stat
+    FROM rss
+    """,
+)
+def ts_granger_lite(spark, sf_dir):
+    from ..functions.weeks import sunday_week_start
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    wk = ev.groupBy(sunday_week_start(F.col("ts")).alias("w")).agg(
+        F.sum((F.col("event_type") == "click").cast("int")).alias("cl"),
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("pu"),
+    )
+    cur = wk.select(F.col("w"), F.col("cl").alias("y"))
+    prev = wk.select(
+        F.date_add("w", 7).alias("w"),
+        F.col("cl").alias("a"),
+        F.col("pu").alias("b"),
+    )
+    pairs = cur.join(F.broadcast(prev), "w")
+    mo = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+        F.sum(F.col("a") * F.col("y")).alias("say"),
+        F.sum(F.col("b") * F.col("y")).alias("sby"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = {
+        c: F.col(c).cast("decimal(38,0)")
+        for c in ["n", "sy", "sa", "sb", "saa", "sbb", "sab", "say", "sby", "syy"]
+    }
+    rss_r = d["syy"].cast("double") - (
+        d["sy"] * (d["saa"] * d["sy"] - d["sa"] * d["say"])
+        + d["say"] * (d["n"] * d["say"] - d["sa"] * d["sy"])
+    ).cast("double") / (d["n"] * d["saa"] - d["sa"] * d["sa"]).cast(
+        "double"
+    )
+    det = (
+        d["n"] * (d["saa"] * d["sbb"] - d["sab"] * d["sab"])
+        - d["sa"] * (d["sa"] * d["sbb"] - d["sab"] * d["sb"])
+        + d["sb"] * (d["sa"] * d["sab"] - d["saa"] * d["sb"])
+    )
+    n_alpha = (
+        d["sy"] * (d["saa"] * d["sbb"] - d["sab"] * d["sab"])
+        - d["sa"] * (d["say"] * d["sbb"] - d["sab"] * d["sby"])
+        + d["sb"] * (d["say"] * d["sab"] - d["saa"] * d["sby"])
+    )
+    n_beta = (
+        d["n"] * (d["say"] * d["sbb"] - d["sab"] * d["sby"])
+        - d["sy"] * (d["sa"] * d["sbb"] - d["sab"] * d["sb"])
+        + d["sb"] * (d["sa"] * d["sby"] - d["say"] * d["sb"])
+    )
+    n_gamma = (
+        d["n"] * (d["saa"] * d["sby"] - d["say"] * d["sab"])
+        - d["sa"] * (d["sa"] * d["sby"] - d["say"] * d["sb"])
+        + d["sy"] * (d["sa"] * d["sab"] - d["saa"] * d["sb"])
+    )
+    rss_f = (
+        d["syy"] * det
+        - n_alpha * d["sy"]
+        - n_beta * d["say"]
+        - n_gamma * d["sby"]
+    ).cast("double") / det.cast("double")
+    return mo.select(
+        "n",
+        F.round(rss_r, 6).alias("rss_r"),
+        F.round(rss_f, 6).alias("rss_f"),
+        F.round(
+            (rss_r - rss_f) / (rss_f / (F.col("n") - 3).cast("double")), 6
+        ).alias("f_stat"),
+    )

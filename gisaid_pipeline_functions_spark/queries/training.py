@@ -997,3 +997,88 @@ def sample_ess_diagnostic(spark, sf_dir):
         F.round(ess, 6).alias("ess"),
         F.round(ess / F.col("n_docs"), 6).alias("ess_fraction"),
     )
+
+
+@register(
+    "sample_curriculum_order",
+    # Competence-based curriculum schedule (Platanios et al. 2019,
+    # "Competence-based Curriculum Learning for NMT"): documents are
+    # globally ranked by a difficulty proxy (whitespace token count,
+    # ties → doc_id), split into 4 competence bands, and training stage
+    # s consumes the CUMULATIVE prefix (bands 1..s) — the schedule a
+    # data-loader materializes per epoch. The global rank comes from
+    # operators/topk.py:global_rank (block-prefix — no single-partition
+    # window at corpus scale); band assignment is the exact integer
+    # floor((rank−1)·4/N)+1, and the cumulative stage totals re-use the
+    # tiny 4-row band aggregate via a triangular join. All counts are
+    # BIGINT; the stage fraction is one final division.
+    """
+    WITH diff AS (
+      SELECT doc_id,
+             CAST(length(list_filter(string_split_regex(text, '\\s+'),
+                                     x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens, doc_id) AS rank,
+             count(*) OVER () AS n
+      FROM diff
+    ),
+    bands AS (
+      SELECT CAST((rank - 1) * 4 // n + 1 AS BIGINT) AS band,
+             count(*) AS bn, sum(n_tokens) AS bt
+      FROM ranked GROUP BY 1
+    ),
+    stages AS (
+      SELECT s.band AS stage,
+             CAST(sum(b.bn) AS BIGINT) AS n_docs,
+             CAST(sum(b.bt) AS BIGINT) AS n_tokens
+      FROM bands s JOIN bands b ON b.band <= s.band
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM diff)
+    SELECT stage, n_docs, n_tokens,
+           round(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE), 6)
+             AS frac_docs
+    FROM stages CROSS JOIN tot
+    """,
+)
+def sample_curriculum_order(spark, sf_dir):
+    from ..operators.topk import global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    diff = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    ranked = global_rank(diff, "n_tokens", "doc_id")
+    tot = diff.agg(F.count(F.lit(1)).alias("total"))
+    bands = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("(rank - 1) * 4 div total").alias("band0"),
+            "n_tokens",
+        )
+        .groupBy((F.col("band0") + 1).alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("bn"), F.sum("n_tokens").alias("bt")
+        )
+    )
+    s = bands.select(F.col("band").alias("stage"))
+    stages = (
+        s.join(F.broadcast(bands), F.col("band") <= F.col("stage"))
+        .groupBy("stage")
+        .agg(F.sum("bn").alias("n_docs"), F.sum("bt").alias("n_tokens"))
+    )
+    return stages.crossJoin(F.broadcast(tot)).select(
+        "stage", "n_docs", "n_tokens",
+        F.round(
+            F.col("n_docs").cast("double") / F.col("total").cast("double"),
+            6,
+        ).alias("frac_docs"),
+    )
