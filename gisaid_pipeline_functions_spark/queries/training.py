@@ -1082,3 +1082,126 @@ def sample_curriculum_order(spark, sf_dir):
             6,
         ).alias("frac_docs"),
     )
+
+
+@register(
+    "sample_unimax",
+    # UniMax budget-capped language allocation (Chung et al. 2023,
+    # "UniMax: Fairer and More Effective Language Sampling for
+    # Large-Scale Multilingual Pretraining"): spread a token budget as
+    # uniformly as possible across languages, capping each language at
+    # its available corpus (1 epoch) — the water-filling walk over
+    # languages sorted by availability ASCENDING (ties -> lang), where
+    # each language takes min(avail, floor(remaining / langs_left)).
+    # The walk is sequential but tiny (one row per language), so both
+    # engines replay it exactly: Spark folds the sorted lang array with
+    # F.aggregate on a 1-row frame (corpus-scale work is only the
+    # per-lang token aggregate); DuckDB walks a recursive CTE. The
+    # fair share uses EXACT integer division — Spark's (a - a%b)/b on
+    # exactly-divisible DECIMALs (BigDecimal division of a divisible
+    # numerator is exact; float floor(a/b) breaks past 2^53), DuckDB's
+    # native // . Budget = floor(2/3 of total tokens) so at the shipped
+    # distribution at least one language binds its cap and the
+    # remainder genuinely redistributes.
+    r"""
+    WITH RECURSIVE tok AS (
+      SELECT lang,
+             CAST(sum(length(list_filter(string_split_regex(text, '\s+'),
+                                         x -> x <> ''))) AS BIGINT) AS avail
+      FROM documents GROUP BY 1
+    ),
+    ord AS (
+      SELECT lang, avail,
+             CAST(row_number() OVER (ORDER BY avail, lang) AS BIGINT) AS i,
+             CAST(count(*) OVER () AS BIGINT) AS k
+      FROM tok
+    ),
+    tot AS (SELECT CAST(CAST(sum(avail) AS BIGINT) * 2 // 3 AS BIGINT) AS b
+            FROM tok),
+    walk AS (
+      SELECT CAST(0 AS BIGINT) AS i, b AS rem, CAST(NULL AS VARCHAR) AS lang,
+             CAST(NULL AS BIGINT) AS avail, CAST(NULL AS BIGINT) AS alloc
+      FROM tot
+      UNION ALL
+      SELECT o.i, w.rem - least(o.avail, w.rem // (o.k - w.i)),
+             o.lang, o.avail, least(o.avail, w.rem // (o.k - w.i))
+      FROM walk w JOIN ord o ON o.i = w.i + 1
+    )
+    SELECT lang, avail AS avail_tokens, alloc AS alloc_tokens,
+           round(CAST(alloc AS DOUBLE) / CAST(avail AS DOUBLE), 6)
+             AS epochs_used
+    FROM walk WHERE i > 0
+    """,
+)
+def sample_unimax(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.groupBy("lang").agg(
+        F.sum(
+            F.size(
+                F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+            ).cast("long")
+        ).alias("avail")
+    )
+    one = tok.agg(
+        F.array_sort(
+            F.collect_list(F.struct("avail", "lang"))
+        ).alias("ordered"),
+        (F.sum("avail") * 2 - (F.sum("avail") * 2) % 3)
+        .cast("decimal(38,0)")
+        .alias("b3"),
+    ).select(
+        "ordered",
+        (F.col("b3") / F.lit(3).cast("decimal(19,0)"))
+        .cast("long")
+        .alias("budget"),
+    )
+
+    empty = F.array().cast(
+        "array<struct<lang:string,avail:bigint,alloc:bigint>>"
+    )
+    k = F.size(F.col("ordered")).cast("long")
+
+    def exact_div(a, b):
+        # exactly-divisible DECIMAL division is exact (BigDecimal);
+        # float floor(a/b) would break past 2^53 at corpus scale
+        return (
+            (a - a % b).cast("decimal(38,0)") / b.cast("decimal(19,0)")
+        ).cast("long")
+
+    def step(acc, x):
+        left = k - F.size(acc["allocs"]).cast("long")
+        fair = exact_div(acc["rem"], left)
+        alloc = F.least(x["avail"], fair)
+        return F.struct(
+            (acc["rem"] - alloc).alias("rem"),
+            F.concat(
+                acc["allocs"],
+                F.array(
+                    F.struct(
+                        x["lang"].alias("lang"),
+                        x["avail"].alias("avail"),
+                        alloc.alias("alloc"),
+                    )
+                ),
+            ).alias("allocs"),
+        )
+
+    folded = one.select(
+        F.aggregate(
+            F.col("ordered"),
+            F.struct(
+                F.col("budget").alias("rem"), empty.alias("allocs")
+            ),
+            step,
+        )["allocs"].alias("allocs")
+    )
+    return folded.select(F.explode("allocs").alias("a")).select(
+        F.col("a.lang").alias("lang"),
+        F.col("a.avail").alias("avail_tokens"),
+        F.col("a.alloc").alias("alloc_tokens"),
+        F.round(
+            F.col("a.alloc").cast("double")
+            / F.col("a.avail").cast("double"),
+            6,
+        ).alias("epochs_used"),
+    )
