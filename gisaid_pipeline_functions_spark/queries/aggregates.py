@@ -2307,3 +2307,255 @@ def agg_chi2_independence(spark, sf_dir):
         F.round("chi2", 6).alias("chi2"),
         ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
     )
+
+
+# Poisson(1) inverse-CDF cutoffs on the u32 lattice: T_k =
+# floor(cdf(k)·2^32) for k = 0..7 (cdf(7) covers 1 − 1e-5; counts cap
+# at 8). The replicate count for a row is the number of cutoffs ≤ its
+# u32 draw — a pure integer comparison chain, identical on both
+# engines because the cutoffs are INTEGER literals computed once here
+# (never re-derived from float math engine-side).
+_POISSON1_CUTS = [
+    1580030168, 3160060337, 3950075421, 4213413783,
+    4279248373, 4292415291, 4294609777, 4294923276,
+]
+
+
+@register(
+    "agg_poisson_bootstrap",
+    # Poisson bootstrap (Chamandy et al. 2012, "Estimating uncertainty
+    # for massive data streams" — THE bootstrap that scales: resampling
+    # n-out-of-n needs global coordination, but Poisson(1) replicate
+    # counts are per-row-independent, so B replicates are one map-side
+    # explode + one 32-group aggregate). Deterministic: the count for
+    # (row, replicate b) comes from the md5 u32 draw of "okey:b"
+    # against the _POISSON1_CUTS integer lattice. Prices enter as
+    # exact cents (BIGINT), so each replicate mean is ONE division of
+    # exact integers; the 32 replicate means are then summarized by the
+    # sorted-list left fold (the agg_anova_oneway convention) and exact
+    # order-statistic picks ms[2]/ms[31] (a ~93.75% percentile CI).
+    """
+    WITH cents AS (
+      SELECT o_orderkey AS okey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    pt AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS sc
+      FROM cents
+    ),
+    reps AS (
+      SELECT r.b, c.cents,
+             CAST(('0x' || substr(md5(c.okey || ':' || r.b), 1, 8))
+                  AS BIGINT) AS u
+      FROM cents c CROSS JOIN (SELECT unnest(range(1, 33)) AS b) r
+    ),
+    drawn AS (
+      SELECT b, cents,
+             CAST(u >= 1580030168 AS INTEGER) + CAST(u >= 3160060337 AS INTEGER)
+           + CAST(u >= 3950075421 AS INTEGER) + CAST(u >= 4213413783 AS INTEGER)
+           + CAST(u >= 4279248373 AS INTEGER) + CAST(u >= 4292415291 AS INTEGER)
+           + CAST(u >= 4294609777 AS INTEGER) + CAST(u >= 4294923276 AS INTEGER)
+               AS c
+      FROM reps
+    ),
+    rep AS (
+      SELECT b,
+             CAST(sum(CAST(c AS BIGINT) * cents) AS BIGINT) AS s,
+             CAST(sum(c) AS BIGINT) AS m
+      FROM drawn GROUP BY b
+    ),
+    ms AS (
+      SELECT list(CAST(s AS DOUBLE) / CAST(m * 100 AS DOUBLE)
+                  ORDER BY CAST(s AS DOUBLE) / CAST(m * 100 AS DOUBLE))
+               AS l,
+             CAST(count(*) AS BIGINT) AS n_replicates
+      FROM rep
+    )
+    SELECT pt.n_orders, ms.n_replicates,
+           round(CAST(pt.sc AS DOUBLE)
+                 / CAST(pt.n_orders * 100 AS DOUBLE), 6) AS point_mean,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ms.l),
+                             (a, b) -> a + b)
+                 / CAST(ms.n_replicates AS DOUBLE), 6) AS boot_mean,
+           round(ms.l[2], 6) AS ci_lo,
+           round(ms.l[31], 6) AS ci_hi
+    FROM ms CROSS JOIN pt
+    """,
+)
+def agg_poisson_bootstrap(spark, sf_dir):
+    from ..operators.training import hex_uniform_u32
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    pt = cents.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("sc"),
+    )
+    reps = cents.withColumn(
+        "b", F.explode(F.sequence(F.lit(1), F.lit(32)))
+    )
+    u = hex_uniform_u32(
+        F.concat(
+            F.col("okey").cast("string"),
+            F.lit(":"),
+            F.col("b").cast("string"),
+        )
+    )
+    c = sum(
+        [(u >= F.lit(t)).cast("int") for t in _POISSON1_CUTS[1:]],
+        (u >= F.lit(_POISSON1_CUTS[0])).cast("int"),
+    )
+    drawn = reps.select("b", "cents", c.alias("c"))
+    rep = drawn.groupBy("b").agg(
+        F.sum(F.col("c").cast("long") * F.col("cents")).alias("s"),
+        F.sum("c").cast("long").alias("m"),
+    )
+    mean = F.col("s").cast("double") / (F.col("m") * 100).cast("double")
+    ms = rep.select(mean.alias("mean")).agg(
+        F.array_sort(F.collect_list("mean")).alias("l"),
+        F.count(F.lit(1)).alias("n_replicates"),
+    )
+    return ms.crossJoin(F.broadcast(pt)).select(
+        "n_orders",
+        "n_replicates",
+        F.round(
+            F.col("sc").cast("double")
+            / (F.col("n_orders") * 100).cast("double"),
+            6,
+        ).alias("point_mean"),
+        F.round(
+            F.aggregate(
+                F.col("l"),
+                F.lit(0.0).cast("double"),
+                lambda a, b: a + b,
+            )
+            / F.col("n_replicates").cast("double"),
+            6,
+        ).alias("boot_mean"),
+        F.round(F.element_at("l", 2), 6).alias("ci_lo"),
+        F.round(F.element_at("l", 31), 6).alias("ci_hi"),
+    )
+
+
+@register(
+    "agg_cuped",
+    # CUPED variance reduction (Deng et al., WSDM 2013 — the standard
+    # experimentation-platform estimator): per customer, Y = order
+    # spend in the experiment period (1998+), X = pre-period spend
+    # (<=1997), theta = cov(X,Y)/var(X), and the adjusted variance
+    # var(Y - theta X) = var_y - cov^2/var_x. Spend enters as exact
+    # cents; all five moments are DECIMAL(19,0)^2 -> DECIMAL(38,0)
+    # power sums over the customer base (cents^2 sums overflow int64),
+    # customers without orders included at (0,0) via the left join.
+    # Variances are cents^2-scale (~1e16 at SF) — shipped RAW, never
+    # round()ed (the r9 anova large-magnitude divergence class);
+    # theta and the reduction ratio are lattice-scale and rounded.
+    """
+    WITH spend AS (
+      SELECT c.c_custkey,
+             CAST(coalesce(sum(CASE WHEN year(o.o_orderdate) <= 1997
+                  THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                  ELSE 0 END), 0) AS BIGINT) AS x,
+             CAST(coalesce(sum(CASE WHEN year(o.o_orderdate) >= 1998
+                  THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                  ELSE 0 END), 0) AS BIGINT) AS y
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ),
+    mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS syy,
+             CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS sxy
+      FROM spend
+    ),
+    v AS (
+      SELECT n,
+             CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+               / CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)
+               AS theta,
+             CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)
+               / CAST(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+                      AS DOUBLE) AS var_y,
+             CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)
+               / CAST(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+                      AS DOUBLE) AS var_x,
+             CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+               / CAST(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+                      AS DOUBLE) AS cov_xy
+      FROM mo
+    )
+    SELECT n, round(theta, 6) AS theta,
+           var_y,
+           var_y - cov_xy * cov_xy / var_x AS var_cuped,
+           round((cov_xy * cov_xy / var_x) / var_y, 6)
+             AS variance_reduction
+    FROM v
+    """,
+)
+def agg_cuped(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    spend = (
+        cust.join(
+            orders.select(
+                F.col("o_custkey").alias("c_custkey"),
+                F.when(F.year("o_orderdate") <= 1997, cents)
+                .otherwise(F.lit(0))
+                .alias("xc"),
+                F.when(F.year("o_orderdate") >= 1998, cents)
+                .otherwise(F.lit(0))
+                .alias("yc"),
+            ),
+            "c_custkey",
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(F.sum("xc"), F.lit(0)).cast("long").alias("x"),
+            F.coalesce(F.sum("yc"), F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    mo = spend.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(d19("x") * d19("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(d19("y") * d19("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(d19("x") * d19("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    dn = F.col("n").cast("decimal(38,0)")
+    nn = (d19("n") * d19("n")).cast("double")
+    theta = (dn * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (dn * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    var_y = (dn * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    ) / nn
+    var_x = (dn * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    ) / nn
+    cov = (dn * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / nn
+    return mo.select(
+        "n",
+        F.round(theta, 6).alias("theta"),
+        var_y.alias("var_y"),
+        (var_y - cov * cov / var_x).alias("var_cuped"),
+        F.round((cov * cov / var_x) / var_y, 6).alias(
+            "variance_reduction"
+        ),
+    )

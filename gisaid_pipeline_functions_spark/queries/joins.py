@@ -1000,3 +1000,82 @@ def graph_modularity(spark, sf_dir):
             6,
         ).alias("q_modularity"),
     )
+
+
+@register(
+    "join_fuzzy_blocked",
+    # Blocked fuzzy matching (the entity-resolution / record-linkage
+    # primitive, Christen 2012): candidate pairs from TWO blocking
+    # passes over a 24-char title key (prefix-8 and chars 17..24 —
+    # multi-pass blocking so a mismatch inside one block window can't
+    # hide a pair), distinct-unioned, then verified by exact
+    # Levenshtein <= 6. Edit distance is computed ONCE per distinct
+    # candidate pair, after the union-dedup; both engines' levenshtein
+    # is the classic unit-cost distance (cross-checked). Block keys
+    # grow with the corpus -> both self-join sides merge-hinted (the
+    # r6 broadcast-estimate rule).
+    """
+    WITH t AS (
+      SELECT doc_id, substr(text, 1, 24) AS title FROM documents
+    ),
+    k AS (
+      SELECT doc_id, title, substr(title, 1, 8) AS b1,
+             substr(title, 17, 8) AS b2
+      FROM t
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.title AS ta, b.title AS tb
+      FROM k a JOIN k b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+      UNION
+      SELECT a.doc_id, b.doc_id, a.title, b.title
+      FROM k a JOIN k b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(ta, tb) AS BIGINT) AS lev_dist
+    FROM cand
+    WHERE levenshtein(ta, tb) <= 6
+    """,
+)
+def join_fuzzy_blocked(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    k = docs.select(
+        "doc_id",
+        F.substring(F.col("text"), 1, 24).alias("title"),
+    ).select(
+        "doc_id",
+        "title",
+        F.substring("title", 1, 8).alias("b1"),
+        F.substring("title", 17, 8).alias("b2"),
+    )
+
+    def side(pfx):
+        return k.select(
+            F.col("doc_id").alias(f"doc_{pfx}"),
+            F.col("title").alias(f"t{pfx}"),
+            "b1",
+            "b2",
+        )
+
+    a, b = side("a"), side("b")
+
+    def block(key):
+        return (
+            a.drop("b2" if key == "b1" else "b1")
+            .hint("merge")
+            .join(
+                b.drop("b2" if key == "b1" else "b1").hint("merge"),
+                key,
+            )
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "ta", "tb")
+        )
+
+    cand = block("b1").unionByName(block("b2")).distinct()
+    d = F.levenshtein("ta", "tb")
+    return (
+        cand.select(
+            "doc_a", "doc_b", d.cast("long").alias("lev_dist")
+        )
+        .filter(F.col("lev_dist") <= 6)
+    )

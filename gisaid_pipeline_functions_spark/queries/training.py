@@ -1205,3 +1205,208 @@ def sample_unimax(spark, sf_dir):
             6,
         ).alias("epochs_used"),
     )
+
+
+@register(
+    "train_isotonic_calibration",
+    # Isotonic regression (PAV) of the urgent-order rate against 16
+    # price bands — the calibration fit (Zadrozny & Elkan 2002) that
+    # turns a monotone-believed score into probabilities. PAV's merge
+    # cascade is unbounded, so both engines instead evaluate the EXACT
+    # min-max identity fit_i = max_{j<=i} min_{k>=i} mean(pos, j..k)
+    # (Barlow et al. 1972) — provably the PAV solution — over the
+    # 16-row band aggregate: interval sums from a triangular
+    # self-join, each interval mean ONE division of exact BIGINTs
+    # (identical doubles on both engines), then min/max of identical
+    # doubles. Corpus-scale work is only the band groupBy; the
+    # 16-row grid join is O(bands^3) on a broadcast-sized frame.
+    """
+    WITH b AS (
+      SELECT least(CAST(o_totalprice AS BIGINT) // 31250, 15) AS band,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM orders GROUP BY 1
+    ),
+    pre AS (
+      SELECT band, n, pos,
+             CAST(sum(n) OVER (ORDER BY band) AS BIGINT) AS cn,
+             CAST(sum(pos) OVER (ORDER BY band) AS BIGINT) AS cp
+      FROM b
+    ),
+    ivals AS (
+      SELECT lo.band AS j, hi.band AS k,
+             CAST(hi.cp - lo.cp + lo.pos AS DOUBLE)
+               / CAST(hi.cn - lo.cn + lo.n AS DOUBLE) AS avg_jk
+      FROM pre lo JOIN pre hi ON lo.band <= hi.band
+    ),
+    inner_min AS (
+      SELECT i.band, v.j, min(v.avg_jk) AS mn
+      FROM b i JOIN ivals v ON v.j <= i.band AND i.band <= v.k
+      GROUP BY i.band, v.j
+    ),
+    fit AS (
+      SELECT band, max(mn) AS iso FROM inner_min GROUP BY band
+    )
+    SELECT b.band, b.n, b.pos,
+           round(CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE), 6)
+             AS raw_rate,
+           round(fit.iso, 6) AS iso_rate
+    FROM b JOIN fit ON b.band = fit.band
+    """,
+)
+def train_isotonic_calibration(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.groupBy(
+        F.least(
+            (F.col("o_totalprice").cast("long") / F.lit(31250))
+            .cast("long"),
+            F.lit(15).cast("long"),
+        ).alias("band")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("o_orderpriority") == "1-URGENT").cast("int")
+        ).cast("long").alias("pos"),
+    )
+    # 16-row frame: the single-partition prefix window is over the
+    # FIXED band grid, not the corpus
+    w = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    pre = b.select(
+        "band", "n", "pos",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("pos").over(w).alias("cp"),
+    )
+    lo = pre.select(
+        F.col("band").alias("j"),
+        F.col("cn").alias("cn_lo"),
+        F.col("cp").alias("cp_lo"),
+        F.col("n").alias("n_lo"),
+        F.col("pos").alias("pos_lo"),
+    )
+    hi = pre.select(
+        F.col("band").alias("k"),
+        F.col("cn").alias("cn_hi"),
+        F.col("cp").alias("cp_hi"),
+    )
+    ivals = lo.join(F.broadcast(hi), F.col("j") <= F.col("k")).select(
+        "j", "k",
+        (
+            (F.col("cp_hi") - F.col("cp_lo") + F.col("pos_lo")).cast(
+                "double"
+            )
+            / (F.col("cn_hi") - F.col("cn_lo") + F.col("n_lo")).cast(
+                "double"
+            )
+        ).alias("avg_jk"),
+    )
+    idx = b.select(F.col("band"))
+    inner_min = (
+        idx.join(
+            F.broadcast(ivals),
+            (F.col("j") <= F.col("band")) & (F.col("band") <= F.col("k")),
+        )
+        .groupBy("band", "j")
+        .agg(F.min("avg_jk").alias("mn"))
+    )
+    fit = inner_min.groupBy("band").agg(F.max("mn").alias("iso"))
+    return b.join(F.broadcast(fit), "band").select(
+        "band", "n", "pos",
+        F.round(
+            F.col("pos").cast("double") / F.col("n").cast("double"), 6
+        ).alias("raw_rate"),
+        F.round("iso", 6).alias("iso_rate"),
+    )
+
+
+@register(
+    "sample_mw_reweight",
+    # DoReMi-style domain reweighting (Xie et al. 2023): one
+    # multiplicative-weights step over sources, where each domain's
+    # excess "loss" (verbosity: chars-per-token vs the corpus rate) is
+    # QUANTIZED to integer steps and the weight update is 2^steps —
+    # powers of two are exact IEEE doubles and their 20-term sum is
+    # order-independent (all terms within a 2^16 window), so the
+    # normalized weights are bit-identical on both engines with no exp()
+    # (libm exp differs across engines in the last ulp — the midpoint
+    # class). Steps = clamp(floor(512·ch_d·tk_tot / (ch_tot·tk_d)) −
+    # 512, ±8), all in DECIMAL(38,0)/HUGEINT (ch·tk products overflow
+    # int64 at corpus scale); the final smoothing is DoReMi's uniform
+    # mix alpha = 0.7·alpha' + 0.3/k (0.7 is not a lattice-midpoint
+    # weight). One scan, one 20-row aggregate — no shuffle beyond it.
+    r"""
+    WITH d AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS ch,
+             CAST(sum(length(list_filter(string_split_regex(text, '\s+'),
+                                         x -> x <> ''))) AS BIGINT) AS tk,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(ch) AS BIGINT) AS cht, CAST(sum(tk) AS BIGINT) AS tkt
+      FROM d
+    ),
+    st AS (
+      SELECT source, n_docs,
+             greatest(least(
+               CAST(CAST(512 AS HUGEINT) * CAST(ch AS HUGEINT)
+                    * CAST(tkt AS HUGEINT)
+                    // (CAST(cht AS HUGEINT) * CAST(tk AS HUGEINT))
+                    AS BIGINT) - 512,
+               8), -8) AS steps
+      FROM d CROSS JOIN tot
+    ),
+    w AS (
+      SELECT source, n_docs, steps, power(2.0, steps) AS wt FROM st
+    ),
+    z AS (SELECT sum(wt) AS zz, CAST(count(*) AS BIGINT) AS k FROM w)
+    SELECT source, n_docs, steps,
+           round(wt / zz, 6) AS alpha_prime,
+           round(0.7 * (wt / zz) + 0.3 / k, 6) AS alpha
+    FROM w CROSS JOIN z
+    """,
+)
+def sample_mw_reweight(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("ch"),
+        F.sum(
+            F.size(
+                F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+            ).cast("long")
+        ).alias("tk"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tot = d.agg(
+        F.sum("ch").cast("long").alias("cht"),
+        F.sum("tk").cast("long").alias("tkt"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = F.lit(512).cast("decimal(38,0)") * dec("ch") * dec("tkt")
+    den = dec("cht") * dec("tk")
+    qexact = ((num - num % den) / den).cast("long")
+    st = d.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.greatest(
+            F.least(qexact - 512, F.lit(8).cast("long")),
+            F.lit(-8).cast("long"),
+        ).alias("steps"),
+    )
+    w = st.withColumn("wt", F.pow(F.lit(2.0), F.col("steps")))
+    z = w.agg(
+        F.sum("wt").alias("zz"), F.count(F.lit(1)).alias("k")
+    )
+    return w.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "steps",
+        F.round(F.col("wt") / F.col("zz"), 6).alias("alpha_prime"),
+        F.round(
+            F.lit(0.7) * (F.col("wt") / F.col("zz"))
+            + F.lit(0.3) / F.col("k"),
+            6,
+        ).alias("alpha"),
+    )
