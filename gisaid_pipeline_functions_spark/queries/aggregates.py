@@ -2396,7 +2396,10 @@ def agg_poisson_bootstrap(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("cents").alias("sc"),
     )
-    reps = cents.withColumn(
+    # the orders file is one input split at bench scale — spread the
+    # 32x md5 expansion across cores before it happens (the SCALING.md
+    # rule: repartition CPU-bound stages, don't shrink maxPartitionBytes)
+    reps = cents.repartition(32).withColumn(
         "b", F.explode(F.sequence(F.lit(1), F.lit(32)))
     )
     u = hex_uniform_u32(
