@@ -2322,37 +2322,42 @@ _POISSON1_CUTS = [
 
 
 @register(
-    "agg_poisson_bootstrap",
-    # Poisson bootstrap (Chamandy et al. 2012, "Estimating uncertainty
-    # for massive data streams" — THE bootstrap that scales: resampling
-    # n-out-of-n needs global coordination, but Poisson(1) replicate
-    # counts are per-row-independent, so B replicates are one map-side
-    # explode + one 32-group aggregate). Deterministic: the count for
-    # (row, replicate b) comes from the md5 u32 draw of "okey:b"
-    # against the _POISSON1_CUTS integer lattice. Prices enter as
-    # exact cents (BIGINT), so each replicate mean is ONE division of
-    # exact integers; the 32 replicate means are then summarized by the
-    # sorted-list left fold (the agg_anova_oneway convention) and exact
-    # order-statistic picks ms[2]/ms[31] (a ~93.75% percentile CI).
+    "agg_bootstrap_ab_diff",
+    # Nonparametric A/B uncertainty: Poisson-bootstrap CI of the
+    # DIFFERENCE in mean order price, urgent vs non-urgent — the
+    # resampling twin of agg_ab_ttest (ratio/difference metrics are
+    # where parametric variance goes wrong, and the per-row Poisson(1)
+    # trick is the only bootstrap that scales: Chamandy et al. 2012).
+    # Deterministic: the count for (row, replicate b) is the md5 u32
+    # draw of "okey:b" against the 8-level _POISSON1_CUTS integer
+    # lattice (finer tail than the 4-level byte CDF of
+    # agg_poisson_bootstrap_ci). Prices enter as exact cents, each
+    # replicate's two means are single exact-integer divisions, and
+    # the 32 replicate diffs are summarized by the sorted-list fold
+    # (agg_anova_oneway convention) plus exact order-statistic picks
+    # l[2]/l[31] (a ~93.75% percentile CI).
     """
     WITH cents AS (
       SELECT o_orderkey AS okey,
-             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderpriority = '1-URGENT' AS g
       FROM orders
     ),
     pt AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_orders,
-             CAST(sum(cents) AS BIGINT) AS sc
+      SELECT CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN g THEN cents ELSE 0 END) AS BIGINT) AS sa,
+             CAST(sum(CASE WHEN g THEN 0 ELSE cents END) AS BIGINT) AS sb
       FROM cents
     ),
     reps AS (
-      SELECT r.b, c.cents,
+      SELECT r.b, c.cents, c.g,
              CAST(('0x' || substr(md5(c.okey || ':' || r.b), 1, 8))
                   AS BIGINT) AS u
       FROM cents c CROSS JOIN (SELECT unnest(range(1, 33)) AS b) r
     ),
     drawn AS (
-      SELECT b, cents,
+      SELECT b, cents, g,
              CAST(u >= 1580030168 AS INTEGER) + CAST(u >= 3160060337 AS INTEGER)
            + CAST(u >= 3950075421 AS INTEGER) + CAST(u >= 4213413783 AS INTEGER)
            + CAST(u >= 4279248373 AS INTEGER) + CAST(u >= 4292415291 AS INTEGER)
@@ -2362,39 +2367,51 @@ _POISSON1_CUTS = [
     ),
     rep AS (
       SELECT b,
-             CAST(sum(CAST(c AS BIGINT) * cents) AS BIGINT) AS s,
-             CAST(sum(c) AS BIGINT) AS m
+             CAST(sum(CASE WHEN g THEN CAST(c AS BIGINT) * cents ELSE 0 END)
+                  AS BIGINT) AS sa,
+             CAST(sum(CASE WHEN g THEN c ELSE 0 END) AS BIGINT) AS ma,
+             CAST(sum(CASE WHEN g THEN 0 ELSE CAST(c AS BIGINT) * cents END)
+                  AS BIGINT) AS sb,
+             CAST(sum(CASE WHEN g THEN 0 ELSE c END) AS BIGINT) AS mb
       FROM drawn GROUP BY b
     ),
-    ms AS (
-      SELECT list(CAST(s AS DOUBLE) / CAST(m * 100 AS DOUBLE)
-                  ORDER BY CAST(s AS DOUBLE) / CAST(m * 100 AS DOUBLE))
-               AS l,
-             CAST(count(*) AS BIGINT) AS n_replicates
+    diffs AS (
+      SELECT CAST(sa AS DOUBLE) / CAST(ma * 100 AS DOUBLE)
+             - CAST(sb AS DOUBLE) / CAST(mb * 100 AS DOUBLE) AS d
       FROM rep
+    ),
+    ms AS (
+      SELECT list(d ORDER BY d) AS l,
+             CAST(count(*) AS BIGINT) AS n_replicates
+      FROM diffs
     )
-    SELECT pt.n_orders, ms.n_replicates,
-           round(CAST(pt.sc AS DOUBLE)
-                 / CAST(pt.n_orders * 100 AS DOUBLE), 6) AS point_mean,
+    SELECT pt.n_a, pt.n_b, ms.n_replicates,
+           round(CAST(pt.sa AS DOUBLE) / CAST(pt.n_a * 100 AS DOUBLE)
+                 - CAST(pt.sb AS DOUBLE) / CAST(pt.n_b * 100 AS DOUBLE),
+                 6) AS point_diff,
            round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ms.l),
                              (a, b) -> a + b)
-                 / CAST(ms.n_replicates AS DOUBLE), 6) AS boot_mean,
+                 / CAST(ms.n_replicates AS DOUBLE), 6) AS boot_diff,
            round(ms.l[2], 6) AS ci_lo,
            round(ms.l[31], 6) AS ci_hi
     FROM ms CROSS JOIN pt
     """,
 )
-def agg_poisson_bootstrap(spark, sf_dir):
+def agg_bootstrap_ab_diff(spark, sf_dir):
     from ..operators.training import hex_uniform_u32
 
     orders = load_table(spark, sf_dir, "orders")
     cents = orders.select(
         F.col("o_orderkey").alias("okey"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("g"),
     )
+    gi = F.col("g").cast("long")
     pt = cents.agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum("cents").alias("sc"),
+        F.sum(gi).alias("n_a"),
+        F.sum(1 - gi).alias("n_b"),
+        F.sum(gi * F.col("cents")).alias("sa"),
+        F.sum((1 - gi) * F.col("cents")).alias("sb"),
     )
     # the orders file is one input split at bench scale — spread the
     # 32x md5 expansion across cores before it happens (the SCALING.md
@@ -2413,24 +2430,32 @@ def agg_poisson_bootstrap(spark, sf_dir):
         [(u >= F.lit(t)).cast("int") for t in _POISSON1_CUTS[1:]],
         (u >= F.lit(_POISSON1_CUTS[0])).cast("int"),
     )
-    drawn = reps.select("b", "cents", c.alias("c"))
+    drawn = reps.select("b", "cents", "g", c.alias("c"))
+    cl = F.col("c").cast("long")
     rep = drawn.groupBy("b").agg(
-        F.sum(F.col("c").cast("long") * F.col("cents")).alias("s"),
-        F.sum("c").cast("long").alias("m"),
+        F.sum(gi * cl * F.col("cents")).alias("sa"),
+        F.sum(gi * cl).alias("ma"),
+        F.sum((1 - gi) * cl * F.col("cents")).alias("sb"),
+        F.sum((1 - gi) * cl).alias("mb"),
     )
-    mean = F.col("s").cast("double") / (F.col("m") * 100).cast("double")
-    ms = rep.select(mean.alias("mean")).agg(
-        F.array_sort(F.collect_list("mean")).alias("l"),
+    diff = F.col("sa").cast("double") / (F.col("ma") * 100).cast(
+        "double"
+    ) - F.col("sb").cast("double") / (F.col("mb") * 100).cast("double")
+    ms = rep.select(diff.alias("d")).agg(
+        F.array_sort(F.collect_list("d")).alias("l"),
         F.count(F.lit(1)).alias("n_replicates"),
     )
     return ms.crossJoin(F.broadcast(pt)).select(
-        "n_orders",
+        "n_a",
+        "n_b",
         "n_replicates",
         F.round(
-            F.col("sc").cast("double")
-            / (F.col("n_orders") * 100).cast("double"),
+            F.col("sa").cast("double")
+            / (F.col("n_a") * 100).cast("double")
+            - F.col("sb").cast("double")
+            / (F.col("n_b") * 100).cast("double"),
             6,
-        ).alias("point_mean"),
+        ).alias("point_diff"),
         F.round(
             F.aggregate(
                 F.col("l"),
@@ -2439,7 +2464,7 @@ def agg_poisson_bootstrap(spark, sf_dir):
             )
             / F.col("n_replicates").cast("double"),
             6,
-        ).alias("boot_mean"),
+        ).alias("boot_diff"),
         F.round(F.element_at("l", 2), 6).alias("ci_lo"),
         F.round(F.element_at("l", 31), 6).alias("ci_hi"),
     )
