@@ -359,3 +359,65 @@ def linreg_normal_eq(
             6,
         ).alias("intercept"),
     )
+
+
+def pack_best_fit(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 200,
+    shards: int = 8,
+) -> DataFrame:
+    """Best-fit-decreasing sequence packing — the offline bin-packing
+    heuristic context-window builders actually use (docs sorted by
+    token count DESC, each placed into the open bin with the LEAST
+    residual capacity that still fits; ties -> lowest bin id; no fit ->
+    new bin). Same composite ``(group, shard_bucket)`` parallelism as
+    ``pack_next_fit`` (a dominant source must not serialize onto one
+    task); the walk itself is inherently sequential per shard, so
+    applyInPandas runs one tight loop per shard. Deterministic: the
+    sort key is (n_tokens DESC, id ASC) and the tie rule is
+    first-lowest-index, both replayable by a recursive CTE carrying
+    the bin-fill list."""
+    out_cols = [group_col, "shard", id_col, tokens_col, "bin_id"]
+    schema = StructType(
+        [
+            StructField(group_col, StringType()),
+            StructField("shard", LongType()),
+            StructField(id_col, LongType()),
+            StructField(tokens_col, LongType()),
+            StructField("bin_id", LongType()),
+        ]
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values(
+            [tokens_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []
+        out = []
+        for t in pdf[tokens_col]:
+            t = int(t)
+            best_i, best_fill = -1, -1
+            for i, f in enumerate(fills):
+                # strictly greater keeps the FIRST (lowest-index) bin
+                # among equal fills — the list_position tie rule
+                if f + t <= budget and f > best_fill:
+                    best_fill, best_i = f, i
+            if best_i < 0:
+                fills.append(t)
+                out.append(len(fills))
+            else:
+                fills[best_i] += t
+                out.append(best_i + 1)
+        pdf["bin_id"] = out
+        return pdf[out_cols]
+
+    inp = df.select(
+        group_col,
+        shard_bucket(F.col(id_col), shards).alias("shard"),
+        id_col,
+        F.col(tokens_col).cast("long"),
+    )
+    return inp.groupBy(group_col, "shard").applyInPandas(pack, schema)

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..sources.tables import load_table
 from .aggregates import _PSI_ORACLE
+from .timeseries import _CUSUM_ORACLE as _TS_CUSUM_ORACLE
 
 
 @register(
@@ -692,3 +693,149 @@ def join_asof_forward(spark, sf_dir):
     return merged.filter(
         (F.col("tag") == 0) & F.col("purchase_id").isNotNull()
     ).select("click_id", "user_id", "purchase_id", "purchase_ts")
+
+
+@register(
+    "profile_k_anonymity",
+    # k-anonymity audit (Sweeney 2002) over the quasi-identifier set
+    # (customer nation, order year, order priority) — the privacy
+    # check run before releasing an analytics extract: every
+    # equivalence class's size k, summarized as a class-size histogram
+    # (k=1 singletons are direct re-identifications, k<5 the usual
+    # red line) plus each bucket's share of rows. Pure integer
+    # group-bys: one shuffle to QI classes, a second over the 4-row
+    # bucket frame; nation is a broadcast dim. The only float is the
+    # final share division.
+    """
+    WITH qi AS (
+      SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,
+             o.o_orderpriority AS priority,
+             CAST(count(*) AS BIGINT) AS k
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT CAST(sum(k) AS BIGINT) AS n_rows_total FROM qi),
+    b AS (
+      SELECT CASE WHEN k = 1 THEN 'k=1'
+                  WHEN k < 5 THEN 'k=2-4'
+                  WHEN k < 10 THEN 'k=5-9'
+                  ELSE 'k>=10' END AS k_bucket,
+             CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(sum(k) AS BIGINT) AS n_rows
+      FROM qi GROUP BY 1
+    )
+    SELECT k_bucket, n_classes, n_rows,
+           round(CAST(n_rows AS DOUBLE) / CAST(n_rows_total AS DOUBLE), 6)
+             AS row_share
+    FROM b CROSS JOIN tot
+    """,
+)
+def profile_k_anonymity(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("nation"),
+    )
+    qi = (
+        orders.select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.year("o_orderdate").alias("yr"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .join(cust, "c_custkey")
+        .join(F.broadcast(nation), "c_nationkey")
+        .groupBy("nation", "yr", "priority")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    tot = qi.agg(F.sum("k").cast("long").alias("n_rows_total"))
+    b = qi.groupBy(
+        F.when(F.col("k") == 1, "k=1")
+        .when(F.col("k") < 5, "k=2-4")
+        .when(F.col("k") < 10, "k=5-9")
+        .otherwise("k>=10")
+        .alias("k_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("k").cast("long").alias("n_rows"),
+    )
+    return b.crossJoin(F.broadcast(tot)).select(
+        "k_bucket",
+        "n_classes",
+        "n_rows",
+        F.round(
+            F.col("n_rows").cast("double")
+            / F.col("n_rows_total").cast("double"),
+            6,
+        ).alias("row_share"),
+    )
+
+
+@register(
+    "streaming_cusum_hash",
+    # Streaming twin of ts_cusum_changepoint — the live level-shift
+    # monitor: the stream maintains only the per-(event_type, week)
+    # counters in complete mode (two longs per key of state, the
+    # streaming_weekly convention), and the CUSUM walk + |peak| argmax
+    # run ON READ over the materialized weeks-x-types state (the
+    # rank-at-query-time convention of streaming_topk/psi). Exact
+    # integer arithmetic end-to-end (cusum_k = sum of n_i*W - total),
+    # hash-gated against the identical batch oracle
+    # (timeseries.py:_CUSUM_ORACLE, shared verbatim).
+    _TS_CUSUM_ORACLE,
+)
+def streaming_cusum_hash(spark, sf_dir):
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..functions.weeks import sunday_week_start
+    from ..streaming.source import stream_events
+    from ..streaming.weekly import run_stream_to_memory
+
+    wk = (
+        stream_events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            sunday_week_start(F.col("ts")).alias("week_start"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    state = run_stream_to_memory(
+        spark, wk, "cusum_stream_drv_" + uuid.uuid4().hex[:8]
+    )
+    # (W, total) as same-partition window aggregates, not a self-join:
+    # a MemorySink table can't self-join (conflicting attribute ids),
+    # and one event_type-partitioned shuffle serves all three windows
+    wt = Window.partitionBy("event_type")
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("week_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = state.select(
+        "event_type",
+        "week_start",
+        F.sum(
+            F.col("n") * F.count(F.lit(1)).over(wt)
+            - F.sum("n").over(wt)
+        )
+        .over(wc)
+        .alias("cusum"),
+    )
+    wp = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), "week_start"
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("week_start").alias("peak_week"),
+            F.col("cusum").cast("long").alias("cusum_scaled"),
+        )
+    )

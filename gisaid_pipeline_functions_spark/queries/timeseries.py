@@ -266,18 +266,10 @@ def ts_seasonality_index(spark, sf_dir):
     )
 
 
-@register(
-    "ts_cusum_changepoint",
-    # CUSUM changepoint detection over the weekly series (Page 1954 —
-    # the standard level-shift detector; r8): per event type, the
-    # cumulative sum of deviations from the series mean, with the
-    # arithmetic kept INTEGER by scaling — cusum_k = Σ_{i≤k}(nᵢ·W −
-    # total) where W = weeks in the series (Σ deviations · W) — so the
-    # running sum is order-independent and exact; the changepoint is the
-    # |cusum| peak (earliest week on ties). Partitioned cumulative
-    # window + per-type argmax; the per-type (W, total) frame is
-    # key-cardinality-sized and broadcasts.
-    """
+# CUSUM changepoint oracle — shared verbatim by ts_cusum_changepoint
+# and its streaming twin (queries/advanced.py:streaming_cusum_hash) so
+# the walk and the tie rule can never drift between them.
+_CUSUM_ORACLE = """
     WITH wk AS (
       SELECT event_type,
              CAST(ts AS DATE) - CAST(dayofweek(ts) AS INTEGER) AS week_start,
@@ -302,7 +294,21 @@ def ts_seasonality_index(spark, sf_dir):
     SELECT event_type, week_start AS peak_week,
            CAST(cusum AS BIGINT) AS cusum_scaled
     FROM p WHERE rn = 1
-    """,
+    """
+
+
+@register(
+    "ts_cusum_changepoint",
+    # CUSUM changepoint detection over the weekly series (Page 1954 —
+    # the standard level-shift detector; r8): per event type, the
+    # cumulative sum of deviations from the series mean, with the
+    # arithmetic kept INTEGER by scaling — cusum_k = Σ_{i≤k}(nᵢ·W −
+    # total) where W = weeks in the series (Σ deviations · W) — so the
+    # running sum is order-independent and exact; the changepoint is the
+    # |cusum| peak (earliest week on ties). Partitioned cumulative
+    # window + per-type argmax; the per-type (W, total) frame is
+    # key-cardinality-sized and broadcasts.
+    _CUSUM_ORACLE,
 )
 def ts_cusum_changepoint(spark, sf_dir):
     from ..functions.weeks import sunday_week_start

@@ -1410,3 +1410,77 @@ def sample_mw_reweight(spark, sf_dir):
             6,
         ).alias("alpha"),
     )
+
+
+_BFD_BUDGET = 200
+
+
+@register(
+    "pack_bestfit",
+    # Best-fit-decreasing sequence packing (operators/training.py:
+    # pack_best_fit) — the offline bin-packing heuristic context-window
+    # builders run, beside the streaming-shaped next-fit of
+    # pack_sequences. Docs sorted by token count DESC (ties doc_id);
+    # each goes to the open bin with the least residual capacity that
+    # fits, ties -> lowest bin id, else a new bin. The oracle replays
+    # the walk per (source, shard) with a recursive CTE carrying the
+    # bin-fill LIST: chosen = first position of the max fitting fill
+    # (list_position's first-occurrence = the operator's
+    # strictly-greater loop), all-integer state — drift in the sort,
+    # the tie rule, or one fill hash-fails row-level.
+    f"""
+    WITH RECURSIVE sharded AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             {_SHARD_SQL} AS shard
+      FROM documents
+    ),
+    docs2 AS (
+      SELECT source, shard, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY source, shard
+                                ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM sharded
+    ),
+    walk AS (
+      SELECT source, shard, doc_id, n_tokens, rn,
+             CAST(1 AS BIGINT) AS bin_id,
+             [n_tokens] AS fills
+      FROM docs2 WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.shard, d.doc_id, d.n_tokens, d.rn,
+             CASE WHEN list_max(list_filter(p.fills,
+                      f -> f + d.n_tokens <= {_BFD_BUDGET})) IS NULL
+                  THEN CAST(len(p.fills) + 1 AS BIGINT)
+                  ELSE CAST(list_position(p.fills,
+                         list_max(list_filter(p.fills,
+                           f -> f + d.n_tokens <= {_BFD_BUDGET})))
+                       AS BIGINT) END,
+             CASE WHEN list_max(list_filter(p.fills,
+                      f -> f + d.n_tokens <= {_BFD_BUDGET})) IS NULL
+                  THEN list_append(p.fills, d.n_tokens)
+                  ELSE [CASE WHEN k = list_position(p.fills,
+                               list_max(list_filter(p.fills,
+                                 f -> f + d.n_tokens <= {_BFD_BUDGET})))
+                             THEN p.fills[k] + d.n_tokens
+                             ELSE p.fills[k] END
+                        FOR k IN range(1, CAST(len(p.fills) AS INT) + 1)]
+             END
+      FROM docs2 d JOIN walk p
+        ON d.source = p.source AND d.shard = p.shard AND d.rn = p.rn + 1
+    )
+    SELECT source, shard, doc_id, n_tokens, bin_id FROM walk
+    """,
+)
+def pack_bestfit(spark, sf_dir):
+    from ..operators.training import pack_best_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    return pack_best_fit(
+        sized, "source", "doc_id", "n_tokens",
+        budget=_BFD_BUDGET, shards=_N_SHARDS,
+    )
