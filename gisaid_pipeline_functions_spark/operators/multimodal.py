@@ -982,3 +982,60 @@ def aspect_bucket_assign(dims: DataFrame) -> DataFrame:
         "n_images",
         "total_pixels",
     )
+
+
+PATCHIFY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("patch_row", LongType()),
+        StructField("patch_col", LongType()),
+        StructField("n_px", LongType()),
+        StructField("sum_px", LongType()),
+    ]
+)
+
+
+def bmp_patchify(media: DataFrame, grid: int = 2) -> DataFrame:
+    """ViT-style patch grid over decoded rasters: parse each BMP, split
+    the top-down grayscale raster into a ``grid x grid`` patch lattice
+    (pixel (y, x) -> patch (y*grid//h, x*grid//w) — exact integer
+    assignment, uneven dims handled by the floor like
+    torch.nn.AdaptiveAvgPool), and emit per-patch pixel count and
+    integer intensity sum — the patch-embedding precursor stage of an
+    image-training pipeline. Arrow-batched mapInPandas with the usual
+    CPU-bound partition spreading; downstream means stay exact via the
+    KN half-up integer division."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                k: []
+                for k in ("media_id", "patch_row", "patch_col", "n_px", "sum_px")
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, px = parse_bmp_gray(bytes(content))
+                sums = [[0] * grid for _ in range(grid)]
+                cnts = [[0] * grid for _ in range(grid)]
+                for y in range(h):
+                    py = y * grid // h
+                    base = y * w
+                    for x in range(w):
+                        pc = x * grid // w
+                        sums[py][pc] += px[base + x]
+                        cnts[py][pc] += 1
+                for py in range(grid):
+                    for pc in range(grid):
+                        out["media_id"].append(int(mid))
+                        out["patch_row"].append(py)
+                        out["patch_col"].append(pc)
+                        out["n_px"].append(cnts[py][pc])
+                        out["sum_px"].append(sums[py][pc])
+            yield pd.DataFrame(out)
+
+    target = media.sparkSession.sparkContext.defaultParallelism
+    inp = media
+    if inp.rdd.getNumPartitions() < target:
+        inp = inp.repartition(target)
+    return inp.mapInPandas(run, PATCHIFY_SCHEMA)

@@ -2587,3 +2587,123 @@ def agg_cuped(spark, sf_dir):
             "variance_reduction"
         ),
     )
+
+
+_IPF_ROUNDS = 3
+
+
+def _ipf_ctes(rounds: int) -> str:
+    """Unrolled IPF rounds as chained CTEs (the _lpa_ctes convention):
+    each round scales weights to the row margin then the column margin,
+    entirely on the integer micro-lattice (w is weight*1e6; the rescale
+    is the KN half-up division (2*w*T + S) // (2*S) in HUGEINT)."""
+    parts = [
+        """cells AS (
+      SELECT o_orderpriority AS priority, o_orderstatus AS status,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cells),
+    tg AS (
+      SELECT (CAST(t AS HUGEINT) * 1000000) // 5 AS t_row,
+             (CAST(t AS HUGEINT) * 1000000) // 3 AS t_col
+      FROM tot
+    ),
+    w0 AS (
+      SELECT priority, status, n, CAST(1000000 AS HUGEINT) AS w
+      FROM cells
+    )"""
+    ]
+    prev = "w0"
+    for r in range(1, rounds + 1):
+        parts.append(f"""wr{r} AS (
+      SELECT priority, status, n,
+             (2 * w * (SELECT t_row FROM tg)
+              + sum(w * n) OVER (PARTITION BY priority))
+             // (2 * sum(w * n) OVER (PARTITION BY priority)) AS w
+      FROM {prev}
+    ),
+    wc{r} AS (
+      SELECT priority, status, n,
+             (2 * w * (SELECT t_col FROM tg)
+              + sum(w * n) OVER (PARTITION BY status))
+             // (2 * sum(w * n) OVER (PARTITION BY status)) AS w
+      FROM wr{r}
+    )""")
+        prev = f"wc{r}"
+    return ",\n    ".join(parts)
+
+
+@register(
+    "agg_ipf_raking",
+    # Survey raking / iterative proportional fitting (Deming & Stephan
+    # 1940 — the weighting step every survey and ads-measurement
+    # pipeline runs): rake the priority x status contingency to uniform
+    # row (1/5) and column (1/3) margins, 3 rounds. Weights live on
+    # the 1e-6 integer lattice and every rescale is the KN half-up
+    # division in HUGEINT/DECIMAL(38,0) — w*T products overflow int64
+    # at corpus scale — so the whole walk is engine-exact with no float
+    # until the final display division. Corpus-scale work is ONE
+    # contingency groupBy; the rounds run on the fixed 15-cell frame.
+    f"""
+    WITH {_ipf_ctes(_IPF_ROUNDS)}
+    SELECT priority, status, n,
+           CAST(CAST(w AS BIGINT) AS DOUBLE) / 1000000.0 AS weight,
+           CAST(CAST(w * n AS BIGINT) AS DOUBLE) / 1000000.0 AS fitted
+    FROM wc{_IPF_ROUNDS}
+    """,
+)
+def agg_ipf_raking(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(F.sum("n").cast("long").alias("t"))
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    def floor_div(a, b):
+        return ((a - a % b) / b).cast("decimal(38,0)")
+
+    cur = cells.crossJoin(F.broadcast(tot)).select(
+        "priority",
+        "status",
+        "n",
+        floor_div(d38(F.col("t")) * 1000000, F.lit(5).cast("decimal(19,0)"))
+        .alias("t_row"),
+        floor_div(d38(F.col("t")) * 1000000, F.lit(3).cast("decimal(19,0)"))
+        .alias("t_col"),
+        F.lit(1000000).cast("decimal(38,0)").alias("w"),
+    )
+    wr = Window.partitionBy("priority")
+    wc = Window.partitionBy("status")
+    for _ in range(_IPF_ROUNDS):
+        # 15-row frame: both margin windows run over the fixed grid
+        s_row = F.sum(F.col("w") * d38(F.col("n"))).over(wr)
+        cur = cur.withColumn(
+            "w",
+            floor_div(
+                2 * F.col("w") * F.col("t_row") + s_row, 2 * s_row
+            ),
+        )
+        s_col = F.sum(F.col("w") * d38(F.col("n"))).over(wc)
+        cur = cur.withColumn(
+            "w",
+            floor_div(
+                2 * F.col("w") * F.col("t_col") + s_col, 2 * s_col
+            ),
+        )
+    return cur.select(
+        "priority",
+        "status",
+        "n",
+        (F.col("w").cast("long").cast("double") / 1000000.0).alias(
+            "weight"
+        ),
+        (
+            (F.col("w") * d38(F.col("n"))).cast("long").cast("double")
+            / 1000000.0
+        ).alias("fitted"),
+    )

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from ..operators.joins import annotate_ranges, contingency_2x2
 from ..registry import register
+from .windows import _SCD2_CTES
 from ..sources.tables import load_table
 
 
@@ -1087,4 +1088,75 @@ def join_fuzzy_blocked(spark, sf_dir):
             "doc_a", "doc_b", d.cast("long").alias("lev_dist")
         )
         .filter(F.col("lev_dist") <= 6)
+    )
+
+
+@register(
+    "join_point_in_time",
+    # Point-in-time (temporal / PIT) join — the lakehouse feature-store
+    # lookup: each purchase fact joined to the SCD2 dimension VERSION
+    # valid at the fact's timestamp (valid_from <= t < valid_to,
+    # NULL-to = current). Spark has no native PIT; since SCD2 versions
+    # tile time disjointly per user, PIT == backward as-of on
+    # valid_from, expressed as the ONE-SHUFFLE tagged-union carry of
+    # join_asof (versions tag 0 sort before facts tag 1 at an equal
+    # instant, so a fact lands on the version opening at its own ts) —
+    # a range join would fan out facts x all-versions-per-user. The
+    # oracle replays the shared SCD2 build (windows.py:_SCD2_CTES,
+    # verbatim) and brute-forces the interval containment.
+    _SCD2_CTES + """
+    SELECT f.event_id, f.user_id, f.t_us, v.event_type AS dim_state,
+           v.valid_from_us
+    FROM (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS t_us
+          FROM events WHERE event_type = 'purchase') f
+    JOIN v ON f.user_id = v.user_id
+          AND v.valid_from_us <= f.t_us
+          AND (v.valid_to_us IS NULL OR f.t_us < v.valid_to_us)
+    """,
+)
+def join_point_in_time(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.timeseries import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = scd2_history(ev).select(
+        "user_id",
+        F.col("event_type").alias("dim_state"),
+        "valid_from_us",
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t_us")
+    )
+    d_tag = dim.select(
+        "user_id",
+        F.col("valid_from_us").alias("t"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("event_id"),
+        "dim_state",
+        "valid_from_us",
+    )
+    f_tag = facts.select(
+        "user_id",
+        F.col("t_us").alias("t"),
+        F.lit(1).alias("tag"),
+        "event_id",
+        F.lit(None).cast("string").alias("dim_state"),
+        F.lit(None).cast("long").alias("valid_from_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "tag").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    merged = d_tag.unionByName(f_tag).select(
+        "event_id",
+        "user_id",
+        "tag",
+        F.col("t").alias("t_us"),
+        F.last("dim_state", ignorenulls=True).over(w).alias("dim_state"),
+        F.last("valid_from_us", ignorenulls=True)
+        .over(w)
+        .alias("valid_from_us"),
+    )
+    return merged.filter(F.col("tag") == 1).select(
+        "event_id", "user_id", "t_us", "dim_state", "valid_from_us"
     )

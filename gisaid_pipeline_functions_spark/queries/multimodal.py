@@ -455,3 +455,64 @@ def multimodal_aspect_bucket(spark, sf_dir):
     media = documents_as_bmp(load_table(spark, sf_dir, "documents"))
     dims = bmp_decode(media).select("media_id", "width", "height")
     return aspect_bucket_assign(dims)
+
+
+@register(
+    "multimodal_patchify",
+    # ViT patch-grid stage (operators/multimodal.py:bmp_patchify): the
+    # REAL BMP corpus decoded, each raster split into the 2x2 adaptive
+    # patch lattice (pixel (y,x) -> patch (y*2//h, x*2//w), the
+    # AdaptiveAvgPool floor rule), per-patch pixel count + integer
+    # intensity sum, mean on the 1e-6 lattice via the KN half-up
+    # division (patch means like sum/n land on exact .5e-7 midpoints —
+    # the round() divergence class). The oracle rebuilds every CELL
+    # from the generation arithmetic (cycled ASCII text over the
+    # doc_id-derived grid) and replays the same integer patch
+    # assignment — a stride/row-order parse slip, a patch off-by-one,
+    # or a mean rounding drift all hash-fail.
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             coalesce(nullif(text, ''), '?') AS body,
+             CAST(doc_id % 21 + 4 AS BIGINT) AS w,
+             CAST(doc_id % 13 + 4 AS BIGINT) AS h
+      FROM documents
+    ),
+    cells AS (
+      SELECT doc_id,
+             (k // w) * 2 // h AS patch_row,
+             (k % w) * 2 // w AS patch_col,
+             CAST(ord(substr(body,
+                 CAST(k % strlen(body) AS INT) + 1, 1)) AS BIGINT) AS val
+      FROM dims, LATERAL unnest(range(0, w * h)) t(k)
+    ),
+    p AS (
+      SELECT doc_id AS media_id, patch_row, patch_col,
+             CAST(count(*) AS BIGINT) AS n_px,
+             CAST(sum(val) AS BIGINT) AS sum_px
+      FROM cells GROUP BY 1, 2, 3
+    )
+    SELECT media_id, patch_row, patch_col, n_px, sum_px,
+           CAST((2 * sum_px * 1000000 + n_px) // (2 * n_px) AS DOUBLE)
+             / 1000000.0 AS mean_px
+    FROM p
+    """,
+)
+def multimodal_patchify(spark, sf_dir):
+    from ..operators.multimodal import bmp_patchify, documents_as_bmp
+
+    media = documents_as_bmp(load_table(spark, sf_dir, "documents"))
+    p = bmp_patchify(media, grid=2)
+    return p.select(
+        "media_id",
+        "patch_row",
+        "patch_col",
+        "n_px",
+        "sum_px",
+        (
+            F.expr("(2 * sum_px * 1000000 + n_px) div (2 * n_px)").cast(
+                "double"
+            )
+            / 1000000.0
+        ).alias("mean_px"),
+    )

@@ -1484,3 +1484,119 @@ def pack_bestfit(spark, sf_dir):
         sized, "source", "doc_id", "n_tokens",
         budget=_BFD_BUDGET, shards=_N_SHARDS,
     )
+
+
+@register(
+    "train_decision_stump",
+    # Depth-1 decision tree (the boosting weak learner / CART root
+    # split): over 16 price bands, pick the threshold minimizing
+    # weighted Gini impurity for predicting urgent priority. Since
+    # n_l + n_r is constant, argmin(weighted Gini) = argmax of
+    # I_s = (pos_l^2 + neg_l^2)/n_l + (pos_r^2 + neg_r^2)/n_r — each
+    # term ONE division of exact BIGINTs, so every candidate's score is
+    # the identical double on both engines and the argmax (ties ->
+    # lowest split) cannot flap. Corpus-scale work is the band groupBy;
+    # the split scan is a 15-row prefix-sum window over the fixed grid.
+    """
+    WITH b AS (
+      SELECT least(CAST(o_totalprice AS BIGINT) // 31250, 15) AS band,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM orders GROUP BY 1
+    ),
+    pre AS (
+      SELECT band, CAST(sum(n) OVER (ORDER BY band) AS BIGINT) AS cn,
+             CAST(sum(pos) OVER (ORDER BY band) AS BIGINT) AS cp,
+             CAST(sum(n) OVER () AS BIGINT) AS nt,
+             CAST(sum(pos) OVER () AS BIGINT) AS pt
+      FROM b
+    ),
+    splits AS (
+      SELECT band + 1 AS split_band,
+             cn AS n_left, cp AS pos_left,
+             nt - cn AS n_right, pt - cp AS pos_right,
+             CAST(cp * cp + (cn - cp) * (cn - cp) AS DOUBLE)
+               / CAST(cn AS DOUBLE)
+             + CAST((pt - cp) * (pt - cp)
+                    + ((nt - cn) - (pt - cp)) * ((nt - cn) - (pt - cp))
+                    AS DOUBLE) / CAST(nt - cn AS DOUBLE) AS score
+      FROM pre WHERE nt - cn > 0
+    ),
+    best AS (
+      SELECT *, row_number() OVER (ORDER BY score DESC, split_band) AS rk
+      FROM splits
+    )
+    SELECT split_band, n_left, pos_left, n_right, pos_right,
+           round(score, 6) AS score,
+           round(CAST(pos_left AS DOUBLE) / CAST(n_left AS DOUBLE), 6)
+             AS rate_left,
+           round(CAST(pos_right AS DOUBLE) / CAST(n_right AS DOUBLE), 6)
+             AS rate_right
+    FROM best WHERE rk = 1
+    """,
+)
+def train_decision_stump(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.groupBy(
+        F.least(
+            (F.col("o_totalprice").cast("long") / F.lit(31250)).cast(
+                "long"
+            ),
+            F.lit(15).cast("long"),
+        ).alias("band")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("o_orderpriority") == "1-URGENT").cast("int")
+        ).cast("long").alias("pos"),
+    )
+    # 16-row frame: both windows run over the FIXED band grid
+    wc = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    pre = b.select(
+        "band",
+        F.sum("n").over(wc).alias("cn"),
+        F.sum("pos").over(wc).alias("cp"),
+        F.sum("n").over(wall).alias("nt"),
+        F.sum("pos").over(wall).alias("pt"),
+    )
+    neg_l = F.col("cn") - F.col("cp")
+    n_r = F.col("nt") - F.col("cn")
+    pos_r = F.col("pt") - F.col("cp")
+    neg_r = n_r - pos_r
+    score = (
+        (F.col("cp") * F.col("cp") + neg_l * neg_l).cast("double")
+        / F.col("cn").cast("double")
+        + (pos_r * pos_r + neg_r * neg_r).cast("double")
+        / n_r.cast("double")
+    )
+    splits = pre.filter(n_r > 0).select(
+        (F.col("band") + 1).alias("split_band"),
+        F.col("cn").alias("n_left"),
+        F.col("cp").alias("pos_left"),
+        n_r.alias("n_right"),
+        pos_r.alias("pos_right"),
+        score.alias("score"),
+    )
+    wb = Window.orderBy(F.desc("score"), F.asc("split_band"))
+    return (
+        splits.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+        .select(
+            "split_band", "n_left", "pos_left", "n_right", "pos_right",
+            F.round("score", 6).alias("score"),
+            F.round(
+                F.col("pos_left").cast("double")
+                / F.col("n_left").cast("double"),
+                6,
+            ).alias("rate_left"),
+            F.round(
+                F.col("pos_right").cast("double")
+                / F.col("n_right").cast("double"),
+                6,
+            ).alias("rate_right"),
+        )
+    )

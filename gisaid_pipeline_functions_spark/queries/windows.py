@@ -873,7 +873,11 @@ def streaming_time_decay_hash(spark, sf_dir):
 # SQL. Validity bounds are epoch micros (the join_interval_overlap
 # convention — timestamp objects drift 1µs between engines); event_id
 # breaks ts ties in BOTH windows so the compaction is deterministic.
-_SCD2_ORACLE = """
+# the SCD2 history build as reusable CTEs — shared by _SCD2_ORACLE
+# (batch + streaming CDC twin) and the point-in-time join oracle
+# (queries/joins.py:join_point_in_time) so the versioning walk can
+# never drift between them
+_SCD2_CTES = """
     WITH o AS (
       SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER (PARTITION BY user_id
@@ -892,6 +896,9 @@ _SCD2_ORACLE = """
                AS valid_to_us
       FROM ch
     )
+    """
+
+_SCD2_ORACLE = _SCD2_CTES + """
     SELECT user_id, event_type, valid_from_us, valid_to_us,
            valid_to_us IS NULL AS is_current
     FROM v
