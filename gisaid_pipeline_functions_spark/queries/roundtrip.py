@@ -812,3 +812,46 @@ def source_schema_merge(spark, sf_dir):
         F.count("props").alias("n_props"),
         F.round(F.sum("value"), 6).alias("sum_value"),
     )
+
+
+@register(
+    "sink_dynamic_overwrite",
+    # Dynamic partition overwrite (S-layer): write events partitioned
+    # by event_type, then overwrite ONLY the 'click' partition with a
+    # corrected batch (values doubled on the cents lattice) under
+    # partitionOverwriteMode=dynamic — the everyday lakehouse backfill,
+    # where a static overwrite would silently DROP every untouched
+    # partition. The read-back aggregate must show exactly one
+    # partition's rows rewritten and all others byte-identical; the
+    # oracle computes the post-backfill expectation straight from the
+    # source view, so a clobbered sibling partition, a missed replace,
+    # or a double-write all hash-fail.
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN event_type = 'click'
+                    THEN 2 * CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+                    ELSE CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+                    END) AS BIGINT) AS sum_vu
+    FROM events GROUP BY 1
+    """,
+)
+def sink_dynamic_overwrite(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1000000.0 + 0.5).cast("long").alias("vu"),
+    )
+    tmp = _scratch_dir("gisaid_dyn_overwrite_")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    corrected = ev.filter(F.col("event_type") == "click").withColumn(
+        "vu", F.col("vu") * 2
+    )
+    corrected.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("event_type").parquet(tmp)
+    back = spark.read.parquet(tmp)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vu").cast("long").alias("sum_vu"),
+    )

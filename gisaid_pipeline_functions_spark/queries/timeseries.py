@@ -1155,3 +1155,137 @@ def ts_granger_lite(spark, sf_dir):
             (rss_r - rss_f) / (rss_f / (F.col("n") - 3).cast("double")), 6
         ).alias("f_stat"),
     )
+
+
+_MP_M = 4
+
+
+@register(
+    "ts_matrix_profile",
+    # Matrix profile (Yeh et al., ICDM 2016 — the all-pairs z-normalized
+    # nearest-neighbor distance that unified motif and anomaly
+    # discovery) over the daily click-count series, window m=4,
+    # exclusion zone |i-j| < m. The series is a calendar-bounded 1-row
+    # array; every pairwise moment (sxy, sx, sxx...) is an exact BIGINT
+    # fold over m elements, so each distance sqrt(2m·max(1-r, 0)) is
+    # built from identical doubles on both engines (IEEE sqrt is
+    # correctly rounded; the max(.,0) guards the r=1+ulp case where
+    # perfectly correlated windows would take sqrt of a tiny negative).
+    # Argmin per i ties -> lowest j. O(n^2 m) on the fixed-length
+    # series — the corpus-scale work is ONE daily groupBy.
+    f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    s AS (SELECT list(y ORDER BY day) AS a,
+                 CAST(count(*) AS BIGINT) AS n FROM d),
+    idx AS (
+      SELECT a, n, i.i, j.j
+      FROM s,
+           LATERAL unnest(range(1, CAST(n - {_MP_M} + 2 AS INT))) i(i),
+           LATERAL unnest(range(1, CAST(n - {_MP_M} + 2 AS INT))) j(j)
+      WHERE abs(i.i - j.j) >= {_MP_M}
+    ),
+    mo AS (
+      SELECT i, j,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [a[CAST(i + k AS INT)] FOR k IN range(0, {_MP_M})]),
+               (p, q) -> p + q) AS BIGINT) AS sx,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [a[CAST(j + k AS INT)] FOR k IN range(0, {_MP_M})]),
+               (p, q) -> p + q) AS BIGINT) AS sy,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [a[CAST(i + k AS INT)] * a[CAST(i + k AS INT)]
+                FOR k IN range(0, {_MP_M})]),
+               (p, q) -> p + q) AS BIGINT) AS sxx,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [a[CAST(j + k AS INT)] * a[CAST(j + k AS INT)]
+                FOR k IN range(0, {_MP_M})]),
+               (p, q) -> p + q) AS BIGINT) AS syy,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [a[CAST(i + k AS INT)] * a[CAST(j + k AS INT)]
+                FOR k IN range(0, {_MP_M})]),
+               (p, q) -> p + q) AS BIGINT) AS sxy
+      FROM idx
+    ),
+    dist AS (
+      SELECT i, j,
+             sqrt(2 * {_MP_M} * greatest(
+               1 - CAST({_MP_M} * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST({_MP_M} * sxx - sx * sx AS DOUBLE)
+                          * CAST({_MP_M} * syy - sy * sy AS DOUBLE)),
+               0)) AS dd
+      FROM mo
+      WHERE {_MP_M} * sxx - sx * sx > 0 AND {_MP_M} * syy - sy * sy > 0
+    ),
+    best AS (
+      SELECT i, j, dd,
+             row_number() OVER (PARTITION BY i ORDER BY dd, j) AS rk
+      FROM dist
+    )
+    SELECT CAST(i AS BIGINT) AS sub_idx, CAST(j AS BIGINT) AS nn_idx,
+           round(dd, 6) AS nn_dist
+    FROM best WHERE rk = 1
+    """,
+)
+def ts_matrix_profile(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    s = d.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "y"))),
+            lambda r: r["y"],
+        ).alias("a"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    m = _MP_M
+    rng = F.sequence(F.lit(1), (F.col("n") - m + 1).cast("int"))
+    idx = (
+        s.select("a", "n", F.explode(rng).alias("i"))
+        .select("a", "n", "i", F.explode(rng).alias("j"))
+        .filter(F.abs(F.col("i") - F.col("j")) >= m)
+    )
+
+    def fold(vals):
+        return F.aggregate(
+            vals, F.lit(0).cast("long"), lambda p, q: p + q
+        )
+
+    ks = F.sequence(F.lit(0), F.lit(m - 1))
+    ai = lambda k: F.element_at("a", (F.col("i") + k).cast("int"))  # noqa: E731
+    aj = lambda k: F.element_at("a", (F.col("j") + k).cast("int"))  # noqa: E731
+    mo = idx.select(
+        "i",
+        "j",
+        fold(F.transform(ks, lambda k: ai(k))).alias("sx"),
+        fold(F.transform(ks, lambda k: aj(k))).alias("sy"),
+        fold(F.transform(ks, lambda k: ai(k) * ai(k))).alias("sxx"),
+        fold(F.transform(ks, lambda k: aj(k) * aj(k))).alias("syy"),
+        fold(F.transform(ks, lambda k: ai(k) * aj(k))).alias("sxy"),
+    )
+    var_i = m * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_j = m * F.col("syy") - F.col("sy") * F.col("sy")
+    r = (m * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / F.sqrt(var_i.cast("double") * var_j.cast("double"))
+    dd = F.sqrt(2 * m * F.greatest(1 - r, F.lit(0.0)))
+    dist = mo.filter((var_i > 0) & (var_j > 0)).select(
+        "i", "j", dd.alias("dd")
+    )
+    w = Window.partitionBy("i").orderBy("dd", "j")
+    return (
+        dist.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("i").cast("long").alias("sub_idx"),
+            F.col("j").cast("long").alias("nn_idx"),
+            F.round("dd", 6).alias("nn_dist"),
+        )
+    )

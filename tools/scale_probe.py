@@ -394,6 +394,86 @@ def main() -> None:
     t1 = timed(lambda e: sign_bit_ann(e, query_id=0, shortlist_n=32, k=10), emb1)
     tn = timed(lambda e: sign_bit_ann(e, query_id=0, shortlist_n=32, k=10), embN)
     print(f"{'sign_bit_ann':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (shifted embedding copies)")
+
+    # r9d: the continued-session additions. BFD packing walks each
+    # (source, shard) sequentially but shards split every source — Nx
+    # rows means Nx docs per shard and the within-shard loop is
+    # O(docs x open bins); the probe flags it if the bin list scan ever
+    # dominates. Patchify is per-row map-side Python. Fuzzy blocking
+    # runs on TAGGED copies (the c<i>_ prefixes land in the 24-char
+    # title, so blocks stay within-copy — plain replication would
+    # manufacture N^2 cross-copy candidate pairs and probe the data).
+    from gisaid_pipeline_functions_spark.operators.multimodal import (
+        bmp_patchify,
+    )
+    from gisaid_pipeline_functions_spark.operators.training import (
+        pack_best_fit,
+    )
+
+    def _bfd(d):
+        sized = d.select(
+            "source", "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        return pack_best_fit(sized, budget=200, shards=8)
+
+    def _fuzzy_pairs(d):
+        k = d.select(
+            "doc_id", F.substring(F.col("text"), 1, 24).alias("title")
+        ).select(
+            "doc_id", "title",
+            F.substring("title", 1, 8).alias("b1"),
+            F.substring("title", 17, 8).alias("b2"),
+        )
+        a = k.select(F.col("doc_id").alias("da"), F.col("title").alias("ta"), "b1", "b2")
+        b = k.select(F.col("doc_id").alias("db"), F.col("title").alias("tb"), "b1", "b2")
+        c1 = (a.drop("b2").hint("merge").join(b.drop("b2").hint("merge"), "b1")
+              .filter(F.col("da") < F.col("db")).select("da", "db", "ta", "tb"))
+        c2 = (a.drop("b1").hint("merge").join(b.drop("b1").hint("merge"), "b2")
+              .filter(F.col("da") < F.col("db")).select("da", "db", "ta", "tb"))
+        cand = c1.unionByName(c2).distinct()
+        return cand.select(
+            "da", "db", F.levenshtein("ta", "tb").alias("d")
+        ).filter(F.col("d") <= 6)
+
+    for name, fn, d1, dn, note in (
+        ("pack_best_fit", _bfd, docs1, docsN, "plain copies"),
+        ("bmp_patchify",
+         lambda d: bmp_patchify(documents_as_bmp(d), grid=2),
+         docs1, docsN, "plain copies"),
+        ("fuzzy_blocked_pairs", _fuzzy_pairs, docs1_tag, docsN_tag,
+         "disjoint-vocab copies"),
+    ):
+        t1 = timed(fn, d1)
+        tn = timed(fn, dn)
+        print(f"{name:22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  ({note})")
+
+    # r9d: modularity finish on the disjoint graph copies — the LPA
+    # rounds are probed above; this times the label-join + community
+    # aggregate tail (labels persist, ONE edges-x-labels join feeds
+    # both aggregates)
+    from gisaid_pipeline_functions_spark.operators.graph import (
+        label_propagation as _lpa,
+    )
+
+    def _modularity_tail(e):
+        lab = _lpa(e, iterations=2).select("vertex", "label").persist()
+        lu = lab.select(F.col("vertex").alias("u"), F.col("label").alias("lu"))
+        lv = lab.select(F.col("vertex").alias("v"), F.col("label").alias("lv"))
+        joined = (e.join(lu.hint("merge"), "u").join(lv.hint("merge"), "v")
+                  .select("lu", "lv").persist())
+        intra = (joined.filter(F.col("lu") == F.col("lv"))
+                 .groupBy(F.col("lu").alias("label"))
+                 .agg(F.count(F.lit(1)).alias("lc")))
+        degc = (joined.select(F.col("lu").alias("label"))
+                .unionAll(joined.select(F.col("lv").alias("label")))
+                .groupBy("label").agg(F.count(F.lit(1)).alias("dc")))
+        return degc.join(intra, "label", "left")
+
+    t1 = timed(_modularity_tail, edges1)
+    tn = timed(_modularity_tail, edgesN)
+    spark.catalog.clearCache()
+    print(f"{'modularity_tail':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (disjoint vertex-shifted copies)")
     spark.stop()
 
 
