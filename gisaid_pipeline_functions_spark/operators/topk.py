@@ -186,3 +186,69 @@ def block_cumsum(
             (F.col(f"_pre_{c}") + F.sum(c).over(win)).cast("long"),
         )
     return out.drop("_bkt", *[f"_pre_{c}" for c in value_cols])
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier; Borzsony et al., ICDE 2001):
+    rows not dominated by any other — maximize ``x_col``, minimize
+    ``y_col``, dominance strict in at least one dimension (exact ties
+    on both dims all survive). The 2-D case is sort-based, made
+    scale-safe with the block-prefix trick of ``global_rank``:
+    approx-quantile cuts bucket x, the per-bucket y-minima form a tiny
+    broadcast triangular prefix (min over strictly-HIGHER buckets —
+    bucket cuts compare strictly, so cross-bucket x order is strict),
+    and within a bucket one PARTITIONED window over the distinct-x
+    group rows finishes the running min. A row survives iff its y is
+    the minimum of its x group AND strictly below every higher-x
+    minimum. No global window, no all-pairs join."""
+    spark = df.sparkSession
+    n = num_buckets or spark.sparkContext.defaultParallelism
+    try:
+        qs = [i / n for i in range(1, n)]
+        cuts = (
+            sorted(set(df.stat.approxQuantile(x_col, qs, 0.001)))
+            if n > 1
+            else []
+        )
+    except Exception:
+        cuts = []
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + (F.col(x_col) > F.lit(c)).cast("int")
+    pts = df.withColumn("_bkt", bucket)
+    grp = pts.groupBy("_bkt", x_col).agg(F.min(y_col).alias("_gy"))
+    bmin = grp.groupBy("_bkt").agg(F.min("_gy").alias("_bmin"))
+    hmin = (
+        bmin.alias("a")
+        .join(
+            bmin.alias("b"), F.col("b._bkt") > F.col("a._bkt"), "left"
+        )
+        .groupBy(F.col("a._bkt").alias("_bkt"))
+        .agg(F.min(F.col("b._bmin")).alias("_hmin"))
+    )
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.desc(x_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # F.least skips NULLs (both engines), so the top bucket's first
+    # x group — no higher-x point anywhere — gets NULL and survives
+    frontier = (
+        grp.join(F.broadcast(hmin), "_bkt")
+        .withColumn(
+            "_rmin",
+            F.least(F.min("_gy").over(w), F.col("_hmin")),
+        )
+        .filter(F.col("_rmin").isNull() | (F.col("_gy") < F.col("_rmin")))
+        .select("_bkt", x_col, "_gy")
+    )
+    return (
+        pts.join(frontier, ["_bkt", x_col])
+        .filter(F.col(y_col) == F.col("_gy"))
+        .drop("_bkt", "_gy")
+    )

@@ -134,3 +134,57 @@ def sort_uniq_labels(spark, sf_dir):
     return labels.select(
         "label", F.row_number().over(w).cast("long").alias("rank")
     )
+
+
+@register(
+    "topk_skyline",
+    # 2-D skyline / Pareto frontier (operators/topk.py:skyline_2d —
+    # Borzsony ICDE 2001): the orders no other order dominates on
+    # (price HIGH, date EARLY), strict in at least one dim, both-dim
+    # ties all kept. Spark runs the block-prefix sort-based plan (no
+    # global window, no all-pairs join — the VERDICT r3 #3 rule); the
+    # oracle replays the frontier rule through a DIFFERENT code path
+    # (one plain window over distinct prices, fine at oracle scale):
+    # keep rows whose epoch-day equals the price-group minimum and
+    # beats every strictly-higher-price minimum. Price on the exact
+    # cents lattice, date as epoch days — all comparisons integer.
+    """
+    WITH p AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS order_day
+      FROM orders
+    ),
+    g AS (
+      SELECT price_cents, min(order_day) AS gy
+      FROM p GROUP BY price_cents
+    ),
+    r AS (
+      SELECT price_cents, gy,
+             min(gy) OVER (ORDER BY price_cents DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS rmin
+      FROM g
+    )
+    SELECT p.o_orderkey, p.price_cents, p.order_day
+    FROM p JOIN r ON p.price_cents = r.price_cents
+    WHERE p.order_day = r.gy AND (r.rmin IS NULL OR p.order_day < r.rmin)
+    """,
+)
+def topk_skyline(spark, sf_dir):
+    from ..operators.topk import skyline_2d
+
+    orders = load_table(spark, sf_dir, "orders")
+    p = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("order_day"),
+    )
+    return skyline_2d(p, "price_cents", "order_day").select(
+        "o_orderkey", "price_cents", "order_day"
+    )

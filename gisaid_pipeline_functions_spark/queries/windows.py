@@ -1903,3 +1903,60 @@ def window_nelson_aalen(spark, sf_dir):
             / F.lit(1000000.0)
         ).alias("cum_hazard"),
     )
+
+
+@register(
+    "window_dau_wau",
+    # DAU/WAU stickiness (the product-engagement ratio every analytics
+    # stack reports): per active day, distinct daily actives over
+    # distinct trailing-7-day actives. Sliding DISTINCT doesn't
+    # decompose into window frames, so the scale shape is the standard
+    # contribution explode — the deduped (user, day) table fans out to
+    # the <=7 future days it keeps a user "weekly active" for (bounded
+    # 7x expansion of an already-compacted table), then one distinct
+    # count per day. All counts integer; the ratio is one division.
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    contrib AS (
+      SELECT user_id, d + CAST(k AS INTEGER) AS t
+      FROM ud, LATERAL unnest(range(0, 7)) r(k)
+    ),
+    wau AS (
+      SELECT t, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM contrib GROUP BY t
+    ),
+    dau AS (
+      SELECT d AS t, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY d
+    )
+    SELECT dau.t AS day, dau.dau, wau.wau,
+           round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
+             AS stickiness
+    FROM dau JOIN wau ON dau.t = wau.t
+    """,
+)
+def window_dau_wau(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("k"),
+        "d",
+    ).select("user_id", F.date_add("d", F.col("k")).alias("t"))
+    wau = contrib.groupBy("t").agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    dau = ud.groupBy(F.col("d").alias("t")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    return dau.join(wau, "t").select(
+        F.col("t").alias("day"),
+        "dau",
+        "wau",
+        F.round(
+            F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+        ).alias("stickiness"),
+    )
