@@ -2707,3 +2707,80 @@ def agg_ipf_raking(spark, sf_dir):
             / 1000000.0
         ).alias("fitted"),
     )
+
+
+@register(
+    "agg_diff_in_diff",
+    # Difference-in-differences (Card & Krueger 1994 shape — the
+    # quasi-experimental estimator beside agg_ab_ttest/agg_cuped in the
+    # experimentation family): treated = urgent orders, post = 1998+,
+    # DiD = (m_t1 - m_t0) - (m_c1 - m_c0) over mean order price. One
+    # conditional-sum scan builds all four cells; prices enter as exact
+    # cents so each cell mean is ONE division of exact BIGINTs and the
+    # estimator is three subtractions of identical doubles.
+    """
+    WITH c AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g,
+             CASE WHEN year(o_orderdate) >= 1998 THEN 1 ELSE 0 END AS p,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    cells AS (
+      SELECT g, p, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM c GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT
+        sum(CASE WHEN g=1 AND p=1 THEN CAST(s AS DOUBLE)/CAST(n*100 AS DOUBLE) END) AS m_t1,
+        sum(CASE WHEN g=1 AND p=0 THEN CAST(s AS DOUBLE)/CAST(n*100 AS DOUBLE) END) AS m_t0,
+        sum(CASE WHEN g=0 AND p=1 THEN CAST(s AS DOUBLE)/CAST(n*100 AS DOUBLE) END) AS m_c1,
+        sum(CASE WHEN g=0 AND p=0 THEN CAST(s AS DOUBLE)/CAST(n*100 AS DOUBLE) END) AS m_c0,
+        CAST(sum(n) AS BIGINT) AS n_total
+      FROM cells
+    )
+    SELECT n_total,
+           round(m_t1, 6) AS mean_treated_post,
+           round(m_t0, 6) AS mean_treated_pre,
+           round(m_c1, 6) AS mean_control_post,
+           round(m_c0, 6) AS mean_control_pre,
+           round((m_t1 - m_t0) - (m_c1 - m_c0), 6) AS did
+    FROM m
+    """,
+)
+def agg_diff_in_diff(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.select(
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("g"),
+        (F.year("o_orderdate") >= 1998).cast("int").alias("p"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cells = c.groupBy("g", "p").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    mean = F.col("s").cast("double") / (F.col("n") * 100).cast("double")
+
+    def cell(g, p):
+        return F.sum(
+            F.when((F.col("g") == g) & (F.col("p") == p), mean)
+        )
+
+    m = cells.agg(
+        cell(1, 1).alias("m_t1"),
+        cell(1, 0).alias("m_t0"),
+        cell(0, 1).alias("m_c1"),
+        cell(0, 0).alias("m_c0"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    return m.select(
+        "n_total",
+        F.round("m_t1", 6).alias("mean_treated_post"),
+        F.round("m_t0", 6).alias("mean_treated_pre"),
+        F.round("m_c1", 6).alias("mean_control_post"),
+        F.round("m_c0", 6).alias("mean_control_pre"),
+        F.round(
+            (F.col("m_t1") - F.col("m_t0"))
+            - (F.col("m_c1") - F.col("m_c0")),
+            6,
+        ).alias("did"),
+    )
