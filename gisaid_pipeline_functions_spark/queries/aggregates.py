@@ -2784,3 +2784,95 @@ def agg_diff_in_diff(spark, sf_dir):
             6,
         ).alias("did"),
     )
+
+
+@register(
+    "agg_trimmed_mean",
+    # Robust location estimates (the Huber-family staples beside
+    # agg_iqr_outliers): 5% two-sided trimmed mean and winsorized mean
+    # of order price. Ranks come from operators/topk.py:global_rank
+    # (block-prefix — no single-partition window at corpus scale) with
+    # doc-key tiebreak; k = n*5//100 exact integer; the trimmed sum is
+    # one conditional aggregate over cents, and winsorizing adds k
+    # copies of each exact boundary value (the cents at ranks k+1 and
+    # n-k, picked by rank equality — no percentile interpolation
+    # anywhere). Means are single divisions of exact integers.
+    """
+    WITH p AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    r AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_orderkey) AS rank,
+             count(*) OVER () AS n
+      FROM p
+    ),
+    k AS (SELECT CAST(n * 5 // 100 AS BIGINT) AS k,
+                 CAST(n AS BIGINT) AS n FROM r LIMIT 1),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN r.rank > k.k AND r.rank <= k.n - k.k
+                           THEN r.cents END) AS BIGINT) AS s_kept,
+             CAST(sum(CASE WHEN r.rank > k.k AND r.rank <= k.n - k.k
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(max(CASE WHEN r.rank = k.k + 1 THEN r.cents END)
+                  AS BIGINT) AS lo_cents,
+             CAST(max(CASE WHEN r.rank = k.n - k.k THEN r.cents END)
+                  AS BIGINT) AS hi_cents
+      FROM r CROSS JOIN k
+    )
+    SELECT k.n, k.k AS n_trimmed_each_side,
+           round(CAST(agg.s_kept AS DOUBLE)
+                 / CAST(agg.n_kept * 100 AS DOUBLE), 6) AS trimmed_mean,
+           round(CAST(agg.s_kept + k.k * (agg.lo_cents + agg.hi_cents)
+                      AS DOUBLE)
+                 / CAST(k.n * 100 AS DOUBLE), 6) AS winsorized_mean
+    FROM agg CROSS JOIN k
+    """,
+)
+def agg_trimmed_mean(spark, sf_dir):
+    from ..operators.topk import global_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    p = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    ranked = global_rank(p, "cents", "o_orderkey")
+    nn = p.agg(F.count(F.lit(1)).alias("n")).select(
+        "n", F.expr("n * 5 div 100").alias("k")
+    )
+    r = ranked.crossJoin(F.broadcast(nn))
+    kept = (F.col("rank") > F.col("k")) & (
+        F.col("rank") <= F.col("n") - F.col("k")
+    )
+    agg = r.agg(
+        F.sum(F.when(kept, F.col("cents"))).cast("long").alias("s_kept"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.max(
+            F.when(F.col("rank") == F.col("k") + 1, F.col("cents"))
+        ).alias("lo_cents"),
+        F.max(
+            F.when(
+                F.col("rank") == F.col("n") - F.col("k"), F.col("cents")
+            )
+        ).alias("hi_cents"),
+    )
+    return agg.crossJoin(F.broadcast(nn)).select(
+        "n",
+        F.col("k").alias("n_trimmed_each_side"),
+        F.round(
+            F.col("s_kept").cast("double")
+            / (F.col("n_kept") * 100).cast("double"),
+            6,
+        ).alias("trimmed_mean"),
+        F.round(
+            (
+                F.col("s_kept")
+                + F.col("k") * (F.col("lo_cents") + F.col("hi_cents"))
+            ).cast("double")
+            / (F.col("n") * 100).cast("double"),
+            6,
+        ).alias("winsorized_mean"),
+    )

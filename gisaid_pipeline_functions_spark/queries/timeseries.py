@@ -1289,3 +1289,117 @@ def ts_matrix_profile(spark, sf_dir):
             F.round("dd", 6).alias("nn_dist"),
         )
     )
+
+
+@register(
+    "ts_mann_kendall",
+    # Mann-Kendall trend test over the daily click series — the
+    # nonparametric significance twin of ts_theil_sen_trend (Mann 1945;
+    # the pair every environmental/ops monitoring stack runs together).
+    # S = sum of sign(y_j - y_i) over i<j is pure integer (435 pairs on
+    # the calendar-bounded 30-day frame — the corpus-scale work is the
+    # daily groupBy); the tie-corrected variance 18*Var(S) = n(n-1)(2n+5)
+    # - sum t(t-1)(2t+5) stays integer, tau-b's denominator is one IEEE
+    # sqrt of exact-integer products, and z applies the standard
+    # continuity correction (S-1 or S+1) before ONE division.
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM d a JOIN d b ON a.day < b.day
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+    ties AS (
+      SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tv,
+             CAST(coalesce(sum(t * (t - 1) / 2), 0) AS BIGINT) AS tp
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM d GROUP BY y)
+      WHERE t > 1
+    )
+    SELECT nn.n, s.s_stat,
+           round(CAST(s.s_stat AS DOUBLE)
+                 / sqrt(CAST(nn.n * (nn.n - 1) / 2 AS DOUBLE)
+                        * CAST(nn.n * (nn.n - 1) / 2 - ties.tp AS DOUBLE)),
+                 6) AS tau_b,
+           round(CAST(CASE WHEN s.s_stat > 0 THEN s.s_stat - 1
+                           WHEN s.s_stat < 0 THEN s.s_stat + 1
+                           ELSE 0 END AS DOUBLE)
+                 / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                             - ties.tv AS DOUBLE) / 18.0), 6) AS z_stat
+    FROM s CROSS JOIN nn CROSS JOIN ties
+    """,
+)
+def ts_mann_kendall(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    a = d.select(F.col("day").alias("da"), F.col("y").alias("ya"))
+    b = d.select(F.col("day").alias("db"), F.col("y").alias("yb"))
+    s = (
+        a.join(F.broadcast(b), F.col("da") < F.col("db"))
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            ).cast("long").alias("s_stat")
+        )
+    )
+    nn = d.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        d.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            ).cast("long").alias("tv"),
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) / 2), F.lit(0)
+            ).cast("long").alias("tp"),
+        )
+    )
+    n = F.col("n")
+    half = (n * (n - 1) / 2).cast("long")
+    zc = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(0)
+    )
+    return (
+        s.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n",
+            "s_stat",
+            F.round(
+                F.col("s_stat").cast("double")
+                / F.sqrt(
+                    half.cast("double")
+                    * (half - F.col("tp")).cast("double")
+                ),
+                6,
+            ).alias("tau_b"),
+            F.round(
+                zc.cast("double")
+                / F.sqrt(
+                    (
+                        n * (n - 1) * (2 * n + 5) - F.col("tv")
+                    ).cast("double")
+                    / 18.0
+                ),
+                6,
+            ).alias("z_stat"),
+        )
+    )
