@@ -1646,3 +1646,60 @@ def text_calibration_curve(spark, sf_dir):
             / 1000000.0
         ).alias("pos_rate"),
     )
+
+
+@register(
+    "text_bpe_fertility",
+    # Tokenizer fertility per language (the tokenizer-eval table every
+    # multilingual LLM report carries — Rust et al., ACL 2021): under
+    # the 6-merge trained BPE, tokens-per-word and chars-per-token by
+    # lang. Rides the shared training CTEs verbatim; the word ->
+    # n_tokens join stays hint-free (corpus vocabulary, the
+    # no-broadcast rule) and the per-lang ratios are single divisions
+    # of exact BIGINT sums.
+    "WITH "
+    + _bpe_ctes(_BPE_N)
+    + f""",
+    tok AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_tokens
+            FROM s{_BPE_N}),
+    dw AS (
+      SELECT lang, unnest(list_filter(string_split(text, ' '),
+                                      x -> length(x) > 0)) AS word
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_tokens) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(length(word)) AS BIGINT) AS n_chars,
+           round(CAST(sum(n_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+                 6) AS fertility,
+           round(CAST(sum(length(word)) AS DOUBLE)
+                 / CAST(sum(n_tokens) AS DOUBLE), 6) AS chars_per_token
+    FROM dw JOIN tok USING (word)
+    GROUP BY lang
+    """,
+)
+def text_bpe_fertility(spark, sf_dir):
+    from ..operators.text import bpe_learn, words
+
+    docs = load_table(spark, sf_dir, "documents")
+    _merges, vocab = bpe_learn(docs, "doc_id", "text", n_merges=_BPE_N)
+    dw = docs.select(
+        "lang", F.explode(words(F.col("text"))).alias("word")
+    )
+    j = dw.join(vocab.select("word", "n_tokens"), "word")
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_tokens").cast("long").alias("n_bpe_tokens"),
+        F.sum(F.length("word")).cast("long").alias("n_chars"),
+        F.round(
+            F.sum("n_tokens").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.sum(F.length("word")).cast("double")
+            / F.sum("n_tokens").cast("double"),
+            6,
+        ).alias("chars_per_token"),
+    )
