@@ -1960,3 +1960,81 @@ def window_dau_wau(spark, sf_dir):
             F.col("dau").cast("double") / F.col("wau").cast("double"), 6
         ).alias("stickiness"),
     )
+
+
+@register(
+    "window_ltv_triangle",
+    # Cohort LTV triangle (the lifetime-value curve every subscription
+    # and marketplace finance team tracks; revenue twin of
+    # window_cohort_retention): customers cohorted by first-order year,
+    # cumulative revenue per customer-cohort by order-year age.
+    # Revenue rides the exact cents lattice; the cumulative sum is a
+    # cohort-PARTITIONED window over the tiny (cohort x age) aggregate;
+    # per-customer LTV is one exact division. Corpus-scale work: one
+    # user-keyed min() shuffle + one (cohort, age) groupBy.
+    """
+    WITH first_o AS (
+      SELECT o_custkey, min(year(o_orderdate)) AS cohort
+      FROM orders GROUP BY 1
+    ),
+    rev AS (
+      SELECT f.cohort,
+             year(o.o_orderdate) - f.cohort AS age,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o JOIN first_o f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    ),
+    size_c AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers
+      FROM first_o GROUP BY 1
+    )
+    SELECT r.cohort, r.age, s.n_customers,
+           CAST(sum(r.cents) OVER (PARTITION BY r.cohort ORDER BY r.age
+                                   ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_cents,
+           round(CAST(sum(r.cents) OVER (PARTITION BY r.cohort
+                                         ORDER BY r.age
+                                         ROWS UNBOUNDED PRECEDING)
+                      AS DOUBLE)
+                 / CAST(s.n_customers * 100 AS DOUBLE), 6)
+             AS ltv_per_customer
+    FROM rev r JOIN size_c s ON r.cohort = s.cohort
+    """,
+)
+def window_ltv_triangle(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    first_o = orders.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort")
+    )
+    rev = (
+        orders.join(first_o, "o_custkey")
+        .groupBy(
+            "cohort",
+            (F.year("o_orderdate") - F.col("cohort")).alias("age"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).cast("long").alias("cents")
+        )
+    )
+    size_c = first_o.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return rev.join(F.broadcast(size_c), "cohort").select(
+        "cohort",
+        "age",
+        "n_customers",
+        F.sum("cents").over(w).cast("long").alias("cum_cents"),
+        F.round(
+            F.sum("cents").over(w).cast("double")
+            / (F.col("n_customers") * 100).cast("double"),
+            6,
+        ).alias("ltv_per_customer"),
+    )
