@@ -81,6 +81,11 @@ EXTENDED = [
     # (~3.5 s sf0.1 idle) and the spread-fold ExactSubstr (~8.8 s)
     "train_unigram_lm_em",
     "dedup_exactsubstr_chars",
+    # r9 continued-session representatives: the per-shard BFD packing
+    # walk (applyInPandas family, ~1 s) and the 32x Poisson-bootstrap
+    # explode (~2 s) — the two new shapes the contract 21 don't cover
+    "pack_bestfit",
+    "agg_bootstrap_ab_diff",
 ]
 
 # Idle-machine anchor for the self-normalizing `calibrated_value` field

@@ -12,6 +12,7 @@ from ..registry import register
 from ..sources.tables import load_table
 from .aggregates import _PSI_ORACLE
 from .timeseries import _CUSUM_ORACLE as _TS_CUSUM_ORACLE
+from .windows import _DAU_WAU_ORACLE as _WDW_DAU_ORACLE
 
 
 @register(
@@ -838,4 +839,49 @@ def streaming_cusum_hash(spark, sf_dir):
             F.col("week_start").alias("peak_week"),
             F.col("cusum").cast("long").alias("cusum_scaled"),
         )
+    )
+
+
+@register(
+    "streaming_dau_hash",
+    # Streaming twin of window_dau_wau (shared _DAU_WAU_ORACLE
+    # verbatim): the stream's only state is the DEDUPED (user, day)
+    # pair set — a complete-mode groupBy over the backlog, the minimal
+    # state a live engagement dashboard keeps — and the bounded 7-day
+    # contribution explode + distinct counts run ON READ over the
+    # materialized pairs (the rank-at-query-time convention).
+    _WDW_DAU_ORACLE,
+)
+def streaming_dau_hash(spark, sf_dir):
+    import uuid
+
+    from ..streaming.source import stream_events
+    from ..streaming.weekly import run_stream_to_memory
+
+    pairs = (
+        stream_events(spark, sf_dir)
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    state = run_stream_to_memory(
+        spark, pairs, "dau_stream_drv_" + uuid.uuid4().hex[:8]
+    ).select("user_id", "d")
+    contrib = state.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+        "d",
+    ).select("user_id", F.date_add("d", F.col("k")).alias("t"))
+    wau = contrib.groupBy("t").agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    dau = state.groupBy(F.col("d").alias("t")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    return dau.join(wau, "t").select(
+        F.col("t").alias("day"),
+        "dau",
+        "wau",
+        F.round(
+            F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+        ).alias("stickiness"),
     )

@@ -1403,3 +1403,117 @@ def ts_mann_kendall(spark, sf_dir):
             ).alias("z_stat"),
         )
     )
+
+
+@register(
+    "ts_intervention_impact",
+    # Intervention impact, CausalImpact-lite (Brodersen et al. 2015
+    # shape, OLS counterfactual instead of BSTS): fit purchases ~ a +
+    # b*clicks on the PRE period (days 1-20) by the exact closed-form
+    # normal equations (train_linreg_normal_eq convention: BIGINT
+    # moments, DECIMAL(38,0) numerators, a and b each ONE division),
+    # then the POST days' counterfactual, pointwise effect, and the
+    # running cumulative effect. Effects are rounded to the 6dp lattice
+    # BEFORE cumulating (the holt convention) and the cumsum runs in
+    # unique-day order — the identical left-fold on both engines.
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ),
+    mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM d WHERE day <= DATE '2024-01-20'
+    ),
+    ab AS (
+      SELECT CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                  - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+             / CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                    - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) AS b,
+             n, sx, sy, sxx, sxy
+      FROM mo
+    ),
+    ab2 AS (
+      SELECT b,
+             (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS a
+      FROM ab
+    ),
+    post AS (
+      SELECT d.day, d.y,
+             round(a + b * CAST(d.x AS DOUBLE), 6) AS pred,
+             round(CAST(d.y AS DOUBLE) - (a + b * CAST(d.x AS DOUBLE)), 6)
+               AS effect
+      FROM d CROSS JOIN ab2 WHERE d.day > DATE '2024-01-20'
+    )
+    SELECT day, y AS actual, pred, effect,
+           round(sum(effect) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING),
+                 6) AS cum_effect
+    FROM post
+    """,
+)
+def ts_intervention_impact(spark, sf_dir):
+    from pyspark.sql import Window
+
+    split = F.lit("2024-01-20").cast("date")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "click").cast("int"))
+        .cast("long")
+        .alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("long")
+        .alias("y"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mo = d.filter(F.col("day") <= split).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    b = (d38("n") * F.col("sxy") - d38("sx") * F.col("sy")).cast(
+        "double"
+    ) / (d38("n") * F.col("sxx") - d38("sx") * F.col("sx")).cast(
+        "double"
+    )
+    ab = mo.select(
+        b.alias("b"),
+        (
+            (F.col("sy").cast("double") - b * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("a"),
+    )
+    post = d.filter(F.col("day") > split).crossJoin(
+        F.broadcast(ab)
+    ).select(
+        "day",
+        F.col("y").alias("actual"),
+        F.round(F.col("a") + F.col("b") * F.col("x").cast("double"), 6)
+        .alias("pred"),
+        F.round(
+            F.col("y").cast("double")
+            - (F.col("a") + F.col("b") * F.col("x").cast("double")),
+            6,
+        ).alias("effect"),
+    )
+    # post window is calendar-bounded (days after the split) — tiny
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return post.select(
+        "day",
+        "actual",
+        "pred",
+        "effect",
+        F.round(F.sum("effect").over(w), 6).alias("cum_effect"),
+    )

@@ -1905,17 +1905,9 @@ def window_nelson_aalen(spark, sf_dir):
     )
 
 
-@register(
-    "window_dau_wau",
-    # DAU/WAU stickiness (the product-engagement ratio every analytics
-    # stack reports): per active day, distinct daily actives over
-    # distinct trailing-7-day actives. Sliding DISTINCT doesn't
-    # decompose into window frames, so the scale shape is the standard
-    # contribution explode — the deduped (user, day) table fans out to
-    # the <=7 future days it keeps a user "weekly active" for (bounded
-    # 7x expansion of an already-compacted table), then one distinct
-    # count per day. All counts integer; the ratio is one division.
-    """
+# DAU/WAU oracle — shared verbatim with the streaming twin
+# (queries/advanced.py:streaming_dau_hash)
+_DAU_WAU_ORACLE = """
     WITH ud AS (
       SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
     ),
@@ -1934,7 +1926,20 @@ def window_nelson_aalen(spark, sf_dir):
            round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
              AS stickiness
     FROM dau JOIN wau ON dau.t = wau.t
-    """,
+    """
+
+
+@register(
+    "window_dau_wau",
+    # DAU/WAU stickiness (the product-engagement ratio every analytics
+    # stack reports): per active day, distinct daily actives over
+    # distinct trailing-7-day actives. Sliding DISTINCT doesn't
+    # decompose into window frames, so the scale shape is the standard
+    # contribution explode — the deduped (user, day) table fans out to
+    # the <=7 future days it keeps a user "weekly active" for (bounded
+    # 7x expansion of an already-compacted table), then one distinct
+    # count per day. All counts integer; the ratio is one division.
+    _DAU_WAU_ORACLE,
 )
 def window_dau_wau(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
