@@ -2876,3 +2876,137 @@ def agg_trimmed_mean(spark, sf_dir):
             6,
         ).alias("winsorized_mean"),
     )
+
+
+@register(
+    "agg_eb_shrinkage",
+    # Empirical-Bayes shrinkage of per-nation urgent-order rates
+    # (beta-binomial, method-of-moments prior — the Robbins/James-Stein
+    # move every dashboard should apply to small-denominator rates):
+    # raw rate r_i is ONE exact-integer division; the prior moments
+    # m = mean(r_i), v = var(r_i) are k~25 cross-row float terms, so
+    # BOTH engines fold them by the deterministic left fold over the
+    # NATION-key-sorted list (the r9 anova/chi2 convention — never an
+    # engine-ordered sum); alpha/beta = MoM closed form on identical
+    # doubles; the shrunk rate (k_i + alpha)/(n_i + alpha + beta) is
+    # one more identical-tree division. Nation is a broadcast dim.
+    """
+    WITH r AS (
+      SELECT n.n_name AS nation,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    ),
+    rr AS (
+      SELECT nation, n, pos,
+             CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS rate
+      FROM r
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(rate ORDER BY nation)),
+                         (a, b) -> a + b) AS s
+      FROM rr
+    ),
+    m2 AS (SELECT k, s / CAST(k AS DOUBLE) AS mu FROM m),
+    v AS (
+      SELECT m2.k, m2.mu,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((rate - m2.mu) * (rate - m2.mu) ORDER BY nation)),
+               (a, b) -> a + b) / CAST(m2.k AS DOUBLE) AS vv
+      FROM rr CROSS JOIN m2 GROUP BY m2.k, m2.mu
+    ),
+    ab AS (
+      SELECT mu * (mu * (1 - mu) / vv - 1) AS alpha,
+             (1 - mu) * (mu * (1 - mu) / vv - 1) AS beta
+      FROM v
+    )
+    SELECT rr.nation, rr.n, rr.pos,
+           round(rr.rate, 6) AS raw_rate,
+           round((CAST(rr.pos AS DOUBLE) + ab.alpha)
+                 / (CAST(rr.n AS DOUBLE) + ab.alpha + ab.beta), 6)
+             AS shrunk_rate
+    FROM rr CROSS JOIN ab
+    """,
+)
+def agg_eb_shrinkage(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("nation"),
+    )
+    r = (
+        orders.select(
+            F.col("o_custkey").alias("c_custkey"),
+            (F.col("o_orderpriority") == "1-URGENT")
+            .cast("int")
+            .alias("u"),
+        )
+        .join(cust, "c_custkey")
+        .join(F.broadcast(nation), "c_nationkey")
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("u").cast("long").alias("pos"),
+        )
+    )
+    rr = r.select(
+        "nation",
+        "n",
+        "pos",
+        (F.col("pos").cast("double") / F.col("n").cast("double")).alias(
+            "rate"
+        ),
+    )
+
+    def fold(col):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("nation", col))),
+                lambda s: s[col],
+            ),
+            F.lit(0.0).cast("double"),
+            lambda a, b: a + b,
+        )
+
+    m = rr.agg(
+        F.count(F.lit(1)).alias("k"), fold("rate").alias("s")
+    ).select("k", (F.col("s") / F.col("k").cast("double")).alias("mu"))
+    dev = rr.crossJoin(F.broadcast(m)).select(
+        "nation",
+        "k",
+        "mu",
+        ((F.col("rate") - F.col("mu")) * (F.col("rate") - F.col("mu")))
+        .alias("d2"),
+    )
+    v = dev.groupBy("k", "mu").agg(fold("d2").alias("sv")).select(
+        "mu", (F.col("sv") / F.col("k").cast("double")).alias("vv")
+    )
+    c = F.col("mu") * (1 - F.col("mu")) / F.col("vv") - 1
+    ab = v.select(
+        (F.col("mu") * c).alias("alpha"),
+        ((1 - F.col("mu")) * c).alias("beta"),
+    )
+    return rr.crossJoin(F.broadcast(ab)).select(
+        "nation",
+        "n",
+        "pos",
+        F.round("rate", 6).alias("raw_rate"),
+        F.round(
+            (F.col("pos").cast("double") + F.col("alpha"))
+            / (
+                F.col("n").cast("double")
+                + F.col("alpha")
+                + F.col("beta")
+            ),
+            6,
+        ).alias("shrunk_rate"),
+    )

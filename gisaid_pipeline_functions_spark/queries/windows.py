@@ -2043,3 +2043,86 @@ def window_ltv_triangle(spark, sf_dir):
             6,
         ).alias("ltv_per_customer"),
     )
+
+
+@register(
+    "window_sprt_monitor",
+    # Sequential probability ratio test monitor (Wald 1945 — the
+    # always-valid sequential A/B check an experimentation platform
+    # evaluates daily instead of one fixed-horizon test): daily
+    # purchase-per-click conversion under H0 p=0.18 vs H1 p=0.22, the
+    # cumulative log-likelihood ratio walked day by day against the
+    # ln(19) boundaries (alpha=beta=0.05). Each day's LLR term is
+    # k*ln(p1/p0) + (n-k)*ln(q1/q0) on exact integer (k, n) — the
+    # ln-ratio constants are computed from identical literals on both
+    # engines (the established ln parity convention) — terms are
+    # rounded to the 6dp lattice BEFORE the ordered cumsum (the holt
+    # convention), and the decision column compares the rounded walk
+    # to rounded boundaries.
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k,
+             CAST(sum(CASE WHEN event_type IN ('click', 'purchase')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ),
+    t AS (
+      SELECT day, k, n,
+             round(k * ln(0.22 / 0.18)
+                   + (n - k) * ln(0.78 / 0.82), 6) AS llr_term
+      FROM d
+    ),
+    w AS (
+      SELECT day, k, n, llr_term,
+             round(sum(llr_term) OVER (ORDER BY day
+                                       ROWS UNBOUNDED PRECEDING), 6)
+               AS cum_llr
+      FROM t
+    )
+    SELECT day, k, n, llr_term, cum_llr,
+           CASE WHEN cum_llr >= round(ln(19.0), 6) THEN 'accept_h1'
+                WHEN cum_llr <= round(-ln(19.0), 6) THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM w
+    """,
+)
+def window_sprt_monitor(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("long")
+        .alias("k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    term = F.round(
+        F.col("k") * F.log(F.lit(0.22) / F.lit(0.18))
+        + (F.col("n") - F.col("k")) * F.log(F.lit(0.78) / F.lit(0.82)),
+        6,
+    )
+    t = d.select("day", "k", "n", term.alias("llr_term"))
+    # ordered walk over the calendar-bounded daily frame
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    hi = F.round(F.log(F.lit(19.0)), 6)
+    out = t.select(
+        "day",
+        "k",
+        "n",
+        "llr_term",
+        F.round(F.sum("llr_term").over(w), 6).alias("cum_llr"),
+    )
+    return out.select(
+        "day",
+        "k",
+        "n",
+        "llr_term",
+        "cum_llr",
+        F.when(F.col("cum_llr") >= hi, "accept_h1")
+        .when(F.col("cum_llr") <= -hi, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )
