@@ -1517,3 +1517,242 @@ def ts_intervention_impact(spark, sf_dir):
         "effect",
         F.round(F.sum("effect").over(w), 6).alias("cum_effect"),
     )
+
+
+@register(
+    "ts_optimal_changepoints",
+    # Optimal multi-changepoint segmentation (Jackson et al. 2005
+    # optimal partitioning — the exact DP that PELT prunes; beside the
+    # single-point CUSUM): minimize sum of per-segment L2 costs
+    # C(a,b) = sumY2 - (sumY)^2/len plus a per-segment penalty beta =
+    # total_cost/8, over the daily click series. Everything rides the
+    # ts_dtw replay machinery: prefix sums as 1-row arrays (sumY BIGINT,
+    # sumY2 DECIMAL(38,0)/HUGEINT — daily-count squares overflow int64
+    # at corpus scale), the O(n^2) DP folded step by step with the F
+    # and cp arrays as state (argmin ties -> lowest s via
+    # first-occurrence list_position), then a second fold backtracks
+    # the cp chain into segments. Costs are identical-tree doubles on
+    # both engines, so every argmin agrees; segment means round(.,6)
+    # (len <= 30 denominators cannot land on representable 1e-6
+    # midpoints). Corpus-scale work is ONE daily groupBy.
+    """
+    WITH RECURSIVE d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    arr AS (
+      SELECT list(y ORDER BY day) AS a,
+             CAST(count(*) AS BIGINT) AS n FROM d
+    ),
+    pre AS (
+      SELECT a, n,
+             [list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                       list_slice(a, 1, k - 1)),
+                          (p, q) -> p + q)
+              FOR k IN range(1, CAST(n AS INT) + 2)] AS sp,
+             [list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                list_slice([CAST(y AS HUGEINT) * y FOR y IN a], 1, k - 1)),
+                          (p, q) -> p + q)
+              FOR k IN range(1, CAST(n AS INT) + 2)] AS qp
+      FROM arr
+    ),
+    pb AS (
+      SELECT a, n, sp, qp,
+             (CAST(qp[CAST(n AS INT) + 1] AS DOUBLE)
+              - CAST(CAST(sp[CAST(n AS INT) + 1] AS HUGEINT)
+                     * sp[CAST(n AS INT) + 1] AS DOUBLE)
+                / CAST(n AS DOUBLE)) / 8.0 AS beta
+      FROM pre
+    ),
+    dp AS (
+      SELECT 0 AS t, [-beta] AS fs, [CAST(0 AS BIGINT)] AS cps FROM pb
+      UNION ALL
+      SELECT dp.t + 1,
+        list_append(dp.fs, list_min(
+          [dp.fs[s1]
+           + CAST(p.qp[dp.t + 2] - p.qp[s1] AS DOUBLE)
+           - CAST(CAST(p.sp[dp.t + 2] - p.sp[s1] AS HUGEINT)
+                  * (p.sp[dp.t + 2] - p.sp[s1]) AS DOUBLE)
+             / CAST(dp.t + 2 - s1 AS DOUBLE)
+           + p.beta
+           FOR s1 IN range(1, dp.t + 2)])),
+        list_append(dp.cps, CAST(list_position(
+          [dp.fs[s1]
+           + CAST(p.qp[dp.t + 2] - p.qp[s1] AS DOUBLE)
+           - CAST(CAST(p.sp[dp.t + 2] - p.sp[s1] AS HUGEINT)
+                  * (p.sp[dp.t + 2] - p.sp[s1]) AS DOUBLE)
+             / CAST(dp.t + 2 - s1 AS DOUBLE)
+           + p.beta
+           FOR s1 IN range(1, dp.t + 2)],
+          list_min(
+          [dp.fs[s1]
+           + CAST(p.qp[dp.t + 2] - p.qp[s1] AS DOUBLE)
+           - CAST(CAST(p.sp[dp.t + 2] - p.sp[s1] AS HUGEINT)
+                  * (p.sp[dp.t + 2] - p.sp[s1]) AS DOUBLE)
+             / CAST(dp.t + 2 - s1 AS DOUBLE)
+           + p.beta
+           FOR s1 IN range(1, dp.t + 2)])) - 1 AS BIGINT))
+      FROM dp, pb p WHERE dp.t < p.n
+    ),
+    dpf AS (
+      SELECT dp.cps, p.n, p.sp FROM dp, pb p WHERE dp.t = p.n
+    ),
+    bt AS (
+      SELECT CAST(n AS BIGINT) AS e,
+             cps[CAST(n AS INT) + 1] AS s
+      FROM dpf WHERE n > 0
+      UNION ALL
+      SELECT bt.s AS e, d.cps[CAST(bt.s AS INT) + 1] AS s
+      FROM bt, dpf d WHERE bt.s > 0
+    )
+    SELECT bt.s + 1 AS start_idx, bt.e AS end_idx,
+           bt.e - bt.s AS n_days,
+           CAST(d.sp[CAST(bt.e AS INT) + 1]
+                - d.sp[CAST(bt.s AS INT) + 1] AS BIGINT) AS seg_sum,
+           round(CAST(d.sp[CAST(bt.e AS INT) + 1]
+                      - d.sp[CAST(bt.s AS INT) + 1] AS DOUBLE)
+                 / CAST(bt.e - bt.s AS DOUBLE), 6) AS seg_mean
+    FROM bt, dpf d
+    """,
+)
+def ts_optimal_changepoints(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    arr = d.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "y"))),
+            lambda r: r["y"],
+        ).alias("a"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    y2s = F.transform(F.col("a"), lambda y: d19(y) * d19(y))
+    ks = F.sequence(F.lit(1), (F.col("n") + 1).cast("int"))
+    pre = arr.select(
+        "a",
+        "n",
+        F.transform(
+            ks,
+            lambda k: F.aggregate(
+                F.slice(F.col("a"), F.lit(1), k - 1),
+                F.lit(0).cast("long"),
+                lambda p, q: p + q,
+            ),
+        ).alias("sp"),
+        F.transform(
+            ks,
+            lambda k: F.aggregate(
+                F.slice(y2s, F.lit(1), k - 1),
+                F.lit(0).cast("decimal(38,0)"),
+                lambda p, q: (p + q).cast("decimal(38,0)"),
+            ),
+        ).alias("qp"),
+    )
+    spn = F.element_at("sp", (F.col("n") + 1).cast("int"))
+    qpn = F.element_at("qp", (F.col("n") + 1).cast("int"))
+    pb = pre.select(
+        "a",
+        "n",
+        "sp",
+        "qp",
+        (
+            (
+                qpn.cast("double")
+                - (d19(spn) * d19(spn)).cast("double")
+                / F.col("n").cast("double")
+            )
+            / 8.0
+        ).alias("beta"),
+    )
+
+    def cands(fs, t):
+        def one(s1):
+            qd = F.element_at("qp", t + 2) - F.element_at("qp", s1)
+            sd = F.element_at("sp", t + 2) - F.element_at("sp", s1)
+            ln = (t + 2 - s1).cast("double")
+            return (
+                F.element_at(fs, s1)
+                + qd.cast("double")
+                - (d19(sd) * d19(sd)).cast("double") / ln
+                + F.col("beta")
+            )
+
+        return F.transform(F.sequence(F.lit(1), t + 1), one)
+
+    def dp_step(acc, t0):
+        # t0 iterates 1..n; prior state has t0 entries (t = t0 - 1)
+        cs = cands(acc["fs"], t0 - 1)
+        fmin = F.array_min(cs)
+        return F.struct(
+            F.concat(acc["fs"], F.array(fmin)).alias("fs"),
+            F.concat(
+                acc["cps"],
+                F.array((F.array_position(cs, fmin) - 1).cast("long")),
+            ).alias("cps"),
+        )
+
+    init = F.struct(
+        F.array(-F.col("beta")).alias("fs"),
+        F.array(F.lit(0).cast("long")).alias("cps"),
+    )
+    dpf = pb.select(
+        "n",
+        "sp",
+        F.aggregate(
+            F.sequence(F.lit(1), F.col("n").cast("int")), init, dp_step
+        )["cps"].alias("cps"),
+    )
+
+    def bt_step(acc, _i):
+        e = acc["e"]
+        s = F.element_at("cps", (e + 1).cast("int"))
+        return F.when(
+            e > 0,
+            F.struct(
+                s.alias("e"),
+                F.concat(
+                    acc["segs"],
+                    F.array(F.struct(s.alias("s"), e.alias("e"))),
+                ).alias("segs"),
+            ),
+        ).otherwise(acc)
+
+    empty_segs = F.array().cast("array<struct<s:bigint,e:bigint>>")
+    segs = dpf.select(
+        "n",
+        "sp",
+        F.aggregate(
+            F.sequence(F.lit(1), F.col("n").cast("int")),
+            F.struct(
+                F.col("n").cast("long").alias("e"),
+                empty_segs.alias("segs"),
+            ),
+            bt_step,
+        )["segs"].alias("segs"),
+    )
+    out = segs.select(
+        "sp", F.explode("segs").alias("g")
+    ).select(
+        (F.col("g.s") + 1).alias("start_idx"),
+        F.col("g.e").alias("end_idx"),
+        (F.col("g.e") - F.col("g.s")).alias("n_days"),
+        (
+            F.element_at("sp", (F.col("g.e") + 1).cast("int"))
+            - F.element_at("sp", (F.col("g.s") + 1).cast("int"))
+        ).cast("long").alias("seg_sum"),
+    )
+    return out.select(
+        "start_idx",
+        "end_idx",
+        "n_days",
+        "seg_sum",
+        F.round(
+            F.col("seg_sum").cast("double")
+            / F.col("n_days").cast("double"),
+            6,
+        ).alias("seg_mean"),
+    )
