@@ -3010,3 +3010,83 @@ def agg_eb_shrinkage(spark, sf_dir):
             6,
         ).alias("shrunk_rate"),
     )
+
+
+@register(
+    "agg_abc_analysis",
+    # ABC / Pareto 80-20 analysis over parts by lineitem revenue (the
+    # inventory-classification staple): parts ranked by revenue DESC,
+    # classes cut at 70% / 90% of cumulative revenue share, per-class
+    # part counts and revenue shares. Revenue rides the exact cents
+    # lattice; the global running sum is operators/topk.py:block_cumsum
+    # (block-prefix — no single-partition window over the parts table);
+    # the class rule compares exact integer cumulative cents against
+    # 70%/90% of the exact total via integer cross-multiplication
+    # (cum*100 <= total*70), so no float enters until the final shares.
+    """
+    WITH pr AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    r AS (
+      SELECT l_partkey, cents,
+             CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_cents,
+             CAST(sum(cents) OVER () AS BIGINT) AS total
+      FROM pr
+    ),
+    cls AS (
+      SELECT CASE WHEN cum_cents * 100 <= total * 70 THEN 'A'
+                  WHEN cum_cents * 100 <= total * 90 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cents, total
+      FROM r
+    )
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           round(CAST(sum(cents) AS DOUBLE) / CAST(max(total) AS DOUBLE),
+                 6) AS revenue_share
+    FROM cls GROUP BY 1
+    """,
+)
+def agg_abc_analysis(spark, sf_dir):
+    from ..operators.topk import block_cumsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        ).cast("long").alias("cents"),
+    )
+    # block_cumsum orders ASCENDING — feed negated cents so the walk is
+    # revenue-DESC, then reuse the cumulative identity cum_desc = cum_neg
+    pr2 = pr.select(
+        "l_partkey", "cents", (-F.col("cents")).alias("neg")
+    )
+    cum = block_cumsum(pr2, "neg", ["cents"], tiebreak_col="l_partkey")
+    tot = pr.agg(F.sum("cents").cast("long").alias("total"))
+    cls = cum.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        "total",
+        F.when(
+            F.col("cum_cents") * 100 <= F.col("total") * 70, "A"
+        )
+        .when(F.col("cum_cents") * 100 <= F.col("total") * 90, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+        F.round(
+            F.sum("cents").cast("double")
+            / F.max("total").cast("double"),
+            6,
+        ).alias("revenue_share"),
+    )

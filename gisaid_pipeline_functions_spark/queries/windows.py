@@ -2126,3 +2126,74 @@ def window_sprt_monitor(spark, sf_dir):
         .otherwise("continue")
         .alias("decision"),
     )
+
+
+@register(
+    "window_interorder_gaps",
+    # Inter-purchase time distribution (the repeat-purchase/replenish
+    # analysis behind CRM timing models): per customer, gaps between
+    # consecutive orders under the (date, orderkey) total order, bucketed
+    # into a log2-style day histogram with mean gap per bucketed class.
+    # The lag window is customer-PARTITIONED (parallel per key); gaps
+    # are exact integer days; the mean is one division via the KN
+    # half-up lattice rule (gap means like 7/2 land on representable
+    # halves, but deeper quotients belong on the 1e-6 lattice).
+    """
+    WITH g AS (
+      SELECT o_custkey,
+             CAST(CAST(o_orderdate AS DATE)
+                  - lag(CAST(o_orderdate AS DATE))
+                      OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey)
+                  AS BIGINT) AS gap_days
+      FROM orders
+    ),
+    f AS (SELECT gap_days FROM g WHERE gap_days IS NOT NULL),
+    b AS (
+      SELECT CASE WHEN gap_days <= 7 THEN '0-7'
+                  WHEN gap_days <= 30 THEN '8-30'
+                  WHEN gap_days <= 90 THEN '31-90'
+                  WHEN gap_days <= 365 THEN '91-365'
+                  ELSE '366+' END AS gap_bucket,
+             gap_days
+      FROM f
+    )
+    SELECT gap_bucket,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(sum(gap_days) AS BIGINT) AS total_days,
+           CAST((2 * sum(gap_days) * 1000000 + count(*))
+                // (2 * count(*)) AS DOUBLE) / 1000000.0 AS mean_gap_days
+    FROM b GROUP BY 1
+    """,
+)
+def window_interorder_gaps(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    g = orders.select(
+        F.datediff(
+            F.to_date("o_orderdate"),
+            F.lag(F.to_date("o_orderdate")).over(w),
+        ).cast("long").alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    b = g.select(
+        F.when(F.col("gap_days") <= 7, "0-7")
+        .when(F.col("gap_days") <= 30, "8-30")
+        .when(F.col("gap_days") <= 90, "31-90")
+        .when(F.col("gap_days") <= 365, "91-365")
+        .otherwise("366+")
+        .alias("gap_bucket"),
+        "gap_days",
+    )
+    return b.groupBy("gap_bucket").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_days").cast("long").alias("total_days"),
+        (
+            F.expr(
+                "(2 * sum(gap_days) * 1000000 + count(*))"
+                " div (2 * count(*))"
+            ).cast("double")
+            / 1000000.0
+        ).alias("mean_gap_days"),
+    )
