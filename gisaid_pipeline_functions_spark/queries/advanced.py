@@ -13,6 +13,7 @@ from ..sources.tables import load_table
 from .aggregates import _PSI_ORACLE
 from .timeseries import _CUSUM_ORACLE as _TS_CUSUM_ORACLE
 from .windows import _DAU_WAU_ORACLE as _WDW_DAU_ORACLE
+from .windows import _NEW_RETURNING_ORACLE as _WDW_NEWRET_ORACLE
 
 
 @register(
@@ -884,4 +885,45 @@ def streaming_dau_hash(spark, sf_dir):
         F.round(
             F.col("dau").cast("double") / F.col("wau").cast("double"), 6
         ).alias("stickiness"),
+    )
+
+
+@register(
+    "streaming_new_users_hash",
+    # Streaming twin of window_new_vs_returning (shared
+    # _NEW_RETURNING_ORACLE verbatim): the stream keeps only the
+    # per-(user, day) event counters (complete mode); first-seen
+    # classification and the daily split run on read over the
+    # materialized pairs — the same minimal-state shape as
+    # streaming_dau_hash.
+    _WDW_NEWRET_ORACLE,
+)
+def streaming_new_users_hash(spark, sf_dir):
+    import uuid
+
+    from ..streaming.source import stream_events
+    from ..streaming.weekly import run_stream_to_memory
+
+    pairs = (
+        stream_events(spark, sf_dir)
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    state = run_stream_to_memory(
+        spark, pairs, "newret_stream_drv_" + uuid.uuid4().hex[:8]
+    )
+    # first-seen via a user-partitioned window (a MemorySink table
+    # can't self-join — the streaming_cusum_hash rule)
+    w = Window.partitionBy("user_id")
+    j = state.withColumn("first_day", F.min("d").over(w))
+    is_new = (F.col("d") == F.col("first_day")).cast("long")
+    return j.groupBy(F.col("d").alias("day")).agg(
+        F.sum(is_new).alias("new_users"),
+        F.sum(1 - is_new).alias("returning_users"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.round(
+            F.sum(is_new).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("new_share"),
     )

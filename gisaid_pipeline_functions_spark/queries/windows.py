@@ -2197,3 +2197,55 @@ def window_interorder_gaps(spark, sf_dir):
             / 1000000.0
         ).alias("mean_gap_days"),
     )
+
+
+# new-vs-returning oracle — shared verbatim with the streaming twin
+# (queries/advanced.py:streaming_new_users_hash)
+_NEW_RETURNING_ORACLE = """
+    WITH ud AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    fs AS (SELECT user_id, min(d) AS first_day FROM ud GROUP BY 1)
+    SELECT ud.d AS day,
+           CAST(sum(CASE WHEN ud.d = fs.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(sum(CASE WHEN ud.d = fs.first_day THEN 0 ELSE 1 END)
+                AS BIGINT) AS returning_users,
+           CAST(sum(ud.n_events) AS BIGINT) AS n_events,
+           round(CAST(sum(CASE WHEN ud.d = fs.first_day THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS new_share
+    FROM ud JOIN fs ON ud.user_id = fs.user_id
+    GROUP BY ud.d
+    """
+
+
+@register(
+    "window_new_vs_returning",
+    # Daily new-vs-returning split (the acquisition/retention overview
+    # chart): per (user, day) activity classified by whether the day is
+    # the user's first-seen day. One user-keyed min() + one day groupBy
+    # over the deduped (user, day) table; all counts integer, one share
+    # division.
+    _NEW_RETURNING_ORACLE,
+)
+def window_new_vs_returning(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    fs = ud.groupBy("user_id").agg(F.min("d").alias("first_day"))
+    j = ud.join(fs, "user_id")
+    is_new = (F.col("d") == F.col("first_day")).cast("long")
+    return j.groupBy(F.col("d").alias("day")).agg(
+        F.sum(is_new).alias("new_users"),
+        F.sum(1 - is_new).alias("returning_users"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.round(
+            F.sum(is_new).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("new_share"),
+    )
