@@ -1262,3 +1262,131 @@ def sim_ndcg_eval(spark, sf_dir):
         "idcg",
         F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
     )
+
+
+@register(
+    "sim_rocchio_prf",
+    # Rocchio pseudo-relevance feedback (Rocchio 1971; the PRF query
+    # expansion behind classic IR rerankers — completes the retrieval
+    # family beside bm25/rrf/mmr/ndcg): round-1 exact cosine top-3 per
+    # query is taken as pseudo-relevant, the expanded query is
+    # q' = 1.0*q + 0.75*mean(relevant) (element-wise; the 3-vector mean
+    # folded over the cand_id-SORTED list with a zero seed — 0+x = x in
+    # IEEE, the established fold identity), and the corpus is re-ranked
+    # against q'. Round-1 picks use ROUNDED cosine + id tie-break (the
+    # family convention) so both engines select the identical relevant
+    # set, making q' and every second-pass score identical doubles.
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM embeddings WHERE vec_id < 3),
+    c AS (SELECT vec_id AS cand_id, embedding AS cvec FROM embeddings),
+    s1 AS (
+      SELECT query_id, cand_id,
+             round({_cos_sql('qvec', 'cvec')}, 6) AS cos
+      FROM q JOIN c ON query_id <> cand_id
+    ),
+    r1 AS (
+      SELECT query_id, cand_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, cand_id) AS rank
+        FROM s1) WHERE rank <= 3
+    ),
+    rel AS (
+      SELECT r1.query_id,
+             list(list_transform(c.cvec, x -> CAST(x AS DOUBLE))
+                  ORDER BY r1.cand_id) AS rl
+      FROM r1 JOIN c ON r1.cand_id = c.cand_id
+      GROUP BY r1.query_id
+    ),
+    qe AS (
+      SELECT q.query_id,
+             list_transform(
+               list_zip(list_transform(q.qvec, x -> CAST(x AS DOUBLE)),
+                        list_transform(
+                          list_reduce(
+                            list_prepend(
+                              list_transform(rel.rl[1], x -> 0.0),
+                              rel.rl),
+                            (a, b) -> list_transform(list_zip(a, b),
+                                                     p -> p[1] + p[2])),
+                          s -> s / CAST(len(rel.rl) AS DOUBLE))),
+               p -> 1.0 * p[1] + 0.75 * p[2]) AS qev
+      FROM q JOIN rel ON q.query_id = rel.query_id
+    ),
+    s2 AS (
+      SELECT qe.query_id, c.cand_id,
+             round({_cos_sql('qev', 'cvec')}, 6) AS cos
+      FROM qe JOIN c ON qe.query_id <> c.cand_id
+    )
+    SELECT query_id, cand_id, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, cand_id) AS rank
+      FROM s2) WHERE rank <= 5
+    """,
+)
+def sim_rocchio_prf(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.similarity import brute_force_topk, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    r1 = brute_force_topk(emb, queries, k=3).select(
+        "query_id", "cand_id"
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    rel = (
+        r1.join(c, "cand_id")
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("cand_id", "cvec"))
+                ),
+                lambda s: F.transform(
+                    s["cvec"], lambda x: x.cast("double")
+                ),
+            ).alias("rl")
+        )
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    zero = F.transform(
+        F.element_at("rl", 1), lambda x: F.lit(0.0).cast("double")
+    )
+    vsum = F.aggregate(
+        F.col("rl"),
+        zero,
+        lambda a, b: F.zip_with(a, b, lambda p, r: p + r),
+    )
+    mean_vec = F.transform(
+        vsum, lambda s: s / F.size("rl").cast("double")
+    )
+    qe = q.join(rel, "query_id").select(
+        "query_id",
+        F.zip_with(
+            F.transform(F.col("qvec"), lambda x: x.cast("double")),
+            mean_vec,
+            lambda p, r: F.lit(1.0) * p + F.lit(0.75) * r,
+        ).alias("qev"),
+    )
+    s2 = c.join(
+        F.broadcast(qe), F.col("query_id") != F.col("cand_id")
+    ).select(
+        "query_id",
+        "cand_id",
+        F.round(cosine(F.col("qev"), F.col("cvec")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("cand_id")
+    )
+    return (
+        s2.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "cand_id", "cos", "rank")
+    )
