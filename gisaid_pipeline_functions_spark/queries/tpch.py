@@ -269,3 +269,58 @@ def tpch_q22_idle_customers(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    # TPC-H Q3 (shipping priority): the canonical 3-way
+    # customer-orders-lineitem join with date-range predicates on both
+    # fact sides and a top-10 by revenue — the plan-shape benchmark for
+    # predicate pushdown through a multi-join (both date filters must
+    # reach their scans) and TakeOrderedAndProject (never a global
+    # sort). Revenue on the exact cents lattice so the sum order can't
+    # flip the ranking; ties broken by orderkey. Dates adapted to this
+    # corpus's 1995-2001 span; segment filter = a real c_mktsegment
+    # value.
+    """
+    SELECT l.l_orderkey AS orderkey,
+           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                * 100) AS BIGINT)) / 100.0, 2) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           o.o_orderpriority AS orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1998-01-01'
+      AND l.l_shipdate > DATE '1997-06-30'
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("date")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-30").cast("date")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    agg = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.to_date("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(F.round(F.sum(cents) / 100.0, 2).alias("revenue"))
+        .select("orderkey", "revenue", "orderdate", "orderpriority")
+    )
+    return agg.orderBy(F.desc("revenue"), F.asc("orderkey")).limit(10)
