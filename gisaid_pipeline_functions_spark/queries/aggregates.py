@@ -3090,3 +3090,69 @@ def agg_abc_analysis(spark, sf_dir):
             6,
         ).alias("revenue_share"),
     )
+
+
+@register(
+    "agg_mcnemar",
+    # McNemar's paired test (the classifier-comparison companion to
+    # agg_cohens_kappa: do raters A and B make DIFFERENT errors against
+    # the label, not just agree with each other?): label = n_chars >=
+    # 300, rater A = text length >= 290, rater B = word count >= 50.
+    # The discordant cells b (A right, B wrong) and c (A wrong, B
+    # right) come from one conditional-sum scan; the continuity-
+    # corrected statistic (|b-c|-1)^2/(b+c) is exact integers + ONE
+    # division.
+    r"""
+    WITH rated AS (
+      SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y,
+             CASE WHEN length(text) >= 290 THEN 1 ELSE 0 END AS a,
+             CASE WHEN length(list_filter(string_split_regex(text,
+                    '\s+'), x -> x <> '')) >= 50
+                  THEN 1 ELSE 0 END AS b
+      FROM documents
+    ),
+    cells AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b_cell,
+             CAST(sum(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_cell
+      FROM rated
+    )
+    SELECT n, b_cell, c_cell,
+           round(CAST((abs(b_cell - c_cell) - 1)
+                      * (abs(b_cell - c_cell) - 1) AS DOUBLE)
+                 / CAST(b_cell + c_cell AS DOUBLE), 6) AS mcnemar_chi2
+    FROM cells
+    """,
+)
+def agg_mcnemar(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    rated = docs.select(
+        (F.col("n_chars") >= 300).cast("int").alias("y"),
+        (F.length("text") >= 290).cast("int").alias("a"),
+        (F.size(words) >= 50).cast("int").alias("b"),
+    )
+    cells = rated.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            ((F.col("a") == F.col("y")) & (F.col("b") != F.col("y")))
+            .cast("int")
+        ).cast("long").alias("b_cell"),
+        F.sum(
+            ((F.col("a") != F.col("y")) & (F.col("b") == F.col("y")))
+            .cast("int")
+        ).cast("long").alias("c_cell"),
+    )
+    d = F.abs(F.col("b_cell") - F.col("c_cell")) - 1
+    return cells.select(
+        "n",
+        "b_cell",
+        "c_cell",
+        F.round(
+            (d * d).cast("double")
+            / (F.col("b_cell") + F.col("c_cell")).cast("double"),
+            6,
+        ).alias("mcnemar_chi2"),
+    )

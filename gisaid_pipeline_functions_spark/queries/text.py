@@ -1703,3 +1703,53 @@ def text_bpe_fertility(spark, sf_dir):
             6,
         ).alias("chars_per_token"),
     )
+
+
+@register(
+    "text_lexical_diversity",
+    # Lexical diversity per source (corpus-quality profiling: low
+    # diversity flags template/boilerplate farms): type-token ratio and
+    # Guiraud's root-TTR (types/sqrt(tokens) — the length-robust
+    # variant). Types = distinct words per source (one distinct
+    # aggregate, its own scan per the r7 distinct-Expand rule is
+    # unnecessary here — no sketch shares the agg); tokens exact
+    # BIGINT; root-TTR one IEEE sqrt + divide on identical trees.
+    r"""
+    WITH w AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT word) AS BIGINT) AS n_types,
+           round(CAST(count(DISTINCT word) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS ttr,
+           round(CAST(count(DISTINCT word) AS DOUBLE)
+                 / sqrt(CAST(count(*) AS DOUBLE)), 6) AS root_ttr
+    FROM w GROUP BY source
+    """,
+)
+def text_lexical_diversity(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+        ).alias("word"),
+    )
+    return w.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("word").alias("n_types"),
+        F.round(
+            F.count_distinct("word").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("ttr"),
+        F.round(
+            F.count_distinct("word").cast("double")
+            / F.sqrt(F.count(F.lit(1)).cast("double")),
+            6,
+        ).alias("root_ttr"),
+    )

@@ -2249,3 +2249,52 @@ def window_new_vs_returning(spark, sf_dir):
             6,
         ).alias("new_share"),
     )
+
+
+@register(
+    "window_activity_streaks",
+    # Longest consecutive-active-day streak per user (gaps-and-islands
+    # — the engagement metric behind every "N-day streak" feature),
+    # summarized as a streak-length histogram. Island id = day minus
+    # the user-partitioned row_number (consecutive days share it) —
+    # pure integer date arithmetic; all windows user-partitioned; the
+    # histogram is a two-level groupBy.
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    isl AS (
+      SELECT user_id,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS island
+      FROM ud
+    ),
+    st AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS streak_len
+      FROM isl GROUP BY user_id, island
+    ),
+    mx AS (
+      SELECT user_id, max(streak_len) AS max_streak FROM st GROUP BY 1
+    )
+    SELECT max_streak,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM mx GROUP BY max_streak
+    """,
+)
+def window_activity_streaks(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = ud.select(
+        "user_id",
+        F.date_sub("d", F.row_number().over(w)).alias("island"),
+    )
+    st = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    mx = st.groupBy("user_id").agg(
+        F.max("streak_len").alias("max_streak")
+    )
+    return mx.groupBy("max_streak").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
