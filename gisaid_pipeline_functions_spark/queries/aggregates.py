@@ -3156,3 +3156,98 @@ def agg_mcnemar(spark, sf_dir):
             6,
         ).alias("mcnemar_chi2"),
     )
+
+
+@register(
+    "agg_log_log_elasticity",
+    # Log-log demand curve (price elasticity, the econometrics staple):
+    # per part, x = ln(retail price in cents), y = ln(total quantity
+    # sold); elasticity = OLS slope of y on x across parts. ln() output
+    # is engine-1-ulp territory AND the moments are cross-row float
+    # sums — both killed by QUANTIZING each ln to the 1e-6 integer
+    # lattice per row (floor(ln*1e6 + 0.5): identical input double ->
+    # identical rounded integer on both engines, the ln-parity
+    # convention one step safer), so the five OLS moments are exact
+    # DECIMAL(38,0) sums of lattice integers and the slope/intercept
+    # are single divisions.
+    """
+    WITH p AS (
+      SELECT l.l_partkey,
+             CAST(floor(ln(CAST(CAST(round(pt.p_retailprice * 100)
+                                     AS BIGINT) AS DOUBLE)) * 1000000.0
+                        + 0.5) AS BIGINT) AS lx,
+             CAST(floor(ln(CAST(CAST(sum(l.l_quantity) AS BIGINT)
+                                AS DOUBLE)) * 1000000.0 + 0.5)
+                  AS BIGINT) AS ly
+      FROM lineitem l JOIN part pt ON l.l_partkey = pt.p_partkey
+      GROUP BY l.l_partkey, pt.p_retailprice
+    ),
+    mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(lx) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(ly) AS DECIMAL(38,0)) AS sy,
+             CAST(sum(CAST(lx AS DECIMAL(19,0)) * CAST(lx AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(CAST(lx AS DECIMAL(19,0)) * CAST(ly AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS sxy
+      FROM p
+    )
+    SELECT n,
+           round(CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+                 / CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx
+                        AS DOUBLE), 6) AS elasticity,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy
+                         AS DOUBLE)
+                    / CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx
+                           AS DOUBLE)
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 1000000.0, 6) AS intercept_ln
+    FROM mo
+    """,
+)
+def agg_log_log_elasticity(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice"
+    )
+    lat = lambda c: F.floor(  # noqa: E731
+        F.log(c) * 1000000.0 + 0.5
+    ).cast("long")
+    p = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_partkey", "p_retailprice")
+        .agg(F.sum("l_quantity").cast("long").alias("qty"))
+        .select(
+            lat(
+                F.round(F.col("p_retailprice") * 100)
+                .cast("long")
+                .cast("double")
+            ).alias("lx"),
+            lat(F.col("qty").cast("double")).alias("ly"),
+        )
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    mo = p.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").cast("decimal(38,0)").alias("sx"),
+        F.sum("ly").cast("decimal(38,0)").alias("sy"),
+        F.sum(d19("lx") * d19("lx")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(d19("lx") * d19("ly")).cast("decimal(38,0)").alias("sxy"),
+    )
+    dn = F.col("n").cast("decimal(38,0)")
+    slope = (dn * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (dn * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return mo.select(
+        "n",
+        F.round(slope, 6).alias("elasticity"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+            / 1000000.0,
+            6,
+        ).alias("intercept_ln"),
+    )

@@ -1769,3 +1769,84 @@ def ts_optimal_changepoints(spark, sf_dir):
             6,
         ).alias("seg_mean"),
     )
+
+
+@register(
+    "ts_rolling_corr",
+    # Rolling 7-day Pearson correlation between daily click and
+    # purchase counts (the co-movement monitor pair dashboards track):
+    # every rolling moment (n, Sx, Sy, Sxx, Syy, Sxy) is an exact
+    # BIGINT window sum over the trailing 7 rows of the calendar-
+    # bounded daily frame, so each day's r is one sqrt+divide on
+    # identical integer-valued doubles. Emitted only where the window
+    # is full (6 preceding rows exist) and both variances are positive.
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT day,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(x) OVER w AS BIGINT) AS sx,
+             CAST(sum(y) OVER w AS BIGINT) AS sy,
+             CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+             CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+             CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+      FROM d
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+             AS rolling_r
+    FROM r
+    WHERE n = 7 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def ts_rolling_corr(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "click").cast("int"))
+        .cast("long")
+        .alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("long")
+        .alias("y"),
+    )
+    # calendar-bounded daily frame — the rolling window is tiny
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    r = d.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return r.filter(
+        (F.col("n") == 7) & (vx > 0) & (vy > 0)
+    ).select(
+        "day",
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / F.sqrt(vx.cast("double") * vy.cast("double")),
+            6,
+        ).alias("rolling_r"),
+    )
