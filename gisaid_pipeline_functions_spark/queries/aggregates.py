@@ -3251,3 +3251,89 @@ def agg_log_log_elasticity(spark, sf_dir):
             6,
         ).alias("intercept_ln"),
     )
+
+
+_HILL_K = 100
+
+
+@register(
+    "agg_hill_tail_index",
+    # Hill estimator of the Pareto tail index over order prices (Hill
+    # 1975 — the heavy-tail diagnostic behind "is this distribution
+    # power-law?"): with x_(1) >= ... >= x_(k) the top-k order
+    # statistics, 1/alpha = mean of ln(x_(i)/x_(k+1)) over i <= k.
+    # Top-(k+1) selection by exact integer cents (global_rank-free:
+    # a fixed-k TakeOrdered shape via row_number over cents DESC,
+    # orderkey tie-break — k+1 = 101 rows, never a global sort kept);
+    # each ln is quantized to the 1e-6 lattice per row (the
+    # agg_log_log_elasticity convention: kills ln 1-ulp drift AND makes
+    # the k-term sum an exact integer), so 1/alpha and alpha are single
+    # divisions.
+    f"""
+    WITH p AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             row_number() OVER (ORDER BY round(o_totalprice * 100) DESC,
+                                o_orderkey) AS rk
+      FROM orders
+    ),
+    top AS (SELECT cents, rk FROM p WHERE rk <= {_HILL_K} + 1),
+    thr AS (SELECT cents AS x_k1 FROM top WHERE rk = {_HILL_K} + 1),
+    lat AS (
+      SELECT CAST(floor(ln(CAST(t.cents AS DOUBLE)
+                           / CAST(thr.x_k1 AS DOUBLE)) * 1000000.0
+                        + 0.5) AS BIGINT) AS lr
+      FROM top t CROSS JOIN thr WHERE t.rk <= {_HILL_K}
+    )
+    SELECT CAST({_HILL_K} AS BIGINT) AS k,
+           CAST(sum(lr) AS BIGINT) AS sum_lr_u,
+           round(CAST(sum(lr) AS DOUBLE) / {_HILL_K}.0 / 1000000.0, 6)
+             AS inv_alpha,
+           round({_HILL_K}.0 * 1000000.0 / CAST(sum(lr) AS DOUBLE), 6)
+             AS alpha
+    FROM lat
+    """,
+)
+def agg_hill_tail_index(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = _HILL_K
+    p = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    # TakeOrderedAndProject (distributed top-k heap) FIRST, then rank
+    # within the 101-row result — a row_number over the raw table would
+    # be the single-partition global window (the r3 #3 anti-pattern)
+    top101 = p.orderBy(F.desc("cents"), F.asc("o_orderkey")).limit(k + 1)
+    w = Window.orderBy(F.desc("cents"), F.asc("o_orderkey"))
+    top = top101.withColumn("rk", F.row_number().over(w)).select(
+        "cents", "rk"
+    )
+    thr = top.filter(F.col("rk") == k + 1).select(
+        F.col("cents").alias("x_k1")
+    )
+    lat = (
+        top.filter(F.col("rk") <= k)
+        .crossJoin(F.broadcast(thr))
+        .select(
+            F.floor(
+                F.log(
+                    F.col("cents").cast("double")
+                    / F.col("x_k1").cast("double")
+                )
+                * 1000000.0
+                + 0.5
+            ).cast("long").alias("lr")
+        )
+    )
+    return lat.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.sum("lr").cast("long").alias("sum_lr_u"),
+        F.round(
+            F.sum("lr").cast("double") / float(k) / 1000000.0, 6
+        ).alias("inv_alpha"),
+        F.round(
+            float(k) * 1000000.0 / F.sum("lr").cast("double"), 6
+        ).alias("alpha"),
+    )

@@ -2298,3 +2298,73 @@ def window_activity_streaks(spark, sf_dir):
     return mx.groupBy("max_streak").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@register(
+    "window_time_to_convert",
+    # Time-to-first-purchase latency distribution (the conversion-lag
+    # curve behind attribution-window choices; the distributional
+    # companion to join_asof_forward's per-event attribution): per user
+    # with both a click and a later-or-equal purchase, the gap between
+    # FIRST click and FIRST purchase-at-or-after-it, bucketed in hours.
+    # Two user-keyed min() aggregates, exact integer micros end-to-end,
+    # hour buckets by integer division.
+    """
+    WITH fc AS (
+      SELECT user_id, min(epoch_us(ts)) AS first_click_us
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    fp AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS first_purchase_us
+      FROM events e JOIN fc ON e.user_id = fc.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) >= fc.first_click_us
+      GROUP BY 1
+    ),
+    g AS (
+      SELECT fc.user_id,
+             CAST((fp.first_purchase_us - fc.first_click_us)
+                  // 3600000000 AS BIGINT) AS gap_hours
+      FROM fc JOIN fp ON fc.user_id = fp.user_id
+    )
+    SELECT CASE WHEN gap_hours = 0 THEN '<1h'
+                WHEN gap_hours < 24 THEN '1-24h'
+                WHEN gap_hours < 168 THEN '1-7d'
+                ELSE '7d+' END AS latency_bucket,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(gap_hours) AS BIGINT) AS min_hours,
+           CAST(max(gap_hours) AS BIGINT) AS max_hours
+    FROM g GROUP BY 1
+    """,
+)
+def window_time_to_convert(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("first_click_us"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("p_us"))
+        .join(fc, "user_id")
+        .filter(F.col("p_us") >= F.col("first_click_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("first_purchase_us"))
+    )
+    g = fc.join(fp, "user_id").select(
+        F.expr(
+            "(first_purchase_us - first_click_us) div 3600000000"
+        ).alias("gap_hours")
+    )
+    return g.groupBy(
+        F.when(F.col("gap_hours") == 0, "<1h")
+        .when(F.col("gap_hours") < 24, "1-24h")
+        .when(F.col("gap_hours") < 168, "1-7d")
+        .otherwise("7d+")
+        .alias("latency_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("gap_hours").alias("min_hours"),
+        F.max("gap_hours").alias("max_hours"),
+    )
