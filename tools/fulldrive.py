@@ -14,8 +14,9 @@ persists the result in the exact CORRECTNESS_r*.json schema:
 
 Rows-only queries (no oracle) record err="no_oracle" with hash/schema
 null — the same weaker gate the driver records. The artifact feeds
-registry._last_green_round as additional evidence, so a FULLDRIVE green
-row counts toward the staleness rotation exactly like a driver row.
+registry._evidence as a SEPARATE self-reported ledger: FULLDRIVE greens
+break ties between equally driver-stale queries but never substitute
+for driver evidence in the staleness rotation (VERDICT r9 #1).
 
 Usage:  python tools/fulldrive.py [sf_dir] [cpus]
         (defaults: /root/testdata/sf0.01, 16)
