@@ -3,11 +3,21 @@ driver and tools/fulldrive.py run, but only for the names given on the
 command line. The fast inner loop while building a new operator (the
 full drive takes ~8 min; one query takes seconds).
 
-Usage:  python tools/check_queries.py name [name ...] [--sf DIR]
+``--sample N`` (VERDICT r9 #5) replaces the name list with a
+deterministic stratified sample — N queries spread across
+(registering module, last-driver-green round) strata, stalest driver
+evidence first within each stratum — and persists the results as
+``SPOTCHECK_r<round>.json`` in the exact CORRECTNESS_r*.json schema, so
+a judge (or the builder) has a one-command independent audit whose
+artifact is machine-comparable with the driver's own.
+
+Usage:  python tools/check_queries.py name [name ...] [--sf=DIR]
+        python tools/check_queries.py --sample 20 [--sf=DIR]
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 from pathlib import Path
@@ -15,17 +25,74 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
+def _stratified_sample(registry, n: int) -> list[str]:
+    """Deterministic round-robin over (module, last-driver-green) strata.
+
+    Strata are ordered stalest-driver-evidence first (never-driven = 0),
+    then module name; within a stratum, registration order. Round-robin
+    across strata guarantees every module×staleness combination is
+    represented before any stratum contributes twice."""
+    driver, _ = registry._evidence()
+    qs = registry.queries()
+    strata: dict[tuple[int, str], list[str]] = {}
+    for name in qs:  # registration-staleness order from registry._ordered
+        mod = qs[name].__module__.rsplit(".", 1)[-1]
+        strata.setdefault((driver.get(name, 0), mod), []).append(name)
+    ordered_strata = [strata[k] for k in sorted(strata)]
+    picked: list[str] = []
+    i = 0
+    while len(picked) < n and any(ordered_strata):
+        for bucket in ordered_strata:
+            if i < len(bucket) and len(picked) < n:
+                picked.append(bucket[i])
+        i += 1
+        if i > max(len(b) for b in ordered_strata):
+            break
+    return picked
+
+
+def _round_number(root: Path) -> int:
+    import os
+    import re
+
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env and env.isdigit():
+        return int(env)
+    rounds = [
+        int(m.group(1))
+        for p in root.glob("CORRECTNESS_r*.json")
+        if (m := re.search(r"r(\d+)$", p.stem))
+    ]
+    return max(rounds, default=0) + 1
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--sf")]
+    args = []
     sf_dir = "/root/testdata/sf0.01"
-    for a in sys.argv[1:]:
+    sample_n = 0
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--sf="):
             sf_dir = a.split("=", 1)[1]
+        elif a == "--sample":
+            sample_n = int(argv[i + 1])
+            i += 1
+        elif a.startswith("--sample="):
+            sample_n = int(a.split("=", 1)[1])
+        else:
+            args.append(a)
+        i += 1
 
     from pyspark.sql import SparkSession
 
     from gisaid_pipeline_functions_spark import registry
-    from tests.oracle import compare, duckdb_conn
+    from tests.oracle import _rowset, duckdb_conn
+
+    if sample_n:
+        args = _stratified_sample(registry, sample_n)
+        print(f"stratified sample ({sample_n}): {' '.join(args)}")
 
     spark = (
         SparkSession.builder.master("local[16]")
@@ -39,24 +106,66 @@ def main() -> int:
     qs, oracles = registry.queries(), registry.oracle_sql()
     con = duckdb_conn(sf_dir)
     failed = []
+    out: dict[str, dict] = {}
     for name in args:
+        row = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
         if name not in qs:
             print(f"{name}: NOT REGISTERED")
+            row["err"] = "not_registered"
+            out[name] = row
             failed.append(name)
             continue
         t0 = time.time()
         try:
             df = qs[name](spark, sf_dir)
+            s_cols = df.columns
+            s_rows = [tuple(r) for r in df.collect()]
+            row["spark_rows"] = len(s_rows)
             if name in oracles:
-                compare(df, con, oracles[name])
-                verdict = "hash-green"
+                rel = con.execute(oracles[name])
+                d_cols = [d[0] for d in rel.description]
+                d_rows = rel.fetchall()
+                row["oracle_rows"] = len(d_rows)
+                row["rows_match"] = len(s_rows) == len(d_rows)
+                row["schema_match"] = sorted(s_cols) == sorted(d_cols)
+                row["hash_match"] = (
+                    row["rows_match"]
+                    and row["schema_match"]
+                    and _rowset(s_cols, s_rows) == _rowset(d_cols, d_rows)
+                )
+                verdict = (
+                    "hash-green" if row["hash_match"] else "HASH-MISMATCH"
+                )
+                if not row["hash_match"]:
+                    failed.append(name)
             else:
-                n = df.count()
-                verdict = f"rows-only ({n} rows)"
+                row["err"] = "no_oracle"
+                verdict = f"rows-only ({row['spark_rows']} rows)"
             print(f"{name}: {verdict}  [{time.time() - t0:.1f}s]")
         except Exception as e:  # noqa: BLE001
+            row["err"] = str(e)[:300]
             print(f"{name}: FAIL [{time.time() - t0:.1f}s] {e}")
             failed.append(name)
+        out[name] = row
+        spark.catalog.clearCache()
+
+    if sample_n:
+        root = Path(__file__).resolve().parents[1]
+        path = root / f"SPOTCHECK_r{_round_number(root):02d}.json"
+        path.write_text(json.dumps(out, indent=1))
+        greens = sum(
+            1
+            for r in out.values()
+            if r["hash_match"] or r["err"] == "no_oracle"
+        )
+        print(f"wrote {path}: {greens}/{len(out)} green")
     return 1 if failed else 0
 
 
