@@ -225,7 +225,12 @@ def main() -> None:
                 "pinned_idle_calibration": PINNED_IDLE_CALIBRATION,
                 # extended headline: post-r5 representatives, min-of-2,
                 # NOT in `value` (job-count-bound at toy scale) — diff
-                # the calibrated numbers round-over-round
+                # the calibrated numbers round-over-round. `measure` tags
+                # the timing semantics (VERDICT r9 #3): r9+ times
+                # BUILD+write (eager persist/localCheckpoint work counted);
+                # r8-and-earlier extended numbers were write-only and are
+                # NOT comparable — re-anchor deltas at r9.
+                "extended_measure": "build+noop_write",
                 "extended_queries": ext_times,
                 "extended_calibrated": {
                     n: round(t * (PINNED_IDLE_CALIBRATION / calibration_sec), 3)

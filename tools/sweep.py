@@ -137,11 +137,23 @@ def main() -> None:
             except (OSError, ValueError):
                 pass
             break
-    scale = (calibration_sec / prev_cal) if prev_cal else 1.0
+    # deltas in PINNED-ANCHOR-EQUIVALENT seconds (VERDICT r9 #6): the r9
+    # sweep scaled prev by cal_now/cal_prev but expressed the residual in
+    # current-box seconds, so a 3.2×-slow box magnified every real spread
+    # 3.2× and untouched queries read as regressions. Both sides now
+    # normalize to the pinned idle sweep anchor (r7's 3.644 s, the best
+    # sweep calibration recorded, loadavg 0.3): calibrated_sec =
+    # sec × (PIN / calibration_sec), delta = calibrated_now −
+    # calibrated_prev. Untouched queries cluster at zero on any box.
+    PINNED_IDLE_CALIBRATION = 3.644
+    cal_now = PINNED_IDLE_CALIBRATION / calibration_sec
+    cal_prev = (PINNED_IDLE_CALIBRATION / prev_cal) if prev_cal else None
     deltas: dict[str, float | None] = {}
     for name, (dt, _n) in times.items():
         deltas[name] = (
-            round(dt - prev[name] * scale, 3) if name in prev else None
+            round(dt * cal_now - prev[name] * cal_prev, 3)
+            if name in prev and cal_prev
+            else None
         )
     for name, (dt, n) in sorted(times.items(), key=lambda kv: -kv[1][0]):
         d = deltas[name]
@@ -161,8 +173,15 @@ def main() -> None:
                 "measure": "noop_write",
                 "loadavg_1m": load1,
                 "calibration_sec": calibration_sec,
+                "pinned_idle_calibration": PINNED_IDLE_CALIBRATION,
+                # r10+: delta_vs_prev is in pinned-anchor-equivalent
+                # seconds (both rounds normalized by PIN/calibration);
+                # r9-and-earlier deltas were current-box seconds
+                "delta_units": "anchor_equivalent_sec",
                 "queries": {
-                    name: {"sec": dt, "rows": n if isinstance(n, int) else None,
+                    name: {"sec": dt,
+                           "calibrated_sec": round(dt * cal_now, 3),
+                           "rows": n if isinstance(n, int) else None,
                            "err": None if isinstance(n, int) else str(n),
                            "delta_vs_prev": deltas[name]}
                     for name, (dt, n) in times.items()
