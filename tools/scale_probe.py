@@ -474,6 +474,200 @@ def main() -> None:
     tn = timed(_modularity_tail, edgesN)
     spark.catalog.clearCache()
     print(f"{'modularity_tail':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (disjoint vertex-shifted copies)")
+
+    # r10 (VERDICT r9 #4): the late-r9 spectral / survival /
+    # experimentation families. All three run their corpus-scale stage
+    # ONCE (the first groupBy) and everything downstream on calendar- or
+    # grid-bounded frames, so Nx replication must show ~Nx-or-less
+    # walls. The copies deliberately keep event types, days, durations
+    # and grid cells FIXED while rows grow Nx — replication therefore
+    # cannot fake sub-linearity by shrinking the post-agg state: the
+    # post-agg state is SUPPOSED to be scale-invariant, and a
+    # super-linear ratio means corpus-sized rows leaked past the first
+    # groupBy. The HITS probe caught a 2^63 overflow bound last round;
+    # ccf's integer moments are the analogous class here, so the probe
+    # also measures the headroom directly (see below).
+    from pyspark.sql import Window as W
+
+    ev1 = load_table(spark, sf_dir, "events")
+    # ccf copies: same types + days (pair space and calendar fixed);
+    # km copies: shifted user_id (users grow Nx, duration distribution
+    # identical — same-user duplicates would leave the per-user frame
+    # unchanged and probe nothing)
+    evN_ccf, evN_km = ev1, ev1
+    for i in range(1, n):
+        shift = F.lit(i * 10_000_000)
+        evN_ccf = evN_ccf.unionByName(
+            ev1.withColumn("event_id", F.col("event_id") + shift)
+        )
+        evN_km = evN_km.unionByName(
+            ev1.withColumn("event_id", F.col("event_id") + shift)
+            .withColumn("user_id", F.col("user_id") + shift)
+        )
+    ev1 = ev1.repartition(cpus).localCheckpoint(eager=True)
+    evN_ccf = evN_ccf.repartition(cpus).localCheckpoint(eager=True)
+    evN_km = evN_km.repartition(cpus).localCheckpoint(eager=True)
+
+    def _ccf_tail(e):
+        # the ts_ccf_pairs shape (queries/timeseries.py): daily counts →
+        # type-pair align → centered moments → ±3-lag numerators
+        daily = e.groupBy(
+            F.col("event_type").alias("key"), F.to_date("ts").alias("day")
+        ).agg(F.count(F.lit(1)).alias("y"))
+        a = daily.select(F.col("key").alias("ka"), "day", F.col("y").alias("ya"))
+        b = daily.select(
+            F.col("key").alias("kb"), F.col("day").alias("bday"),
+            F.col("y").alias("yb"),
+        )
+        common = a.join(
+            b, (F.col("day") == F.col("bday")) & (F.col("ka") < F.col("kb"))
+        ).select(
+            "ka", "kb", "day", "ya", "yb",
+            F.row_number().over(W.partitionBy("ka", "kb").orderBy("day")).alias("rn"),
+        )
+        st = common.groupBy("ka", "kb").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ya").alias("sa"), F.sum("yb").alias("sb"),
+        )
+        cz = common.join(F.broadcast(st), ["ka", "kb"]).select(
+            "ka", "kb", "rn",
+            (F.col("n") * F.col("ya") - F.col("sa")).alias("ca"),
+            (F.col("n") * F.col("yb") - F.col("sb")).alias("cb"),
+        )
+        lg = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+        rhs = cz.select(
+            F.col("ka").alias("rka"), F.col("kb").alias("rkb"),
+            F.col("rn").alias("brn"), F.col("cb").alias("bcb"),
+        )
+        return (
+            cz.crossJoin(F.broadcast(lg))
+            .join(
+                rhs,
+                (F.col("rka") == F.col("ka"))
+                & (F.col("rkb") == F.col("kb"))
+                & (F.col("brn") == F.col("rn") - F.col("lag")),
+            )
+            .groupBy("ka", "kb", "lag")
+            .agg(F.sum(F.col("ca") * F.col("bcb")).alias("numer"))
+        )
+
+    t1 = timed(_ccf_tail, ev1)
+    tn = timed(_ccf_tail, evN_ccf)
+    print(f"{'ccf_pairs_tail':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (same-calendar copies: daily y grows {n}x)")
+    # overflow headroom: ca scales ~Nx (n and sa both track y), so
+    # sum(ca*cb) scales ~N^2 on a fixed calendar — measure the 10x
+    # magnitude and report the further corpus multiple that crosses 2^63
+    mx = _ccf_tail(evN_ccf).agg(
+        F.max(F.abs(F.col("numer"))).alias("m")
+    ).collect()[0]["m"]
+    crosses = (2**63 / max(mx, 1)) ** 0.5
+    print(
+        f"{'':22s} ccf int64 headroom at {n}x: max|numer|={mx:.3e} "
+        f"(2^63 at a further ~{crosses:.0f}x corpus growth; "
+        f"numer scales ~N^2 on a fixed calendar)"
+    )
+
+    def _km_fold(e):
+        # the window_kaplan_meier shape (queries/windows.py): per-user
+        # lifetimes → duration-keyed risk sets → per-cohort lattice fold
+        u = e.groupBy("user_id").agg(
+            F.min(F.to_date("ts")).alias("first_day"),
+            F.max(F.to_date("ts")).alias("last_day"),
+        )
+        hz = u.agg(F.max("last_day").alias("horizon"))
+        fe = (
+            e.select(
+                "user_id", "event_type",
+                F.row_number()
+                .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+                .alias("rn"),
+            )
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("event_type").alias("cohort"))
+        )
+        pu = (
+            u.hint("merge").join(fe, "user_id")
+            .crossJoin(F.broadcast(hz))
+            .select(
+                "cohort",
+                F.datediff("last_day", "first_day").cast("long").alias("dur"),
+                F.when(F.col("last_day") < F.col("horizon"), 1)
+                .otherwise(0).alias("observed"),
+            )
+        )
+        g = pu.groupBy("cohort", F.col("dur").alias("t")).agg(
+            F.sum("observed").alias("d"),
+            F.sum(1 - F.col("observed")).alias("c"),
+        )
+        wrev = (
+            W.partitionBy("cohort").orderBy("t")
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        r = g.select(
+            "cohort", "t", "d",
+            F.sum(F.col("d") + F.col("c")).over(wrev).alias("n_risk"),
+        )
+        return (
+            r.filter(F.col("d") > 0)
+            .groupBy("cohort")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("t", "d", "n_risk"))
+                ).alias("steps")
+            )
+            .select("cohort", F.size("steps").alias("n_steps"))
+        )
+
+    t1 = timed(_km_fold, ev1)
+    tn = timed(_km_fold, evN_km)
+    print(f"{'kaplan_meier_risk':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (shifted user copies: users grow {n}x, durations fixed)")
+
+    # IPF raking: orders replicated with shifted keys — the 5x3 grid and
+    # the 3 raking rounds are scale-invariant; only the contingency
+    # groupBy scans the corpus. DECIMAL(38,0) w*n headroom is structural
+    # (lattice w <= ~2.4e6, n <= corpus), no measurable bound before
+    # 1e31 rows.
+    ord1 = load_table(spark, sf_dir, "orders")
+    ordN = ord1
+    for i in range(1, n):
+        ordN = ordN.unionByName(
+            ord1.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * 100_000_000))
+        )
+    ord1 = ord1.repartition(cpus).localCheckpoint(eager=True)
+    ordN = ordN.repartition(cpus).localCheckpoint(eager=True)
+
+    def _ipf(o):
+        cells = o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderstatus").alias("status"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+        tot = cells.agg(F.sum("n").cast("long").alias("t"))
+        d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+        def floor_div(a, b):
+            return ((a - a % b) / b).cast("decimal(38,0)")
+
+        cur = cells.crossJoin(F.broadcast(tot)).select(
+            "priority", "status", "n",
+            floor_div(d38(F.col("t")) * 1000000, F.lit(5).cast("decimal(19,0)")).alias("t_row"),
+            floor_div(d38(F.col("t")) * 1000000, F.lit(3).cast("decimal(19,0)")).alias("t_col"),
+            F.lit(1000000).cast("decimal(38,0)").alias("w"),
+        )
+        wr, wc = W.partitionBy("priority"), W.partitionBy("status")
+        for _ in range(3):
+            s_row = F.sum(F.col("w") * d38(F.col("n"))).over(wr)
+            cur = cur.withColumn(
+                "w", floor_div(2 * F.col("w") * F.col("t_row") + s_row, 2 * s_row)
+            )
+            s_col = F.sum(F.col("w") * d38(F.col("n"))).over(wc)
+            cur = cur.withColumn(
+                "w", floor_div(2 * F.col("w") * F.col("t_col") + s_col, 2 * s_col)
+            )
+        return cur
+
+    t1 = timed(_ipf, ord1)
+    tn = timed(_ipf, ordN)
+    print(f"{'ipf_raking':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (shifted order copies: 5x3 grid fixed)")
     spark.stop()
 
 
