@@ -518,6 +518,60 @@ def streaming_dedup_hash(spark, sf_dir):
 
 
 @register(
+    "streaming_lsh_dedup_hash",
+    # Incremental near-dup dedup (VERDICT r9 #7 — the stateful
+    # MinHash-band index): signatures computed MAP-SIDE on the stream
+    # (same md5 family as operators.dedup.minhash_signatures, array_min
+    # instead of groupBy-min — bit-identical), then GroupState per
+    # (band, sig) bucket holds the first-seen keeper and every later doc
+    # touching a bucket emits a drop event; kept corpus = documents
+    # minus distinct dropped ids. Semantics are the GREEDY first-seen
+    # (bucket-min) rule — deliberately not the batch transitive-
+    # component rule, which a stream cannot implement without
+    # retroactively dropping already-emitted keepers; greedy keeps are a
+    # proven superset (every component min is bucket-min everywhere).
+    # The bucket-min rule is order-free and exactly SQL-expressible, so
+    # this is a full hash gate sharing the batch family's shingle/
+    # minhash/band CTEs verbatim.
+    f"""
+    WITH {_SHINGLES}, {_MINHASH}, {_BANDS},
+    mins AS (SELECT band, sig, min(id) AS keeper FROM bands GROUP BY 1, 2),
+    drops AS (
+      SELECT DISTINCT b.id FROM bands b
+      JOIN mins m ON b.band = m.band AND b.sig = m.sig AND b.id > m.keeper
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d LEFT JOIN drops x ON d.doc_id = x.id
+    WHERE x.id IS NULL
+    """,
+)
+def streaming_lsh_dedup_hash(spark, sf_dir):
+    import uuid
+
+    from ..streaming.lsh import streaming_lsh_drops
+    from ..streaming.weekly import run_stream_to_memory
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    drops = run_stream_to_memory(
+        spark,
+        streaming_lsh_drops(stream),
+        "lsh_stream_drv_" + uuid.uuid4().hex[:8],
+        output_mode="update",
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    drop_ids = drops.select("doc_id").distinct()
+    return docs.join(drop_ids, "doc_id", "left_anti").select(
+        "doc_id", "source"
+    )
+
+
+@register(
     "dedup_cluster_size_histogram",
     # The dedup QA report: distribution of near-dup component sizes
     # (how much of the corpus is singleton vs small-clique vs blob) —
