@@ -668,6 +668,70 @@ def main() -> None:
     t1 = timed(_ipf, ord1)
     tn = timed(_ipf, ordN)
     print(f"{'ipf_raking':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (shifted order copies: 5x3 grid fixed)")
+
+    # r10: the incremental LSH dedup (streaming/lsh.py). Two probes on
+    # the DISJOINT-VOCAB copies (cross-copy similarity zero, so the
+    # (band, sig) bucket space — the state bound — grows Nx honestly;
+    # plain copies would collide every sibling into one bucket and probe
+    # the manufactured duplicates, not the operator):
+    #   (a) the batch form of the greedy bucket-min rule — map-side
+    #       signatures + ONE groupBy + the drop join, the exact
+    #       computation the GroupState performs;
+    #   (b) the real applyInPandasWithState stream over a file backlog
+    #       (maxFilesPerTrigger=cpus forces multiple micro-batches so
+    #       cross-batch state is actually exercised). Streaming carries
+    #       the documented 3-6 s fixed overhead, so its ratio reads LOW;
+    #       the honest signal is (b)'s Nx wall staying under (a)'s
+    #       Nx wall + the fixed overhead.
+    from gisaid_pipeline_functions_spark.streaming.lsh import (
+        band_signatures,
+        streaming_lsh_drops,
+    )
+
+    def _lsh_greedy_drops(d):
+        bands = band_signatures(d)
+        mins = bands.groupBy("band", "sig").agg(F.min("doc_id").alias("keeper"))
+        return (
+            bands.join(mins, ["band", "sig"])
+            .filter(F.col("doc_id") > F.col("keeper"))
+            .select("doc_id")
+            .distinct()
+        )
+
+    t1 = timed(_lsh_greedy_drops, docs1_tag)
+    tn = timed(_lsh_greedy_drops, docsN_tag)
+    print(f"{'lsh_greedy_drops':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (disjoint-vocab copies: bucket space grows {n}x)")
+
+    import shutil
+    import tempfile
+
+    def _stream_once(src_df, n_files: int) -> float:
+        tmp = tempfile.mkdtemp(prefix="lsh_probe_")
+        try:
+            src_df.select("doc_id", "text").repartition(n_files).write.parquet(
+                f"{tmp}/backlog"
+            )
+            t = time.perf_counter()
+            q = (
+                streaming_lsh_drops(
+                    spark.readStream.schema("doc_id long, text string")
+                    .option("maxFilesPerTrigger", str(cpus))
+                    .parquet(f"{tmp}/backlog")
+                )
+                .writeStream.format("noop")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return time.perf_counter() - t
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    t1 = _stream_once(docs1_tag, cpus)
+    tn = _stream_once(docsN_tag, cpus * n)
+    print(f"{'lsh_stream_stateful':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (file backlog, {n}x files -> {n}x micro-batches; fixed streaming overhead damps the ratio)")
     spark.stop()
 
 
