@@ -64,7 +64,10 @@ def register(name: str, sql: str | None = None):
 # driver row from that round (or later) exists, then they rotate back
 # into the normal staleness order automatically.
 _RECHECK_ROUND = 10
-_RECHECK_FIRST = frozenset()
+# the round's one new registration: force it into THIS round's driver
+# window (it is the newest-registered of 93 never-driven queries, so
+# plain registration-order tie-breaking would defer it to r11)
+_RECHECK_FIRST = frozenset({"streaming_lsh_dedup_hash"})
 
 
 def _evidence() -> tuple[dict[str, int], dict[str, int]]:
