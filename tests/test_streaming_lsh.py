@@ -47,6 +47,18 @@ def test_mapside_bands_match_batch(spark, sf_dir):
     assert mapside.exceptAll(batch).count() == 0
 
 
+def test_band_signatures_plan_is_shuffle_free(spark, sf_dir):
+    """The streaming-safety claim is structural: the whole doc → bands
+    path must be map-side (no Exchange before the stateful operator's
+    own groupBy) — a shuffle here would both break the stream plan and
+    re-introduce the batch pipeline's explode+groupBy cost."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        band_signatures(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_state_survives_micro_batches(spark, sf_dir, tmp_path):
     """A later micro-batch's doc colliding with an earlier batch's
     keeper must be dropped — the band index is cross-batch state, which
