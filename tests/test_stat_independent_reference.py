@@ -1,0 +1,278 @@
+"""Third-implementation checks for the statistical / survival families.
+
+The registry's correctness gate compares Spark against a DuckDB oracle,
+but for the lattice-recursion families BOTH sides deliberately implement
+the SAME algorithm (shared risk-set CTEs, identical quantized recursions)
+— a conceptual bug in the recursion or in the risk-set/censoring
+semantics would pass the gate on both engines. Each test here recomputes
+the query from the RAW parquet with an independent pure-Python/pandas
+implementation (textbook formulas, arbitrary-precision ints where the
+query is integer-exact) and compares against the Spark output at sf0.001.
+
+Integer-exact queries (Kaplan-Meier, Nelson-Aalen, DTW) must match
+EXACTLY; float recursions (Holt-Winters) within the per-step-rounding
+drift bound; one-shot float statistics (ANOVA, chi-square) within
+round-6 tolerance.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+
+def _events(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def _orders(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/orders.parquet")
+
+
+def _survival_inputs(sf_dir):
+    """(cohort, t, d, c, n_risk) rows exactly as _SURV_RISK_CTES defines
+    them: lifetimes in days, horizon censoring, first-event cohorts
+    (tie-broken by event_id), reverse-cumulative risk sets."""
+    ev = _events(sf_dir).copy()
+    ev["day"] = ev["ts"].dt.normalize()
+    u = ev.groupby("user_id")["day"].agg(first_day="min", last_day="max")
+    horizon = u["last_day"].max()
+    fe = (
+        ev.sort_values(["user_id", "ts", "event_id"])
+        .groupby("user_id")
+        .first()["event_type"]
+        .rename("cohort")
+    )
+    pu = u.join(fe)
+    pu["dur"] = (pu["last_day"] - pu["first_day"]).dt.days
+    pu["observed"] = (pu["last_day"] < horizon).astype(int)
+    g = (
+        pu.groupby(["cohort", "dur"])["observed"]
+        .agg(d="sum", total="count")
+        .reset_index()
+    )
+    g["c"] = g["total"] - g["d"]
+    g = g.sort_values(["cohort", "dur"])
+    # reverse-cumulative risk set per cohort
+    g["n_risk"] = (
+        (g["d"] + g["c"])[::-1].groupby(g["cohort"][::-1]).cumsum()[::-1]
+    )
+    return g
+
+
+def test_kaplan_meier_vs_pure_python(spark, sf_dir):
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    g = _survival_inputs(sf_dir)
+    expected = {}
+    for cohort, grp in g[g["d"] > 0].groupby("cohort"):
+        su = 1_000_000
+        for _, row in grp.sort_values("dur").iterrows():
+            n, d = int(row["n_risk"]), int(row["d"])
+            su = (2 * su * (n - d) + n) // (2 * n)
+            expected[(cohort, int(row["dur"]))] = (
+                d, int(row["c"]), n, su / 1_000_000.0
+            )
+
+    out = queries()["window_kaplan_meier"](spark, sf_dir).collect()
+    assert len(out) == len(expected) > 0
+    for r in out:
+        d, c, n, surv = expected[(r["cohort"], r["duration_days"])]
+        assert (r["deaths"], r["censored"], r["n_risk"]) == (d, c, n)
+        # both sides divide the SAME integer lattice value by 1e6
+        assert r["survival"] == surv
+
+
+def test_nelson_aalen_vs_pure_python(spark, sf_dir):
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    g = _survival_inputs(sf_dir)
+    expected = {}
+    for cohort, grp in g[g["d"] > 0].groupby("cohort"):
+        cum = 0
+        for _, row in grp.sort_values("dur").iterrows():
+            n, d = int(row["n_risk"]), int(row["d"])
+            h_u = (2 * 1_000_000 * d + n) // (2 * n)
+            cum += h_u
+            expected[(cohort, int(row["dur"]))] = (
+                d, n, h_u / 1e6, cum / 1e6
+            )
+
+    out = queries()["window_nelson_aalen"](spark, sf_dir).collect()
+    assert len(out) == len(expected) > 0
+    for r in out:
+        d, n, step, cum = expected[(r["cohort"], r["duration_days"])]
+        assert (r["deaths"], r["n_risk"]) == (d, n)
+        assert r["hazard_step"] == step
+        assert r["cum_hazard"] == cum
+
+
+def test_dtw_vs_textbook_dp(spark, sf_dir):
+    """The query removes the row-inner sequential dependence with a
+    min-plus prefix identity; the textbook O(n·m) three-way recursion is
+    the independent check — integer-exact, so equality is exact."""
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    ev = _events(sf_dir).copy()
+    day = ev["ts"].dt.normalize()
+    # Sunday anchor: pandas weekday() is Mon=0..Sun=6
+    week = day - pd.to_timedelta((day.dt.weekday + 1) % 7, unit="D")
+    ev["week"] = week
+
+    def weekly(etype):
+        s = (
+            ev[ev["event_type"] == etype]
+            .groupby("week")
+            .size()
+            .sort_index()
+        )
+        return [int(v) for v in s]
+
+    xs, ys = weekly("click"), weekly("purchase")
+    n, m = len(xs), len(ys)
+    assert n > 0 and m > 0
+    INF = float("inf")
+    prev = [0.0] + [INF] * m
+    for xi in xs:
+        cur = [INF] * (m + 1)
+        for j in range(1, m + 1):
+            cost = abs(xi - ys[j - 1])
+            cur[j] = cost + min(prev[j], prev[j - 1], cur[j - 1])
+        prev = cur
+    expected = int(prev[m])
+
+    row = queries()["ts_dtw"](spark, sf_dir).collect()[0]
+    assert (row["n"], row["m"]) == (n, m)
+    assert row["dtw_distance"] == expected
+    assert row["dtw_per_step"] == pytest.approx(
+        expected / (n + m), abs=1e-6
+    )
+
+
+def test_anova_vs_pure_python(spark, sf_dir):
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    od = _orders(sf_dir)
+    cents = od.assign(
+        c=(od["o_totalprice"] * 100.0 + 0.5).map(math.floor),
+        stratum=od["o_orderpriority"],
+    )
+    st = cents.groupby("stratum")["c"].agg(["count", "sum"])
+    # Σx² per stratum with arbitrary-precision Python ints
+    q_by = cents.groupby("stratum")["c"].apply(
+        lambda s: sum(int(v) * int(v) for v in s)
+    )
+    k = len(st)
+    n = int(st["count"].sum())
+    s_tot = int(st["sum"].sum())
+    q_tot = int(q_by.sum())
+    fold = 0.0
+    for stratum in sorted(st.index):  # the stratum-sorted left fold
+        sg, ng = int(st.loc[stratum, "sum"]), int(st.loc[stratum, "count"])
+        fold += float(sg * sg) / float(ng)
+    ssb = fold - float(s_tot * s_tot) / float(n)
+    ssw = float(q_tot) - fold
+    f_stat = (ssb / (k - 1)) / (ssw / (n - k))
+
+    row = queries()["agg_anova_oneway"](spark, sf_dir).collect()[0]
+    assert (row["k"], row["n"]) == (k, n)
+    assert row["ssb"] == pytest.approx(ssb, rel=1e-12)
+    assert row["ssw"] == pytest.approx(ssw, rel=1e-12)
+    assert row["f_stat"] == pytest.approx(f_stat, abs=1e-6)
+
+
+def test_chi2_vs_pure_python(spark, sf_dir):
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    od = _orders(sf_dir)
+    ct = (
+        od.groupby(["o_orderpriority", "o_orderstatus"])
+        .size()
+        .rename("obs")
+        .reset_index()
+    )
+    r = ct.groupby("o_orderpriority")["obs"].sum()
+    c = ct.groupby("o_orderstatus")["obs"].sum()
+    n = int(ct["obs"].sum())
+    cells = {}
+    chi2 = 0.0
+    for _, row in ct.sort_values(
+        ["o_orderpriority", "o_orderstatus"]
+    ).iterrows():
+        ri = int(r[row["o_orderpriority"]])
+        ci = int(c[row["o_orderstatus"]])
+        obs = int(row["obs"])
+        num = n * obs - ri * ci  # exact python int
+        expected = float(ri * ci) / float(n)
+        term = float(num * num) / float(n * ri * ci)
+        chi2 += term
+        cells[(row["o_orderpriority"], row["o_orderstatus"])] = (
+            obs, expected, term
+        )
+    dof = (len(r) - 1) * (len(c) - 1)
+
+    out = queries()["agg_chi2_independence"](spark, sf_dir).collect()
+    assert len(out) == len(cells) > 0
+    for sp in out:
+        obs, expected, term = cells[(sp["priority"], sp["status"])]
+        assert sp["obs"] == obs
+        assert sp["expected"] == pytest.approx(expected, abs=1e-6)
+        assert sp["term"] == pytest.approx(term, abs=1e-6)
+        assert sp["chi2"] == pytest.approx(chi2, abs=1e-6)
+        assert sp["dof"] == dof
+
+
+def _round6_half_up(x: float) -> float:
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+
+def test_holt_winters_vs_pure_python(spark, sf_dir):
+    """Per-step-rounded additive Holt-Winters (m=7, α=0.4 β=0.3 γ=0.2)
+    replayed as a plain Python loop. Both sides round every state
+    variable to the 6dp lattice per step; the Python half-up rounding
+    can differ from Spark's BigDecimal at exact midpoints (the query
+    chooses non-power-of-two coefficients precisely so values stay
+    ~1e-12 off midpoints), so assert within 1e-5 instead of exactly —
+    still far below any semantic-error signal (wrong coefficient, ring
+    rotation, or seed shows up at 1e-2+)."""
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    ev = _events(sf_dir).copy()
+    ev["day"] = ev["ts"].dt.normalize()
+    daily = (
+        ev.groupby(["event_type", "day"]).size().rename("y").reset_index()
+    )
+    expected = {}
+    for key, grp in daily.groupby("event_type"):
+        series = list(
+            grp.sort_values("day")[["day", "y"]].itertuples(index=False)
+        )
+        if len(series) <= 7:
+            continue
+        head = [float(y) for _, y in series[:7]]
+        l = _round6_half_up(sum(head) / 7.0)
+        b = 0.0
+        sv = [_round6_half_up(y - l) for y in head]
+        for day, y in series[7:]:
+            y = float(y)
+            lt = _round6_half_up(0.4 * (y - sv[0]) + 0.6 * (l + b))
+            bt = _round6_half_up(0.3 * (lt - l) + 0.7 * b)
+            st = _round6_half_up(0.2 * (y - lt) + 0.8 * sv[0])
+            fc = _round6_half_up(lt + bt + sv[1])
+            sv = sv[1:] + [st]
+            l, b = lt, bt
+            expected[(key, day)] = (int(y), lt, bt, st, fc)
+
+    out = queries()["ts_holt_winters"](spark, sf_dir).collect()
+    assert len(out) == len(expected) > 0
+    for r in out:
+        y, lt, bt, st, fc = expected[
+            (r["event_type"], pd.Timestamp(r["day"]))
+        ]
+        assert r["y"] == y
+        assert r["level"] == pytest.approx(lt, abs=1e-5)
+        assert r["trend"] == pytest.approx(bt, abs=1e-5)
+        assert r["seasonal"] == pytest.approx(st, abs=1e-5)
+        assert r["forecast_next"] == pytest.approx(fc, abs=1e-5)
