@@ -276,3 +276,135 @@ def test_holt_winters_vs_pure_python(spark, sf_dir):
         assert r["trend"] == pytest.approx(bt, abs=1e-5)
         assert r["seasonal"] == pytest.approx(st, abs=1e-5)
         assert r["forecast_next"] == pytest.approx(fc, abs=1e-5)
+
+
+def _daily_clicks(sf_dir):
+    ev = _events(sf_dir)
+    ev = ev[ev["event_type"] == "click"]
+    s = ev.groupby(ev["ts"].dt.normalize()).size().sort_index()
+    return [int(v) for v in s]
+
+
+def test_acf_vs_pure_python(spark, sf_dir):
+    """Integer-exact ACF: c = n·y − Σy makes numerator and denominator
+    pure BIGINTs, so the pandas recomputation must agree to the final
+    rounded division."""
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    ev = _events(sf_dir).copy()
+    ev["day"] = ev["ts"].dt.normalize()
+    daily = (
+        ev.groupby(["event_type", "day"]).size().rename("y").reset_index()
+    )
+    expected = {}
+    for key, grp in daily.groupby("event_type"):
+        ys = [int(v) for v in grp.sort_values("day")["y"]]
+        n, s = len(ys), sum(ys)
+        c = [n * y - s for y in ys]
+        denom = sum(v * v for v in c)
+        for lag in range(1, 8):
+            pairs = [(c[t], c[t - lag]) for t in range(lag, n)]
+            if not pairs:
+                continue
+            numer = sum(a * b for a, b in pairs)
+            acf = (
+                round(float(numer) / float(denom), 6) if denom > 0 else None
+            )
+            expected[(key, lag)] = (len(pairs), n, acf)
+
+    out = queries()["ts_acf"](spark, sf_dir).collect()
+    assert len(out) == len(expected) > 0
+    for r in out:
+        pairs, n_days, acf = expected[(r["event_type"], r["lag"])]
+        assert (r["pairs"], r["n_days"]) == (pairs, n_days)
+        if acf is None:
+            assert r["acf"] is None
+        else:
+            assert r["acf"] == pytest.approx(acf, abs=2e-6)
+
+
+def test_matrix_profile_vs_pure_python(spark, sf_dir):
+    """All-pairs z-normalized NN distances (m=4, exclusion |i−j|<m) from
+    exact integer window moments — argmin indices must match exactly."""
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    a = _daily_clicks(sf_dir)
+    m = 4
+    n = len(a)
+    n_sub = n - m + 1
+    expected = {}
+    for i in range(1, n_sub + 1):
+        best = None
+        wi = a[i - 1 : i - 1 + m]
+        sx, sxx = sum(wi), sum(v * v for v in wi)
+        if m * sxx - sx * sx <= 0:
+            continue
+        for j in range(1, n_sub + 1):
+            if abs(i - j) < m:
+                continue
+            wj = a[j - 1 : j - 1 + m]
+            sy, syy = sum(wj), sum(v * v for v in wj)
+            if m * syy - sy * sy <= 0:
+                continue
+            sxy = sum(p * q for p, q in zip(wi, wj))
+            r_ = float(m * sxy - sx * sy) / math.sqrt(
+                float(m * sxx - sx * sx) * float(m * syy - sy * sy)
+            )
+            dd = math.sqrt(2 * m * max(1.0 - r_, 0.0))
+            if best is None or (dd, j) < best:
+                best = (dd, j)
+        if best is not None:
+            expected[i] = best
+
+    out = queries()["ts_matrix_profile"](spark, sf_dir).collect()
+    assert len(out) == len(expected) > 0
+    for r in out:
+        dd, j = expected[r["sub_idx"]]
+        assert r["nn_idx"] == j
+        assert r["nn_dist"] == pytest.approx(dd, abs=2e-6)
+
+
+def test_optimal_changepoints_vs_pure_python(spark, sf_dir):
+    """Jackson et al. optimal partitioning replayed as the textbook
+    forward DP + backtrack loop (exact integer prefix sums, identical
+    float cost trees, first-occurrence argmin)."""
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    a = _daily_clicks(sf_dir)
+    n = len(a)
+    sp = [0]
+    qp = [0]
+    for y in a:
+        sp.append(sp[-1] + y)
+        qp.append(qp[-1] + y * y)
+    beta = (float(qp[n]) - float(sp[n] * sp[n]) / float(n)) / 8.0
+
+    fs = [-beta]
+    cps = [0]
+    for t in range(1, n + 1):
+        cand = []
+        for s in range(0, t):
+            ln = t - s
+            sd = sp[t] - sp[s]
+            cost = float(qp[t] - qp[s]) - float(sd * sd) / float(ln)
+            cand.append(fs[s] + cost + beta)
+        best = min(cand)
+        fs.append(best)
+        cps.append(cand.index(best))
+
+    segs = {}
+    e = n
+    while e > 0:
+        s = cps[e]
+        seg_sum = sp[e] - sp[s]
+        segs[(s + 1, e)] = (
+            e - s, seg_sum, round(float(seg_sum) / float(e - s), 6)
+        )
+        e = s
+
+    out = queries()["ts_optimal_changepoints"](spark, sf_dir).collect()
+    assert len(out) == len(segs) > 0
+    for r in out:
+        nd, ssum, smean = segs[(r["start_idx"], r["end_idx"])]
+        assert (r["n_days"], r["seg_sum"]) == (nd, ssum)
+        assert r["seg_mean"] == pytest.approx(smean, abs=1e-6)
