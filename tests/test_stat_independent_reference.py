@@ -408,3 +408,118 @@ def test_optimal_changepoints_vs_pure_python(spark, sf_dir):
         nd, ssum, smean = segs[(r["start_idx"], r["end_idx"])]
         assert (r["n_days"], r["seg_sum"]) == (nd, ssum)
         assert r["seg_mean"] == pytest.approx(smean, abs=1e-6)
+
+
+def test_hill_tail_index_vs_pure_python(spark, sf_dir):
+    """Top-k selection + lattice-quantized log-ratios recomputed from a
+    plain Python sort. The per-row ln quantization makes the k-term sum
+    an exact integer; libm vs JVM log can differ by 1 ulp, so allow the
+    integer sum to drift by ±2 units (2e-6 in inv_alpha) — far below
+    any selection or threshold bug."""
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    od = _orders(sf_dir)
+    k = 100
+    rows = sorted(
+        (
+            (int(round(p * 100)), int(okey))
+            for p, okey in zip(od["o_totalprice"], od["o_orderkey"])
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    top = [c for c, _ in rows[: k + 1]]
+    x_k1 = top[k]
+    sum_lr = sum(
+        int(math.floor(math.log(c / x_k1) * 1e6 + 0.5)) for c in top[:k]
+    )
+
+    r = queries()["agg_hill_tail_index"](spark, sf_dir).collect()[0]
+    assert r["k"] == k
+    assert abs(r["sum_lr_u"] - sum_lr) <= 2
+    assert r["inv_alpha"] == pytest.approx(sum_lr / k / 1e6, abs=3e-6)
+    assert r["alpha"] == pytest.approx(k * 1e6 / sum_lr, rel=1e-4)
+
+
+def test_benford_vs_pure_python(spark, sf_dir):
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+    cents = (
+        (li[li["l_extendedprice"] > 0]["l_extendedprice"] * 100.0 + 0.5)
+        .map(math.floor)
+        .astype(int)
+    )
+    digits = cents.map(lambda c: int(str(c)[0]))
+    counts = digits.value_counts().to_dict()
+    n = int(len(cents))
+
+    out = queries()["agg_benford_digit_test"](spark, sf_dir).collect()
+    assert len(out) == 9
+    for r in out:
+        d = r["digit"]
+        obs = counts.get(d, 0)
+        p = math.log10(1.0 + 1.0 / d)
+        assert r["observed"] == obs
+        assert r["n"] == n
+        assert r["expected"] == pytest.approx(n * p, abs=1e-6)
+        dev = float(obs) - n * p
+        assert r["chi2_term"] == pytest.approx(dev * dev / (n * p), abs=1e-6)
+
+
+def test_granger_lite_vs_numpy_lstsq(spark, sf_dir):
+    """The query solves both OLS models closed-form by Cramer's rule on
+    DECIMAL(38,0) normal equations; numpy.linalg.lstsq is an entirely
+    different solver (SVD), so agreement here checks the algebra, the
+    lag alignment, and the F construction."""
+    import numpy as np
+
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    ev = _events(sf_dir).copy()
+    ev = ev[ev["event_type"].isin(["click", "purchase"])]
+    day = ev["ts"].dt.normalize()
+    ev["week"] = day - pd.to_timedelta((day.dt.weekday + 1) % 7, unit="D")
+    wk = (
+        ev.pivot_table(
+            index="week", columns="event_type", values="event_id",
+            aggfunc="count", fill_value=0,
+        )
+        .rename(columns={"click": "cl", "purchase": "pu"})
+        .sort_index()
+    )
+    pairs = []
+    idx = {w: i for i, w in enumerate(wk.index)}
+    for w in wk.index:
+        nxt = w + pd.Timedelta(days=7)
+        if nxt in idx:
+            pairs.append(
+                (
+                    int(wk.loc[nxt, "cl"]),  # y_t
+                    int(wk.loc[w, "cl"]),    # a = y_{t-1}
+                    int(wk.loc[w, "pu"]),    # b = x_{t-1}
+                )
+            )
+    y = np.array([p[0] for p in pairs], dtype=float)
+    a = np.array([p[1] for p in pairs], dtype=float)
+    b = np.array([p[2] for p in pairs], dtype=float)
+    n = len(pairs)
+
+    def rss(X):
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        resid = y - X @ beta
+        return float(resid @ resid)
+
+    ones = np.ones(n)
+    rss_r = rss(np.column_stack([ones, a]))
+    rss_f = rss(np.column_stack([ones, a, b]))
+    f_stat = (rss_r - rss_f) / (rss_f / (n - 3))
+
+    r = queries()["ts_granger_lite"](spark, sf_dir).collect()[0]
+    assert r["n"] == n
+    # outputs are round(., 6): allow the 5e-7 rounding step on top of
+    # the solver-difference band
+    assert r["rss_r"] == pytest.approx(rss_r, rel=1e-9, abs=6e-7)
+    assert r["rss_f"] == pytest.approx(rss_f, rel=1e-9, abs=6e-7)
+    assert r["f_stat"] == pytest.approx(f_stat, rel=1e-6, abs=6e-7)
