@@ -144,27 +144,36 @@ def main() -> None:
     calibration_1t_sec = round(time.perf_counter() - t0, 3)
 
     times: dict[str, float] = {}
+    build_times: dict[str, float] = {}
     for name in HEADLINE:
         # min of two runs: single-machine GC/scheduling noise is ±2s+,
         # and the plan/codegen caches reflect steady-state cluster
         # behavior. The 21 contract queries time the WRITE ONLY (the
-        # r1-comparable semantics): all are lazy-built pure DataFrame
-        # compositions, so nothing executes at build beyond analysis +
-        # parquet-footer reads (~0.27 s/query, measured r9 — counting it
-        # would add ~5.7 s of non-execution time and break the
-        # cross-round contract series). Queries with EAGER build work
-        # (training checkpoints, literal-pinning collects) are exactly
-        # why the EXTENDED section below times build+write instead —
-        # write-only on those masks their real cost (the r7
-        # count()-pruning class: train_unigram_lm_em 0.02 s write-only
-        # vs ~2 s end-to-end).
+        # r1-comparable semantics). 19 of 21 are lazy-built pure
+        # DataFrame compositions where build is analysis + parquet-footer
+        # reads only (~0.27 s/query, measured r9 — counting it would add
+        # ~5.7 s of non-execution time and break the cross-round contract
+        # series). TWO run real jobs at build (measured r10 warm):
+        # reshape_pivot_wide (pivot value-discovery agg, ~0.5 s) and
+        # variant_call_kernel (per-protein reference anchor collect,
+        # ~0.6 s) — both semantically inherent bounded aggregates, NOT
+        # lazy-build escapees. Rather than fold them into `value` (which
+        # would break the r1-comparable series for all 21), per-query
+        # min-of-2 build seconds are surfaced in `build_sec` so the cost
+        # is visible and diffable round-over-round. Queries with HEAVY
+        # eager build work (training checkpoints) live in the EXTENDED
+        # section, which times build+write.
         best = float("inf")
+        best_build = float("inf")
         for _ in range(2):
+            t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
+            best_build = min(best_build, time.perf_counter() - t0)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
+        build_times[name] = round(best_build, 3)
 
     # extended (non-contract) section: min-of-2, BUILD+write timed (r9 —
     # several of these do their real work eagerly at build; see the
@@ -223,6 +232,14 @@ def main() -> None:
                     for n, t in times.items()
                 },
                 "pinned_idle_calibration": PINNED_IDLE_CALIBRATION,
+                # per-query min-of-2 BUILD seconds for the contract 21 —
+                # NOT in `value` (see the headline-loop comment). Lazy
+                # queries sit at analysis cost (~0.05-0.3 s warm); the two
+                # inherent eager builds (reshape_pivot_wide value
+                # discovery, variant_call_kernel anchor collect) show
+                # their real job time here instead of being invisible.
+                "contract_measure": "noop_write_only",
+                "build_sec": build_times,
                 # extended headline: post-r5 representatives, min-of-2,
                 # NOT in `value` (job-count-bound at toy scale) — diff
                 # the calibrated numbers round-over-round. `measure` tags
