@@ -523,3 +523,135 @@ def test_granger_lite_vs_numpy_lstsq(spark, sf_dir):
     assert r["rss_r"] == pytest.approx(rss_r, rel=1e-9, abs=6e-7)
     assert r["rss_f"] == pytest.approx(rss_f, rel=1e-9, abs=6e-7)
     assert r["f_stat"] == pytest.approx(f_stat, rel=1e-6, abs=6e-7)
+
+
+def _copurchase_edges_py(sf_dir):
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    )
+    li = li[li["l_quantity"] >= 35]
+    edges = set()
+    for _, grp in li.groupby("l_orderkey"):
+        parts = sorted(set(int(p) for p in grp["l_partkey"]))
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                edges.add((parts[i], parts[j]))
+    return edges
+
+
+def test_pagerank_vs_pure_python(spark, sf_dir):
+    """Five power-method rounds replayed as a dict loop. Both engines
+    round the damped update to the 6dp lattice per round; the
+    contribution sum's addition order is engine-internal, so allow one
+    lattice unit — a wrong damping factor, out-degree, or lost vertex
+    moves ranks by far more."""
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    edges = _copurchase_edges_py(sf_dir)
+    nbrs: dict[int, list[int]] = {}
+    for u, v in edges:
+        nbrs.setdefault(u, []).append(v)
+        nbrs.setdefault(v, []).append(u)
+    n = len(nbrs)
+    assert n > 0
+    d = 0.85
+    r = {v: _round6_half_up(1.0 / n) for v in nbrs}
+    for _ in range(5):
+        s = {v: 0.0 for v in nbrs}
+        for v, ns in nbrs.items():
+            contrib = r[v] / len(ns)
+            for w in ns:
+                s[w] += contrib
+        r = {
+            v: _round6_half_up((1.0 - d) / n + d * s[v]) for v in nbrs
+        }
+
+    out = queries()["graph_pagerank"](spark, sf_dir).collect()
+    assert len(out) == n
+    for row in out:
+        assert row["pagerank"] == pytest.approx(
+            r[row["vertex"]], abs=1.1e-6
+        )
+
+
+def test_label_propagation_vs_pure_python(spark, sf_dir):
+    """Four synchronous LPA rounds as a dict loop — integer-only
+    (vote count desc, label asc tie-break), so equality is exact."""
+    from collections import Counter
+
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    edges = _copurchase_edges_py(sf_dir)
+    nbrs: dict[int, list[int]] = {}
+    for u, v in edges:
+        nbrs.setdefault(u, []).append(v)
+        nbrs.setdefault(v, []).append(u)
+    labels = {v: v for v in nbrs}
+    for _ in range(4):
+        labels = {
+            v: min(
+                Counter(labels[w] for w in ns).items(),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[0]
+            for v, ns in nbrs.items()
+        }
+
+    out = queries()["graph_label_propagation"](spark, sf_dir).collect()
+    assert len(out) == len(labels) > 0
+    for row in out:
+        assert row["community"] == labels[row["vertex"]]
+
+
+def test_mann_whitney_vs_pandas_midranks(spark, sf_dir):
+    """The query derives 2·midrank as min+max of the exact global rank;
+    pandas rank(method='average') is the textbook midrank formulation —
+    U statistics must agree exactly (doubled to stay on integers)."""
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    ev = _events(sf_dir)
+    ev = ev[ev["event_type"].isin(["click", "purchase"])].copy()
+    ev["v"] = ev["value"].round(6)
+    ranks2 = (2 * ev["v"].rank(method="average")).astype(int)
+    g1 = ev["event_type"] == "click"
+    n1, n2 = int(g1.sum()), int((~g1).sum())
+    r1_x2 = int(ranks2[g1].sum())
+    r2_x2 = int(ranks2[~g1].sum())
+    u1_x2 = r1_x2 - n1 * (n1 + 1)
+    u2_x2 = r2_x2 - n2 * (n2 + 1)
+    assert u1_x2 + u2_x2 == 2 * n1 * n2  # invariant
+
+    r = queries()["agg_mann_whitney"](spark, sf_dir).collect()[0]
+    assert (r["n1"], r["n2"]) == (n1, n2)
+    assert (r["u1_x2"], r["u2_x2"]) == (u1_x2, u2_x2)
+
+
+def test_ks_test_vs_float_ecdf(spark, sf_dir):
+    """The query maximizes the scaled-integer |c1·n2 − c2·n1|; the
+    float two-ECDF sup-distance is the textbook formulation."""
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    od = _orders(sf_dir)
+    cents = (od["o_totalprice"] * 100.0 + 0.5).map(math.floor).astype(int)
+    g1 = od["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+    n1, n2 = int(g1.sum()), int((~g1).sum())
+    vs = sorted(set(cents))
+    c1 = c2 = 0
+    cnt1 = cents[g1].value_counts()
+    cnt2 = cents[~g1].value_counts()
+    best_num, best_v, best_d = -1, None, -1.0
+    for v in vs:
+        c1 += int(cnt1.get(v, 0))
+        c2 += int(cnt2.get(v, 0))
+        num = abs(c1 * n2 - c2 * n1)
+        if num > best_num:
+            best_num, best_v = num, v
+        best_d = max(best_d, abs(c1 / n1 - c2 / n2))
+
+    r = queries()["agg_ks_test"](spark, sf_dir).collect()[0]
+    assert (r["n1"], r["n2"], r["d_num"]) == (n1, n2, best_num)
+    assert r["ks_d"] == pytest.approx(best_d, abs=1e-6)
+    assert r["ks_lambda"] == pytest.approx(
+        best_d * math.sqrt(n1 * n2 / (n1 + n2)), abs=1e-6
+    )
+    assert r["price_at_max"] == pytest.approx(best_v / 100.0, abs=1e-9)
