@@ -655,3 +655,99 @@ def test_ks_test_vs_float_ecdf(spark, sf_dir):
         best_d * math.sqrt(n1 * n2 / (n1 + n2)), abs=1e-6
     )
     assert r["price_at_max"] == pytest.approx(best_v / 100.0, abs=1e-9)
+
+
+def test_spearman_vs_pandas_corr(spark, sf_dir):
+    """pandas .corr(method='spearman') is a fully independent midrank +
+    Pearson-on-ranks implementation vs the query's closed-form doubled
+    midranks and DECIMAL(38,0) moments."""
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice"],
+    )
+    import numpy as np
+
+    x = li["l_quantity"].astype(int)
+    y = (li["l_extendedprice"] * 100.0 + 0.5).map(math.floor).astype(int)
+    # pandas spearman delegates to scipy (absent): float midranks +
+    # numpy Pearson instead — independent of the query's doubled-
+    # integer closed form either way
+    rx = x.rank(method="average").to_numpy()
+    ry = y.rank(method="average").to_numpy()
+    rho = float(np.corrcoef(rx, ry)[0, 1])
+
+    r = queries()["agg_spearman_rho"](spark, sf_dir).collect()[0]
+    assert r["n"] == len(li)
+    assert r["spearman_rho"] == pytest.approx(rho, abs=2e-6)
+
+
+def test_ipf_raking_vs_pure_python(spark, sf_dir):
+    """Three IPF rounds replayed with arbitrary-precision Python ints —
+    the same half-up lattice divisions, so equality is exact."""
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    od = _orders(sf_dir)
+    ct = (
+        od.groupby(["o_orderpriority", "o_orderstatus"])
+        .size()
+        .rename("n")
+        .reset_index()
+    )
+    cells = {
+        (r["o_orderpriority"], r["o_orderstatus"]): int(r["n"])
+        for _, r in ct.iterrows()
+    }
+    t = sum(cells.values())
+    t_row = (t * 1_000_000) // 5
+    t_col = (t * 1_000_000) // 3
+    w = {k: 1_000_000 for k in cells}
+    for _ in range(3):
+        srow = {}
+        for (p, s), n in cells.items():
+            srow[p] = srow.get(p, 0) + w[(p, s)] * n
+        w = {
+            (p, s): (2 * w[(p, s)] * t_row + srow[p]) // (2 * srow[p])
+            for (p, s) in cells
+        }
+        scol = {}
+        for (p, s), n in cells.items():
+            scol[s] = scol.get(s, 0) + w[(p, s)] * n
+        w = {
+            (p, s): (2 * w[(p, s)] * t_col + scol[s]) // (2 * scol[s])
+            for (p, s) in cells
+        }
+
+    out = queries()["agg_ipf_raking"](spark, sf_dir).collect()
+    assert len(out) == len(cells) > 0
+    for r in out:
+        key = (r["priority"], r["status"])
+        assert r["n"] == cells[key]
+        assert r["weight"] == w[key] / 1e6
+        assert r["fitted"] == (w[key] * cells[key]) / 1e6
+
+
+def test_diff_in_diff_vs_pandas(spark, sf_dir):
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    od = _orders(sf_dir).copy()
+    od["g"] = (od["o_orderpriority"] == "1-URGENT").astype(int)
+    od["p"] = (od["o_orderdate"].dt.year >= 1998).astype(int)
+    od["cents"] = (od["o_totalprice"] * 100).round().astype(int)
+    means = {}
+    for (g, p), grp in od.groupby(["g", "p"]):
+        means[(g, p)] = float(int(grp["cents"].sum())) / float(
+            len(grp) * 100
+        )
+    did = (means[(1, 1)] - means[(1, 0)]) - (
+        means[(0, 1)] - means[(0, 0)]
+    )
+
+    r = queries()["agg_diff_in_diff"](spark, sf_dir).collect()[0]
+    assert r["n_total"] == len(od)
+    assert r["mean_treated_post"] == pytest.approx(means[(1, 1)], abs=1e-6)
+    assert r["mean_treated_pre"] == pytest.approx(means[(1, 0)], abs=1e-6)
+    assert r["mean_control_post"] == pytest.approx(means[(0, 1)], abs=1e-6)
+    assert r["mean_control_pre"] == pytest.approx(means[(0, 0)], abs=1e-6)
+    assert r["did"] == pytest.approx(did, abs=2e-6)
