@@ -751,3 +751,102 @@ def test_diff_in_diff_vs_pandas(spark, sf_dir):
     assert r["mean_control_post"] == pytest.approx(means[(0, 1)], abs=1e-6)
     assert r["mean_control_pre"] == pytest.approx(means[(0, 0)], abs=1e-6)
     assert r["did"] == pytest.approx(did, abs=2e-6)
+
+
+def test_linreg_normal_eq_vs_numpy_lstsq(spark, sf_dir):
+    """Per-language OLS slope/intercept via numpy lstsq vs the query's
+    exact-BIGINT normal equations (intercept derives from the ALREADY-
+    rounded slope, so recompute it the same way after matching the
+    unrounded slope)."""
+    import numpy as np
+
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "lang", "n_chars"]
+    )
+    docs["x"] = docs["text"].map(
+        lambda t: sum(1 for w in t.split(" ") if w)
+    )
+    expected = {}
+    for lang, grp in docs.groupby("lang"):
+        x = grp["x"].to_numpy(dtype=float)
+        y = grp["n_chars"].to_numpy(dtype=float)
+        n = len(grp)
+        if np.all(x == x[0]):
+            expected[lang] = (n, None, None)
+            continue
+        beta, *_ = np.linalg.lstsq(
+            np.column_stack([np.ones(n), x]), y, rcond=None
+        )
+        slope = _round6_half_up(float(beta[1]))
+        intercept = (float(y.sum()) - slope * float(x.sum())) / n
+        expected[lang] = (n, slope, intercept)
+
+    out = queries()["train_linreg_normal_eq"](spark, sf_dir).collect()
+    assert len(out) == len(expected) > 0
+    for r in out:
+        n, slope, intercept = expected[r["grp"]]
+        assert r["n_rows"] == n
+        if slope is None:
+            assert r["slope"] is None
+        else:
+            assert r["slope"] == pytest.approx(slope, abs=1.1e-6)
+            assert r["intercept"] == pytest.approx(intercept, abs=2e-6)
+
+
+def test_cuped_vs_numpy(spark, sf_dir):
+    import numpy as np
+
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    od = _orders(sf_dir).copy()
+    od["cents"] = (od["o_totalprice"] * 100).round().astype(int)
+    od["yr"] = od["o_orderdate"].dt.year
+    pre = od[od["yr"] <= 1997].groupby("o_custkey")["cents"].sum()
+    post = od[od["yr"] >= 1998].groupby("o_custkey")["cents"].sum()
+    x = cust["c_custkey"].map(pre).fillna(0).to_numpy(dtype=float)
+    y = cust["c_custkey"].map(post).fillna(0).to_numpy(dtype=float)
+    n = len(cust)
+    var_x = float(np.var(x))          # population (1/n) moments, as the
+    var_y = float(np.var(y))          # query's n·syy − sy² over n² form
+    cov = float(np.cov(x, y, bias=True)[0, 1])
+    theta = cov / var_x
+    var_cuped = var_y - cov * cov / var_x
+    reduction = (cov * cov / var_x) / var_y
+
+    r = queries()["agg_cuped"](spark, sf_dir).collect()[0]
+    assert r["n"] == n
+    assert r["theta"] == pytest.approx(theta, abs=1.1e-6)
+    assert r["var_y"] == pytest.approx(var_y, rel=1e-9)
+    assert r["var_cuped"] == pytest.approx(var_cuped, rel=1e-9)
+    assert r["variance_reduction"] == pytest.approx(reduction, abs=1.1e-6)
+
+
+def test_mann_kendall_vs_pure_python(spark, sf_dir):
+    from collections import Counter
+
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    ys = _daily_clicks(sf_dir)
+    n = len(ys)
+    s = sum(
+        (1 if ys[j] > ys[i] else -1 if ys[j] < ys[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    ties = [t for t in Counter(ys).values() if t > 1]
+    tp = sum(t * (t - 1) // 2 for t in ties)
+    tv = sum(t * (t - 1) * (2 * t + 5) for t in ties)
+    half = n * (n - 1) // 2
+    tau_b = s / math.sqrt(float(half) * float(half - tp))
+    zc = s - 1 if s > 0 else s + 1 if s < 0 else 0
+    z = zc / math.sqrt((n * (n - 1) * (2 * n + 5) - tv) / 18.0)
+
+    r = queries()["ts_mann_kendall"](spark, sf_dir).collect()[0]
+    assert (r["n"], r["s_stat"]) == (n, s)
+    assert r["tau_b"] == pytest.approx(tau_b, abs=1e-6)
+    assert r["z_stat"] == pytest.approx(z, abs=1e-6)
