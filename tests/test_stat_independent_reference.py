@@ -850,3 +850,70 @@ def test_mann_kendall_vs_pure_python(spark, sf_dir):
     assert (r["n"], r["s_stat"]) == (n, s)
     assert r["tau_b"] == pytest.approx(tau_b, abs=1e-6)
     assert r["z_stat"] == pytest.approx(z, abs=1e-6)
+
+
+def test_bruteforce_topk_vs_numpy(spark, sf_dir):
+    """The flagship exact-ANN baseline vs a numpy cosine matrix — ranks
+    are on round-6 cosine + id tie-break, so the independent float sum
+    order can't flip them."""
+    import numpy as np
+
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {
+        int(r["vec_id"]): np.asarray(r["embedding"], dtype=float)
+        for _, r in emb.iterrows()
+    }
+    expected = {}
+    for qid in sorted(vecs):
+        if qid >= 5:
+            continue
+        q = vecs[qid]
+        qn = math.sqrt(float(q @ q))
+        scored = []
+        for cid, c in vecs.items():
+            if cid == qid:
+                continue
+            cos = float(q @ c) / (qn * math.sqrt(float(c @ c)))
+            scored.append((_round6_half_up(cos), cid))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        expected[qid] = scored[:3]
+
+    out = queries()["sim_bruteforce_topk"](spark, sf_dir).collect()
+    assert len(out) == 3 * len(expected) > 0
+    for r in out:
+        cos, cid = expected[r["query_id"]][r["rank"] - 1]
+        assert r["cand_id"] == cid
+        assert r["cos"] == pytest.approx(cos, abs=2e-6)
+
+
+def test_theil_sen_vs_pure_python(spark, sf_dir):
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    ev = _events(sf_dir).copy()
+    ev["day"] = ev["ts"].dt.normalize()
+    daily = (
+        ev.groupby(["event_type", "day"]).size().rename("y").reset_index()
+    )
+    expected = {}
+    for key, grp in daily.groupby("event_type"):
+        pts = sorted(
+            (row["day"], int(row["y"])) for _, row in grp.iterrows()
+        )
+        pairs = []
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                dd = (pts[j][0] - pts[i][0]).days
+                slope = _round6_half_up((pts[j][1] - pts[i][1]) / dd)
+                pairs.append((slope, pts[i][0], pts[j][0]))
+        pairs.sort()
+        n = len(pairs)
+        expected[key] = (n, pairs[math.ceil(n / 2.0) - 1][0])
+
+    out = queries()["ts_theil_sen_trend"](spark, sf_dir).collect()
+    assert len(out) == len(expected) > 0
+    for r in out:
+        n, slope = expected[r["key"]]
+        assert r["n_pairs"] == n
+        assert r["theil_sen_slope"] == pytest.approx(slope, abs=1.1e-6)
