@@ -160,14 +160,17 @@ def test_anova_vs_pure_python(spark, sf_dir):
         stratum=od["o_orderpriority"],
     )
     st = cents.groupby("stratum")["c"].agg(["count", "sum"])
-    # Σx² per stratum with arbitrary-precision Python ints
-    q_by = cents.groupby("stratum")["c"].apply(
-        lambda s: sum(int(v) * int(v) for v in s)
-    )
+    # Σx² per stratum in a plain dict of Python ints: a pandas
+    # groupby-apply SILENTLY coerces the ~7.5e19 per-stratum squares
+    # back to int64 at sf0.01 and wraps negative (caught when this test
+    # first ran at that scale)
+    q_by: dict = {}
+    for stratum, v in zip(cents["stratum"], cents["c"]):
+        q_by[stratum] = q_by.get(stratum, 0) + int(v) * int(v)
     k = len(st)
     n = int(st["count"].sum())
     s_tot = int(st["sum"].sum())
-    q_tot = int(q_by.sum())
+    q_tot = sum(q_by.values())
     fold = 0.0
     for stratum in sorted(st.index):  # the stratum-sorted left fold
         sg, ng = int(st.loc[stratum, "sum"]), int(st.loc[stratum, "count"])
