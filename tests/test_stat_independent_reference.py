@@ -920,3 +920,51 @@ def test_theil_sen_vs_pure_python(spark, sf_dir):
         n, slope = expected[r["key"]]
         assert r["n_pairs"] == n
         assert r["theil_sen_slope"] == pytest.approx(slope, abs=1.1e-6)
+
+
+def test_cohort_retention_vs_pandas(spark, sf_dir):
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    ev = _events(sf_dir).copy()
+    day = ev["ts"].dt.normalize()
+    ev["week"] = day - pd.to_timedelta((day.dt.weekday + 1) % 7, unit="D")
+    act = ev[["user_id", "week"]].drop_duplicates()
+    cohort = act.groupby("user_id")["week"].min().rename("cohort_week")
+    j = act.join(cohort, on="user_id")
+    j["week_offset"] = ((j["week"] - j["cohort_week"]).dt.days // 7)
+    expected = (
+        j.groupby(["cohort_week", "week_offset"])["user_id"]
+        .nunique()
+        .to_dict()
+    )
+
+    out = queries()["window_cohort_retention"](spark, sf_dir).collect()
+    assert len(out) == len(expected) > 0
+    for r in out:
+        key = (pd.Timestamp(r["cohort_week"]), r["week_offset"])
+        assert r["n_users"] == expected[key]
+
+
+def test_activity_streaks_vs_pure_python(spark, sf_dir):
+    from collections import Counter
+
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    ev = _events(sf_dir)
+    ud = (
+        ev.assign(d=ev["ts"].dt.normalize())[["user_id", "d"]]
+        .drop_duplicates()
+    )
+    hist: Counter = Counter()
+    for _, grp in ud.groupby("user_id"):
+        days = sorted(grp["d"])
+        best = cur = 1
+        for a, b in zip(days, days[1:]):
+            cur = cur + 1 if (b - a).days == 1 else 1
+            best = max(best, cur)
+        hist[best] += 1
+
+    out = queries()["window_activity_streaks"](spark, sf_dir).collect()
+    assert len(out) == len(hist) > 0
+    for r in out:
+        assert r["n_users"] == hist[r["max_streak"]]
