@@ -968,3 +968,127 @@ def test_activity_streaks_vs_pure_python(spark, sf_dir):
     assert len(out) == len(hist) > 0
     for r in out:
         assert r["n_users"] == hist[r["max_streak"]]
+
+
+def _daily_by_type(sf_dir):
+    ev = _events(sf_dir)
+    d = (
+        ev.groupby(["event_type", ev["ts"].dt.normalize()])
+        .size()
+        .rename("y")
+        .reset_index()
+        .rename(columns={"ts": "day"})
+    )
+    return {
+        key: [(row["day"], int(row["y"]))
+              for _, row in grp.sort_values("day").iterrows()]
+        for key, grp in d.groupby("event_type")
+    }
+
+
+def test_ccf_pairs_vs_pure_python(spark, sf_dir):
+    """Exact-integer centered cross-correlation over the common daily
+    index, lags −3..3 — Python-int moments, so only the final rounded
+    division is float."""
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    series = _daily_by_type(sf_dir)
+    keys = sorted(series)
+    expected = {}
+    for i, ka in enumerate(keys):
+        for kb in keys[i + 1 :]:
+            da_, db_ = dict(series[ka]), dict(series[kb])
+            days = sorted(set(da_) & set(db_))
+            n = len(days)
+            if n == 0:
+                continue
+            ya = [da_[d] for d in days]
+            yb = [db_[d] for d in days]
+            sa, sb = sum(ya), sum(yb)
+            ca = [n * v - sa for v in ya]
+            cb = [n * v - sb for v in yb]
+            dena = sum(v * v for v in ca)
+            denb = sum(v * v for v in cb)
+            for lag in range(-3, 4):
+                # b.rn = a.rn - lag (1-based rn → 0-based index)
+                pairs = [
+                    (ca[t], cb[t - lag])
+                    for t in range(n)
+                    if 0 <= t - lag < n
+                ]
+                if not pairs:
+                    continue
+                numer = sum(x * y for x, y in pairs)
+                ccf = (
+                    round(float(numer) / math.sqrt(float(dena) * float(denb)), 6)
+                    if dena > 0 and denb > 0
+                    else None
+                )
+                expected[(ka, kb, lag)] = (len(pairs), n, ccf)
+
+    out = queries()["ts_ccf_pairs"](spark, sf_dir).collect()
+    assert len(out) == len(expected) > 0
+    for r in out:
+        pairs, n_days, ccf = expected[(r["key_a"], r["key_b"], r["lag"])]
+        assert (r["pairs"], r["n_days"]) == (pairs, n_days)
+        if ccf is None:
+            assert r["ccf"] is None
+        else:
+            assert r["ccf"] == pytest.approx(ccf, abs=2e-6)
+
+
+def test_periodogram_vs_true_trig(spark, sf_dir):
+    """The query uses a shared 1e-6-quantized trig table so neither
+    engine evaluates cos(); this reference uses TRUE libm cos/sin and
+    bounds the quantization error analytically — |Δ(Σc·cos)| ≤
+    5.1e-7·Σ|c| per component. A wrong centering, phase indexing, or
+    normalization lands far outside the bound."""
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    series = _daily_by_type(sf_dir)
+    expected = {}
+    for key, pts in series.items():
+        ys = [y for _, y in pts]
+        n = len(ys)
+        s = sum(ys)
+        c = [n * y - s for y in ys]
+        abs_sum = sum(abs(v) for v in c)
+        for p in range(3, 11):
+            a = sum(
+                v * math.cos(2.0 * math.pi * ((t % p)) / p)
+                for t, v in enumerate(c)
+            ) / n
+            b = sum(
+                v * math.sin(2.0 * math.pi * ((t % p)) / p)
+                for t, v in enumerate(c)
+            ) / n
+            power = (a * a + b * b) / n
+            comp_err = 5.1e-7 * abs_sum / n
+            bound = (
+                2 * (abs(a) + abs(b)) * comp_err + 2 * comp_err * comp_err
+            ) / n + 1e-6
+            expected[(key, p)] = (n, power, bound)
+
+    out = queries()["ts_periodogram"](spark, sf_dir).collect()
+    assert len(out) == len(expected) > 0
+    for r in out:
+        n, power, bound = expected[(r["event_type"], r["period"])]
+        assert r["n_days"] == n
+        assert r["power"] == pytest.approx(power, abs=bound)
+    # dominance: argmax must agree when the true margin exceeds the
+    # summed quantization bound
+    for key in series:
+        ps = {p: expected[(key, p)] for p in range(3, 11)}
+        best = max(ps.items(), key=lambda kv: kv[1][1])
+        runner = max(
+            (kv for kv in ps.items() if kv[0] != best[0]),
+            key=lambda kv: kv[1][1],
+        )
+        margin = best[1][1] - runner[1][1]
+        if margin > best[1][2] + runner[1][2]:
+            dom = [
+                r["period"]
+                for r in out
+                if r["event_type"] == key and r["is_dominant"]
+            ]
+            assert dom == [best[0]]
