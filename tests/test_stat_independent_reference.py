@@ -1092,3 +1092,77 @@ def test_periodogram_vs_true_trig(spark, sf_dir):
                 if r["event_type"] == key and r["is_dominant"]
             ]
             assert dom == [best[0]]
+
+
+def test_welch_ttest_vs_pure_python(spark, sf_dir):
+    """Lattice sums replayed with Python ints, then the textbook Welch
+    t / Welch-Satterthwaite df in plain float."""
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    ev = _events(sf_dir)
+
+    def lat(x):
+        return int(math.floor(x * 1e6 + 0.5))
+
+    stats = {}
+    for key in ("click", "purchase"):
+        vals = ev[ev["event_type"] == key]["value"]
+        n = len(vals)
+        s = sum(lat(float(v)) for v in vals)
+        q = sum(lat(float(v) * float(v)) for v in vals)
+        mean = (s / 1e6) / n
+        var = ((q / 1e6) - n * mean * mean) / (n - 1)
+        stats[key] = (n, mean, var)
+
+    na, ma, va = stats["click"]
+    nb, mb, vb = stats["purchase"]
+    se2 = va / na + vb / nb
+    t = (ma - mb) / math.sqrt(se2)
+    df = (se2 * se2) / (
+        (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+    )
+
+    r = queries()["agg_ab_ttest"](spark, sf_dir).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert r["mean_a"] == pytest.approx(ma, abs=1e-6)
+    assert r["mean_b"] == pytest.approx(mb, abs=1e-6)
+    assert r["var_a"] == pytest.approx(va, abs=1e-6)
+    assert r["var_b"] == pytest.approx(vb, abs=1e-6)
+    assert r["t_stat"] == pytest.approx(t, abs=1e-6)
+    assert r["welch_df"] == pytest.approx(df, rel=1e-6)
+    assert r["significant_05"] == (abs(t) > 1.96)
+
+
+def test_eb_shrinkage_vs_pure_python(spark, sf_dir):
+    """Beta-binomial method-of-moments shrinkage recomputed from pandas
+    joins and a nation-sorted float loop."""
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    od = _orders(sf_dir)
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nat = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    j = od.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
+        nat, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    j["u"] = (j["o_orderpriority"] == "1-URGENT").astype(int)
+    g = j.groupby("n_name")["u"].agg(n="count", pos="sum")
+    rates = {nm: int(row["pos"]) / int(row["n"]) for nm, row in g.iterrows()}
+    k = len(rates)
+    mu = sum(rates[nm] for nm in sorted(rates)) / k
+    vv = sum((rates[nm] - mu) ** 2 for nm in sorted(rates)) / k
+    alpha = mu * (mu * (1 - mu) / vv - 1)
+    beta = (1 - mu) * (mu * (1 - mu) / vv - 1)
+
+    out = queries()["agg_eb_shrinkage"](spark, sf_dir).collect()
+    assert len(out) == k > 0
+    for r in out:
+        n, pos = int(g.loc[r["nation"], "n"]), int(g.loc[r["nation"], "pos"])
+        assert (r["n"], r["pos"]) == (n, pos)
+        assert r["raw_rate"] == pytest.approx(pos / n, abs=1e-6)
+        assert r["shrunk_rate"] == pytest.approx(
+            (pos + alpha) / (n + alpha + beta), abs=1.1e-6
+        )
