@@ -1166,3 +1166,61 @@ def test_eb_shrinkage_vs_pure_python(spark, sf_dir):
         assert r["shrunk_rate"] == pytest.approx(
             (pos + alpha) / (n + alpha + beta), abs=1.1e-6
         )
+
+
+def test_stl_decompose_vs_pure_python(spark, sf_dir):
+    """Classical additive STL replayed as plain loops: row-windowed
+    7-point centered trend, epoch-arithmetic day-of-week, offset-shifted
+    half-up lattice seasonal means."""
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    series = _daily_by_type(sf_dir)
+    epoch = pd.Timestamp("1970-01-01")
+    expected = {}
+    for key, pts in series.items():
+        n = len(pts)
+        rows = []
+        for i, (day, y) in enumerate(pts):
+            if 3 <= i < n - 3:
+                window = [pts[j][1] for j in range(i - 3, i + 4)]
+                trend = _round6_half_up(sum(window) / 7.0)
+            else:
+                trend = None
+            dow = (pts[i][0] - epoch).days % 7
+            rows.append((day, y, trend, dow))
+        sums = {}
+        for day, y, trend, dow in rows:
+            if trend is None:
+                continue
+            detr_u = int(math.floor((y - trend) * 1e6 + 0.5))
+            s, c = sums.get(dow, (0, 0))
+            sums[dow] = (s + detr_u + 1_000_000_000, c + 1)
+        seas = {
+            dow: ((2 * s + c) // (2 * c) - 1_000_000_000) / 1e6
+            for dow, (s, c) in sums.items()
+        }
+        for day, y, trend, dow in rows:
+            if dow in seas:
+                detr = (
+                    _round6_half_up(y - trend) if trend is not None else None
+                )
+                resid = (
+                    _round6_half_up(detr - seas[dow])
+                    if detr is not None
+                    else None
+                )
+                expected[(key, day)] = (y, trend, seas[dow], resid)
+
+    out = queries()["ts_stl_decompose"](spark, sf_dir).collect()
+    assert len(out) == len(expected) > 0
+    for r in out:
+        y, trend, seasonal, resid = expected[
+            (r["key"], pd.Timestamp(r["day"]))
+        ]
+        assert r["y"] == y
+        if trend is None:
+            assert r["trend"] is None and r["residual"] is None
+        else:
+            assert r["trend"] == pytest.approx(trend, abs=1.1e-6)
+            assert r["residual"] == pytest.approx(resid, abs=2.2e-6)
+        assert r["seasonal"] == pytest.approx(seasonal, abs=1.1e-6)
