@@ -1224,3 +1224,57 @@ def test_stl_decompose_vs_pure_python(spark, sf_dir):
             assert r["trend"] == pytest.approx(trend, abs=1.1e-6)
             assert r["residual"] == pytest.approx(resid, abs=2.2e-6)
         assert r["seasonal"] == pytest.approx(seasonal, abs=1.1e-6)
+
+
+def test_bpe_train_vs_sennrich_loop(spark, sf_dir):
+    """The 6 learned merges vs the classic Sennrich dict loop: corpus-
+    frequency-weighted adjacent pair counts over the distinct-word
+    table, (cnt desc, a asc, b asc) tie-break, greedy leftmost-first
+    non-overlapping merge application — exact equality of the model."""
+    from collections import Counter
+
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    freq: Counter = Counter()
+    for t in docs["text"]:
+        for w in t.split(" "):
+            if w:
+                freq[w] += 1
+    vocab = {w: list(w) + ["</w>"] for w in freq}
+
+    def apply_merge(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    expected = []
+    for rank in range(1, 7):
+        pc: Counter = Counter()
+        for w, syms in vocab.items():
+            f = freq[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (a, b), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((rank, a, b, a + b, cnt))
+        vocab = {w: apply_merge(s, a, b) for w, s in vocab.items()}
+
+    out = sorted(
+        queries()["text_bpe_train"](spark, sf_dir).collect(),
+        key=lambda r: r["merge_rank"],
+    )
+    got = [
+        (r["merge_rank"], r["pair_a"], r["pair_b"], r["merged"], r["cnt"])
+        for r in out
+    ]
+    assert got == expected
