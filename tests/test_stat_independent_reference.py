@@ -1278,3 +1278,71 @@ def test_bpe_train_vs_sennrich_loop(spark, sf_dir):
         for r in out
     ]
     assert got == expected
+
+
+def test_unigram_lm_em_vs_pure_python(spark, sf_dir):
+    """SentencePiece-style unigram EM replayed as plain dict loops:
+    substring seed vocab (len ≤ 4, min_count 2 or single char),
+    integer-lattice Viterbi with the su·128 + (127 − s) argmax key,
+    Laplace M-step over the fixed seed vocab, two rounds. EM counts are
+    exact; ll allows ±2 lattice units for libm-vs-JVM ln."""
+    from collections import Counter
+
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    wf: Counter = Counter()
+    for t in docs["text"]:
+        for w in t.split(" "):
+            if w:
+                wf[w] += 1
+
+    L, MIN_COUNT, ROUNDS = 4, 2, 2
+    seed: Counter = Counter()
+    for w, f in wf.items():
+        n = len(w)
+        for s in range(n):
+            for e in range(s + 1, min(s + L, n) + 1):
+                seed[w[s:e]] += f
+    vocab = {
+        p: c for p, c in seed.items() if c >= MIN_COUNT or len(p) == 1
+    }
+    v = len(vocab)
+    total = sum(vocab.values())
+    llu = {
+        p: int(math.floor(math.log((c + 1) / (total + v)) * 1e6 + 0.5))
+        for p, c in vocab.items()
+    }
+
+    counts: Counter = Counter()
+    for _ in range(ROUNDS):
+        counts = Counter()
+        for w, f in wf.items():
+            n = len(w)
+            best = [(0, [])]
+            for j in range(1, n + 1):
+                cand = [
+                    (best[s][0] + llu[w[s:j]], s)
+                    for s in range(max(0, j - L), j)
+                    if w[s:j] in llu
+                ]
+                su, s = max(cand, key=lambda t: t[0] * 128 + 127 - t[1])
+                best.append((su, best[s][1] + [(s, j)]))
+            for s, e in best[n][1]:
+                counts[w[s:e]] += f
+        total = sum(counts.get(p, 0) for p in vocab)
+        llu = {
+            p: int(
+                math.floor(
+                    math.log((counts.get(p, 0) + 1) / (total + v)) * 1e6
+                    + 0.5
+                )
+            )
+            for p in vocab
+        }
+
+    out = queries()["train_unigram_lm_em"](spark, sf_dir).collect()
+    assert len(out) == v > 0
+    for r in out:
+        assert r["n_count"] == counts.get(r["piece"], 0)
+        assert r["ll"] == pytest.approx(llu[r["piece"]] / 1e6, abs=2.1e-6)
