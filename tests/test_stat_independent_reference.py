@@ -1346,3 +1346,76 @@ def test_unigram_lm_em_vs_pure_python(spark, sf_dir):
     for r in out:
         assert r["n_count"] == counts.get(r["piece"], 0)
         assert r["ll"] == pytest.approx(llu[r["piece"]] / 1e6, abs=2.1e-6)
+
+
+def test_association_rules_vs_pure_python(spark, sf_dir):
+    """A-priori rules replayed with dicts: distinct baskets, min-support
+    pruning before pair generation, both rule directions, top-100 by
+    (rounded lift desc, antecedent, consequent)."""
+    from collections import Counter
+
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    )
+    li = li[li["l_quantity"] >= 25][["l_orderkey", "l_partkey"]].drop_duplicates()
+    n_baskets = li["l_orderkey"].nunique()
+    ic = {
+        int(p): int(c)
+        for p, c in li.groupby("l_partkey").size().items()
+        if c >= 2
+    }
+    pc: Counter = Counter()
+    for _, grp in li.groupby("l_orderkey"):
+        parts = sorted(int(p) for p in grp["l_partkey"] if int(p) in ic)
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                pc[(parts[i], parts[j])] += 1
+    rows = []
+    for (u, v), cuv in pc.items():
+        if cuv < 2:
+            continue
+        for a, c in ((u, v), (v, u)):
+            sup = _round6_half_up(cuv / n_baskets)
+            conf = _round6_half_up(cuv / ic[a])
+            lift = _round6_half_up((cuv / ic[a]) / (ic[c] / n_baskets))
+            rows.append((a, c, cuv, sup, conf, lift))
+    rows.sort(key=lambda t: (-t[5], t[0], t[1]))
+    expected = rows[:100]
+
+    out = queries()["agg_association_rules"](spark, sf_dir).collect()
+    got = [
+        (
+            r["antecedent"], r["consequent"], r["n_both"],
+            r["support"], r["confidence"], r["lift"],
+        )
+        for r in out
+    ]
+    assert len(got) == len(expected) > 0
+    for g, e in zip(got, expected):
+        assert g[:3] == e[:3]
+        for gv, ev in zip(g[3:], e[3:]):
+            assert gv == pytest.approx(ev, abs=1.1e-6)
+
+
+def test_mad_anomaly_vs_pandas(spark, sf_dir):
+    """Robust MAD outliers via pandas linear-interpolated medians —
+    flagged event-id sets must match exactly."""
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    ev = _events(sf_dir)
+    flagged = {}
+    for key, grp in ev.groupby("event_type"):
+        med = _round6_half_up(float(grp["value"].quantile(0.5)))
+        adev = (grp["value"] - med).abs().map(_round6_half_up)
+        mad = _round6_half_up(float(adev.quantile(0.5)))
+        hits = grp.loc[adev > 3 * mad, "event_id"]
+        for eid in hits:
+            flagged[int(eid)] = key
+
+    out = queries()["window_mad_anomaly"](spark, sf_dir).collect()
+    assert {r["event_id"] for r in out} == set(flagged)
+    for r in out:
+        assert flagged[r["event_id"]] == r["event_type"]
