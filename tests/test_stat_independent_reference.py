@@ -1419,3 +1419,58 @@ def test_mad_anomaly_vs_pandas(spark, sf_dir):
     assert {r["event_id"] for r in out} == set(flagged)
     for r in out:
         assert flagged[r["event_id"]] == r["event_type"]
+
+
+def test_gini_vs_pure_python(spark, sf_dir):
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    od = _orders(sf_dir)
+    rev = od.groupby("o_custkey")["o_totalprice"].sum().round(2)
+    ranked = sorted(
+        ((float(v), int(ck)) for ck, v in rev.items())
+    )
+    n = len(ranked)
+    total = 0
+    rank_weighted = 0
+    for rank, (v, _ck) in enumerate(ranked, start=1):
+        xc = int(math.floor(v * 100 + 0.5))
+        total += xc
+        rank_weighted += rank * xc
+    gini = (2.0 * rank_weighted - (n + 1) * total) / (n * total)
+
+    r = queries()["agg_gini_concentration"](spark, sf_dir).collect()[0]
+    assert (r["n_customers"], r["total_cents"]) == (n, total)
+    assert r["gini"] == pytest.approx(gini, abs=1.1e-6)
+
+
+def test_abc_analysis_vs_pure_python(spark, sf_dir):
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+    cents_per_part: dict = {}
+    for pk, p, d in zip(
+        li["l_partkey"], li["l_extendedprice"], li["l_discount"]
+    ):
+        c = int(math.floor(float(p) * (1 - float(d)) * 100 + 0.5))
+        cents_per_part[int(pk)] = cents_per_part.get(int(pk), 0) + c
+    ranked = sorted(cents_per_part.items(), key=lambda t: (-t[1], t[0]))
+    total = sum(cents_per_part.values())
+    classes: dict = {}
+    cum = 0
+    for pk, c in ranked:
+        cum += c
+        cls = "A" if cum * 100 <= total * 70 else (
+            "B" if cum * 100 <= total * 90 else "C"
+        )
+        n_parts, rev = classes.get(cls, (0, 0))
+        classes[cls] = (n_parts + 1, rev + c)
+
+    out = queries()["agg_abc_analysis"](spark, sf_dir).collect()
+    assert len(out) == len(classes) > 0
+    for r in out:
+        n_parts, rev = classes[r["abc_class"]]
+        assert (r["n_parts"], r["revenue_cents"]) == (n_parts, rev)
+        assert r["revenue_share"] == pytest.approx(rev / total, abs=1.1e-6)
