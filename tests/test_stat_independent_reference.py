@@ -1474,3 +1474,42 @@ def test_abc_analysis_vs_pure_python(spark, sf_dir):
         n_parts, rev = classes[r["abc_class"]]
         assert (r["n_parts"], r["revenue_cents"]) == (n_parts, rev)
         assert r["revenue_share"] == pytest.approx(rev / total, abs=1.1e-6)
+
+
+def test_funnel_ordered_conversion_vs_pandas(spark, sf_dir):
+    """The chained min-aggregation funnel replayed per user with plain
+    timestamp comparisons — stage assignments must match exactly."""
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    ev = _events(sf_dir)
+    one_day = pd.Timedelta(days=1)
+    expected = {}
+    for uid, grp in ev.groupby("user_id"):
+        views = grp.loc[grp["event_type"] == "view", "ts"]
+        t1 = views.min() if len(views) else None
+        t2 = t3 = None
+        if t1 is not None:
+            clicks = grp.loc[
+                (grp["event_type"] == "click")
+                & (grp["ts"] > t1)
+                & (grp["ts"] <= t1 + one_day),
+                "ts",
+            ]
+            t2 = clicks.min() if len(clicks) else None
+        if t2 is not None:
+            buys = grp.loc[
+                (grp["event_type"] == "purchase")
+                & (grp["ts"] > t2)
+                & (grp["ts"] <= t2 + one_day),
+                "ts",
+            ]
+            t3 = buys.min() if len(buys) else None
+        expected[int(uid)] = (
+            3 if t3 is not None else 2 if t2 is not None
+            else 1 if t1 is not None else 0
+        )
+
+    out = queries()["funnel_ordered_conversion"](spark, sf_dir).collect()
+    assert len(out) == len(expected) > 0
+    for r in out:
+        assert r["stage_reached"] == expected[r["user_id"]]
