@@ -1513,3 +1513,45 @@ def test_funnel_ordered_conversion_vs_pandas(spark, sf_dir):
     assert len(out) == len(expected) > 0
     for r in out:
         assert r["stage_reached"] == expected[r["user_id"]]
+
+
+def test_join_asof_vs_pandas_merge_asof(spark, sf_dir):
+    """The contract as-of join (tagged-union carry-forward, ONE shuffle)
+    vs pandas.merge_asof — a completely independent backward-search
+    implementation. Right side deduped to one row per (customer, date)
+    with max orderkey, matching the query's tie rule."""
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    ev = _events(sf_dir)[["event_id", "user_id", "ts"]]
+    od = (
+        _orders(sf_dir)
+        .groupby(["o_custkey", "o_orderdate"])["o_orderkey"]
+        .max()
+        .reset_index()
+    )
+    left = ev.sort_values("ts").reset_index(drop=True)
+    right = od.sort_values("o_orderdate").reset_index(drop=True)
+    m = pd.merge_asof(
+        left,
+        right,
+        left_on="ts",
+        right_on="o_orderdate",
+        left_by="user_id",
+        right_by="o_custkey",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    m = m[m["o_orderkey"].notna()]
+    expected = {
+        int(r["event_id"]): (int(r["o_orderkey"]), r["o_orderdate"])
+        for _, r in m.iterrows()
+    }
+
+    out = queries()["join_asof"](spark, sf_dir).collect()
+    assert len(out) == len(expected) > 0
+    for r in out:
+        okey, odate = expected[r["event_id"]]
+        assert r["last_orderkey"] == okey
+        assert pd.Timestamp(r["last_orderdate"]).normalize() == pd.Timestamp(
+            odate
+        ).normalize()
