@@ -1555,3 +1555,34 @@ def test_join_asof_vs_pandas_merge_asof(spark, sf_dir):
         assert pd.Timestamp(r["last_orderdate"]).normalize() == pd.Timestamp(
             odate
         ).normalize()
+
+
+def test_interval_overlap_vs_pure_python(spark, sf_dir):
+    """Strict interval intersections via plain per-day dict loops —
+    exact integer micros."""
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    ev = _events(sf_dir).copy()
+    ev["day"] = ev["ts"].dt.normalize()
+    a = ev.groupby(["user_id", "day"])["ts"].agg(sa="min", ea="max")
+    b = ev.groupby(["event_type", "day"])["ts"].agg(sb="min", eb="max")
+    b_by_day: dict = {}
+    for (etype, day), row in b.iterrows():
+        b_by_day.setdefault(day, []).append(
+            (etype, row["sb"], row["eb"])
+        )
+    expected = {}
+    for (uid, day), row in a.iterrows():
+        for etype, sb, eb in b_by_day.get(day, []):
+            lo = max(row["sa"], sb)
+            hi = min(row["ea"], eb)
+            if lo < hi:
+                expected[(int(uid), etype, day)] = (
+                    hi.value - lo.value
+                ) // 1000  # pandas ns → micros
+
+    out = queries()["join_interval_overlap"](spark, sf_dir).collect()
+    assert len(out) == len(expected) > 0
+    for r in out:
+        key = (r["user_id"], r["event_type"], pd.Timestamp(r["day"]))
+        assert r["overlap_micros"] == expected[key]
