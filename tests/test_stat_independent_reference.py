@@ -1586,3 +1586,49 @@ def test_interval_overlap_vs_pure_python(spark, sf_dir):
     for r in out:
         key = (r["user_id"], r["event_type"], pd.Timestamp(r["day"]))
         assert r["overlap_micros"] == expected[key]
+
+
+def test_flagship_weekly_prevalence_vs_pandas(spark, sf_dir):
+    """The flagship weekly prevalence top-n recomputed with pandas
+    Sunday bucketing, share-of-week division, and the (total desc, key)
+    top-10 — counts exact, percentages to the rounded lattice."""
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    ev = _events(sf_dir).copy()
+    day = ev["ts"].dt.normalize()
+    ev["week"] = day - pd.to_timedelta((day.dt.weekday + 1) % 7, unit="D")
+    freq = (
+        ev.groupby(["week", "event_type"]).size().rename("freq").reset_index()
+    )
+    wtot = freq.groupby("week")["freq"].sum().rename("wtot")
+    totals = (
+        freq.groupby("event_type")["freq"].sum().sort_values(
+            ascending=False
+        )
+    )
+    top = sorted(
+        totals.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:10]
+    topkeys = {k: int(v) for k, v in top}
+    expected = {}
+    for _, r in freq.iterrows():
+        k = r["event_type"]
+        if k not in topkeys:
+            continue
+        w = r["week"]
+        expected[(k, w)] = (
+            int(r["freq"]),
+            int(r["freq"]) / int(wtot[w]),
+            topkeys[k],
+        )
+
+    out = queries()["flagship_weekly_prevalence_topn"](
+        spark, sf_dir
+    ).collect()
+    assert len(out) == len(expected) > 0
+    for r in out:
+        f, pct, tot = expected[
+            (r["event_type"], pd.Timestamp(r["week_start"]))
+        ]
+        assert (r["freq"], r["total_freq"]) == (f, tot)
+        assert r["pct"] == pytest.approx(pct, abs=1.1e-6)
