@@ -1632,3 +1632,209 @@ def test_flagship_weekly_prevalence_vs_pandas(spark, sf_dir):
         ]
         assert (r["freq"], r["total_freq"]) == (f, tot)
         assert r["pct"] == pytest.approx(pct, abs=1.1e-6)
+
+
+def _sunday_week(series):
+    day = series.dt.normalize()
+    return day - pd.to_timedelta((day.dt.weekday + 1) % 7, unit="D")
+
+
+def test_join_large_equi_vs_pandas(spark, sf_dir):
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    od = _orders(sf_dir)[["o_orderkey", "o_orderpriority"]]
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    j = od.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    j["rev"] = j["l_extendedprice"] * (1 - j["l_discount"])
+    g = j.groupby("o_orderpriority")["rev"].agg(revenue="sum", n="count")
+
+    out = queries()["join_large_equi"](spark, sf_dir).collect()
+    assert len(out) == len(g) > 0
+    for r in out:
+        row = g.loc[r["o_orderpriority"]]
+        assert r["n"] == int(row["n"])
+        # round(.,2) of a float sum whose order differs → one cent slack
+        assert r["revenue"] == pytest.approx(float(row["revenue"]), abs=0.011)
+
+
+def test_agg_group_sum_vs_pandas(spark, sf_dir):
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount",
+        ],
+    )
+    g = li.groupby(["l_returnflag", "l_linestatus"]).agg(
+        sum_qty=("l_quantity", "sum"),
+        sum_price=("l_extendedprice", "sum"),
+        avg_disc=("l_discount", "mean"),
+        n=("l_quantity", "count"),
+    )
+
+    out = queries()["agg_group_sum"](spark, sf_dir).collect()
+    assert len(out) == len(g) > 0
+    for r in out:
+        row = g.loc[(r["l_returnflag"], r["l_linestatus"])]
+        assert r["n"] == int(row["n"])
+        assert r["sum_qty"] == pytest.approx(float(row["sum_qty"]), abs=1e-6)
+        assert r["sum_price"] == pytest.approx(
+            float(row["sum_price"]), abs=0.011
+        )
+        assert r["avg_disc"] == pytest.approx(
+            float(row["avg_disc"]), abs=1.1e-6
+        )
+
+
+def test_agg_collect_list_vs_pandas(spark, sf_dir):
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_linenumber"],
+    )
+    expected = {}
+    for ok, grp in li.groupby("l_orderkey"):
+        items = sorted(
+            (int(p), int(ln))
+            for p, ln in zip(grp["l_partkey"], grp["l_linenumber"])
+        )
+        expected[int(ok)] = (
+            ",".join(str(p) for p, _ in items), len(items)
+        )
+
+    out = queries()["agg_collect_list"](spark, sf_dir).collect()
+    assert len(out) == len(expected) > 0
+    for r in out:
+        parts, n = expected[r["l_orderkey"]]
+        assert (r["parts"], r["n_items"]) == (parts, n)
+
+
+def test_topk_by_revenue_vs_pandas(spark, sf_dir):
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+    rev = (
+        (li["l_extendedprice"] * (1 - li["l_discount"]))
+        .groupby(li["l_partkey"])
+        .sum()
+        .round(2)
+    )
+    ranked = sorted(
+        ((float(v), int(pk)) for pk, v in rev.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+
+    out = queries()["topk_by_revenue"](spark, sf_dir).collect()
+    assert len(out) == 10
+    for r, (v, pk) in zip(out, ranked):
+        assert r["l_partkey"] == pk
+        assert r["revenue"] == pytest.approx(v, abs=0.011)
+
+
+def test_weekly_freq_matrix_vs_pandas(spark, sf_dir):
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    ev = _events(sf_dir).copy()
+    ev["week"] = _sunday_week(ev["ts"])
+    freq = ev.groupby(["week", "event_type"]).size()
+    totals = ev.groupby("week").size()
+    expected = {
+        (w, k): int(v) for (w, k), v in freq.items()
+    } | {(w, "Total_Genomes"): int(v) for w, v in totals.items()}
+
+    out = queries()["ts_weekly_freq_matrix"](spark, sf_dir).collect()
+    assert len(out) == len(expected) > 0
+    for r in out:
+        assert (
+            expected[(pd.Timestamp(r["week_start"]), r["key"])] == r["freq"]
+        )
+
+
+def test_weekly_combinations_vs_pandas(spark, sf_dir):
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    ev = _events(sf_dir).copy()
+    ev["week"] = _sunday_week(ev["ts"])
+    combos = (
+        ev.groupby(["week", "user_id"])["event_type"]
+        .agg(lambda s: ",".join(sorted(set(s))))
+        .rename("combo")
+        .reset_index()
+    )
+    expected = {
+        (w, c): int(v)
+        for (w, c), v in combos.groupby(["week", "combo"]).size().items()
+    }
+
+    out = queries()["ts_weekly_combinations"](spark, sf_dir).collect()
+    assert len(out) == len(expected) > 0
+    for r in out:
+        assert (
+            expected[(pd.Timestamp(r["week_start"]), r["combo"])]
+            == r["freq"]
+        )
+
+
+def test_region_rollup_vs_pandas(spark, sf_dir):
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    od = _orders(sf_dir)[["o_custkey", "o_orderdate"]]
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nat = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    reg = pd.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    j = (
+        od.merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    j["week"] = _sunday_week(j["o_orderdate"])
+    per = j.groupby(["r_name", "week"]).size()
+    tot = j.groupby("week").size()
+    expected = {(rn, w): int(v) for (rn, w), v in per.items()} | {
+        ("Worldwide", w): int(v) for w, v in tot.items()
+    }
+
+    out = queries()["ts_region_rollup"](spark, sf_dir).collect()
+    assert len(out) == len(expected) > 0
+    for r in out:
+        assert (
+            expected[(r["region"], pd.Timestamp(r["week_start"]))] == r["n"]
+        )
+
+
+def test_reshape_pivot_wide_vs_pandas(spark, sf_dir):
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    ev = _events(sf_dir).copy()
+    ev["week"] = _sunday_week(ev["ts"]).dt.strftime("%Y-%m-%d")
+    freq = ev.groupby(["event_type", "week"]).size()
+    weeks = sorted(set(w for _, w in freq.index))
+
+    out = queries()["reshape_pivot_wide"](spark, sf_dir).collect()
+    cols = queries()["reshape_pivot_wide"](spark, sf_dir).columns
+    assert sorted(c for c in cols if c != "key") == weeks
+    keys = set()
+    for r in out:
+        keys.add(r["key"])
+        for w in weeks:
+            want = freq.get((r["key"], w))
+            if want is None:
+                assert r[w] is None
+            else:
+                assert r[w] == int(want)
+    assert keys == set(ev["event_type"].unique())
