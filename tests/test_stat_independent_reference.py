@@ -1838,3 +1838,32 @@ def test_reshape_pivot_wide_vs_pandas(spark, sf_dir):
             else:
                 assert r[w] == int(want)
     assert keys == set(ev["event_type"].unique())
+
+
+def test_simhash_vs_hashlib(spark, sf_dir):
+    """16-bit SimHash recomputed with hashlib.md5 and a plain vote loop
+    — bit-exact fingerprints."""
+    import hashlib
+
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    expected = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        votes = [0] * 16
+        for w in text.split(" "):
+            if not w:
+                continue
+            h = hashlib.md5(w.encode("utf-8")).hexdigest()
+            for i in range(16):
+                votes[i] += 1 if h[i] in "89abcdef" else -1
+        expected[int(did)] = sum(
+            2**i for i in range(16) if votes[i] > 0
+        )
+
+    out = queries()["dedup_simhash"](spark, sf_dir).collect()
+    assert len(out) == len(expected) > 0
+    for r in out:
+        assert r["simhash"] == expected[r["id"]]
