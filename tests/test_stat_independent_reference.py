@@ -1,4 +1,4 @@
-"""Third-implementation checks for the statistical / survival families.
+"""Third-implementation checks: 50 queries re-derived from raw parquet.
 
 The registry's correctness gate compares Spark against a DuckDB oracle,
 but for the lattice-recursion families BOTH sides deliberately implement
@@ -9,10 +9,15 @@ the query from the RAW parquet with an independent pure-Python/pandas
 implementation (textbook formulas, arbitrary-precision ints where the
 query is integer-exact) and compares against the Spark output at sf0.001.
 
-Integer-exact queries (Kaplan-Meier, Nelson-Aalen, DTW) must match
-EXACTLY; float recursions (Holt-Winters) within the per-step-rounding
-drift bound; one-shot float statistics (ANOVA, chi-square) within
-round-6 tolerance.
+Integer-exact queries (Kaplan-Meier, Nelson-Aalen, DTW, LPA, IPF,
+BPE, SimHash, ...) must match EXACTLY; float recursions (Holt-Winters,
+PageRank) within the per-step-rounding drift bound; one-shot float
+statistics within round-6 tolerance. Combined with the property/fuzz/
+recall test families elsewhere in tests/, every one of the 21 bench
+contract queries carries independent evidence beyond the oracle.
+The module passes at BOTH sf0.001 and sf0.01 (run it at the larger
+scale with SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 — its first
+sf0.01 run caught a pandas int64 overflow in a test reference).
 """
 
 from __future__ import annotations
