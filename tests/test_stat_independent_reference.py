@@ -1872,3 +1872,105 @@ def test_simhash_vs_hashlib(spark, sf_dir):
     assert len(out) == len(expected) > 0
     for r in out:
         assert r["simhash"] == expected[r["id"]]
+
+
+def test_unimax_vs_pure_python(spark, sf_dir):
+    """UniMax water-filling replayed as a plain sorted loop with exact
+    integer division — allocations exact."""
+    import re
+
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+    avail: dict = {}
+    for lang, text in zip(docs["lang"], docs["text"]):
+        n = sum(1 for t in re.split(r"\s+", text) if t)
+        avail[lang] = avail.get(lang, 0) + n
+    order = sorted(avail.items(), key=lambda kv: (kv[1], kv[0]))
+    rem = sum(avail.values()) * 2 // 3
+    k = len(order)
+    expected = {}
+    for i, (lang, av) in enumerate(order, start=1):
+        alloc = min(av, rem // (k - i + 1))
+        rem -= alloc
+        expected[lang] = (av, alloc, round(alloc / av, 6))
+
+    out = queries()["sample_unimax"](spark, sf_dir).collect()
+    assert len(out) == k > 0
+    for r in out:
+        av, alloc, epochs = expected[r["lang"]]
+        assert (r["avail_tokens"], r["alloc_tokens"]) == (av, alloc)
+        assert r["epochs_used"] == pytest.approx(epochs, abs=1e-6)
+
+
+def test_sample_temperature_vs_hashlib(spark, sf_dir):
+    """The deterministic md5-prefix Bernoulli with sqrt-damped source
+    thresholds replayed via hashlib — selected doc sets exact."""
+    import hashlib
+
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    c = docs.groupby("source").size()
+    w = {s: int(math.floor(math.sqrt(n))) for s, n in c.items()}
+    sw = sum(w.values())
+    kq = int(math.floor(int(c.sum()) / 2.0))
+    th = {
+        s: format(
+            min(
+                int(math.floor(kq * w[s] * 4294967296.0 / (sw * int(c[s])))),
+                4294967295,
+            ),
+            "08x",
+        )
+        for s in c.index
+    }
+    expected = set()
+    for did, src in zip(docs["doc_id"], docs["source"]):
+        h = hashlib.md5(str(int(did)).encode()).hexdigest()[:8]
+        if h < th[src]:
+            expected.add(int(did))
+
+    out = queries()["sample_temperature"](spark, sf_dir).collect()
+    assert {r["doc_id"] for r in out} == expected
+    assert len(expected) > 0
+
+
+def test_time_to_convert_vs_pandas(spark, sf_dir):
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    ev = _events(sf_dir)
+    fc = (
+        ev[ev["event_type"] == "click"].groupby("user_id")["ts"].min()
+    )
+    buckets: dict = {}
+    for uid, t1 in fc.items():
+        buys = ev[
+            (ev["user_id"] == uid)
+            & (ev["event_type"] == "purchase")
+            & (ev["ts"] >= t1)
+        ]["ts"]
+        if not len(buys):
+            continue
+        gap_us = (buys.min().value - t1.value) // 1000
+        gh = gap_us // 3600000000
+        b = (
+            "<1h" if gh == 0 else "1-24h" if gh < 24
+            else "1-7d" if gh < 168 else "7d+"
+        )
+        n, lo, hi = buckets.get(b, (0, None, None))
+        buckets[b] = (
+            n + 1,
+            gh if lo is None else min(lo, gh),
+            gh if hi is None else max(hi, gh),
+        )
+
+    out = queries()["window_time_to_convert"](spark, sf_dir).collect()
+    assert len(out) == len(buckets) > 0
+    for r in out:
+        n, lo, hi = buckets[r["latency_bucket"]]
+        assert (r["n_users"], r["min_hours"], r["max_hours"]) == (n, lo, hi)
