@@ -1974,3 +1974,60 @@ def test_time_to_convert_vs_pandas(spark, sf_dir):
     for r in out:
         n, lo, hi = buckets[r["latency_bucket"]]
         assert (r["n_users"], r["min_hours"], r["max_hours"]) == (n, lo, hi)
+
+
+def test_ltv_triangle_vs_pandas(spark, sf_dir):
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    od = _orders(sf_dir).copy()
+    od["yr"] = od["o_orderdate"].dt.year
+    od["cents"] = (od["o_totalprice"] * 100).round().astype(int)
+    cohort = od.groupby("o_custkey")["yr"].min().rename("cohort")
+    sizes = cohort.value_counts().to_dict()
+    j = od.join(cohort, on="o_custkey")
+    j["age"] = j["yr"] - j["cohort"]
+    rev = j.groupby(["cohort", "age"])["cents"].sum()
+    expected = {}
+    for ch in sorted(set(cohort)):
+        cum = 0
+        ages = sorted(a for (c, a) in rev.index if c == ch)
+        for a in ages:
+            cum += int(rev[(ch, a)])
+            expected[(ch, a)] = (
+                sizes[ch],
+                cum,
+                round(cum / (sizes[ch] * 100), 6),
+            )
+
+    out = queries()["window_ltv_triangle"](spark, sf_dir).collect()
+    assert len(out) == len(expected) > 0
+    for r in out:
+        n, cum, ltv = expected[(r["cohort"], r["age"])]
+        assert (r["n_customers"], r["cum_cents"]) == (n, cum)
+        assert r["ltv_per_customer"] == pytest.approx(ltv, abs=1.1e-6)
+
+
+def test_lexical_diversity_vs_pure_python(spark, sf_dir):
+    import re
+
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    stats: dict = {}
+    for src, text in zip(docs["source"], docs["text"]):
+        toks = [t for t in re.split(r"\s+", text) if t]
+        n, types = stats.get(src, (0, set()))
+        types = types | set(toks)
+        stats[src] = (n + len(toks), types)
+
+    out = queries()["text_lexical_diversity"](spark, sf_dir).collect()
+    assert len(out) == len(stats) > 0
+    for r in out:
+        n, types = stats[r["source"]]
+        assert (r["n_tokens"], r["n_types"]) == (n, len(types))
+        assert r["ttr"] == pytest.approx(len(types) / n, abs=1e-6)
+        assert r["root_ttr"] == pytest.approx(
+            len(types) / math.sqrt(n), abs=1e-6
+        )
