@@ -1,4 +1,4 @@
-"""Third-implementation checks: 50 queries re-derived from raw parquet.
+"""Third-implementation checks: 55 queries re-derived from raw parquet.
 
 The registry's correctness gate compares Spark against a DuckDB oracle,
 but for the lattice-recursion families BOTH sides deliberately implement
