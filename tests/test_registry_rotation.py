@@ -38,12 +38,32 @@ def test_registration_order_is_last_resort(monkeypatch):
     assert out == names  # fresh checkout: registration order holds
 
 
-def test_real_ledgers_put_never_driven_in_the_window():
-    driver, fulldrive = registry._evidence()
-    qs = registry.queries()
-    window = list(qs)[:50]
-    zero_prior = [n for n in window if n not in driver]
-    # VERDICT r9 #1 done-criterion: the r10 window must be dominated by
-    # zero-driver-evidence queries (92 exist as of r9 + the r10
-    # registration)
-    assert len(zero_prior) >= 40
+def test_real_ledgers_window_is_the_stalest_cohort():
+    """Rotation invariant (VERDICT r11 #1): against the LIVE ledger, the
+    driver window (first 50 names) holds the stalest driver evidence — no
+    name outside the window is strictly staler than an unforced name
+    inside it — and never-driven names, when any exist, fill the window
+    before any driver-green name. Unlike the old ``>= 40 never-driven``
+    assertion (the r10 milestone, which broke the moment CORRECTNESS_r11
+    drained that cohort to zero), this holds in every future ledger
+    state."""
+    driver, _ = registry._evidence()
+    qs = list(registry.queries())
+    window, rest = qs[:50], qs[50:]
+    forced = {
+        n
+        for n in window
+        if n in registry._RECHECK_FIRST
+        and driver.get(n, -1) < registry._RECHECK_ROUND
+    }
+    if rest:
+        stalest_outside = min(driver.get(n, 0) for n in rest)
+        for n in window:
+            if n not in forced:
+                assert driver.get(n, 0) <= stalest_outside, n
+    never_driven = [n for n in qs if n not in driver]
+    in_window_never = [n for n in window if n not in driver]
+    forced_green_slots = len([n for n in forced if n in driver])
+    assert len(in_window_never) == min(
+        len(never_driven), 50 - forced_green_slots
+    )
