@@ -1,4 +1,4 @@
-"""Third-implementation checks: 55 queries re-derived from raw parquet.
+"""Third-implementation checks: 58 queries re-derived from raw parquet.
 
 The registry's correctness gate compares Spark against a DuckDB oracle,
 but for the lattice-recursion families BOTH sides deliberately implement
@@ -2031,3 +2031,121 @@ def test_lexical_diversity_vs_pure_python(spark, sf_dir):
         assert r["root_ttr"] == pytest.approx(
             len(types) / math.sqrt(n), abs=1e-6
         )
+
+
+def _lpa_labels_py(edges):
+    """Four synchronous LPA rounds as a dict loop (the
+    test_label_propagation_vs_pure_python recursion, factored for the
+    modularity check)."""
+    from collections import Counter
+
+    nbrs: dict[int, list[int]] = {}
+    for u, v in edges:
+        nbrs.setdefault(u, []).append(v)
+        nbrs.setdefault(v, []).append(u)
+    labels = {v: v for v in nbrs}
+    for _ in range(4):
+        labels = {
+            v: min(
+                Counter(labels[w] for w in ns).items(),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[0]
+            for v, ns in nbrs.items()
+        }
+    return nbrs, labels
+
+
+def test_kcore_vs_pure_python(spark, sf_dir):
+    """Four k=10 peeling rounds as a set loop — integer-only (degree
+    count, both-endpoint survival), so surviving vertices and residual
+    degrees must match EXACTLY (VERDICT r10 #3: third implementation
+    for the shared two-engine peel replay)."""
+    from collections import Counter
+
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    e = set(_copurchase_edges_py(sf_dir))
+    for _ in range(4):
+        deg = Counter()
+        for u, v in e:
+            deg[u] += 1
+            deg[v] += 1
+        keep = {x for x, d in deg.items() if d >= 10}
+        e = {(u, v) for u, v in e if u in keep and v in keep}
+    deg = Counter()
+    for u, v in e:
+        deg[u] += 1
+        deg[v] += 1
+
+    out = queries()["graph_kcore"](spark, sf_dir).collect()
+    assert {(r["vertex"], r["degree"]) for r in out} == set(deg.items())
+
+
+def test_hits_vs_pure_python(spark, sf_dir):
+    """Four HITS power-method rounds as dict loops over the bipartite
+    customer→part purchase graph — the iteration is EXACT-integer
+    (deferred L1 normalization), so only the single final quotient is
+    inexact; both engines divide the same exact integers, leaving one
+    6dp lattice unit of slack (VERDICT r10 #3)."""
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    )
+    li = li[li["l_quantity"] >= 45]
+    orders = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    m = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    edges = {
+        (int(c), int(p)) for c, p in zip(m["o_custkey"], m["l_partkey"])
+    }
+    assert edges
+    h = {u: 1 for u, _ in edges}
+    a: dict[int, int] = {}
+    for _ in range(4):
+        a = {}
+        for u, v in edges:
+            a[v] = a.get(v, 0) + h[u]
+        h = {}
+        for u, v in edges:
+            h[u] = h.get(u, 0) + a[v]
+    hn, an = sum(h.values()), sum(a.values())
+    expected = {
+        (u, "hub"): _round6_half_up(s / hn) for u, s in h.items()
+    } | {(v, "authority"): _round6_half_up(s / an) for v, s in a.items()}
+
+    out = queries()["graph_hits"](spark, sf_dir).collect()
+    assert len(out) == len(expected)
+    for row in out:
+        assert row["score"] == pytest.approx(
+            expected[(row["vertex"], row["role"])], abs=1.1e-6
+        )
+
+
+def test_modularity_vs_pure_python(spark, sf_dir):
+    """Newman modularity of the LPA partition from exact arbitrary-
+    precision integers: Q = Σ_c(4m·L_c − d_c²) / (4m²) with L_c/d_c
+    recomputed by dict loops over the raw edge set — both engines then
+    perform the identical int→double conversion and one IEEE division,
+    so Q matches to a 6dp lattice unit (VERDICT r10 #3)."""
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    edges = set(_copurchase_edges_py(sf_dir))
+    nbrs, labels = _lpa_labels_py(edges)
+    m = len(edges)
+    lc: dict[int, int] = {}
+    for u, v in edges:
+        if labels[u] == labels[v]:
+            lc[labels[u]] = lc.get(labels[u], 0) + 1
+    dc: dict[int, int] = {}
+    for v, ns in nbrs.items():
+        dc[labels[v]] = dc.get(labels[v], 0) + len(ns)
+    q_num = sum(4 * m * lc.get(c, 0) - d * d for c, d in dc.items())
+    q = _round6_half_up(q_num / (4 * m * m))
+
+    row = queries()["graph_modularity"](spark, sf_dir).collect()[0]
+    assert row["m"] == m
+    assert row["n_communities"] == len(dc)
+    assert row["q_modularity"] == pytest.approx(q, abs=1.1e-6)
