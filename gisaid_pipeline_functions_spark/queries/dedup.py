@@ -1079,3 +1079,74 @@ def dedup_lsh_pr_eval(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "dedup_incremental_index",
+    # Resumable batch dedup (VERDICT r10 #5 / r11 #3): the Spark side
+    # splits the corpus at the 80th id percentile, dedups the base batch,
+    # PERSISTS the compacted (band, sig) -> keeper index to parquet,
+    # then resumes from the ON-DISK index for the delta batch — while
+    # the oracle dedups the full corpus from scratch under the same
+    # greedy bucket-min rule. Hash equality IS the resume proof:
+    # index-reuse over an append-only delta produces exactly the
+    # from-scratch kept corpus (delta ids all exceed indexed ids, so the
+    # merged bucket minima equal the full-corpus minima). Shares the
+    # shingle/minhash/band CTEs with the batch LSH family verbatim.
+    f"""
+    WITH {_SHINGLES}, {_MINHASH}, {_BANDS},
+    mins AS (SELECT band, sig, min(id) AS keeper FROM bands GROUP BY 1, 2),
+    drops AS (
+      SELECT DISTINCT b.id FROM bands b
+      JOIN mins m ON b.band = m.band AND b.sig = m.sig AND b.id > m.keeper
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d LEFT JOIN drops x ON d.doc_id = x.id
+    WHERE x.id IS NULL
+    """,
+)
+def dedup_incremental_index(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import apply_lsh_band_index
+    from ..streaming.lsh import band_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    # append-only ingest split: batch 1 holds the first ~80% of the id
+    # space, the delta the rest (1-row anchor collect, like the other
+    # threshold queries)
+    cutoff = docs.agg(F.max("doc_id").alias("m")).first()["m"] * 4 // 5
+    base = docs.filter(F.col("doc_id") <= cutoff)
+    delta = docs.filter(F.col("doc_id") > cutoff)
+
+    # batch 1: build + persist the compacted index, and take the base
+    # drops from the same banded frame. The band fold is an expensive
+    # per-row fingerprint consumed twice (groupBy-min AND the drop join),
+    # so persist it before the self-join — the r6 pushdown-reinlining
+    # lesson. Drop join is merge-hinted: both sides grow with the corpus.
+    base_bands = band_signatures(base).persist()
+    index1 = base_bands.groupBy("band", "sig").agg(
+        F.min("doc_id").alias("keeper")
+    )
+    base_drops = (
+        base_bands.join(index1.hint("merge"), ["band", "sig"])
+        .filter(F.col("doc_id") > F.col("keeper"))
+        .select("doc_id")
+        .distinct()
+    )
+    tmp = tempfile.mkdtemp(prefix="gisaid_lsh_index_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    index1.write.mode("overwrite").parquet(tmp)
+
+    # batch 2: resume from the ON-DISK artifact — the delta never
+    # re-scans the historical corpus, only its own shingles plus one
+    # (band, sig) merge against the saved index
+    saved_index = spark.read.parquet(tmp)
+    delta_drops, _updated_index = apply_lsh_band_index(saved_index, delta)
+
+    all_drops = base_drops.unionByName(delta_drops).distinct()
+    return docs.join(all_drops, "doc_id", "left_anti").select(
+        "doc_id", "source"
+    )

@@ -63,11 +63,13 @@ def register(name: str, sql: str | None = None):
 # the round the change was made in — forced to the front until a green
 # driver row from that round (or later) exists, then they rotate back
 # into the normal staleness order automatically.
-_RECHECK_ROUND = 10
+_RECHECK_ROUND = 12
 # the round's one new registration: force it into THIS round's driver
-# window (it is the newest-registered of 93 never-driven queries, so
-# plain registration-order tie-breaking would defer it to r11)
-_RECHECK_FIRST = frozenset({"streaming_lsh_dedup_hash"})
+# window (never-driven queries already sort first, but the never-driven
+# cohort drained to zero in r11, so tie-breaking alone would still put a
+# new registration behind 49 stale-evidence names — CLAUDE.md rule from
+# the r10 catch)
+_RECHECK_FIRST = frozenset({"dedup_incremental_index"})
 
 
 def _evidence() -> tuple[dict[str, int], dict[str, int]]:
