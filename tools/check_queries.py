@@ -31,11 +31,28 @@ def _stratified_sample(registry, n: int) -> list[str]:
     Strata are ordered stalest-driver-evidence first (never-driven = 0),
     then module name; within a stratum, registration order. Round-robin
     across strata guarantees every module×staleness combination is
-    represented before any stratum contributes twice."""
+    represented before any stratum contributes twice.
+
+    Names in the CURRENT round's driver window are excluded (VERDICT r10
+    #4): the spotcheck's value is independent coverage, so it must be
+    disjoint from what the driver checks this round — the first 50 names
+    in rotation order (the window the driver will consume), plus anything
+    already recorded in this round's CORRECTNESS artifact if the driver
+    ran first."""
     driver, _ = registry._evidence()
     qs = registry.queries()
+    root = Path(__file__).resolve().parents[1]
+    excluded = set(list(qs)[:50])
+    current = root / f"CORRECTNESS_r{_round_number(root):02d}.json"
+    if current.exists():
+        try:
+            excluded |= set(json.loads(current.read_text()))
+        except ValueError:
+            pass
     strata: dict[tuple[int, str], list[str]] = {}
     for name in qs:  # registration-staleness order from registry._ordered
+        if name in excluded:
+            continue
         mod = qs[name].__module__.rsplit(".", 1)[-1]
         strata.setdefault((driver.get(name, 0), mod), []).append(name)
     ordered_strata = [strata[k] for k in sorted(strata)]
