@@ -732,6 +732,103 @@ def main() -> None:
     t1 = _stream_once(docs1_tag, cpus)
     tn = _stream_once(docsN_tag, cpus * n)
     print(f"{'lsh_stream_stateful':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (file backlog, {n}x files -> {n}x micro-batches; fixed streaming overhead damps the ratio)")
+
+    # r12 (VERDICT r10 #6): the block_cumsum riders. agg_ks_test and
+    # agg_spearman_rho run block-prefix running sums over VALUE
+    # HISTOGRAMS whose distinct-value count grows with the corpus (price
+    # cents / quantity), so plain key-shifted replication would leave
+    # the histogram keys unchanged and probe nothing — these copies
+    # shift the VALUES per copy (distribution shape preserved, value
+    # spaces disjoint), growing the histogram, the approxQuantile cut
+    # computation, the per-bucket windows, and (for spearman) both
+    # merge-hinted rank-map joins Nx honestly.
+    from gisaid_pipeline_functions_spark.operators.topk import block_cumsum
+
+    ordV = ord1
+    for i in range(1, n):
+        ordV = ordV.unionByName(
+            ord1.withColumn(
+                "o_totalprice", F.col("o_totalprice") + F.lit(i * 1_000_000.0)
+            )
+        )
+    ordV = ordV.repartition(cpus).localCheckpoint(eager=True)
+
+    def _ks_tail(o):
+        cents = o.select(
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("v"),
+            F.col("o_orderpriority")
+            .isin("1-URGENT", "2-HIGH")
+            .cast("int")
+            .alias("g1"),
+        )
+        pv = cents.groupBy("v").agg(
+            F.sum("g1").alias("n1v"), F.sum(1 - F.col("g1")).alias("n2v")
+        )
+        cum = block_cumsum(pv, "v", ["n1v", "n2v"])
+        tot = pv.agg(F.sum("n1v").alias("n1"), F.sum("n2v").alias("n2"))
+        d = cum.crossJoin(F.broadcast(tot)).select(
+            "v",
+            F.abs(
+                F.col("cum_n1v") * F.col("n2")
+                - F.col("cum_n2v") * F.col("n1")
+            ).alias("dn"),
+        )
+        return d.agg(F.max("dn").alias("d_num"))
+
+    t1 = timed(_ks_tail, ord1)
+    tn = timed(_ks_tail, ordV)
+    print(f"{'ks_block_cumsum':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (value-shifted copies: distinct prices grow {n}x)")
+
+    li1 = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_quantity", "l_extendedprice")
+        .repartition(cpus)
+        .localCheckpoint(eager=True)
+    )
+    liV = li1
+    for i in range(1, n):
+        liV = liV.unionByName(
+            li1.withColumn(
+                "l_quantity", F.col("l_quantity") + F.lit(i * 1_000.0)
+            ).withColumn(
+                "l_extendedprice",
+                F.col("l_extendedprice") + F.lit(i * 10_000_000.0),
+            )
+        )
+    liV = liV.repartition(cpus).localCheckpoint(eager=True)
+
+    def _spearman_tail(l):
+        rows_q = l.select(
+            F.col("l_quantity").cast("long").alias("x"),
+            F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("y"),
+        )
+
+        def midrank_map(col):
+            hist = rows_q.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+            cum = block_cumsum(hist, col, ["cnt"])
+            return cum.select(
+                col,
+                (2 * F.col("cum_cnt") - F.col("cnt") + 1).alias(f"r{col}2"),
+            )
+
+        rr = (
+            rows_q.join(midrank_map("x").hint("merge"), "x")
+            .join(midrank_map("y").hint("merge"), "y")
+            .select("rx2", "ry2")
+        )
+        dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+        return rr.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("rx2") * dec("ry2")).cast("decimal(38,0)").alias("sxy"),
+        )
+
+    t1 = timed(_spearman_tail, li1)
+    tn = timed(_spearman_tail, liV)
+    print(f"{'spearman_block_cumsum':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (value-shifted copies: both rank maps grow {n}x)")
     spark.stop()
 
 
