@@ -733,6 +733,49 @@ def main() -> None:
     tn = _stream_once(docsN_tag, cpus * n)
     print(f"{'lsh_stream_stateful':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (file backlog, {n}x files -> {n}x micro-batches; fixed streaming overhead damps the ratio)")
 
+    # r12: the resumable batch dedup (operators/dedup.py:
+    # apply_lsh_band_index). The capability's claim is that resuming a
+    # FIXED delta against an indexed corpus re-pays only the index merge
+    # (16-byte (band, sig) rows), never the historical corpus's shingle
+    # folds — so the probe holds the delta constant, grows the INDEXED
+    # BASE 10x (disjoint-vocab copies: bucket space x10), pre-persists
+    # both indexes to parquet (untimed, that's the prior batch's cost),
+    # and times resume-from-disk at both base sizes. Reference points:
+    # the from-scratch greedy walls above (lsh_greedy_drops) pay the
+    # full corpus fold at every batch; a healthy resume ratio is far
+    # below the index growth because the delta fold dominates.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from gisaid_pipeline_functions_spark.operators.dedup import (
+        apply_lsh_band_index,
+        build_lsh_band_index,
+    )
+
+    delta_fixed = _tag_words(docs1, n + 1).withColumn(
+        "doc_id", F.col("doc_id") + F.lit((n + 1) * 10_000_000)
+    ).repartition(cpus).localCheckpoint(eager=True)
+    idx_dirs = []
+    for tag, base in (("1x", docs1_tag), (f"{n}x", docsN_tag)):
+        d = _tempfile.mkdtemp(prefix=f"lsh_idx_{tag}_")
+        idx_dirs.append(d)
+        build_lsh_band_index(base).write.mode("overwrite").parquet(d)
+
+    def _resume(idx_dir):
+        def run(delta):
+            drops, _ = apply_lsh_band_index(
+                spark.read.parquet(idx_dir), delta
+            )
+            return drops
+
+        return run
+
+    t1 = timed(_resume(idx_dirs[0]), delta_fixed)
+    tn = timed(_resume(idx_dirs[1]), delta_fixed)
+    print(f"{'lsh_resume_fixed_delta':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (fixed delta, indexed base grows {n}x — only the index merge grows)")
+    for d in idx_dirs:
+        _shutil.rmtree(d, ignore_errors=True)
+
     # r12 (VERDICT r10 #6): the block_cumsum riders. agg_ks_test and
     # agg_spearman_rho run block-prefix running sums over VALUE
     # HISTOGRAMS whose distinct-value count grows with the corpus (price

@@ -46,12 +46,14 @@ def _round_number(root: Path) -> int:
         if (m := re.search(r"r(\d+)$", p.stem))
     ]
     latest = max(rounds, default=0)
-    # CORRECTNESS_r<N> lands at the START of round N's judging, so once it
-    # exists a sweep during the SAME round must still write SWEEP_r<N> —
-    # only bump to N+1 when SWEEP_r<N> was already written (ADVICE r6:
-    # max+1 unconditionally fragmented the per-round wall history).
-    if latest and not (root / f"SWEEP_r{latest:02d}.json").exists():
-        return latest
+    # CORRECTNESS_r<N> lands at the START of round N's judging; a sweep
+    # during round N+1's build (the normal case — same rule as
+    # tools/fulldrive.py) must stamp N+1. The old "reuse N while
+    # SWEEP_r<N> is missing" heuristic (ADVICE r6) misfires after a
+    # builder-less round: r11 shipped no sweep, so the r12 build's sweep
+    # stamped r11 and had to be renamed by hand. A sweep re-run in the
+    # same round overwrites its own artifact, which is what you want;
+    # a sweep for a PAST round needs the env var.
     return latest + 1
 
 
