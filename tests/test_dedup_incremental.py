@@ -115,3 +115,68 @@ def test_empty_delta_is_identity(spark, sf_dir):
     assert drops.count() == 0
     assert updated.exceptAll(idx).count() == 0
     assert idx.exceptAll(updated).count() == 0
+
+
+# ---- hypothesis properties: resume ≡ from-scratch on ARBITRARY corpora
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# tiny alphabet → heavy bucket collisions; '' produces double/trailing
+# spaces and sub-k docs (no band rows at all — batches can be entirely
+# signature-free, the edge the parquet corpus never hits)
+_WORD = st.sampled_from(["a", "bb", "ccc", "dd", "e", ""])
+_TEXT = st.lists(_WORD, min_size=0, max_size=8).map(" ".join)
+
+
+@given(
+    texts=st.lists(_TEXT, min_size=1, max_size=12),
+    cut_fracs=st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=12),
+    ),
+)
+@settings(**_SETTINGS)
+def test_resume_equals_from_scratch_on_any_corpus(spark, texts, cut_fracs):
+    """For ANY corpus and ANY two ascending-id split points (possibly
+    empty batches), the two-delta index replay reproduces the
+    from-scratch bucket-min drop set and compacted index exactly."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    c1, c2 = sorted((min(cut_fracs), max(cut_fracs)))
+    batches = [
+        docs.filter(F.col("doc_id") < c1),
+        docs.filter((F.col("doc_id") >= c1) & (F.col("doc_id") < c2)),
+        docs.filter(F.col("doc_id") >= c2),
+    ]
+    cur = spark.createDataFrame([], INDEX_SCHEMA)
+    replay_drops: set[int] = set()
+    for batch in batches:
+        drops, cur = apply_lsh_band_index(cur, batch)
+        replay_drops |= {r["doc_id"] for r in drops.collect()}
+        # materialize the index between batches — the persisted-artifact
+        # boundary (localCheckpoint stands in for the parquet round trip,
+        # which test_two_delta_resume_equals_from_scratch covers on disk)
+        cur = cur.localCheckpoint(eager=True)
+
+    bands = band_signatures(docs)
+    mins = bands.groupBy("band", "sig").agg(F.min("doc_id").alias("keeper"))
+    scratch_drops = {
+        r["doc_id"]
+        for r in bands.join(mins, ["band", "sig"])
+        .filter(F.col("doc_id") > F.col("keeper"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert replay_drops == scratch_drops
+    assert {
+        (r["band"], r["sig"], r["keeper"]) for r in cur.collect()
+    } == {(r["band"], r["sig"], r["keeper"]) for r in mins.collect()}
