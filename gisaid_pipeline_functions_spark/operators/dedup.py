@@ -939,6 +939,40 @@ def exactsubstr_chars(
     return cut.unionByName(untouched)
 
 
+def lsh_band_stack(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 2,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """``(doc_id, band, sig)`` rows per doc via the BATCH pipeline
+    (word_shingles explode → one grouped minhash pass → band stack) —
+    bit-identical to the streaming map-side ``streaming.lsh.
+    band_signatures`` (pinned by tests/test_streaming_lsh.py and the
+    hypothesis bit-parity property) but ~3× faster in batch: the
+    explode+groupBy runs in whole-stage codegen while the per-row
+    higher-order-function fold is interpreted. Batch callers (the
+    resumable index) use this; the HOF fold exists solely so STREAMS
+    get signatures without a pre-state shuffle."""
+    sh = word_shingles(docs, id_col, text_col, k=3, distinct=False)
+    sig = minhash_signatures(sh, n_hashes=n_bands * rows_per_band)
+    parts = []
+    for b in range(n_bands):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        parts.append(
+            sig.select(
+                F.col("id").alias("doc_id"),
+                F.lit(b).cast("int").alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("sig"),
+            )
+        )
+    stacked = parts[0]
+    for df in parts[1:]:
+        stacked = stacked.unionByName(df)
+    return stacked.select("band", "sig", "doc_id")
+
+
 def build_lsh_band_index(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -955,10 +989,11 @@ def build_lsh_band_index(
     shuffles and the streaming GroupState holds), never with corpus
     bytes. One hash-groupBy on a high-cardinality 16-byte key; partial
     (map-side) min aggregation means the shuffle carries one row per
-    (bucket, input partition), not per document."""
-    from ..streaming.lsh import band_signatures
-
-    bands = band_signatures(docs, id_col=id_col, text_col=text_col)
+    (bucket, input partition), not per document. Signatures come from
+    the codegen'd batch pipeline (``lsh_band_stack``), bit-identical to
+    the streaming HOF fold, so a batch-built index merges losslessly
+    with streaming GroupState contents and vice versa."""
+    bands = lsh_band_stack(docs, id_col=id_col, text_col=text_col)
     return bands.groupBy("band", "sig").agg(F.min("doc_id").alias("keeper"))
 
 
@@ -988,9 +1023,7 @@ def apply_lsh_band_index(
     drop-join back is merge-hinted because both sides grow with the
     corpus (the r6 broadcast-OOM lesson: post-aggregation frames carry
     garbage size estimates)."""
-    from ..streaming.lsh import band_signatures
-
-    delta_bands = band_signatures(delta, id_col=id_col, text_col=text_col)
+    delta_bands = lsh_band_stack(delta, id_col=id_col, text_col=text_col)
     merged = index.select(
         "band", "sig", F.col("keeper").alias("doc_id")
     ).unionByName(delta_bands.select("band", "sig", "doc_id"))
