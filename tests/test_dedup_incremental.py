@@ -180,3 +180,37 @@ def test_resume_equals_from_scratch_on_any_corpus(spark, texts, cut_fracs):
     assert {
         (r["band"], r["sig"], r["keeper"]) for r in cur.collect()
     } == {(r["band"], r["sig"], r["keeper"]) for r in mins.collect()}
+
+
+@given(
+    texts=st.lists(_TEXT, min_size=2, max_size=12),
+    cut=st.integers(min_value=1, max_value=11),
+)
+@settings(**_SETTINGS)
+def test_index_is_order_free_even_for_non_monotone_deltas(
+    spark, texts, cut
+):
+    """The drop DECISIONS require the append-only id contract, but the
+    UPDATED INDEX is a pure bucket-min — order-free by construction. Feed
+    the batches in REVERSED id order (every delta id smaller than every
+    indexed id — the contract's worst violation): the final index must
+    still equal the from-scratch bucket-min over all docs, so a resumed
+    pipeline's state never corrupts even if an out-of-order backfill
+    sneaks in (only that backfill's keep/drop calls differ)."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    c = min(cut, len(texts) - 1)
+    high_first = [
+        docs.filter(F.col("doc_id") >= c),
+        docs.filter(F.col("doc_id") < c),
+    ]
+    cur = spark.createDataFrame([], INDEX_SCHEMA)
+    for batch in high_first:
+        _drops, cur = apply_lsh_band_index(cur, batch)
+        cur = cur.localCheckpoint(eager=True)
+    bands = band_signatures(docs)
+    mins = bands.groupBy("band", "sig").agg(F.min("doc_id").alias("keeper"))
+    assert {
+        (r["band"], r["sig"], r["keeper"]) for r in cur.collect()
+    } == {(r["band"], r["sig"], r["keeper"]) for r in mins.collect()}
