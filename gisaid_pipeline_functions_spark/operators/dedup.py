@@ -39,23 +39,10 @@ def word_shingles(
     should pass ``distinct=False``: ``min()`` in MinHash is
     duplicate-insensitive, and the distinct is a full extra shuffle of
     every shingle row (measured 13% off the whole LSH pipeline at sf0.1,
-    identical output).
-
-    r12: the shingle build + downstream md5s are CPU-bound and run in
-    the SCAN stage — a small single-file parquet arrives as one split,
-    single-threading the whole family (the r9 bootstrap /
-    classifier_features guard). Spread under-split batch inputs across
-    the pool first; at real scale the table arrives as thousands of
-    splits and the guard no-ops (a blanket repartition would shuffle
-    corpus text). Measured 1.56× off the LSH candidate pipeline at
-    sf0.1."""
+    identical output)."""
     words = df.select(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("w")
     )
-    if not df.isStreaming:
-        target = df.sparkSession.sparkContext.defaultParallelism
-        if words.rdd.getNumPartitions() < target:
-            words = words.repartition(target)
     w = F.col("w")
     # guard: sequence(0, negative) would generate a DESCENDING range for
     # docs shorter than k words — emit an empty array instead

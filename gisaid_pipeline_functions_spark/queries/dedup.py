@@ -1117,14 +1117,11 @@ def dedup_incremental_index(spark, sf_dir):
     # space, the delta the rest (1-row anchor collect, like the other
     # threshold queries)
     cutoff = docs.agg(F.max("doc_id").alias("m")).first()["m"] * 4 // 5
-    # a small single-file parquet is ONE input split — spread the
-    # CPU-bound shingle/md5 expansion across the pool before it happens
-    # (the r9 bootstrap rule), but only when the scan is actually
-    # under-split: at real scale the table arrives as thousands of
-    # splits and a blanket repartition would shuffle the corpus text
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    # NO repartition guard here (r12 interleaved A/B): unlike the 32x
+    # bootstrap fanout or the ~180x classifier gram explode, the shingle
+    # fold is too small a fraction of this query for spreading the
+    # single-split scan to beat the added text shuffle + task overhead —
+    # measured neutral-to-negative at local[32], the driver's setting
     base = docs.filter(F.col("doc_id") <= cutoff)
     delta = docs.filter(F.col("doc_id") > cutoff)
 
