@@ -86,6 +86,11 @@ EXTENDED = [
     # explode (~2 s) — the two new shapes the contract 21 don't cover
     "pack_bestfit",
     "agg_bootstrap_ab_diff",
+    # r13 representative (VERDICT r12 #3): the resumable batch dedup —
+    # its only r12 sweep row (6.74 s raw) predates the 1.75x batch
+    # band-stack optimization, so this is the first committed min-of-2
+    # number for the optimized query (parquet index write+read included)
+    "dedup_incremental_index",
 ]
 
 # Idle-machine anchor for the self-normalizing `calibrated_value` field

@@ -63,13 +63,20 @@ def register(name: str, sql: str | None = None):
 # the round the change was made in — forced to the front until a green
 # driver row from that round (or later) exists, then they rotate back
 # into the normal staleness order automatically.
-_RECHECK_ROUND = 12
-# the round's one new registration: force it into THIS round's driver
+_RECHECK_ROUND = 13
+# the round's new registrations: force them into THIS round's driver
 # window (never-driven queries already sort first, but the never-driven
 # cohort drained to zero in r11, so tie-breaking alone would still put a
 # new registration behind 49 stale-evidence names — CLAUDE.md rule from
 # the r10 catch)
-_RECHECK_FIRST = frozenset({"dedup_incremental_index"})
+_RECHECK_FIRST = frozenset({
+    # new registration this round (the exact-dedup resume twin)
+    "dedup_incremental_exact",
+    # transitive code change: apply_lsh_band_index gained the
+    # delta_bands persist (ADVICE r12) — semantics-neutral, but the
+    # convention is a fresh driver row after any operator change
+    "dedup_incremental_index",
+})
 
 
 def _evidence() -> tuple[dict[str, int], dict[str, int]]:

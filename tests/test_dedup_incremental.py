@@ -214,3 +214,129 @@ def test_index_is_order_free_even_for_non_monotone_deltas(
     assert {
         (r["band"], r["sig"], r["keeper"]) for r in cur.collect()
     } == {(r["band"], r["sig"], r["keeper"]) for r in mins.collect()}
+
+
+# ---- the EXACT-dedup index twin (VERDICT r12 #4) -----------------------
+
+from gisaid_pipeline_functions_spark.operators.dedup import (  # noqa: E402
+    apply_exact_dedup_index,
+    build_exact_dedup_index,
+)
+
+EXACT_SCHEMA = "fingerprint string, keeper_id long, n_copies long"
+
+
+def _exact_from_scratch(docs):
+    """keeper = min id per md5(text), n_copies = full-corpus count —
+    the same semantics the driver oracle (dedup_incremental_exact) runs
+    in DuckDB."""
+    idx = build_exact_dedup_index(docs)
+    index = {
+        (r["fingerprint"], r["keeper_id"], r["n_copies"])
+        for r in idx.collect()
+    }
+    fp = docs.select(
+        "doc_id", F.md5(F.col("text")).alias("fingerprint")
+    )
+    drops = {
+        r["doc_id"]
+        for r in fp.join(idx, "fingerprint")
+        .filter(F.col("doc_id") > F.col("keeper_id"))
+        .select("doc_id")
+        .collect()
+    }
+    return drops, index
+
+
+def test_exact_two_delta_resume_equals_from_scratch(spark, sf_dir, tmp_path):
+    """base + delta1 + delta2, each resumed from the previous batch's
+    ON-DISK fingerprint index, must reproduce the from-scratch drop set
+    AND the from-scratch (fingerprint, keeper, n_copies) index exactly —
+    keeper minima AND copy counts both merge losslessly (append-only id
+    contract: batches split at ascending id cutoffs)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    mx = docs.agg(F.max("doc_id").alias("m")).first()["m"]
+    c1, c2 = mx * 3 // 5, mx * 4 // 5
+    batches = [
+        docs.filter(F.col("doc_id") <= c1),
+        docs.filter((F.col("doc_id") > c1) & (F.col("doc_id") <= c2)),
+        docs.filter(F.col("doc_id") > c2),
+    ]
+
+    cur_path = None
+    replay_drops: set[int] = set()
+    for i, batch in enumerate(batches):
+        saved = (
+            spark.read.parquet(cur_path)
+            if cur_path
+            else spark.createDataFrame([], EXACT_SCHEMA)
+        )
+        drops, updated = apply_exact_dedup_index(saved, batch)
+        replay_drops |= {r["doc_id"] for r in drops.collect()}
+        cur_path = str(tmp_path / f"xidx{i}")
+        updated.write.parquet(cur_path)
+
+    scratch_drops, scratch_index = _exact_from_scratch(docs)
+    assert replay_drops == scratch_drops
+    final_index = {
+        (r["fingerprint"], r["keeper_id"], r["n_copies"])
+        for r in spark.read.parquet(cur_path).collect()
+    }
+    assert final_index == scratch_index
+
+
+def test_exact_empty_delta_is_identity(spark, sf_dir):
+    """A row-free delta drops nothing and leaves the index (keepers AND
+    counts) unchanged — the no-new-data resume."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = build_exact_dedup_index(docs).select(
+        "fingerprint", "keeper_id", "n_copies"
+    )
+    empty = docs.filter(F.lit(False))
+    drops, updated = apply_exact_dedup_index(idx, empty)
+    assert drops.count() == 0
+    assert updated.exceptAll(idx).count() == 0
+    assert idx.exceptAll(updated).count() == 0
+
+
+@given(
+    texts=st.lists(_TEXT, min_size=1, max_size=12),
+    cut_fracs=st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=12),
+    ),
+)
+@settings(**_SETTINGS)
+def test_exact_resume_equals_from_scratch_on_any_corpus(
+    spark, texts, cut_fracs
+):
+    """For ANY corpus (duplicate-heavy tiny alphabet, empty texts) and
+    ANY two ascending-id split points (possibly empty batches), the
+    two-delta exact-index replay reproduces the from-scratch keeper set
+    and copy counts exactly."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    c1, c2 = sorted((min(cut_fracs), max(cut_fracs)))
+    batches = [
+        docs.filter(F.col("doc_id") < c1),
+        docs.filter((F.col("doc_id") >= c1) & (F.col("doc_id") < c2)),
+        docs.filter(F.col("doc_id") >= c2),
+    ]
+    cur = spark.createDataFrame([], EXACT_SCHEMA)
+    replay_drops: set[int] = set()
+    for batch in batches:
+        drops, cur = apply_exact_dedup_index(cur, batch)
+        replay_drops |= {r["doc_id"] for r in drops.collect()}
+        cur = cur.localCheckpoint(eager=True)
+
+    scratch_drops, scratch_index = _exact_from_scratch(docs)
+    assert replay_drops == scratch_drops
+    assert {
+        (r["fingerprint"], r["keeper_id"], r["n_copies"])
+        for r in cur.collect()
+    } == scratch_index

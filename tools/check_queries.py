@@ -36,17 +36,24 @@ def _stratified_sample(registry, n: int) -> list[str]:
     Names in the CURRENT round's driver window are excluded (VERDICT r10
     #4): the spotcheck's value is independent coverage, so it must be
     disjoint from what the driver checks this round — the first 50 names
-    in rotation order (the window the driver will consume), plus anything
-    already recorded in this round's CORRECTNESS artifact if the driver
-    ran first."""
+    in rotation order (the window the driver will consume), PLUS the
+    names in the latest EXISTING CORRECTNESS artifact. The latter covers
+    the driver-ran-first case (ADVICE r12): _round_number() derives the
+    round as max(existing)+1, so "this round's" file can never exist by
+    that name — but when the driver has already run, its output IS the
+    latest existing file and its names have rotated out of the first-50
+    (their evidence is now fresh). Excluding the latest file's names is
+    correct in both orderings: driver-first, it restores the documented
+    disjointness; builder-first, it only skips last round's freshest
+    names, which the spotcheck (stalest-first) values least anyway."""
     driver, _ = registry._evidence()
     qs = registry.queries()
     root = Path(__file__).resolve().parents[1]
     excluded = set(list(qs)[:50])
-    current = root / f"CORRECTNESS_r{_round_number(root):02d}.json"
-    if current.exists():
+    latest = sorted(root.glob("CORRECTNESS_r*.json"))
+    if latest:
         try:
-            excluded |= set(json.loads(current.read_text()))
+            excluded |= set(json.loads(latest[-1].read_text()))
         except ValueError:
             pass
     strata: dict[tuple[int, str], list[str]] = {}

@@ -776,6 +776,38 @@ def main() -> None:
     for d in idx_dirs:
         _shutil.rmtree(d, ignore_errors=True)
 
+    # r13 (VERDICT r12 #4): the EXACT-dedup resume twin. Same probe
+    # shape — fixed delta, indexed base grown 10x (disjoint-vocab copies
+    # -> 10x distinct fingerprints, the quantity the index grows with),
+    # both fingerprint indexes pre-persisted untimed. A healthy ratio is
+    # ~flat: the delta pays one md5 per doc and the only growing cost is
+    # the 16-byte fingerprint merge shuffle.
+    from gisaid_pipeline_functions_spark.operators.dedup import (
+        apply_exact_dedup_index,
+        build_exact_dedup_index,
+    )
+
+    xidx_dirs = []
+    for tag, base in (("1x", docs1_tag), (f"{n}x", docsN_tag)):
+        d = _tempfile.mkdtemp(prefix=f"exact_idx_{tag}_")
+        xidx_dirs.append(d)
+        build_exact_dedup_index(base).write.mode("overwrite").parquet(d)
+
+    def _exact_resume(idx_dir):
+        def run(delta):
+            drops, _ = apply_exact_dedup_index(
+                spark.read.parquet(idx_dir), delta
+            )
+            return drops
+
+        return run
+
+    t1 = timed(_exact_resume(xidx_dirs[0]), delta_fixed)
+    tn = timed(_exact_resume(xidx_dirs[1]), delta_fixed)
+    print(f"{'exact_resume_fixed_delta':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (fixed delta, fingerprint index grows {n}x — only the 16-byte merge grows)")
+    for d in xidx_dirs:
+        _shutil.rmtree(d, ignore_errors=True)
+
     # r12 (VERDICT r10 #6): the block_cumsum riders. agg_ks_test and
     # agg_spearman_rho run block-prefix running sums over VALUE
     # HISTOGRAMS whose distinct-value count grows with the corpus (price
