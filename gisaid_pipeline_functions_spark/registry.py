@@ -76,6 +76,15 @@ _RECHECK_FIRST = frozenset({
     # delta_bands persist (ADVICE r12) — semantics-neutral, but the
     # convention is a fresh driver row after any operator change
     "dedup_incremental_index",
+    # transitive code changes: the duplicated-key rule in span_surgery /
+    # exactsubstr_chars moved to the min!=max extremes form
+    # (_cross_doc_keys — algebraically identical, 0.78×/0.84× measured),
+    # and simhash16/span_surgery gained the conditional under-split
+    # repartition guard (0.44×/0.76× measured, interleaved A/B)
+    "dedup_span_surgery",
+    "dedup_span_surgery_within",
+    "dedup_exactsubstr_chars",
+    "dedup_simhash",
 })
 
 
