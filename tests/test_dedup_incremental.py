@@ -340,3 +340,109 @@ def test_exact_resume_equals_from_scratch_on_any_corpus(
         (r["fingerprint"], r["keeper_id"], r["n_copies"])
         for r in cur.collect()
     } == scratch_index
+
+
+@given(
+    texts=st.lists(_TEXT, min_size=2, max_size=12),
+    cut=st.integers(min_value=1, max_value=11),
+)
+@settings(**_SETTINGS)
+def test_exact_index_is_order_free_even_for_non_monotone_deltas(
+    spark, texts, cut
+):
+    """Like the banded twin: drop DECISIONS require the append-only id
+    contract, but the UPDATED INDEX is a pure per-fingerprint (min, sum)
+    — both commutative — so an out-of-order backfill can corrupt only
+    its own keep/drop calls, never the persisted state. Feed the batches
+    in REVERSED id order (every delta id smaller than every indexed id):
+    the final index must equal the from-scratch one exactly, keepers AND
+    counts."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    c = min(cut, len(texts) - 1)
+    high_first = [
+        docs.filter(F.col("doc_id") >= c),
+        docs.filter(F.col("doc_id") < c),
+    ]
+    cur = spark.createDataFrame([], EXACT_SCHEMA)
+    for batch in high_first:
+        _drops, cur = apply_exact_dedup_index(cur, batch)
+        cur = cur.localCheckpoint(eager=True)
+    _, scratch_index = _exact_from_scratch(docs)
+    assert {
+        (r["fingerprint"], r["keeper_id"], r["n_copies"])
+        for r in cur.collect()
+    } == scratch_index
+
+
+def test_exact_index_matches_streaming_state(spark, sf_dir, tmp_path):
+    """Batch/stream interop for the exact family: the persisted batch
+    index (build_exact_dedup_index) and the streaming GroupState
+    (streaming.dedup.streaming_first_seen) must agree row-for-row —
+    keeper = min id, count = full-corpus occurrences — so an index built
+    by either path resumes the other. The backlog is forced through
+    MULTIPLE micro-batches (maxFilesPerTrigger=1) so cross-batch state
+    merge, not single-batch aggregation, is what is being compared.
+
+    The backlog honors the SAME append-only ascending-id arrival
+    contract the index resume documents: streaming first-seen keeps the
+    first ARRIVAL, so first-seen ≡ min-id — and batch-index ≡
+    streaming-state — exactly under that contract (a shuffled arrival
+    order flips keepers to whichever copy landed first; counts still
+    agree). FileStreamSource orders files by modification time, and
+    path order among same-mtime files is NOT stable across sessions
+    (observed both orders), so each id-range batch is APPENDED
+    sequentially with distinct mtimes."""
+    import time as _time
+
+    from gisaid_pipeline_functions_spark.streaming.dedup import (
+        streaming_first_seen,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    corpus = docs.unionByName(dup)
+    backlog = str(tmp_path / "backlog")
+    mx = docs.agg(F.max("doc_id").alias("m")).first()["m"]
+    cuts = [(None, mx // 2), (mx // 2, mx), (mx, 1_000_000 + mx // 2),
+            (1_000_000 + mx // 2, None)]
+    for lo, hi in cuts:
+        part = corpus
+        if lo is not None:
+            part = part.filter(F.col("doc_id") > lo)
+        if hi is not None:
+            part = part.filter(F.col("doc_id") <= hi)
+        part.coalesce(1).write.mode("append").parquet(backlog)
+        _time.sleep(1.1)  # FileStreamSource mtime ordering is per-second
+
+    batch_index = {
+        (r["fingerprint"], r["keeper_id"], r["n_copies"])
+        for r in build_exact_dedup_index(corpus).collect()
+    }
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(backlog)
+    q = (
+        streaming_first_seen(stream)
+        .writeStream.format("memory")
+        .queryName("exact_interop_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final: dict[str, tuple] = {}
+    for r in spark.sql("SELECT * FROM exact_interop_test").collect():
+        prev = final.get(r["fingerprint"])
+        # n_dupes_dropped grows monotonically across updates — the max
+        # is the final state, independent of sink row order
+        if prev is None or r["n_dupes_dropped"] > prev[1]:
+            final[r["fingerprint"]] = (r["keeper_id"], r["n_dupes_dropped"])
+    stream_index = {
+        (fp, keeper, dropped + 1) for fp, (keeper, dropped) in final.items()
+    }
+    assert stream_index == batch_index
