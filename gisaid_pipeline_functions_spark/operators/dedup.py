@@ -610,6 +610,15 @@ def span_surgery(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:long,h:string>>"))
+    # TWO consumers (the dup groupBy and the positions join back) and no
+    # runtime ReusedExchange between them (audited r13: the final AQE
+    # plan replays the md5 shingle fold on both sides) — but deliberately
+    # NOT persisted: an interleaved A/B measured persist() 1.09× SLOWER
+    # here, because materializing the exploded rows blocks the fold from
+    # fusing into each consumer's map-side partial aggregation, which is
+    # cheaper than the replay once the under-split guard spreads the
+    # fold. (The r6 persist rule applies to fingerprints feeding a
+    # SELF-JOIN's pair predicate, where replay multiplies per-pair.)
     sh = base.select("id", F.explode(starts).alias("s")).select(
         "id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h")
     )
@@ -907,6 +916,11 @@ def exactsubstr_chars(
     else:
         heavy = staged
 
+    # TWO consumers (dup groupBy + positions join), fold replayed on
+    # both sides (no runtime ReusedExchange; r13 audit) — deliberately
+    # NOT persisted: the interleaved A/B measured persist() 1.08× SLOWER
+    # (materializing the exploded grams defeats the fold's fusion into
+    # each consumer's map-side partial agg; see span_surgery's note).
     sh = heavy.select(
         "id", F.posexplode(h).alias("pos", "gh")
     ).select("id", F.col("pos").cast("long").alias("pos"), "gh")
