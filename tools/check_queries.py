@@ -13,6 +13,14 @@ artifact is machine-comparable with the driver's own.
 
 Usage:  python tools/check_queries.py name [name ...] [--sf=DIR]
         python tools/check_queries.py --sample 20 [--sf=DIR]
+
+Round stamping: the SPOTCHECK artifact's round is max(existing
+CORRECTNESS rounds)+1 — correct for the builder's pre-driver flow.
+When running AFTER the driver in the same round (a judge's audit),
+set SPARK_GRAFT_ROUND explicitly or the artifact gets the NEXT
+round's number; the window-disjointness exclusion itself is
+order-safe either way (it excludes the latest CORRECTNESS file's
+names — ADVICE r12).
 """
 
 from __future__ import annotations
