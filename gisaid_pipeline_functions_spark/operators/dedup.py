@@ -1044,6 +1044,7 @@ def apply_lsh_band_index(
     delta: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cleanup: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Resume a batch LSH dedup from a persisted compacted index: returns
     ``(drops, updated_index)`` for a delta batch whose ids are strictly
@@ -1068,8 +1069,20 @@ def apply_lsh_band_index(
     because it has TWO consumers (the merged-index groupBy and the probe
     side of the drops join) — without it the static plan replays the
     delta's shingle/minhash fold on both sides (the r6 re-inline class;
-    AQE exchange reuse is not guaranteed across these subtrees)."""
+    AQE exchange reuse is not guaranteed across these subtrees).
+
+    ``cleanup`` (ADVICE r13): the persisted delta frame is dead once
+    ``drops``/``updated_index`` are materialized, but the return values
+    are lazy so this function cannot unpersist it itself. One-shot
+    callers (the registered query, a short-lived session) can ignore it
+    — Spark evicts MEMORY_AND_DISK blocks under pressure. Loop-style
+    callers (one call per delta batch in a long-lived incremental
+    session) should pass a list and ``unpersist()`` its entries after
+    materializing both outputs, or the per-batch caches accumulate for
+    the life of the session."""
     delta_bands = lsh_band_stack(delta, id_col=id_col, text_col=text_col).persist()
+    if cleanup is not None:
+        cleanup.append(delta_bands)
     merged = index.select(
         "band", "sig", F.col("keeper").alias("doc_id")
     ).unionByName(delta_bands.select("band", "sig", "doc_id"))
@@ -1108,6 +1121,7 @@ def apply_exact_dedup_index(
     delta: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cleanup: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Resume an exact dedup from a persisted fingerprint index: returns
     ``(drops, updated_index)`` for a delta batch whose ids are strictly
@@ -1130,11 +1144,18 @@ def apply_exact_dedup_index(
     bytes twice (the r6 re-inline class). Unlike the banded twin no
     ``distinct`` is needed on drops — each doc has exactly ONE
     fingerprint. The drops join is merge-hinted: both sides grow with
-    the corpus (the r6 broadcast-OOM lesson)."""
+    the corpus (the r6 broadcast-OOM lesson).
+
+    ``cleanup`` (ADVICE r13): same contract as ``apply_lsh_band_index``
+    — loop-style callers pass a list and ``unpersist()`` its entries
+    once both outputs are materialized; one-shot callers may ignore
+    it."""
     delta_fp = delta.select(
         F.col(id_col).alias("doc_id"),
         F.md5(F.col(text_col)).alias("fingerprint"),
     ).persist()
+    if cleanup is not None:
+        cleanup.append(delta_fp)
     delta_agg = delta_fp.groupBy("fingerprint").agg(
         F.min("doc_id").alias("keeper_id"),
         F.count(F.lit(1)).alias("n_copies"),

@@ -446,3 +446,30 @@ def test_exact_index_matches_streaming_state(spark, sf_dir, tmp_path):
         (fp, keeper, dropped + 1) for fp, (keeper, dropped) in final.items()
     }
     assert stream_index == batch_index
+
+
+def test_cleanup_handle_releases_per_batch_caches(spark, sf_dir):
+    """ADVICE r13: both index appliers persist() their delta frame (two
+    consumers — the merge groupBy and the drops-join probe side), but
+    return LAZY frames, so a long-lived incremental session calling them
+    once per delta batch accumulates dead caches. The ``cleanup``
+    out-param is the release path: after materializing both outputs,
+    unpersisting its entries leaves nothing cached."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    mx = docs.agg(F.max("doc_id").alias("m")).first()["m"]
+    base = docs.filter(F.col("doc_id") <= mx // 2)
+    delta = docs.filter(F.col("doc_id") > mx // 2)
+
+    for build, apply in (
+        (build_lsh_band_index, apply_lsh_band_index),
+        (build_exact_dedup_index, apply_exact_dedup_index),
+    ):
+        handles: list = []
+        drops, updated = apply(build(base), delta, cleanup=handles)
+        drops.count(), updated.count()  # materialize both consumers
+        assert len(handles) == 1 and handles[0].is_cached
+        for h in handles:
+            h.unpersist()
+        assert not handles[0].is_cached

@@ -58,7 +58,15 @@ def _stratified_sample(registry, n: int) -> list[str]:
     qs = registry.queries()
     root = Path(__file__).resolve().parents[1]
     excluded = set(list(qs)[:50])
-    latest = sorted(root.glob("CORRECTNESS_r*.json"))
+    # Sort by the PARSED round, not lexicographically (ADVICE r13): a
+    # zero-padded sort returns r99 as "latest" once rounds hit three
+    # digits and the exclusion set silently targets the wrong round.
+    import re
+
+    latest = sorted(
+        root.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)$", p.stem).group(1)),
+    )
     if latest:
         try:
             excluded |= set(json.loads(latest[-1].read_text()))
