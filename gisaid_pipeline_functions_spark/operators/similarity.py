@@ -256,20 +256,22 @@ def _nearest_cell(base: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_assign(
+def kmeans_centroids(
     corpus: DataFrame,
     k: int = 4,
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Learned IVF coarse quantizer: Lloyd's k-means as a fixed number of
-    DataFrame iterations — init from the first ``k`` vector ids
-    (deterministic, no RNG), assign by rounded squared L2, recompute
+    """The trained centroid table ``(cell, c)`` after ``iterations``
+    Lloyd rounds — the frozen coarse-quantizer artifact the resumable
+    IVF index persists (split out of ``kmeans_assign`` in r14; the
+    training tree is byte-identical). Init from the first ``k`` vector
+    ids (deterministic, no RNG), assign by rounded squared L2, recompute
     centroids as per-dim means ROUNDED to 6dp each round. The rounding
     puts every iteration's centroids on a lattice both engines agree on,
-    so a DuckDB oracle can replay the exact same iterations CTE by CTE —
-    the iterative-algorithm analog of the repo's 6-decimal convention.
+    so a DuckDB oracle can replay the exact same iterations CTE by CTE
+    — the iterative-algorithm analog of the repo's 6-decimal convention.
 
     Each iteration is one broadcast join (k centroid rows) + one
     dimension-keyed aggregation; nothing shuffles the vectors themselves
@@ -299,7 +301,158 @@ def kmeans_assign(
                 lambda s: s["m"],
             ).alias("c")
         )
+    return cents
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Learned IVF coarse quantizer: train via ``kmeans_centroids`` and
+    assign every corpus vector to its nearest final centroid (rounded
+    squared L2, cell-id tie-break). The composed plan is the same tree
+    the pre-r14 monolith built — training + one final ``_nearest_cell``
+    pass."""
+    base = corpus.select(
+        F.col(id_col).alias("vec_id"), _to_double(F.col(vec_col)).alias("v")
+    )
+    cents = kmeans_centroids(corpus, k, iterations, id_col, vec_col)
     return _nearest_cell(base, cents).select("vec_id", "cell", "dist")
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Resumable IVF index, build step: returns ``(centroids,
+    postings)`` — the vector twin of ``build_lsh_band_index`` /
+    ``build_exact_dedup_index``, completing the persisted-index triad
+    (content hash, band signature, coarse quantizer). ``centroids`` is
+    the frozen ``(cell, c)`` quantizer trained on the base corpus;
+    ``postings`` is ``(vec_id, cell)``, one row per base vector. Both
+    are parquet-persistable; resuming never retrains (that is the
+    production contract: FAISS-style IVF appends assign new vectors to
+    FROZEN centroids — retraining would relabel history and invalidate
+    every persisted posting).
+
+    The centroid frame is pinned with an eager ``localCheckpoint``: it
+    is k×dim doubles (trivially small) but sits at the top of the
+    iterative Lloyd tree, and it has TWO consumers here (the postings
+    assignment and whatever the caller persists/searches) — without the
+    pin each consumer replays the whole training (the r7 semdedup
+    lesson; CLAUDE.md: iterative state with two consumers needs
+    localCheckpoint, not persist).
+
+    100 TB: the index grows with the corpus at 2 longs per vector —
+    postings are the SCAN artifact (ANN reads stream postings, never
+    raw vectors, until the final re-rank); the build is one Lloyd train
+    (k-row broadcast joins + dim-sized aggs per iteration) plus one
+    assignment pass."""
+    cents = kmeans_centroids(corpus, k, iterations, id_col, vec_col)
+    cents = cents.localCheckpoint(eager=True)
+    base = corpus.select(
+        F.col(id_col).alias("vec_id"), _to_double(F.col(vec_col)).alias("v")
+    )
+    postings = _nearest_cell(base, cents).select("vec_id", "cell")
+    return cents, postings
+
+
+def apply_ivf_index(
+    centroids: DataFrame,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Resume an IVF index from its persisted frozen centroids: assign a
+    delta batch of vectors to their nearest existing cell and return the
+    delta postings ``(vec_id, cell)`` — append them to the saved
+    postings to get the updated index.
+
+    Unlike the dedup twins there is no cross-delta interaction at all:
+    assignment is per-vector against the FROZEN quantizer, so
+    resume ≡ from-scratch-assignment holds for ANY arrival order (no
+    monotone-id contract needed) — the equivalence the driver oracle
+    hashes and tests/test_sim_incremental.py proves over a two-delta
+    parquet replay.
+
+    100 TB: cost is delta × k (one broadcast of the k-row centroid
+    table + the per-vector argmin window) — independent of the indexed
+    corpus size; the historical postings are never re-read, let alone
+    the historical vectors."""
+    d = delta.select(
+        F.col(id_col).alias("vec_id"), _to_double(F.col(vec_col)).alias("v")
+    )
+    return _nearest_cell(d, centroids).select("vec_id", "cell")
+
+
+def ivf_index_topk(
+    centroids: DataFrame,
+    postings: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Search a persisted ``(centroids, postings)`` IVF index — the
+    read path after any number of ``apply_ivf_index`` appends: route
+    each query to its nearest FROZEN centroid by rounded cosine (the
+    same routing rule as ``ivf_topk``), then exact top-k among that
+    cell's postings only, vectors fetched by posting id.
+
+    Differs from ``ivf_topk`` exactly where a persisted index should:
+    routing uses the frozen quantizer centroids, NOT per-cell means
+    recomputed from the current postings (recomputed means drift as
+    deltas append; the frozen quantizer is what every posting was
+    assigned under, so routing and postings stay consistent).
+
+    100 TB: the centroid broadcast is k rows; candidate fetch is one
+    join postings ⋈ vectors on id (co-partitionable by id at scale) and
+    one cell-keyed join against the routed queries — never a scan of
+    cells the query doesn't probe."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    routed = q.join(F.broadcast(centroids)).select(
+        "query_id",
+        "qvec",
+        "cell",
+        F.round(cosine(F.col("qvec"), F.col("c")), 6).alias("ccos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    assigned = (
+        routed.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "qvec", "cell")
+    )
+    cand = postings.join(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")
+        ),
+        "vec_id",
+    ).select(F.col("vec_id").alias("cand_id"), "cell", "cvec")
+    scored = (
+        cand.join(F.broadcast(assigned), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "cell",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
 
 
 def dim_min_max(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:

@@ -216,6 +216,7 @@ def _kmeans_ctes(
     dim: int = 64,
     prefix: str = "",
     vexpr: str = "CAST(embedding AS DOUBLE[])",
+    where: str = "",
 ) -> str:
     """CTE chain (no leading WITH) replaying the exact Lloyd iterations of
     ``kmeans_assign`` (6dp-rounded centroids put every round on a shared
@@ -223,14 +224,17 @@ def _kmeans_ctes(
     ``{prefix}fin(vec_id, cell, dist)`` — the final assignment. ``prefix``
     namespaces every CTE so multiple chains compose in one query (the
     product-quantization oracle runs one chain per subspace over a
-    ``vexpr`` slice of the vector)."""
+    ``vexpr`` slice of the vector). ``where`` restricts the TRAINING
+    corpus (r14: the incremental-IVF oracle trains on the base batch
+    only; the trained centroids remain available as ``{prefix}c{
+    iterations}`` for assigning rows outside the restriction)."""
     p = prefix
     d2 = (
         f"round(list_sum(list_transform(list_zip({p}e.v, cc.c), "
         "p -> (p[1]-p[2])*(p[1]-p[2]))), 6)"
     )
     parts = [
-        f"{p}e AS (SELECT vec_id, {vexpr} AS v FROM embeddings)",
+        f"{p}e AS (SELECT vec_id, {vexpr} AS v FROM embeddings {where})",
         f"{p}c0 AS (SELECT vec_id AS cell, list_transform(v, x -> round(x, 6)) AS c "
         f"FROM {p}e ORDER BY vec_id LIMIT {k})",
     ]
@@ -1389,4 +1393,177 @@ def sim_rocchio_prf(spark, sf_dir):
         s2.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
         .select("query_id", "cand_id", "cos", "rank")
+    )
+
+
+_IVF_CUT = "(SELECT c FROM cut)"
+_IVF_DELTA_CTES = f"""
+    delta AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id > {_IVF_CUT}
+    ),
+    dassign AS (
+      SELECT vec_id, cell FROM (
+        SELECT delta.vec_id, cc.cell,
+               row_number() OVER (
+                 PARTITION BY delta.vec_id
+                 ORDER BY round(list_sum(list_transform(
+                            list_zip(delta.v, cc.c),
+                            p -> (p[1]-p[2])*(p[1]-p[2]))), 6), cc.cell
+               ) AS rn
+        FROM delta CROSS JOIN c2 cc
+      ) WHERE rn = 1
+    ),
+    merged AS (
+      SELECT vec_id, cell FROM fin
+      UNION ALL SELECT vec_id, cell FROM dassign
+    )"""
+
+
+@register(
+    "sim_incremental_ivf",
+    # Resumable IVF index (r14 — the vector member of the persisted-index
+    # triad with dedup_incremental_{index,exact}): the Spark side trains
+    # the coarse quantizer on the first ~80% of the id space, PERSISTS
+    # (centroids, postings) to parquet, then resumes from the ON-DISK
+    # artifacts to assign the delta against the FROZEN centroids — while
+    # the oracle trains on the same base batch (the shared Lloyd CTEs,
+    # base-restricted via the new `where` hook) and assigns the delta
+    # against its final c2 centroids. The per-cell base/delta counts and
+    # id checksums hash EVERY assignment on both sides, so equality
+    # proves the freeze (no retrain on resume), the parquet round-trip
+    # of the float centroid lattice, and the postings merge.
+    "WITH cut AS (SELECT (max(vec_id)*4)//5 AS c FROM embeddings),\n    "
+    + _kmeans_ctes(
+        k=4, iterations=2, dim=64,
+        where=f"WHERE vec_id <= {_IVF_CUT}",
+    )
+    + ","
+    + _IVF_DELTA_CTES
+    + f"""
+    SELECT cell,
+      CAST(sum(CASE WHEN vec_id <= {_IVF_CUT} THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_base,
+      CAST(sum(CASE WHEN vec_id > {_IVF_CUT} THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_delta,
+      CAST(sum(CASE WHEN vec_id <= {_IVF_CUT} THEN vec_id ELSE 0 END) AS BIGINT)
+        AS id_sum_base,
+      CAST(sum(CASE WHEN vec_id > {_IVF_CUT} THEN vec_id ELSE 0 END) AS BIGINT)
+        AS id_sum_delta
+    FROM merged GROUP BY cell
+    """,
+)
+def sim_incremental_ivf(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import apply_ivf_index, build_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # append-only ingest split at the ~80th id percentile (1-row anchor
+    # collect, same contract as the dedup incremental twins)
+    cutoff = emb.agg(F.max("vec_id").alias("m")).first()["m"] * 4 // 5
+    base = emb.filter(F.col("vec_id") <= cutoff)
+    delta = emb.filter(F.col("vec_id") > cutoff)
+
+    # batch 1: train + assign the base, persist BOTH index artifacts
+    cents, base_post = build_ivf_index(base, k=4, iterations=2)
+    tmp = tempfile.mkdtemp(prefix="gisaid_ivf_index_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    cents.write.mode("overwrite").parquet(f"{tmp}/centroids")
+    base_post.write.mode("overwrite").parquet(f"{tmp}/postings")
+
+    # batch 2: resume from the ON-DISK artifacts — the delta is assigned
+    # against the frozen quantizer (delta × k cost); the historical
+    # vectors are never re-read, the postings only appended to
+    saved_cents = spark.read.parquet(f"{tmp}/centroids")
+    saved_post = spark.read.parquet(f"{tmp}/postings")
+    delta_post = apply_ivf_index(saved_cents, delta)
+
+    merged = saved_post.unionByName(delta_post)
+    is_base = F.col("vec_id") <= F.lit(cutoff)
+    return merged.groupBy("cell").agg(
+        F.sum(F.when(is_base, 1).otherwise(0)).cast("long").alias("n_base"),
+        F.sum(F.when(~is_base, 1).otherwise(0)).cast("long").alias("n_delta"),
+        F.sum(F.when(is_base, F.col("vec_id")).otherwise(0))
+        .cast("long")
+        .alias("id_sum_base"),
+        F.sum(F.when(~is_base, F.col("vec_id")).otherwise(0))
+        .cast("long")
+        .alias("id_sum_delta"),
+    )
+
+
+@register(
+    "sim_incremental_ivf_search",
+    # The read path after a resume: top-k over the MERGED postings
+    # (base + delta candidates), routed by the FROZEN quantizer — NOT
+    # per-cell means recomputed from current postings (those drift as
+    # deltas append and would route queries inconsistently with how the
+    # postings were assigned). Candidates spanning both batches prove
+    # the production search sees appended vectors immediately.
+    "WITH cut AS (SELECT (max(vec_id)*4)//5 AS c FROM embeddings),\n    "
+    + _kmeans_ctes(
+        k=4, iterations=2, dim=64,
+        where=f"WHERE vec_id <= {_IVF_CUT}",
+    )
+    + ","
+    + _IVF_DELTA_CTES
+    + f""",
+    eall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qvec FROM eall WHERE vec_id < 5),
+    routed AS (
+      SELECT query_id, qvec, cc.cell,
+             round({_cos_sql('qvec', 'cc.c')}, 6) AS ccos
+      FROM q CROSS JOIN c2 cc
+    ),
+    assigned AS (
+      SELECT query_id, qvec, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ccos DESC, cell) AS rn
+        FROM routed
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT a.query_id, m.vec_id AS cand_id, a.cell,
+             round({_cos_sql('a.qvec', 'ev.v')}, 6) AS cos
+      FROM assigned a
+      JOIN merged m ON m.cell = a.cell AND m.vec_id <> a.query_id
+      JOIN eall ev ON ev.vec_id = m.vec_id
+    )
+    SELECT query_id, cand_id, cell, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def sim_incremental_ivf_search(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import (
+        apply_ivf_index,
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cutoff = emb.agg(F.max("vec_id").alias("m")).first()["m"] * 4 // 5
+    base = emb.filter(F.col("vec_id") <= cutoff)
+    delta = emb.filter(F.col("vec_id") > cutoff)
+
+    cents, base_post = build_ivf_index(base, k=4, iterations=2)
+    tmp = tempfile.mkdtemp(prefix="gisaid_ivf_search_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    cents.write.mode("overwrite").parquet(f"{tmp}/centroids")
+    base_post.write.mode("overwrite").parquet(f"{tmp}/postings")
+
+    saved_cents = spark.read.parquet(f"{tmp}/centroids")
+    saved_post = spark.read.parquet(f"{tmp}/postings")
+    merged = saved_post.unionByName(apply_ivf_index(saved_cents, delta))
+    return ivf_index_topk(
+        saved_cents, merged, emb, emb.filter(F.col("vec_id") < 5), k=3
     )

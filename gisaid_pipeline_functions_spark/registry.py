@@ -63,28 +63,33 @@ def register(name: str, sql: str | None = None):
 # the round the change was made in — forced to the front until a green
 # driver row from that round (or later) exists, then they rotate back
 # into the normal staleness order automatically.
-_RECHECK_ROUND = 13
+_RECHECK_ROUND = 14
 # the round's new registrations: force them into THIS round's driver
 # window (never-driven queries already sort first, but the never-driven
 # cohort drained to zero in r11, so tie-breaking alone would still put a
 # new registration behind 49 stale-evidence names — CLAUDE.md rule from
 # the r10 catch)
 _RECHECK_FIRST = frozenset({
-    # new registration this round (the exact-dedup resume twin)
-    "dedup_incremental_exact",
-    # transitive code change: apply_lsh_band_index gained the
-    # delta_bands persist (ADVICE r12) — semantics-neutral, but the
-    # convention is a fresh driver row after any operator change
+    # new registrations this round (the resumable IVF index — the
+    # vector member of the persisted-index triad — and its read path)
+    "sim_incremental_ivf",
+    "sim_incremental_ivf_search",
+    # transitive code change: kmeans_assign's training loop split out
+    # into kmeans_centroids (the frozen-quantizer artifact the IVF
+    # index persists) — the composed tree is identical, but the
+    # convention is a fresh driver row after any operator change; these
+    # six transit kmeans_assign
+    "sim_kmeans_cells",
+    "sim_ivf_learned",
+    "sim_centroid_outlier",
+    "sim_semdedup",
+    "sim_pq_codes",
+    "sim_pq_adc_topk",
+    # transitive code change: apply_lsh_band_index /
+    # apply_exact_dedup_index gained the `cleanup` out-param (ADVICE
+    # r13) — the default path is byte-equivalent, same convention
     "dedup_incremental_index",
-    # transitive code changes: the duplicated-key rule in span_surgery /
-    # exactsubstr_chars moved to the min!=max extremes form
-    # (_cross_doc_keys — algebraically identical, 0.78×/0.84× measured),
-    # and simhash16/span_surgery gained the conditional under-split
-    # repartition guard (0.44×/0.76× measured, interleaved A/B)
-    "dedup_span_surgery",
-    "dedup_span_surgery_within",
-    "dedup_exactsubstr_chars",
-    "dedup_simhash",
+    "dedup_incremental_exact",
 })
 
 

@@ -1,0 +1,169 @@
+"""Resumable IVF index (r14): ``operators.similarity.build_ivf_index``
+/ ``apply_ivf_index`` / ``ivf_index_topk`` — the vector member of the
+persisted-index triad (with the exact and banded-LSH dedup indexes).
+
+The driver query (``sim_incremental_ivf``) proves ONE base+delta resume
+against the from-scratch oracle; these tests prove the stronger
+contract: a TWO-delta replay — each batch resumed from parquet-persisted
+artifacts — reproduces the from-scratch assignment of the full corpus
+under the frozen base-trained quantizer, resume is arrival-order-free
+(no monotone-id contract needed, unlike the dedup twins: assignment is
+per-vector), and the index read path searches exactly the routed cell's
+postings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gisaid_pipeline_functions_spark.operators.similarity import (
+    _nearest_cell,
+    _to_double,
+    apply_ivf_index,
+    build_ivf_index,
+    ivf_index_topk,
+    kmeans_centroids,
+)
+
+
+def _frozen_scratch(emb, base):
+    """From-scratch assignment of the FULL corpus under the quantizer
+    trained on ``base`` only — what any resume sequence must equal."""
+    cents = kmeans_centroids(base, k=4, iterations=2).localCheckpoint(
+        eager=True
+    )
+    allv = emb.select("vec_id", _to_double(F.col("embedding")).alias("v"))
+    return {
+        (r["vec_id"], r["cell"])
+        for r in _nearest_cell(allv, cents).select("vec_id", "cell").collect()
+    }
+
+
+def test_two_delta_resume_equals_frozen_scratch(spark, sf_dir, tmp_path):
+    """base + delta1 + delta2, each resumed from the previous batch's
+    ON-DISK (centroids, postings), must reproduce the frozen-quantizer
+    from-scratch assignment of the full corpus — proving the centroid
+    float lattice round-trips parquet losslessly and the append merge
+    loses nothing."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mx = emb.agg(F.max("vec_id").alias("m")).first()["m"]
+    c1, c2 = mx * 3 // 5, mx * 4 // 5
+    base = emb.filter(F.col("vec_id") <= c1)
+    deltas = [
+        emb.filter((F.col("vec_id") > c1) & (F.col("vec_id") <= c2)),
+        emb.filter(F.col("vec_id") > c2),
+    ]
+
+    cents, post = build_ivf_index(base, k=4, iterations=2)
+    cpath = str(tmp_path / "centroids")
+    cents.write.parquet(cpath)
+    ppath = str(tmp_path / "post0")
+    post.write.parquet(ppath)
+    for i, d in enumerate(deltas):
+        saved_c = spark.read.parquet(cpath)
+        saved_p = spark.read.parquet(ppath)
+        merged = saved_p.unionByName(apply_ivf_index(saved_c, d))
+        ppath = str(tmp_path / f"post{i + 1}")
+        merged.write.parquet(ppath)
+
+    replay = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(ppath).collect()
+    }
+    assert replay == _frozen_scratch(emb, base)
+    assert len(replay) == emb.count()  # every vector posted exactly once
+
+
+def test_resume_is_arrival_order_free(spark, sf_dir, tmp_path):
+    """Assignment against frozen centroids is per-vector, so ANY split
+    or order of delta arrival yields the same postings: applying one
+    big delta equals applying its two halves separately, reversed."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mx = emb.agg(F.max("vec_id").alias("m")).first()["m"]
+    cut = mx * 3 // 5
+    base = emb.filter(F.col("vec_id") <= cut)
+    delta = emb.filter(F.col("vec_id") > cut)
+
+    cents, _post = build_ivf_index(base, k=4, iterations=2)
+    cpath = str(tmp_path / "centroids")
+    cents.write.parquet(cpath)
+    saved_c = spark.read.parquet(cpath)
+
+    whole = {
+        (r["vec_id"], r["cell"])
+        for r in apply_ivf_index(saved_c, delta).collect()
+    }
+    mid = (cut + mx) // 2
+    hi = emb.filter(F.col("vec_id") > mid)
+    lo = emb.filter((F.col("vec_id") > cut) & (F.col("vec_id") <= mid))
+    split = {
+        (r["vec_id"], r["cell"])
+        for d in (hi, lo)  # reversed arrival
+        for r in apply_ivf_index(saved_c, d).collect()
+    }
+    assert whole == split
+
+
+def test_empty_delta_is_identity(spark, sf_dir):
+    """A row-free delta appends nothing."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents, _post = build_ivf_index(emb, k=4, iterations=2)
+    empty = emb.filter(F.lit(False))
+    assert apply_ivf_index(cents, empty).count() == 0
+
+
+def test_index_search_is_exact_within_routed_cell(spark, sf_dir, tmp_path):
+    """``ivf_index_topk`` over a resumed index returns, for each query,
+    exactly the brute-force rounded-cosine top-k restricted to the
+    query's routed cell — recomputed here in plain Python from the
+    collected postings and vectors (independent of the operator's join/
+    window machinery), with candidates drawn from base AND delta."""
+    import math
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mx = emb.agg(F.max("vec_id").alias("m")).first()["m"]
+    cut = mx * 4 // 5
+    base = emb.filter(F.col("vec_id") <= cut)
+    delta = emb.filter(F.col("vec_id") > cut)
+
+    cents, post = build_ivf_index(base, k=4, iterations=2)
+    merged = post.unionByName(apply_ivf_index(cents, delta))
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = [
+        (r["query_id"], r["cand_id"], r["cell"], r["cos"], r["rank"])
+        for r in ivf_index_topk(cents, merged, emb, queries, k=3).collect()
+    ]
+
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+    cell_of = {r["vec_id"]: r["cell"] for r in merged.collect()}
+    assert set(cell_of) == set(vecs)  # delta postings present
+    cent = {r["cell"]: list(r["c"]) for r in cents.collect()}
+
+    def cos(a, b):
+        dot = math.fsum(x * y for x, y in zip(a, b))
+        na = math.sqrt(math.fsum(x * x for x in a))
+        nb = math.sqrt(math.fsum(x * x for x in b))
+        return round(dot / (na * nb), 6)
+
+    expected = []
+    for qid in range(5):
+        qv = vecs[qid]
+        routed = max(
+            sorted(cent),
+            key=lambda cl: (cos(qv, cent[cl]), -cl),
+        )
+        cands = sorted(
+            (
+                (cos(qv, vecs[v]), v)
+                for v, cl in cell_of.items()
+                if cl == routed and v != qid
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        expected += [
+            (qid, v, routed, c, i + 1) for i, (c, v) in enumerate(cands)
+        ]
+    assert sorted(got) == sorted(expected)

@@ -1,4 +1,4 @@
-"""Third-implementation checks: 58 queries re-derived from raw parquet.
+"""Third-implementation checks: 59 queries re-derived from raw parquet.
 
 The registry's correctness gate compares Spark against a DuckDB oracle,
 but for the lattice-recursion families BOTH sides deliberately implement
@@ -2149,3 +2149,61 @@ def test_modularity_vs_pure_python(spark, sf_dir):
     assert row["m"] == m
     assert row["n_communities"] == len(dc)
     assert row["q_modularity"] == pytest.approx(q, abs=1.1e-6)
+
+
+def test_incremental_ivf_vs_pure_python(spark, sf_dir):
+    """Third implementation of the resumable-IVF assignment (r14): the
+    Spark query and its DuckDB oracle deliberately replay the SAME
+    6dp-lattice Lloyd recursion, so this recomputes it with plain dict
+    loops over the raw parquet — first-k init, per-dim means rounded to
+    6dp each round (math.fsum — exact accumulation), assignment by
+    round-6 squared L2 with cell-id tie-break, quantizer FROZEN after
+    training on the base batch (ids ≤ the 80th id percentile), delta
+    assigned against the frozen centroids — and compares the per-cell
+    base/delta counts and id checksums EXACTLY (the outputs are integer;
+    the float lattice only steers the discrete assignment)."""
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.itertuples()
+    }
+    mx = max(vecs)
+    cut = mx * 4 // 5
+    base_ids = sorted(i for i in vecs if i <= cut)
+
+    def d2(v, c):
+        return round(math.fsum((a - b) * (a - b) for a, b in zip(v, c)), 6)
+
+    cents = {i: [round(x, 6) for x in vecs[i]] for i in base_ids[:4]}
+    for _ in range(2):
+        assign = {
+            i: min(cents, key=lambda cl: (d2(vecs[i], cents[cl]), cl))
+            for i in base_ids
+        }
+        cents = {
+            cl: [
+                round(math.fsum(col) / len(members), 6)
+                for col in zip(*members)
+            ]
+            for cl in set(assign.values())
+            for members in [[vecs[i] for i in base_ids if assign[i] == cl]]
+        }
+    final = {
+        i: min(cents, key=lambda cl: (d2(vecs[i], cents[cl]), cl))
+        for i in vecs
+    }
+
+    expected = {}
+    for cl in set(final.values()):
+        b = [i for i, c in final.items() if c == cl and i <= cut]
+        d = [i for i, c in final.items() if c == cl and i > cut]
+        expected[cl] = (len(b), len(d), sum(b), sum(d))
+    got = {
+        r["cell"]: (
+            r["n_base"], r["n_delta"], r["id_sum_base"], r["id_sum_delta"]
+        )
+        for r in queries()["sim_incremental_ivf"](spark, sf_dir).collect()
+    }
+    assert got == expected

@@ -808,6 +808,66 @@ def main() -> None:
     for d in xidx_dirs:
         _shutil.rmtree(d, ignore_errors=True)
 
+    # r14: the resumable IVF index (operators/similarity.py:
+    # apply_ivf_index). The maintenance claim is STRONGER than the dedup
+    # twins': a delta assignment touches only the frozen k-row centroid
+    # table — not even the postings — so a fixed delta resumed against a
+    # 10x-indexed corpus should be FLAT (~1.0), not merely sub-linear.
+    # Both (centroids, postings) artifact pairs are pre-persisted
+    # untimed (the prior batch's cost). The companion search row probes
+    # the read path: at FIXED k=4 the probed cell's postings grow 10x
+    # with the corpus, so its cost legitimately grows — production
+    # scales k with corpus size to bound cells (the FAISS/SemDeDup
+    # operating point); the row documents that trade, the resume row
+    # carries the capability's claim.
+    from gisaid_pipeline_functions_spark.operators.similarity import (
+        apply_ivf_index,
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    vdelta = emb1.withColumn(
+        "vec_id", F.col("vec_id") + F.lit((n + 1) * 10_000_000)
+    ).localCheckpoint(eager=True)
+    vidx_dirs = []
+    for tag, base in (("1x", emb1), (f"{n}x", embN)):
+        d = _tempfile.mkdtemp(prefix=f"ivf_idx_{tag}_")
+        vidx_dirs.append(d)
+        cents, post = build_ivf_index(base, k=4, iterations=2)
+        cents.write.mode("overwrite").parquet(f"{d}/centroids")
+        post.write.mode("overwrite").parquet(f"{d}/postings")
+
+    def _ivf_resume(idx_dir):
+        def run(delta):
+            return apply_ivf_index(
+                spark.read.parquet(f"{idx_dir}/centroids"), delta
+            )
+
+        return run
+
+    t1 = timed(_ivf_resume(vidx_dirs[0]), vdelta)
+    tn = timed(_ivf_resume(vidx_dirs[1]), vdelta)
+    print(f"{'ivf_resume_fixed_delta':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (fixed delta vs frozen k-row centroids — index size never enters the plan)")
+
+    def _ivf_search(idx_dir, corpus):
+        def run(queries):
+            return ivf_index_topk(
+                spark.read.parquet(f"{idx_dir}/centroids"),
+                spark.read.parquet(f"{idx_dir}/postings"),
+                corpus,
+                queries,
+                k=10,
+            )
+
+        return run
+
+    vq = emb1.filter(F.col("vec_id") < 5).localCheckpoint(eager=True)
+    t1 = timed(_ivf_search(vidx_dirs[0], emb1), vq)
+    tn = timed(_ivf_search(vidx_dirs[1], embN), vq)
+    print(f"{'ivf_index_search':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (probed cell grows {n}x at fixed k=4 — production scales k to bound cells)")
+    for d in vidx_dirs:
+        _shutil.rmtree(d, ignore_errors=True)
+
     # r12 (VERDICT r10 #6): the block_cumsum riders. agg_ks_test and
     # agg_spearman_rho run block-prefix running sums over VALUE
     # HISTOGRAMS whose distinct-value count grows with the corpus (price
