@@ -91,6 +91,11 @@ EXTENDED = [
     # band-stack optimization, so this is the first committed min-of-2
     # number for the optimized query (parquet index write+read included)
     "dedup_incremental_index",
+    # r14 representative: the resumable IVF index (frozen-quantizer
+    # train + parquet persist + delta assignment + merged per-cell
+    # hash) — the vector member of the persisted-index triad; ~2.7 s
+    # raw in its first sf0.1 sweep row
+    "sim_incremental_ivf",
 ]
 
 # Idle-machine anchor for the self-normalizing `calibrated_value` field
