@@ -391,6 +391,73 @@ def apply_ivf_index(
     return _nearest_cell(d, centroids).select("vec_id", "cell")
 
 
+def ivf_assignment_drift(
+    centroids: DataFrame,
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantization-drift monitor for a frozen-quantizer IVF index —
+    the "when to retrain" signal every production IVF append pipeline
+    needs: per cell, the member counts and mean assignment distances of
+    the base batch vs the appended delta. A delta whose mean distance
+    to its (frozen) centroids keeps climbing is drifting off the
+    trained quantizer; retrain and rebuild postings when the ratio
+    crosses the deployment's threshold.
+
+    Determinism: distances are the same round-6 squared-L2 lattice
+    values the assignment ranks on, summed per cell as EXACT integer
+    micro-units (a round-6 lattice value × 1e6 rounds to an exact
+    BIGINT), so the per-cell sums are engine-order-free and the only
+    float op is one final division per mean (the CLAUDE.md cross-row
+    float-sum rule, in its integer-lattice form).
+
+    100 TB: two assignment passes (each delta × k via the broadcast
+    k-row centroid table) + one cell-keyed partial aggregation; the
+    shuffle carries one row per (cell, input partition)."""
+    def _stats(df, prefix):
+        a = _nearest_cell(
+            df.select(
+                F.col(id_col).alias("vec_id"),
+                _to_double(F.col(vec_col)).alias("v"),
+            ),
+            centroids,
+        )
+        return a.groupBy("cell").agg(
+            F.count(F.lit(1)).alias(f"n_{prefix}"),
+            F.sum(F.round(F.col("dist") * 1e6).cast("long")).alias(
+                f"_sm_{prefix}"
+            ),
+        )
+
+    b = _stats(base, "base")
+    d = _stats(delta, "delta")
+
+    def _mean(n, sm):
+        return F.when(
+            F.col(n) > 0,
+            F.round(
+                F.col(sm).cast("double")
+                / (F.col(n).cast("double") * F.lit(1e6)),
+                6,
+            ),
+        )
+
+    return (
+        b.join(d, "cell", "left")
+        .select(
+            "cell",
+            F.col("n_base").cast("long").alias("n_base"),
+            F.coalesce(F.col("n_delta"), F.lit(0)).cast("long").alias(
+                "n_delta"
+            ),
+            _mean("n_base", "_sm_base").alias("base_mean_dist"),
+            _mean("n_delta", "_sm_delta").alias("delta_mean_dist"),
+        )
+    )
+
+
 def ivf_index_topk(
     centroids: DataFrame,
     postings: DataFrame,

@@ -1567,3 +1567,71 @@ def sim_incremental_ivf_search(spark, sf_dir):
     return ivf_index_topk(
         saved_cents, merged, emb, emb.filter(F.col("vec_id") < 5), k=3
     )
+
+
+@register(
+    "sim_ivf_drift",
+    # Quantization-drift monitor (r14): per cell, base vs delta member
+    # counts and mean assignment distance under the FROZEN base-trained
+    # quantizer — the "when to retrain" signal for the resumable IVF
+    # index. Distances are the round-6 lattice values the assignment
+    # ranks on; per-cell sums are EXACT integer micro-units (lattice ×
+    # 1e6 is an exact BIGINT), so the only float op is one final
+    # division per mean — engine-order-free by construction.
+    "WITH cut AS (SELECT (max(vec_id)*4)//5 AS c FROM embeddings),\n    "
+    + _kmeans_ctes(
+        k=4, iterations=2, dim=64,
+        where=f"WHERE vec_id <= {_IVF_CUT}",
+    )
+    + f""",
+    delta AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id > {_IVF_CUT}
+    ),
+    dassign AS (
+      SELECT vec_id, cell, dist FROM (
+        SELECT delta.vec_id, cc.cell,
+               round(list_sum(list_transform(
+                 list_zip(delta.v, cc.c),
+                 p -> (p[1]-p[2])*(p[1]-p[2]))), 6) AS dist,
+               row_number() OVER (
+                 PARTITION BY delta.vec_id
+                 ORDER BY round(list_sum(list_transform(
+                            list_zip(delta.v, cc.c),
+                            p -> (p[1]-p[2])*(p[1]-p[2]))), 6), cc.cell
+               ) AS rn
+        FROM delta CROSS JOIN c2 cc
+      ) WHERE rn = 1
+    ),
+    b AS (
+      SELECT cell, count(*) AS n_base,
+             sum(CAST(round(dist*1000000.0) AS BIGINT)) AS sm
+      FROM fin GROUP BY cell
+    ),
+    d AS (
+      SELECT cell, count(*) AS n_delta,
+             sum(CAST(round(dist*1000000.0) AS BIGINT)) AS sm
+      FROM dassign GROUP BY cell
+    )
+    SELECT b.cell,
+           CAST(b.n_base AS BIGINT) AS n_base,
+           CAST(coalesce(d.n_delta, 0) AS BIGINT) AS n_delta,
+           round(CAST(b.sm AS DOUBLE) / (CAST(b.n_base AS DOUBLE) * 1000000.0), 6)
+             AS base_mean_dist,
+           CASE WHEN d.n_delta > 0
+                THEN round(CAST(d.sm AS DOUBLE) / (CAST(d.n_delta AS DOUBLE) * 1000000.0), 6)
+           END AS delta_mean_dist
+    FROM b LEFT JOIN d ON b.cell = d.cell
+    """,
+)
+def sim_ivf_drift(spark, sf_dir):
+    from ..operators.similarity import build_ivf_index, ivf_assignment_drift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cutoff = emb.agg(F.max("vec_id").alias("m")).first()["m"] * 4 // 5
+    base = emb.filter(F.col("vec_id") <= cutoff)
+    delta = emb.filter(F.col("vec_id") > cutoff)
+    # the frozen quantizer (pinned inside build_ivf_index); postings not
+    # needed here — drift reads assignment distances, not the index
+    cents, _post = build_ivf_index(base, k=4, iterations=2)
+    return ivf_assignment_drift(cents, base, delta)

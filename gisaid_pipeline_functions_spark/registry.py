@@ -71,9 +71,11 @@ _RECHECK_ROUND = 14
 # the r10 catch)
 _RECHECK_FIRST = frozenset({
     # new registrations this round (the resumable IVF index — the
-    # vector member of the persisted-index triad — and its read path)
+    # vector member of the persisted-index triad — its read path, and
+    # the frozen-quantizer drift monitor)
     "sim_incremental_ivf",
     "sim_incremental_ivf_search",
+    "sim_ivf_drift",
     # transitive code change: kmeans_assign's training loop split out
     # into kmeans_centroids (the frozen-quantizer artifact the IVF
     # index persists) — the composed tree is identical, but the

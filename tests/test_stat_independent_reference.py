@@ -1,4 +1,4 @@
-"""Third-implementation checks: 59 queries re-derived from raw parquet.
+"""Third-implementation checks: 60 queries re-derived from raw parquet.
 
 The registry's correctness gate compares Spark against a DuckDB oracle,
 but for the lattice-recursion families BOTH sides deliberately implement
@@ -2207,3 +2207,62 @@ def test_incremental_ivf_vs_pure_python(spark, sf_dir):
         for r in queries()["sim_incremental_ivf"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_ivf_drift_vs_pure_python(spark, sf_dir):
+    """Third implementation of the drift monitor's means (r14): replays
+    the frozen-Lloyd recursion exactly as the incremental-IVF check
+    above, then recomputes each cell's base/delta mean assignment
+    distance from EXACT integer micro-unit sums (round-6 lattice × 1e6
+    is an exact int; plain-Python ints never lose a unit) and compares
+    the counts exactly and the means to the one-division lattice
+    unit."""
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.itertuples()
+    }
+    mx = max(vecs)
+    cut = mx * 4 // 5
+    base_ids = sorted(i for i in vecs if i <= cut)
+
+    def d2(v, c):
+        return round(math.fsum((a - b) * (a - b) for a, b in zip(v, c)), 6)
+
+    cents = {i: [round(x, 6) for x in vecs[i]] for i in base_ids[:4]}
+    for _ in range(2):
+        assign = {
+            i: min(cents, key=lambda cl: (d2(vecs[i], cents[cl]), cl))
+            for i in base_ids
+        }
+        cents = {
+            cl: [
+                round(math.fsum(col) / len(members), 6)
+                for col in zip(*members)
+            ]
+            for cl in set(assign.values())
+            for members in [[vecs[i] for i in base_ids if assign[i] == cl]]
+        }
+
+    stats: dict[tuple[int, bool], tuple[int, int]] = {}
+    for i in vecs:
+        cl = min(cents, key=lambda c: (d2(vecs[i], cents[c]), c))
+        key = (cl, i <= cut)
+        n, sm = stats.get(key, (0, 0))
+        stats[key] = (n + 1, sm + round(d2(vecs[i], cents[cl]) * 1e6))
+
+    for r in queries()["sim_ivf_drift"](spark, sf_dir).collect():
+        nb, sb = stats.get((r["cell"], True), (0, 0))
+        nd, sd = stats.get((r["cell"], False), (0, 0))
+        assert r["n_base"] == nb and r["n_delta"] == nd
+        assert r["base_mean_dist"] == pytest.approx(
+            sb / (nb * 1e6), abs=1.1e-6
+        )
+        if nd:
+            assert r["delta_mean_dist"] == pytest.approx(
+                sd / (nd * 1e6), abs=1.1e-6
+            )
+        else:
+            assert r["delta_mean_dist"] is None
