@@ -1611,7 +1611,22 @@ def text_calibration_curve(spark, sf_dir):
     from ..operators.text import classifier_score
 
     docs = load_table(spark, sf_dir, "documents")
-    sc = classifier_score(docs).select("doc_id", "label_weak", "score")
+    # persist: the scored frame (3 narrow columns per doc) has TWO
+    # consumers — the 1-row min/max edges agg and the binning pass —
+    # and without it the AQE final plan replays the entire classifier
+    # scoring subtree for the edges side (audited r14: 11 document
+    # scans / 10 gram explodes vs the chain's own 7/6). At sf0.1 this
+    # measured NEUTRAL (interleaved A/B min-of-5 after warmup: 7.40 →
+    # 6.96 s, mixed per-round — the NB model aggregations dominate at
+    # this scale, so no speedup is CLAIMED); the change is the r6
+    # persist rule's scale shape: at corpus scale the replay is a full
+    # re-score (explode + model join + agg), far costlier than caching
+    # doc_id/label/score.
+    sc = (
+        classifier_score(docs)
+        .select("doc_id", "label_weak", "score")
+        .persist()
+    )
     edges = sc.agg(F.min("score").alias("mn"), F.max("score").alias("mx"))
     binned = sc.crossJoin(F.broadcast(edges)).select(
         F.least(
