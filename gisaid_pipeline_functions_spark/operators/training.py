@@ -83,6 +83,58 @@ def chunk_text(df: DataFrame, text_col: str, chunk_words: int) -> Column:
     )
 
 
+def chunk_text_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_words: int = 32,
+    stride_words: int = 16,
+) -> DataFrame:
+    """Overlapping sliding-window chunking — the RAG/context-window
+    shape ``chunk_text``'s disjoint paragraphs don't cover: one row per
+    (doc, window), windows of ``window_words`` words starting every
+    ``stride_words``, with word offsets so downstream spans map back
+    into the source. Start positions are 0, stride, 2·stride, … up to
+    the smallest multiple of stride whose window reaches the document's
+    end, so every word is covered, consecutive windows overlap by
+    window−stride words, and every doc (however short) emits at least
+    one window. The window count is pure integer arithmetic
+    (1 + ⌈max(n−window, 0)/stride⌉ via (x+stride−1) div stride), so
+    both engines land on identical lattices.
+
+    100 TB: map-side only — one split per row (materialized in the row
+    before multi-referencing, the r5 rule), no shuffle, no UDF; output
+    bytes ≈ (window/stride)× the corpus, the usual chunking
+    amplification a deployment tunes with stride."""
+    assert stride_words >= 1 and window_words >= stride_words
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("_w"),
+    ).withColumn("_n", F.size("_w"))
+    # ⌈extra/stride⌉ as (extra + stride−1)/stride with a truncating cast
+    # — exact for these magnitudes, identical to the oracle's `//`
+    extra = F.greatest(F.col("_n") - F.lit(window_words), F.lit(0))
+    n_win = F.lit(1) + (
+        (extra + F.lit(stride_words - 1)) / F.lit(stride_words)
+    ).cast("long")
+    d = d.withColumn(
+        "win_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_win - 1)),
+    )
+    start = F.col("win_id") * stride_words
+    return d.select(
+        "doc_id",
+        F.col("win_id").cast("long").alias("win_id"),
+        start.cast("long").alias("start_word"),
+        F.least(F.lit(window_words).cast("long"), F.col("_n") - start)
+        .cast("long")
+        .alias("n_words"),
+        F.concat_ws(
+            " ", F.slice("_w", (start + 1).cast("int"), window_words)
+        ).alias("chunk"),
+    )
+
+
 def shard_bucket(col: Column, n_buckets: int) -> Column:
     """Portable deterministic shard in [0, n_buckets): the first TWO hex
     digits of ``md5(col)`` as a value in [0, 256), mod n_buckets — so up

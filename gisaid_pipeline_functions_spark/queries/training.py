@@ -1600,3 +1600,47 @@ def train_decision_stump(spark, sf_dir):
             ).alias("rate_right"),
         )
     )
+
+
+@register(
+    "train_chunk_windows",
+    # Overlapping sliding-window chunking (r14 — the RAG/context-window
+    # shape the disjoint chunk_text paragraphs don't cover): windows of
+    # 32 words every 16, word offsets carried so spans map back to the
+    # source, last window reaching the document's end, every doc
+    # emitting at least one window. Window counts are pure integer
+    # arithmetic on both engines; chunk CONTENT is hashed (md5) so the
+    # compare proves every chunk's exact text without shipping it.
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w, len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, w, n,
+             unnest(generate_series(
+               0, (1 + (greatest(n - 32, 0) + 15) // 16) - 1)) AS win_id
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(win_id AS BIGINT) AS win_id,
+           CAST(win_id * 16 AS BIGINT) AS start_word,
+           CAST(least(32, n - win_id * 16) AS BIGINT) AS n_words,
+           md5(array_to_string(w[win_id*16 + 1 : win_id*16 + 32], ' '))
+             AS chunk_md5
+    FROM wins
+    """,
+)
+def train_chunk_windows(spark, sf_dir):
+    from ..operators.training import chunk_text_windows
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_text_windows(
+        docs, window_words=32, stride_words=16
+    ).select(
+        "doc_id",
+        "win_id",
+        "start_word",
+        "n_words",
+        F.md5("chunk").alias("chunk_md5"),
+    )

@@ -92,6 +92,8 @@ _RECHECK_FIRST = frozenset({
     # r13) — the default path is byte-equivalent, same convention
     "dedup_incremental_index",
     "dedup_incremental_exact",
+    # new registration (late r14): the sliding-window chunker
+    "train_chunk_windows",
     # code change: the scored frame is persisted before its two
     # consumers (scale-shape fix, measured neutral at sf0.1 — see the
     # in-code note and COVERAGE round-14)

@@ -177,3 +177,44 @@ def test_shard_bucket_uses_full_two_digit_lattice(spark):
         .count()
     )
     assert n == 32
+
+
+def test_chunk_windows_invariants(spark):
+    """Sliding-window chunker contract (r14): first window starts at 0,
+    consecutive starts differ by exactly the stride, the last window
+    reaches the document's end, every word is covered, interior windows
+    are full-width, and rebuilding each window from the source words
+    reproduces its chunk text — across lengths shorter than, equal to,
+    and (mis)aligned with the window/stride grid, including a 1-word
+    doc."""
+    from gisaid_pipeline_functions_spark.operators.training import (
+        chunk_text_windows,
+    )
+
+    lengths = [1, 5, 16, 31, 32, 33, 47, 48, 49, 64, 100]
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(n)))
+         for i, n in enumerate(lengths)],
+        "doc_id long, text string",
+    )
+    out = chunk_text_windows(docs, window_words=32, stride_words=16)
+    rows = sorted(
+        ((r["doc_id"], r["win_id"], r["start_word"], r["n_words"],
+          r["chunk"]) for r in out.collect())
+    )
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r[0], []).append(r)
+    assert set(by_doc) == set(range(len(lengths)))
+    for i, n in enumerate(lengths):
+        ws = by_doc[i]
+        words = [f"w{i}_{j}" for j in range(n)]
+        expected_wins = 1 + max(0, -(-(n - 32) // 16)) if n > 32 else 1
+        assert len(ws) == expected_wins
+        assert [w[1] for w in ws] == list(range(len(ws)))
+        assert [w[2] for w in ws] == [16 * k for k in range(len(ws))]
+        last = ws[-1]
+        assert last[2] + last[3] == n  # reaches the end
+        for _, _, start, n_words, chunk in ws:
+            assert n_words == min(32, n - start)
+            assert chunk == " ".join(words[start:start + n_words])
