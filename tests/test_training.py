@@ -218,3 +218,43 @@ def test_chunk_windows_invariants(spark):
         for _, _, start, n_words, chunk in ws:
             assert n_words == min(32, n - start)
             assert chunk == " ".join(words[start:start + n_words])
+
+
+def test_chunk_windows_property_vs_pure_python(spark):
+    """Property: for ANY (word count, window, stride) with
+    stride ≤ window, the chunker's rows equal a 10-line pure-Python
+    reference — same window count, offsets, widths, and chunk text."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gisaid_pipeline_functions_spark.operators.training import (
+        chunk_text_windows,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=200),
+        window=st.integers(min_value=1, max_value=40),
+        data=st.data(),
+    )
+    def check(n, window, data):
+        stride = data.draw(st.integers(min_value=1, max_value=window))
+        words = [f"t{j}" for j in range(n)]
+        df = spark.createDataFrame(
+            [(0, " ".join(words))], "doc_id long, text string"
+        )
+        got = sorted(
+            (r["win_id"], r["start_word"], r["n_words"], r["chunk"])
+            for r in chunk_text_windows(
+                df, window_words=window, stride_words=stride
+            ).collect()
+        )
+        n_win = 1 + max(0, -(-(n - window) // stride))
+        want = [
+            (k, k * stride, min(window, n - k * stride),
+             " ".join(words[k * stride:k * stride + window]))
+            for k in range(n_win)
+        ]
+        assert got == want
+
+    check()
