@@ -466,12 +466,17 @@ def ivf_index_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
+    probe: int = 1,
 ) -> DataFrame:
     """Search a persisted ``(centroids, postings)`` IVF index — the
     read path after any number of ``apply_ivf_index`` appends: route
-    each query to its nearest FROZEN centroid by rounded cosine (the
-    same routing rule as ``ivf_topk``), then exact top-k among that
-    cell's postings only, vectors fetched by posting id.
+    each query to its ``probe`` nearest FROZEN centroids by rounded
+    cosine (the same routing rule as ``ivf_topk``; probe>1 is the
+    recall knob ``ivf_topk_multiprobe`` provides for label cells),
+    then exact top-k among the probed cells' postings only, vectors
+    fetched by posting id. The final rank is GLOBAL per query across
+    probed cells (a posting lives in exactly one cell, so no
+    candidate dedup is needed).
 
     Differs from ``ivf_topk`` exactly where a persisted index should:
     routing uses the frozen quantizer centroids, NOT per-cell means
@@ -497,7 +502,7 @@ def ivf_index_topk(
     wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
     assigned = (
         routed.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= probe)
         .select("query_id", "qvec", "cell")
     )
     cand = postings.join(

@@ -1635,3 +1635,78 @@ def sim_ivf_drift(spark, sf_dir):
     # needed here — drift reads assignment distances, not the index
     cents, _post = build_ivf_index(base, k=4, iterations=2)
     return ivf_assignment_drift(cents, base, delta)
+
+
+@register(
+    "sim_ivf_index_multiprobe",
+    # The recall knob on the PERSISTED index (late r14): probe=2 over
+    # the resumed (frozen centroids, merged postings) — candidates span
+    # the query's two nearest frozen cells AND both batches, final rank
+    # global per query (a posting lives in exactly one cell, so no
+    # dedup). Completes the parity with the label-cell family
+    # (sim_ivf_topk / sim_ivf_multiprobe) for the index read path.
+    "WITH cut AS (SELECT (max(vec_id)*4)//5 AS c FROM embeddings),\n    "
+    + _kmeans_ctes(
+        k=4, iterations=2, dim=64,
+        where=f"WHERE vec_id <= {_IVF_CUT}",
+    )
+    + ","
+    + _IVF_DELTA_CTES
+    + f""",
+    eall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qvec FROM eall WHERE vec_id < 5),
+    routed AS (
+      SELECT query_id, qvec, cc.cell,
+             round({_cos_sql('qvec', 'cc.c')}, 6) AS ccos
+      FROM q CROSS JOIN c2 cc
+    ),
+    assigned AS (
+      SELECT query_id, qvec, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ccos DESC, cell) AS rn
+        FROM routed
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT a.query_id, m.vec_id AS cand_id, m.cell,
+             round({_cos_sql('a.qvec', 'ev.v')}, 6) AS cos
+      FROM assigned a
+      JOIN merged m ON m.cell = a.cell AND m.vec_id <> a.query_id
+      JOIN eall ev ON ev.vec_id = m.vec_id
+    )
+    SELECT query_id, cand_id, cell, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def sim_ivf_index_multiprobe(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import (
+        apply_ivf_index,
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cutoff = emb.agg(F.max("vec_id").alias("m")).first()["m"] * 4 // 5
+    base = emb.filter(F.col("vec_id") <= cutoff)
+    delta = emb.filter(F.col("vec_id") > cutoff)
+
+    cents, base_post = build_ivf_index(base, k=4, iterations=2)
+    tmp = tempfile.mkdtemp(prefix="gisaid_ivf_mp_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    cents.write.mode("overwrite").parquet(f"{tmp}/centroids")
+    base_post.write.mode("overwrite").parquet(f"{tmp}/postings")
+
+    saved_cents = spark.read.parquet(f"{tmp}/centroids")
+    saved_post = spark.read.parquet(f"{tmp}/postings")
+    merged = saved_post.unionByName(apply_ivf_index(saved_cents, delta))
+    return ivf_index_topk(
+        saved_cents, merged, emb, emb.filter(F.col("vec_id") < 5),
+        k=3, probe=2,
+    )

@@ -94,6 +94,10 @@ _RECHECK_FIRST = frozenset({
     "dedup_incremental_exact",
     # new registration (late r14): the sliding-window chunker
     "train_chunk_windows",
+    # new registration (late r14): probe=2 over the persisted IVF
+    # index (ivf_index_topk gained the probe knob; the probe=1 path is
+    # rn<=1 ≡ rn==1, and sim_incremental_ivf_search is already above)
+    "sim_ivf_index_multiprobe",
     # code change: the scored frame is persisted before its two
     # consumers (scale-shape fix, measured neutral at sf0.1 — see the
     # in-code note and COVERAGE round-14)

@@ -167,3 +167,64 @@ def test_index_search_is_exact_within_routed_cell(spark, sf_dir, tmp_path):
             (qid, v, routed, c, i + 1) for i, (c, v) in enumerate(cands)
         ]
     assert sorted(got) == sorted(expected)
+
+
+def test_streaming_microbatch_append_equals_batch(spark, sf_dir, tmp_path):
+    """The production maintenance loop, driven as a real stream: the
+    frozen index is built on the base batch, then the delta arrives as
+    a file-stream backlog (2 files, maxFilesPerTrigger=1 → 2
+    micro-batches) and foreachBatch appends postings via
+    ``apply_ivf_index`` per micro-batch. The accumulated postings must
+    equal the one-shot batch apply — and, because assignment is
+    per-vector against frozen centroids, this holds for ANY micro-batch
+    boundary placement (no monotone-id contract, unlike the dedup
+    twins' streaming interop)."""
+    import time as _time
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mx = emb.agg(F.max("vec_id").alias("m")).first()["m"]
+    cut = mx * 4 // 5
+    base = emb.filter(F.col("vec_id") <= cut)
+    delta = emb.filter(F.col("vec_id") > cut)
+
+    cents, _post = build_ivf_index(base, k=4, iterations=2)
+    cpath = str(tmp_path / "centroids")
+    cents.write.parquet(cpath)
+
+    backlog = str(tmp_path / "backlog")
+    mid = (cut + mx) // 2
+    for lo, hi in ((cut, mid), (mid, None)):
+        part = delta.filter(F.col("vec_id") > lo)
+        if hi is not None:
+            part = part.filter(F.col("vec_id") <= hi)
+        part.coalesce(1).write.mode("append").parquet(backlog)
+        _time.sleep(1.1)  # FileStreamSource mtime ordering is per-second
+
+    out = str(tmp_path / "streamed_postings")
+
+    def _append(bdf, _bid):
+        saved_c = bdf.sparkSession.read.parquet(cpath)
+        apply_ivf_index(saved_c, bdf).write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(backlog)
+        .writeStream.foreachBatch(_append)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(out).collect()
+    }
+    saved_c = spark.read.parquet(cpath)
+    oneshot = {
+        (r["vec_id"], r["cell"])
+        for r in apply_ivf_index(saved_c, delta).collect()
+    }
+    assert streamed == oneshot
+    assert len(streamed) == delta.count()
