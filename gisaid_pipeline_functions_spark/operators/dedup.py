@@ -1174,3 +1174,103 @@ def apply_exact_dedup_index(
         .select("doc_id")
     )
     return drops, updated_index
+
+
+def exact_dedup_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The deletion-support companion artifact of the exact-dedup index:
+    full postings ``(doc_id, fingerprint)``, one row per document
+    (~32 bytes). The compacted index alone cannot re-elect a keeper —
+    it forgot every non-min member — so production retraction support
+    (DMCA, opt-out) persists the postings beside it; a delete batch
+    then never touches corpus text, only this table. One map-side md5
+    pass at build time, no shuffle."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("fingerprint"),
+    )
+
+
+def delete_from_exact_dedup_index(
+    index: DataFrame,
+    postings: DataFrame,
+    deletes: DataFrame,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Retract documents from a persisted exact-dedup index (VERDICT
+    r14 #4): returns ``(updated_index, updated_postings)`` after
+    removing the ``deletes`` ids. When a bucket's keeper is deleted the
+    next-lowest SURVIVING id is re-elected from the postings; a bucket
+    whose last member is deleted disappears. The merged result equals
+    a from-scratch build over corpus-minus-deleted exactly — the
+    equivalence the driver oracle hashes (incl. the re-election case)
+    and tests/test_dedup_incremental.py proves.
+
+    100 TB shape: the delete batch is tiny relative to the corpus, so
+    its id set and the affected-fingerprint set both BROADCAST; the
+    postings scan is pruned map-side to affected buckets before the
+    re-election aggregation, and the untouched index rows pass through
+    an anti-join against the same broadcast set. Corpus text is never
+    read — that is what the postings artifact is for. Deleting ids
+    absent from the postings is a no-op (idempotent retraction)."""
+    del_ids = deletes.select(F.col(id_col).alias("doc_id")).distinct()
+    affected = (
+        postings.join(F.broadcast(del_ids), "doc_id")
+        .select("fingerprint")
+        .distinct()
+    )
+    updated_postings = postings.join(
+        F.broadcast(del_ids), "doc_id", "left_anti"
+    )
+    recomputed = (
+        updated_postings.join(F.broadcast(affected), "fingerprint")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    updated_index = index.join(
+        F.broadcast(affected), "fingerprint", "left_anti"
+    ).unionByName(recomputed)
+    return updated_index, updated_postings
+
+
+def delete_from_lsh_band_index(
+    index: DataFrame,
+    postings: DataFrame,
+    deletes: DataFrame,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Retract documents from a persisted LSH band index (VERDICT r14
+    #4 — the banded twin of ``delete_from_exact_dedup_index``):
+    ``postings`` is the full ``(band, sig, doc_id)`` table
+    (``lsh_band_stack`` output persisted at build time — n_bands rows
+    per doc, still negligible next to text bytes). Per affected
+    bucket the minimum surviving id is re-elected; emptied buckets
+    disappear; the result equals ``build_lsh_band_index`` over
+    corpus-minus-deleted exactly.
+
+    Same scale shape as the exact twin: broadcast delete ids →
+    broadcast affected (band, sig) set → map-side-pruned postings
+    re-aggregation + pass-through anti-join; no shingle fold, no text
+    scan, idempotent for unknown ids."""
+    del_ids = deletes.select(F.col(id_col).alias("doc_id")).distinct()
+    affected = (
+        postings.join(F.broadcast(del_ids), "doc_id")
+        .select("band", "sig")
+        .distinct()
+    )
+    updated_postings = postings.join(
+        F.broadcast(del_ids), "doc_id", "left_anti"
+    )
+    recomputed = (
+        updated_postings.join(F.broadcast(affected), ["band", "sig"])
+        .groupBy("band", "sig")
+        .agg(F.min("doc_id").alias("keeper"))
+    )
+    updated_index = index.join(
+        F.broadcast(affected), ["band", "sig"], "left_anti"
+    ).unionByName(recomputed)
+    return updated_index, updated_postings

@@ -406,6 +406,13 @@ def ivf_assignment_drift(
     trained quantizer; retrain and rebuild postings when the ratio
     crosses the deployment's threshold.
 
+    The base/delta stats combine with a FULL OUTER join on cell
+    (ADVICE r14): the final ``_nearest_cell`` pass can leave a trained
+    cell with zero base members, and a delta-only cell — exactly the
+    "delta drifting off the trained quantizer" cohort this monitor
+    exists to catch — must surface (n_base=0, base_mean_dist NULL),
+    not silently drop.
+
     Determinism: distances are the same round-6 squared-L2 lattice
     values the assignment ranks on, summed per cell as EXACT integer
     micro-units (a round-6 lattice value × 1e6 rounds to an exact
@@ -445,10 +452,12 @@ def ivf_assignment_drift(
         )
 
     return (
-        b.join(d, "cell", "left")
+        b.join(d, "cell", "full_outer")
         .select(
             "cell",
-            F.col("n_base").cast("long").alias("n_base"),
+            F.coalesce(F.col("n_base"), F.lit(0)).cast("long").alias(
+                "n_base"
+            ),
             F.coalesce(F.col("n_delta"), F.lit(0)).cast("long").alias(
                 "n_delta"
             ),
@@ -484,10 +493,14 @@ def ivf_index_topk(
     deltas append; the frozen quantizer is what every posting was
     assigned under, so routing and postings stay consistent).
 
-    100 TB: the centroid broadcast is k rows; candidate fetch is one
-    join postings ⋈ vectors on id (co-partitionable by id at scale) and
-    one cell-keyed join against the routed queries — never a scan of
-    cells the query doesn't probe."""
+    100 TB: the centroid broadcast is k rows; the postings scan is
+    pruned FIRST by the broadcast cell-keyed join against the routed
+    queries (probe/k of the postings survive — never a scan, let alone
+    a vector fetch, of cells the query doesn't probe), and only the
+    surviving candidate rows join the vector store on id
+    (co-partitionable by id at scale; hint-free — both sides grow with
+    the corpus, AQE decides). ADVICE r14: the previous plan fetched
+    vectors for ALL postings before the probed-cell filter."""
     from pyspark.sql import Window
 
     q = queries.select(
@@ -505,21 +518,23 @@ def ivf_index_topk(
         .filter(F.col("rn") <= probe)
         .select("query_id", "qvec", "cell")
     )
-    cand = postings.join(
-        corpus.select(
-            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")
-        ),
-        "vec_id",
-    ).select(F.col("vec_id").alias("cand_id"), "cell", "cvec")
-    scored = (
-        cand.join(F.broadcast(assigned), "cell")
-        .filter(F.col("cand_id") != F.col("query_id"))
+    cand = (
+        postings.join(F.broadcast(assigned), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
         .select(
-            "query_id",
-            "cand_id",
-            "cell",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+            F.col("vec_id").alias("cand_id"), "cell", "query_id", "qvec"
         )
+    )
+    scored = cand.join(
+        corpus.select(
+            F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec")
+        ),
+        "cand_id",
+    ).select(
+        "query_id",
+        "cand_id",
+        "cell",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
@@ -788,6 +803,199 @@ def pq_adc_topk(
                 F.array_sort(F.collect_list(F.struct("pos", "mu"))),
                 lambda s: s["mu"],
             ).alias("cent")
+        )
+        qsub = q.select(
+            "query_id", F.slice(F.col("qv"), j * sub_dim + 1, sub_dim).alias("qs")
+        )
+        d2 = F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("qs"), F.col("cent"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        luts.append(
+            qsub.join(F.broadcast(cents)).select(
+                "query_id", f"c{j}", d2.alias(f"d{j}")
+            )
+        )
+    scored = wide
+    for j, lut in enumerate(luts):
+        keys = [f"c{j}"] if j == 0 else ["query_id", f"c{j}"]
+        scored = scored.join(F.broadcast(lut), keys)
+    adc = F.round(
+        sum(F.col(f"d{j}") for j in range(1, m)) + F.col("d0"), 6
+    )
+    scored = scored.filter(F.col("vec_id") != F.col("query_id")).select(
+        "query_id", F.col("vec_id").alias("cand_id"), adc.alias("adc")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("cand_id"))
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= topk)
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 2,
+    sub_dim: int = 32,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The frozen PQ quantizer artifact ``(subspace, cell, cent)`` —
+    one ``kmeans_centroids`` Lloyd train per contiguous ``sub_dim``-dim
+    subspace (the same iteration-exact 6dp-lattice recipe ``pq_codes``
+    trains through ``kmeans_assign``, so codes assigned against these
+    codebooks equal ``pq_codes``' in-query assignment bit-for-bit).
+
+    This is what a resumable PQ index PERSISTS: m·k centroid rows of
+    ``sub_dim`` doubles — trivially parquet-sized, broadcastable
+    forever after. Retraining would re-lattice every stored code, the
+    exact invalidation the IVF freeze (``build_ivf_index``) exists to
+    prevent; the PQ twin freezes for the same reason."""
+    out = None
+    for j in range(m):
+        sub = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(
+                _to_double(F.col(vec_col)), j * sub_dim + 1, sub_dim
+            ).alias("sub"),
+        )
+        cj = kmeans_centroids(
+            sub, k=k, iterations=iterations, id_col="vec_id", vec_col="sub"
+        ).select(
+            F.lit(j).cast("long").alias("subspace"),
+            "cell",
+            F.col("c").alias("cent"),
+        )
+        out = cj if out is None else out.unionByName(cj)
+    return out
+
+
+def _assign_pq_codes(
+    codebooks: DataFrame,
+    df: DataFrame,
+    m: int = 2,
+    sub_dim: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector's subspace slices to their nearest FROZEN
+    codebook centroid (rounded squared L2, cell-id tie-break — the
+    ``_nearest_cell`` contract) → long-form codes ``(vec_id, subspace,
+    cell)``. Per-vector against a broadcast m·k-row codebook, so cost
+    is rows × m·k regardless of how much history the index holds."""
+    out = None
+    for j in range(m):
+        sub = df.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(
+                _to_double(F.col(vec_col)), j * sub_dim + 1, sub_dim
+            ).alias("v"),
+        )
+        cb = codebooks.filter(F.col("subspace") == j).select(
+            "cell", F.col("cent").alias("c")
+        )
+        a = _nearest_cell(sub, cb).select(
+            "vec_id", F.lit(j).cast("long").alias("subspace"), "cell"
+        )
+        out = a if out is None else out.unionByName(a)
+    return out
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    m: int = 2,
+    sub_dim: int = 32,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Resumable PQ index, build step: ``(codebooks, codes)`` — the
+    product-quantization member of the persisted-index family
+    (exact-hash, LSH-band, IVF, now PQ; VERDICT r14 #3). ``codebooks``
+    is the frozen per-subspace quantizer; ``codes`` is one ``(vec_id,
+    subspace, cell)`` row per (base vector, subspace). Both parquet-
+    persist; resuming NEVER retrains (FAISS contract: stored codes are
+    only meaningful under the codebooks they were quantized with).
+
+    The codebook frame is pinned with an eager ``localCheckpoint``: it
+    sits atop m iterative Lloyd trees and has two consumers (the code
+    assignment and whatever the caller persists) — the
+    ``build_ivf_index`` rule.
+
+    100 TB: the persisted codes are m longs per vector — the column ANN
+    scans stream INSTEAD of vectors; the build is m Lloyd trains over
+    ``sub_dim``-wide slices plus one broadcast assignment pass."""
+    cb = pq_codebooks(
+        corpus, m, sub_dim, k, iterations, id_col, vec_col
+    ).localCheckpoint(eager=True)
+    codes = _assign_pq_codes(cb, corpus, m, sub_dim, id_col, vec_col)
+    return cb, codes
+
+
+def apply_pq_index(
+    codebooks: DataFrame,
+    delta: DataFrame,
+    m: int = 2,
+    sub_dim: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Resume a PQ index from its persisted frozen codebooks: quantize a
+    delta batch against them and return the delta codes — append to the
+    saved codes to get the updated index. Like the IVF twin (and unlike
+    the dedup twins) assignment is per-vector, so resume ≡ from-scratch
+    quantization for ANY arrival order or batch split; cost is
+    delta × m·k, independent of indexed history."""
+    return _assign_pq_codes(codebooks, delta, m, sub_dim, id_col, vec_col)
+
+
+def pq_index_adc_topk(
+    codebooks: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    m: int = 2,
+    sub_dim: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    topk: int = 3,
+) -> DataFrame:
+    """Search a persisted ``(codebooks, codes)`` PQ index — the read
+    path after any number of ``apply_pq_index`` appends: per-query
+    distance LUTs against the FROZEN codebook centroids (k entries per
+    subspace), candidate distance = sum of its stored code's LUT
+    entries, global top-k per query under (adc asc, id asc).
+
+    Differs from ``pq_adc_topk`` exactly where a persisted index
+    should (the ``ivf_index_topk`` convention): LUTs use the frozen
+    quantizer the stored codes were assigned under — never centroids
+    recomputed from current assignments, which drift as deltas append.
+
+    100 TB: the corpus side streams m ints per vector (the wide code
+    row — never a raw vector); LUTs are queries × m·k rows and
+    BROADCAST, so scoring is m map-side hash-join probes plus a
+    per-query top-k window (WindowGroupLimit)."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+    )
+    wide = None
+    luts = []
+    for j in range(m):
+        cj = codes.filter(F.col("subspace") == j).select(
+            "vec_id", F.col("cell").alias(f"c{j}")
+        )
+        wide = cj if wide is None else wide.join(cj, "vec_id")
+        cents = codebooks.filter(F.col("subspace") == j).select(
+            F.col("cell").alias(f"c{j}"), F.col("cent")
         )
         qsub = q.select(
             "query_id", F.slice(F.col("qv"), j * sub_dim + 1, sub_dim).alias("qs")

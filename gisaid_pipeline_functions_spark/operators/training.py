@@ -105,7 +105,15 @@ def chunk_text_windows(
     100 TB: map-side only — one split per row (materialized in the row
     before multi-referencing, the r5 rule), no shuffle, no UDF; output
     bytes ≈ (window/stride)× the corpus, the usual chunking
-    amplification a deployment tunes with stride."""
+    amplification a deployment tunes with stride.
+
+    Plan audit (ADVICE r14 → r15): the executed plan contains exactly
+    ONE ``split(text, ' ')`` — the pre-explode select/withColumn chain
+    does NOT re-inline it, because the Generate (explode) node is a
+    projection barrier CollapseProject never crosses; the ``_n``/
+    ``_w`` references below the explode read the generated attribute.
+    (Verified via executedPlan at sf0.001; the r5 re-inline class only
+    bites when every reference sits in one collapsed Project.)"""
     assert stride_words >= 1 and window_words >= stride_words
     d = df.select(
         F.col(id_col).alias("doc_id"),

@@ -1237,3 +1237,139 @@ def dedup_incremental_exact(spark, sf_dir):
         .join(updated_index.hint("merge"), "fingerprint")
         .select("doc_id", "source", "n_copies")
     )
+
+
+@register(
+    "dedup_index_delete_exact",
+    # Deletion/retraction support for the persisted exact-dedup index
+    # (r15 — VERDICT r14 #4): build (index, postings) over the corpus,
+    # persist both to parquet, then retract a delete batch chosen to
+    # force BOTH hard cases — the keeper of EVERY multi-copy bucket
+    # (next-lowest survivor must be re-elected) and a deterministic
+    # slice of singleton buckets (the bucket must disappear). The
+    # updated index must hash-equal a from-scratch build over
+    # corpus-minus-deleted, which is exactly what the oracle computes.
+    """
+    WITH fp AS (SELECT doc_id, md5(text) AS fingerprint FROM documents),
+    idx AS (
+      SELECT fingerprint, min(doc_id) AS keeper, count(*) AS n
+      FROM fp GROUP BY 1
+    ),
+    del AS (
+      SELECT keeper AS doc_id FROM idx WHERE n >= 2
+      UNION ALL
+      SELECT keeper FROM idx WHERE n = 1 AND keeper % 7 = 0
+    )
+    SELECT fingerprint, min(doc_id) AS keeper_id,
+           count(*) AS n_copies
+    FROM fp WHERE doc_id NOT IN (SELECT doc_id FROM del)
+    GROUP BY fingerprint
+    """,
+)
+def dedup_index_delete_exact(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import (
+        delete_from_exact_dedup_index,
+        exact_dedup_postings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # build + persist BOTH artifacts: the compacted index (the dedup
+    # fast path) and the postings (the deletion companion — the index
+    # alone forgot every non-min member, so it cannot re-elect)
+    tmp = tempfile.mkdtemp(prefix="gisaid_exact_del_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    post = exact_dedup_postings(docs).persist()
+    post.write.mode("overwrite").parquet(f"{tmp}/postings")
+    post.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).write.mode("overwrite").parquet(f"{tmp}/index")
+    post.unpersist()
+
+    saved_index = spark.read.parquet(f"{tmp}/index")
+    saved_post = spark.read.parquet(f"{tmp}/postings")
+    # the retraction batch: every multi-copy bucket's keeper (forces
+    # re-election) + singleton keepers at doc_id % 7 == 0 (forces
+    # bucket removal) — both derived from the SAVED index, as a real
+    # retraction pipeline would
+    dels = (
+        saved_index.filter(F.col("n_copies") >= 2)
+        .select(F.col("keeper_id").alias("doc_id"))
+        .unionByName(
+            saved_index.filter(
+                (F.col("n_copies") == 1) & (F.col("keeper_id") % 7 == 0)
+            ).select(F.col("keeper_id").alias("doc_id"))
+        )
+    )
+    updated_index, _updated_post = delete_from_exact_dedup_index(
+        saved_index, saved_post, dels
+    )
+    return updated_index
+
+
+@register(
+    "dedup_index_delete_lsh",
+    # Deletion/retraction for the persisted LSH band index (r15 — the
+    # banded twin): the full (band, sig, doc_id) postings are the
+    # persisted companion (n_bands rows/doc; the compacted index
+    # cannot re-elect). Delete batch = every ≥2-member bucket's
+    # minimum id (re-election in every shared bucket) + the doc_id %
+    # 13 slice (arbitrary-member deletion, incl. emptying singleton
+    # buckets). Updated index must hash-equal the from-scratch build
+    # over corpus-minus-deleted — same shingle/minhash/band CTEs as
+    # the batch LSH family.
+    f"""
+    WITH {_SHINGLES}, {_MINHASH}, {_BANDS},
+    del AS (
+      SELECT keeper AS id FROM (
+        SELECT band, sig, min(id) AS keeper, count(*) AS n
+        FROM bands GROUP BY 1, 2
+      ) WHERE n >= 2
+      UNION
+      SELECT doc_id FROM documents WHERE doc_id % 13 = 0
+    )
+    SELECT band, sig, min(id) AS keeper FROM bands
+    WHERE id NOT IN (SELECT id FROM del)
+    GROUP BY band, sig
+    """,
+)
+def dedup_index_delete_lsh(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import delete_from_lsh_band_index, lsh_band_stack
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="gisaid_lsh_del_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    # one banded fold, persisted, feeds BOTH artifacts (the r6 rule:
+    # never re-run a per-row fingerprint for a second consumer)
+    post = lsh_band_stack(docs).persist()
+    post.write.mode("overwrite").parquet(f"{tmp}/postings")
+    post.groupBy("band", "sig").agg(
+        F.min("doc_id").alias("keeper")
+    ).write.mode("overwrite").parquet(f"{tmp}/index")
+    post.unpersist()
+
+    saved_index = spark.read.parquet(f"{tmp}/index")
+    saved_post = spark.read.parquet(f"{tmp}/postings")
+    bucket_stats = saved_post.groupBy("band", "sig").agg(
+        F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n")
+    )
+    dels = (
+        bucket_stats.filter(F.col("n") >= 2)
+        .select(F.col("keeper").alias("doc_id"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 0).select("doc_id")
+        )
+        .distinct()
+    )
+    updated_index, _updated_post = delete_from_lsh_band_index(
+        saved_index, saved_post, dels
+    )
+    return updated_index

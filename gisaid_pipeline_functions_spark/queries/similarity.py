@@ -1397,26 +1397,44 @@ def sim_rocchio_prf(spark, sf_dir):
 
 
 _IVF_CUT = "(SELECT c FROM cut)"
-_IVF_DELTA_CTES = f"""
-    delta AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+
+
+def _ivf_delta_ctes(
+    iterations: int = 2,
+    prefix: str = "",
+    vexpr: str = "CAST(embedding AS DOUBLE[])",
+) -> str:
+    """Delta-assignment CTE block for the resumable-index oracles:
+    assign the post-cutoff vectors against the TRAINED centroid
+    generation ``{prefix}c{iterations}`` of a preceding ``_kmeans_ctes``
+    chain (same prefix) and merge with its ``{prefix}fin`` base
+    postings. The centroid CTE name is DERIVED from ``iterations``
+    (ADVICE r14: a hardcoded ``c2`` would silently assign the delta
+    against a stale generation if a register() call ever changed its
+    iteration count); ``prefix``/``vexpr`` compose per-subspace chains
+    for the product-quantization twin (r15), mirroring
+    ``_kmeans_ctes``' own hooks."""
+    p = prefix
+    return f"""
+    {p}delta AS (
+      SELECT vec_id, {vexpr} AS v FROM embeddings
       WHERE vec_id > {_IVF_CUT}
     ),
-    dassign AS (
+    {p}dassign AS (
       SELECT vec_id, cell FROM (
-        SELECT delta.vec_id, cc.cell,
+        SELECT {p}delta.vec_id, cc.cell,
                row_number() OVER (
-                 PARTITION BY delta.vec_id
+                 PARTITION BY {p}delta.vec_id
                  ORDER BY round(list_sum(list_transform(
-                            list_zip(delta.v, cc.c),
+                            list_zip({p}delta.v, cc.c),
                             p -> (p[1]-p[2])*(p[1]-p[2]))), 6), cc.cell
                ) AS rn
-        FROM delta CROSS JOIN c2 cc
+        FROM {p}delta CROSS JOIN {p}c{iterations} cc
       ) WHERE rn = 1
     ),
-    merged AS (
-      SELECT vec_id, cell FROM fin
-      UNION ALL SELECT vec_id, cell FROM dassign
+    {p}merged AS (
+      SELECT vec_id, cell FROM {p}fin
+      UNION ALL SELECT vec_id, cell FROM {p}dassign
     )"""
 
 
@@ -1439,7 +1457,7 @@ _IVF_DELTA_CTES = f"""
         where=f"WHERE vec_id <= {_IVF_CUT}",
     )
     + ","
-    + _IVF_DELTA_CTES
+    + _ivf_delta_ctes(iterations=2)
     + f"""
     SELECT cell,
       CAST(sum(CASE WHEN vec_id <= {_IVF_CUT} THEN 1 ELSE 0 END) AS BIGINT)
@@ -1509,7 +1527,7 @@ def sim_incremental_ivf(spark, sf_dir):
         where=f"WHERE vec_id <= {_IVF_CUT}",
     )
     + ","
-    + _IVF_DELTA_CTES
+    + _ivf_delta_ctes(iterations=2)
     + f""",
     eall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     q AS (SELECT vec_id AS query_id, v AS qvec FROM eall WHERE vec_id < 5),
@@ -1577,7 +1595,11 @@ def sim_incremental_ivf_search(spark, sf_dir):
     # index. Distances are the round-6 lattice values the assignment
     # ranks on; per-cell sums are EXACT integer micro-units (lattice ×
     # 1e6 is an exact BIGINT), so the only float op is one final
-    # division per mean — engine-order-free by construction.
+    # division per mean — engine-order-free by construction. Base and
+    # delta stats combine FULL OUTER on cell (ADVICE r14 / r15): a
+    # delta-only cell — the drifting cohort the monitor exists for —
+    # surfaces with n_base=0 and NULL base_mean_dist instead of
+    # silently dropping.
     "WITH cut AS (SELECT (max(vec_id)*4)//5 AS c FROM embeddings),\n    "
     + _kmeans_ctes(
         k=4, iterations=2, dim=64,
@@ -1613,15 +1635,16 @@ def sim_incremental_ivf_search(spark, sf_dir):
              sum(CAST(round(dist*1000000.0) AS BIGINT)) AS sm
       FROM dassign GROUP BY cell
     )
-    SELECT b.cell,
-           CAST(b.n_base AS BIGINT) AS n_base,
+    SELECT coalesce(b.cell, d.cell) AS cell,
+           CAST(coalesce(b.n_base, 0) AS BIGINT) AS n_base,
            CAST(coalesce(d.n_delta, 0) AS BIGINT) AS n_delta,
-           round(CAST(b.sm AS DOUBLE) / (CAST(b.n_base AS DOUBLE) * 1000000.0), 6)
-             AS base_mean_dist,
+           CASE WHEN b.n_base > 0
+                THEN round(CAST(b.sm AS DOUBLE) / (CAST(b.n_base AS DOUBLE) * 1000000.0), 6)
+           END AS base_mean_dist,
            CASE WHEN d.n_delta > 0
                 THEN round(CAST(d.sm AS DOUBLE) / (CAST(d.n_delta AS DOUBLE) * 1000000.0), 6)
            END AS delta_mean_dist
-    FROM b LEFT JOIN d ON b.cell = d.cell
+    FROM b FULL OUTER JOIN d ON b.cell = d.cell
     """,
 )
 def sim_ivf_drift(spark, sf_dir):
@@ -1651,7 +1674,7 @@ def sim_ivf_drift(spark, sf_dir):
         where=f"WHERE vec_id <= {_IVF_CUT}",
     )
     + ","
-    + _IVF_DELTA_CTES
+    + _ivf_delta_ctes(iterations=2)
     + f""",
     eall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     q AS (SELECT vec_id AS query_id, v AS qvec FROM eall WHERE vec_id < 5),
@@ -1709,4 +1732,282 @@ def sim_ivf_index_multiprobe(spark, sf_dir):
     return ivf_index_topk(
         saved_cents, merged, emb, emb.filter(F.col("vec_id") < 5),
         k=3, probe=2,
+    )
+
+
+_PQ_INCR_CHAINS = (
+    # per-subspace Lloyd chains TRAINED ON THE BASE BATCH ONLY (the
+    # `where` hook), then per-subspace delta assignment against each
+    # chain's FROZEN final centroids (the derived-name delta block)
+    _kmeans_ctes(
+        k=4, iterations=2, dim=32, prefix="s0_",
+        vexpr="CAST(embedding AS DOUBLE[])[1:32]",
+        where=f"WHERE vec_id <= {_IVF_CUT}",
+    )
+    + ",\n    "
+    + _kmeans_ctes(
+        k=4, iterations=2, dim=32, prefix="s1_",
+        vexpr="CAST(embedding AS DOUBLE[])[33:64]",
+        where=f"WHERE vec_id <= {_IVF_CUT}",
+    )
+    + ","
+    + _ivf_delta_ctes(
+        iterations=2, prefix="s0_", vexpr="CAST(embedding AS DOUBLE[])[1:32]"
+    )
+    + ","
+    + _ivf_delta_ctes(
+        iterations=2, prefix="s1_", vexpr="CAST(embedding AS DOUBLE[])[33:64]"
+    )
+)
+
+
+@register(
+    "sim_incremental_pq",
+    # Resumable PQ index (r15 — VERDICT r14 #3, the quad-completion of
+    # the persisted-index family): the Spark side trains one codebook
+    # per subspace on the first ~80% of the id space, PERSISTS
+    # (codebooks, codes) to parquet, then resumes from the ON-DISK
+    # artifacts to quantize the delta against the FROZEN codebooks —
+    # while the oracle replays both subspaces' base-restricted Lloyd
+    # training and assigns the delta slices against each chain's final
+    # centroids. Per-(subspace, cell) counts + id checksums hash EVERY
+    # code on both sides: equality proves the freeze (no retrain on
+    # resume), the codebook float lattice's parquet round-trip, and
+    # the code merge.
+    "WITH cut AS (SELECT (max(vec_id)*4)//5 AS c FROM embeddings),\n    "
+    + _PQ_INCR_CHAINS
+    + f""",
+    allcodes AS (
+      SELECT vec_id, CAST(0 AS BIGINT) AS subspace, cell FROM s0_merged
+      UNION ALL
+      SELECT vec_id, CAST(1 AS BIGINT) AS subspace, cell FROM s1_merged
+    )
+    SELECT subspace, cell,
+      CAST(sum(CASE WHEN vec_id <= {_IVF_CUT} THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_base,
+      CAST(sum(CASE WHEN vec_id > {_IVF_CUT} THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_delta,
+      CAST(sum(CASE WHEN vec_id <= {_IVF_CUT} THEN vec_id ELSE 0 END) AS BIGINT)
+        AS id_sum_base,
+      CAST(sum(CASE WHEN vec_id > {_IVF_CUT} THEN vec_id ELSE 0 END) AS BIGINT)
+        AS id_sum_delta
+    FROM allcodes GROUP BY subspace, cell
+    """,
+)
+def sim_incremental_pq(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import apply_pq_index, build_pq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # append-only ingest split at the ~80th id percentile (1-row anchor
+    # collect, the persisted-index family contract)
+    cutoff = emb.agg(F.max("vec_id").alias("m")).first()["m"] * 4 // 5
+    base = emb.filter(F.col("vec_id") <= cutoff)
+    delta = emb.filter(F.col("vec_id") > cutoff)
+
+    # batch 1: train per-subspace codebooks + quantize the base,
+    # persist BOTH index artifacts
+    cb, base_codes = build_pq_index(base, m=2, sub_dim=32, k=4, iterations=2)
+    tmp = tempfile.mkdtemp(prefix="gisaid_pq_index_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    cb.write.mode("overwrite").parquet(f"{tmp}/codebooks")
+    base_codes.write.mode("overwrite").parquet(f"{tmp}/codes")
+
+    # batch 2: resume from the ON-DISK artifacts — the delta quantizes
+    # against the frozen codebooks (delta × m·k cost); historical
+    # vectors are never re-read, the codes only appended to
+    saved_cb = spark.read.parquet(f"{tmp}/codebooks")
+    saved_codes = spark.read.parquet(f"{tmp}/codes")
+    delta_codes = apply_pq_index(saved_cb, delta, m=2, sub_dim=32)
+
+    merged = saved_codes.unionByName(delta_codes)
+    is_base = F.col("vec_id") <= F.lit(cutoff)
+    return merged.groupBy("subspace", "cell").agg(
+        F.sum(F.when(is_base, 1).otherwise(0)).cast("long").alias("n_base"),
+        F.sum(F.when(~is_base, 1).otherwise(0)).cast("long").alias("n_delta"),
+        F.sum(F.when(is_base, F.col("vec_id")).otherwise(0))
+        .cast("long")
+        .alias("id_sum_base"),
+        F.sum(F.when(~is_base, F.col("vec_id")).otherwise(0))
+        .cast("long")
+        .alias("id_sum_delta"),
+    )
+
+
+@register(
+    "sim_incremental_pq_search",
+    # The read path after a PQ resume: asymmetric-distance top-3 over
+    # the MERGED codes (base + delta candidates), LUTs against the
+    # FROZEN codebooks — NOT centroids recomputed from current
+    # assignments (those drift as deltas append; the frozen quantizer
+    # is what every stored code was assigned under — the
+    # ivf_index_topk convention). Candidates spanning both batches
+    # prove appended vectors are searchable immediately.
+    "WITH cut AS (SELECT (max(vec_id)*4)//5 AS c FROM embeddings),\n    "
+    + _PQ_INCR_CHAINS
+    + """,
+    codes AS (
+      SELECT a.vec_id, a.cell AS c0, b.cell AS c1
+      FROM s0_merged a JOIN s1_merged b ON a.vec_id = b.vec_id
+    ),
+    q0 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[])[1:32] AS v
+           FROM embeddings WHERE vec_id < 5),
+    q1 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[])[33:64] AS v
+           FROM embeddings WHERE vec_id < 5),
+    lut0 AS (
+      SELECT q.query_id, c.cell AS c0,
+             round(list_sum(list_transform(list_zip(q.v, c.c),
+                   p -> (p[1]-p[2])*(p[1]-p[2]))), 6) AS d0
+      FROM q0 q CROSS JOIN s0_c2 c
+    ),
+    lut1 AS (
+      SELECT q.query_id, c.cell AS c1,
+             round(list_sum(list_transform(list_zip(q.v, c.c),
+                   p -> (p[1]-p[2])*(p[1]-p[2]))), 6) AS d1
+      FROM q1 q CROSS JOIN s1_c2 c
+    ),
+    scored AS (
+      SELECT l0.query_id, cd.vec_id AS cand_id, round(l0.d0 + l1.d1, 6) AS adc
+      FROM codes cd
+      JOIN lut0 l0 ON cd.c0 = l0.c0
+      JOIN lut1 l1 ON l1.query_id = l0.query_id AND cd.c1 = l1.c1
+      WHERE cd.vec_id <> l0.query_id
+    )
+    SELECT query_id, cand_id, adc, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def sim_incremental_pq_search(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import (
+        apply_pq_index,
+        build_pq_index,
+        pq_index_adc_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cutoff = emb.agg(F.max("vec_id").alias("m")).first()["m"] * 4 // 5
+    base = emb.filter(F.col("vec_id") <= cutoff)
+    delta = emb.filter(F.col("vec_id") > cutoff)
+
+    cb, base_codes = build_pq_index(base, m=2, sub_dim=32, k=4, iterations=2)
+    tmp = tempfile.mkdtemp(prefix="gisaid_pq_search_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    cb.write.mode("overwrite").parquet(f"{tmp}/codebooks")
+    base_codes.write.mode("overwrite").parquet(f"{tmp}/codes")
+
+    saved_cb = spark.read.parquet(f"{tmp}/codebooks")
+    saved_codes = spark.read.parquet(f"{tmp}/codes")
+    merged = saved_codes.unionByName(
+        apply_pq_index(saved_cb, delta, m=2, sub_dim=32)
+    )
+    return pq_index_adc_topk(
+        saved_cb, merged, emb.filter(F.col("vec_id") < 5),
+        m=2, sub_dim=32, topk=3,
+    )
+
+
+@register(
+    "streaming_ivf_append_hash",
+    # The IVF index maintenance loop DRIVEN AS A REAL STREAM (r15 —
+    # VERDICT r14 #5, promoting the pytest to a hash-gated driver row
+    # like the other streaming twins): the frozen quantizer is built on
+    # the base batch, the delta arrives as a 2-file parquet backlog
+    # (maxFilesPerTrigger=1 → 2 micro-batches), and foreachBatch
+    # appends postings via apply_ivf_index per micro-batch. The
+    # accumulated postings, merged with the base postings, must
+    # hash-match the SAME from-scratch oracle as sim_incremental_ivf —
+    # assignment against frozen centroids is per-vector, so any
+    # micro-batch boundary placement yields identical postings (no
+    # monotone-id contract, unlike the dedup streaming twins).
+    "WITH cut AS (SELECT (max(vec_id)*4)//5 AS c FROM embeddings),\n    "
+    + _kmeans_ctes(
+        k=4, iterations=2, dim=64,
+        where=f"WHERE vec_id <= {_IVF_CUT}",
+    )
+    + ","
+    + _ivf_delta_ctes(iterations=2)
+    + f"""
+    SELECT cell,
+      CAST(sum(CASE WHEN vec_id <= {_IVF_CUT} THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_base,
+      CAST(sum(CASE WHEN vec_id > {_IVF_CUT} THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_delta,
+      CAST(sum(CASE WHEN vec_id <= {_IVF_CUT} THEN vec_id ELSE 0 END) AS BIGINT)
+        AS id_sum_base,
+      CAST(sum(CASE WHEN vec_id > {_IVF_CUT} THEN vec_id ELSE 0 END) AS BIGINT)
+        AS id_sum_delta
+    FROM merged GROUP BY cell
+    """,
+)
+def streaming_ivf_append_hash(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import apply_ivf_index, build_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cutoff = emb.agg(F.max("vec_id").alias("m")).first()["m"] * 4 // 5
+    base = emb.filter(F.col("vec_id") <= cutoff)
+    delta = emb.filter(F.col("vec_id") > cutoff)
+
+    cents, base_post = build_ivf_index(base, k=4, iterations=2)
+    tmp = tempfile.mkdtemp(prefix="gisaid_ivf_stream_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    cents.write.mode("overwrite").parquet(f"{tmp}/centroids")
+    base_post.write.mode("overwrite").parquet(f"{tmp}/postings")
+
+    # the delta backlog: two parquet files → two micro-batches under
+    # maxFilesPerTrigger=1. No mtime-ordering sleep needed (unlike the
+    # pytest, which also proves boundary-placement freedom): per-vector
+    # frozen assignment is order-free by construction.
+    mid = (cutoff + emb.agg(F.max("vec_id").alias("m")).first()["m"]) // 2
+    backlog = f"{tmp}/backlog"
+    delta.filter(F.col("vec_id") <= mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(backlog)
+    delta.filter(F.col("vec_id") > mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(backlog)
+
+    out = f"{tmp}/streamed"
+
+    def _append(bdf, _bid):
+        saved_c = bdf.sparkSession.read.parquet(f"{tmp}/centroids")
+        apply_ivf_index(saved_c, bdf).write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(backlog)
+        .writeStream.foreachBatch(_append)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = spark.read.parquet(f"{tmp}/postings").unionByName(
+        spark.read.parquet(out)
+    )
+    is_base = F.col("vec_id") <= F.lit(cutoff)
+    return merged.groupBy("cell").agg(
+        F.sum(F.when(is_base, 1).otherwise(0)).cast("long").alias("n_base"),
+        F.sum(F.when(~is_base, 1).otherwise(0)).cast("long").alias("n_delta"),
+        F.sum(F.when(is_base, F.col("vec_id")).otherwise(0))
+        .cast("long")
+        .alias("id_sum_base"),
+        F.sum(F.when(~is_base, F.col("vec_id")).otherwise(0))
+        .cast("long")
+        .alias("id_sum_delta"),
     )

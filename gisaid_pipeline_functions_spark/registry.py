@@ -63,45 +63,37 @@ def register(name: str, sql: str | None = None):
 # the round the change was made in — forced to the front until a green
 # driver row from that round (or later) exists, then they rotate back
 # into the normal staleness order automatically.
-_RECHECK_ROUND = 14
+_RECHECK_ROUND = 15
 # the round's new registrations: force them into THIS round's driver
 # window (never-driven queries already sort first, but the never-driven
 # cohort drained to zero in r11, so tie-breaking alone would still put a
 # new registration behind 49 stale-evidence names — CLAUDE.md rule from
 # the r10 catch)
 _RECHECK_FIRST = frozenset({
-    # new registrations this round (the resumable IVF index — the
-    # vector member of the persisted-index triad — its read path, and
-    # the frozen-quantizer drift monitor)
-    "sim_incremental_ivf",
+    # new registrations this round: the resumable PQ index (frozen
+    # codebooks + delta append — VERDICT r14 #3) and its ADC read path
+    "sim_incremental_pq",
+    "sim_incremental_pq_search",
+    # new registrations: deletion/retraction with keeper re-election
+    # for the persisted dedup indexes (VERDICT r14 #4)
+    "dedup_index_delete_exact",
+    "dedup_index_delete_lsh",
+    # new registration: the foreachBatch IVF append driven as a real
+    # stream, promoted from pytest to a hash-gated driver row
+    # (VERDICT r14 #5)
+    "streaming_ivf_append_hash",
+    # code change: ivf_index_topk now prunes postings to probed cells
+    # BEFORE the vector fetch (ADVICE r14 #1) — these two transit it
     "sim_incremental_ivf_search",
-    "sim_ivf_drift",
-    # transitive code change: kmeans_assign's training loop split out
-    # into kmeans_centroids (the frozen-quantizer artifact the IVF
-    # index persists) — the composed tree is identical, but the
-    # convention is a fresh driver row after any operator change; these
-    # six transit kmeans_assign
-    "sim_kmeans_cells",
-    "sim_ivf_learned",
-    "sim_centroid_outlier",
-    "sim_semdedup",
-    "sim_pq_codes",
-    "sim_pq_adc_topk",
-    # transitive code change: apply_lsh_band_index /
-    # apply_exact_dedup_index gained the `cleanup` out-param (ADVICE
-    # r13) — the default path is byte-equivalent, same convention
-    "dedup_incremental_index",
-    "dedup_incremental_exact",
-    # new registration (late r14): the sliding-window chunker
-    "train_chunk_windows",
-    # new registration (late r14): probe=2 over the persisted IVF
-    # index (ivf_index_topk gained the probe knob; the probe=1 path is
-    # rn<=1 ≡ rn==1, and sim_incremental_ivf_search is already above)
     "sim_ivf_index_multiprobe",
-    # code change: the scored frame is persisted before its two
-    # consumers (scale-shape fix, measured neutral at sf0.1 — see the
-    # in-code note and COVERAGE round-14)
-    "text_calibration_curve",
+    # code change: ivf_assignment_drift base/delta stats combine FULL
+    # OUTER on cell (ADVICE r14 #2; oracle updated in lockstep)
+    "sim_ivf_drift",
+    # oracle-side refactor only (byte-identical generated SQL, asserted
+    # in tests/test_queries_oracle.py conventions): _ivf_delta_ctes now
+    # derives its centroid CTE name (ADVICE r14 #3) — fresh row per the
+    # any-change convention
+    "sim_incremental_ivf",
 })
 
 

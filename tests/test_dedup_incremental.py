@@ -473,3 +473,194 @@ def test_cleanup_handle_releases_per_batch_caches(spark, sf_dir):
         for h in handles:
             h.unpersist()
         assert not handles[0].is_cached
+
+
+# ---------------------------------------------------------------------------
+# Deletion / retraction (r15 — VERDICT r14 #4)
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_delete_reelects_next_lowest_survivor(spark):
+    """Crafted micro-case: bucket {1, 4, 9} loses keeper 1 → keeper
+    must become 4 with n_copies 2; bucket {2} fully deleted →
+    disappears; bucket {3} untouched → passes through byte-identical."""
+    from gisaid_pipeline_functions_spark.operators.dedup import (
+        delete_from_exact_dedup_index,
+        exact_dedup_postings,
+    )
+
+    docs = _mk_docs(
+        spark,
+        [(1, "aa"), (4, "aa"), (9, "aa"), (2, "bb"), (3, "cc")],
+    )
+    post = exact_dedup_postings(docs)
+    index = post.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    dels = _mk_docs(spark, [(1, ""), (2, "")]).select("doc_id")
+    upd_index, upd_post = delete_from_exact_dedup_index(index, post, dels)
+
+    got = {
+        r["keeper_id"]: r["n_copies"] for r in upd_index.collect()
+    }
+    assert got == {4: 2, 3: 1}
+    assert {r["doc_id"] for r in upd_post.collect()} == {4, 9, 3}
+
+
+def test_exact_delete_equals_from_scratch_minus_deleted(spark, sf_dir):
+    """Over the real corpus: deleting every multi-copy bucket's keeper
+    plus a slice of other docs leaves an index identical to building
+    from scratch on corpus-minus-deleted."""
+    from gisaid_pipeline_functions_spark.operators.dedup import (
+        delete_from_exact_dedup_index,
+        exact_dedup_postings,
+        exact_duplicates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    post = exact_dedup_postings(docs).localCheckpoint(eager=True)
+    index = post.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    dels = (
+        index.filter(F.col("n_copies") >= 2)
+        .select(F.col("keeper_id").alias("doc_id"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    upd_index, _p = delete_from_exact_dedup_index(index, post, dels)
+    got = {
+        (r["fingerprint"], r["keeper_id"], r["n_copies"])
+        for r in upd_index.collect()
+    }
+    survivors = docs.join(dels, "doc_id", "left_anti")
+    want = {
+        (r["fingerprint"], r["keeper_id"], r["n_copies"])
+        for r in exact_duplicates(survivors, "doc_id", "text").collect()
+    }
+    assert got == want
+
+
+def test_exact_delete_unknown_ids_is_identity(spark, sf_dir):
+    """Retracting ids absent from the postings changes nothing
+    (idempotent retraction — re-delivered DMCA notices are normal)."""
+    from gisaid_pipeline_functions_spark.operators.dedup import (
+        delete_from_exact_dedup_index,
+        exact_dedup_postings,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    post = exact_dedup_postings(docs).localCheckpoint(eager=True)
+    index = post.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    mx = docs.agg(F.max("doc_id").alias("m")).first()["m"]
+    ghost = _mk_docs(spark, [(mx + 101, ""), (mx + 202, "")]).select(
+        "doc_id"
+    )
+    upd_index, upd_post = delete_from_exact_dedup_index(index, post, ghost)
+    assert sorted(map(tuple, upd_index.collect())) == sorted(
+        map(tuple, index.collect())
+    )
+    assert upd_post.count() == post.count()
+
+
+def test_lsh_delete_equals_from_scratch_minus_deleted(spark, sf_dir):
+    """Banded twin over the real corpus: delete every ≥2-member
+    bucket's min id plus a slice; the updated compacted index equals
+    build_lsh_band_index over corpus-minus-deleted."""
+    from gisaid_pipeline_functions_spark.operators.dedup import (
+        build_lsh_band_index,
+        delete_from_lsh_band_index,
+        lsh_band_stack,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    post = lsh_band_stack(docs).localCheckpoint(eager=True)
+    index = post.groupBy("band", "sig").agg(F.min("doc_id").alias("keeper"))
+    stats = post.groupBy("band", "sig").agg(
+        F.min("doc_id").alias("k"), F.count(F.lit(1)).alias("n")
+    )
+    dels = (
+        stats.filter(F.col("n") >= 2)
+        .select(F.col("k").alias("doc_id"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    upd_index, upd_post = delete_from_lsh_band_index(index, post, dels)
+    got = {
+        (r["band"], r["sig"], r["keeper"]) for r in upd_index.collect()
+    }
+    survivors = docs.join(dels, "doc_id", "left_anti")
+    want = {
+        (r["band"], r["sig"], r["keeper"])
+        for r in build_lsh_band_index(survivors).collect()
+    }
+    assert got == want
+    # postings shrank by exactly the deleted docs' band rows
+    n_del_rows = post.join(dels, "doc_id").count()
+    assert upd_post.count() == post.count() - n_del_rows
+
+
+def test_delete_then_append_composes(spark, sf_dir, tmp_path):
+    """The full index lifecycle: build on base, DELETE a batch, then
+    APPEND a delta via apply_exact_dedup_index — the final index
+    equals from-scratch over (base - deleted) + delta. Deletion and
+    append are independent index maintenance operations and must
+    compose in either order of arrival."""
+    from gisaid_pipeline_functions_spark.operators.dedup import (
+        apply_exact_dedup_index,
+        delete_from_exact_dedup_index,
+        exact_dedup_postings,
+        exact_duplicates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    mx = docs.agg(F.max("doc_id").alias("m")).first()["m"]
+    cut = mx * 4 // 5
+    base = docs.filter(F.col("doc_id") <= cut)
+    delta = docs.filter(F.col("doc_id") > cut)
+
+    post = exact_dedup_postings(base).localCheckpoint(eager=True)
+    index = post.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    dels = (
+        base.filter(F.col("doc_id") % 11 == 0)
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    del_index, _post2 = delete_from_exact_dedup_index(index, post, dels)
+    _drops, final_index = apply_exact_dedup_index(del_index, delta)
+
+    got = {
+        (r["fingerprint"], r["keeper_id"], r["n_copies"])
+        for r in final_index.collect()
+    }
+    kept = base.join(dels, "doc_id", "left_anti").unionByName(delta)
+    want = {
+        (r["fingerprint"], r["keeper_id"], r["n_copies"])
+        for r in exact_duplicates(kept, "doc_id", "text").collect()
+    }
+    assert got == want

@@ -228,3 +228,197 @@ def test_streaming_microbatch_append_equals_batch(spark, sf_dir, tmp_path):
     }
     assert streamed == oneshot
     assert len(streamed) == delta.count()
+
+
+def _pq_frozen_scratch(emb, base):
+    """From-scratch quantization of the FULL corpus against codebooks
+    trained on ``base`` only — what any PQ resume sequence must equal."""
+    from gisaid_pipeline_functions_spark.operators.similarity import (
+        _assign_pq_codes,
+        pq_codebooks,
+    )
+
+    cb = pq_codebooks(base, m=2, sub_dim=32, k=4, iterations=2).localCheckpoint(
+        eager=True
+    )
+    return {
+        (r["vec_id"], r["subspace"], r["cell"])
+        for r in _assign_pq_codes(cb, emb, m=2, sub_dim=32).collect()
+    }
+
+
+def test_pq_two_delta_resume_equals_frozen_scratch(spark, sf_dir, tmp_path):
+    """base + delta1 + delta2, each resumed from the previous batch's
+    ON-DISK (codebooks, codes), must reproduce the frozen-codebook
+    from-scratch quantization of the full corpus — the PQ twin of the
+    IVF two-delta replay (codebook float lattice round-trips parquet,
+    the code merge loses nothing)."""
+    from gisaid_pipeline_functions_spark.operators.similarity import (
+        apply_pq_index,
+        build_pq_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mx = emb.agg(F.max("vec_id").alias("m")).first()["m"]
+    c1, c2 = mx * 3 // 5, mx * 4 // 5
+    base = emb.filter(F.col("vec_id") <= c1)
+    deltas = [
+        emb.filter((F.col("vec_id") > c1) & (F.col("vec_id") <= c2)),
+        emb.filter(F.col("vec_id") > c2),
+    ]
+
+    cb, codes = build_pq_index(base, m=2, sub_dim=32, k=4, iterations=2)
+    cbpath = str(tmp_path / "codebooks")
+    cb.write.parquet(cbpath)
+    cpath = str(tmp_path / "codes0")
+    codes.write.parquet(cpath)
+    for i, d in enumerate(deltas):
+        saved_cb = spark.read.parquet(cbpath)
+        saved_codes = spark.read.parquet(cpath)
+        merged = saved_codes.unionByName(
+            apply_pq_index(saved_cb, d, m=2, sub_dim=32)
+        )
+        cpath = str(tmp_path / f"codes{i + 1}")
+        merged.write.parquet(cpath)
+
+    replay = {
+        (r["vec_id"], r["subspace"], r["cell"])
+        for r in spark.read.parquet(cpath).collect()
+    }
+    assert replay == _pq_frozen_scratch(emb, base)
+    # every vector coded exactly once per subspace
+    assert len(replay) == emb.count() * 2
+
+
+def test_pq_resume_is_arrival_order_free(spark, sf_dir, tmp_path):
+    """Quantization against frozen codebooks is per-vector: one big
+    delta equals its two halves applied separately, reversed."""
+    from gisaid_pipeline_functions_spark.operators.similarity import (
+        apply_pq_index,
+        build_pq_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mx = emb.agg(F.max("vec_id").alias("m")).first()["m"]
+    cut = mx * 3 // 5
+    base = emb.filter(F.col("vec_id") <= cut)
+    delta = emb.filter(F.col("vec_id") > cut)
+
+    cb, _codes = build_pq_index(base, m=2, sub_dim=32, k=4, iterations=2)
+    cbpath = str(tmp_path / "codebooks")
+    cb.write.parquet(cbpath)
+    saved_cb = spark.read.parquet(cbpath)
+
+    whole = {
+        (r["vec_id"], r["subspace"], r["cell"])
+        for r in apply_pq_index(saved_cb, delta, m=2, sub_dim=32).collect()
+    }
+    mid = (cut + mx) // 2
+    hi = emb.filter(F.col("vec_id") > mid)
+    lo = emb.filter((F.col("vec_id") > cut) & (F.col("vec_id") <= mid))
+    split = {
+        (r["vec_id"], r["subspace"], r["cell"])
+        for d in (hi, lo)  # reversed arrival
+        for r in apply_pq_index(saved_cb, d, m=2, sub_dim=32).collect()
+    }
+    assert whole == split
+
+
+def test_pq_empty_delta_is_identity(spark, sf_dir):
+    """A row-free delta appends no codes."""
+    from gisaid_pipeline_functions_spark.operators.similarity import (
+        apply_pq_index,
+        build_pq_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb, _codes = build_pq_index(emb, m=2, sub_dim=32, k=4, iterations=2)
+    empty = emb.filter(F.lit(False))
+    assert apply_pq_index(cb, empty, m=2, sub_dim=32).count() == 0
+
+
+def test_pq_index_codes_match_in_query_training(spark, sf_dir):
+    """Codes assigned against ``pq_codebooks``' frozen artifact equal
+    ``pq_codes``' in-query training+assignment on the same corpus —
+    the freeze changes WHEN training happens, never the lattice."""
+    from gisaid_pipeline_functions_spark.operators.similarity import (
+        build_pq_index,
+        pq_codes,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _cb, codes = build_pq_index(emb, m=2, sub_dim=32, k=4, iterations=2)
+    got = {
+        (r["vec_id"], r["subspace"], r["cell"]) for r in codes.collect()
+    }
+    want = {
+        (r["vec_id"], r["subspace"], r["cell"])
+        for r in pq_codes(emb, m=2, sub_dim=32, k=4, iterations=2).collect()
+    }
+    assert got == want
+
+
+def test_pq_index_search_matches_python_adc(spark, sf_dir, tmp_path):
+    """``pq_index_adc_topk`` over a resumed index returns, per query,
+    exactly the plain-Python ADC top-k recomputed from the collected
+    codebooks and codes (independent of the operator's join/window
+    machinery), with candidates drawn from base AND delta."""
+    import math
+
+    from gisaid_pipeline_functions_spark.operators.similarity import (
+        apply_pq_index,
+        build_pq_index,
+        pq_index_adc_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mx = emb.agg(F.max("vec_id").alias("m")).first()["m"]
+    cut = mx * 4 // 5
+    base = emb.filter(F.col("vec_id") <= cut)
+    delta = emb.filter(F.col("vec_id") > cut)
+
+    cb, codes = build_pq_index(base, m=2, sub_dim=32, k=4, iterations=2)
+    merged = codes.unionByName(apply_pq_index(cb, delta, m=2, sub_dim=32))
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = [
+        (r["query_id"], r["cand_id"], r["adc"], r["rank"])
+        for r in pq_index_adc_topk(
+            cb, merged, queries, m=2, sub_dim=32, topk=3
+        ).collect()
+    ]
+
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+    cents = {
+        (r["subspace"], r["cell"]): list(r["cent"]) for r in cb.collect()
+    }
+    code_of: dict[int, dict[int, int]] = {}
+    for r in merged.collect():
+        code_of.setdefault(r["vec_id"], {})[r["subspace"]] = r["cell"]
+    assert set(code_of) == set(vecs)  # delta codes present
+
+    def d2(a, b):
+        return round(math.fsum((x - y) * (x - y) for x, y in zip(a, b)), 6)
+
+    expected = []
+    for qid in range(5):
+        qv = vecs[qid]
+        lut = {
+            (j, cl): d2(qv[j * 32 : (j + 1) * 32], cents[(j, cl)])
+            for (j, cl) in cents
+        }
+        cands = sorted(
+            (
+                (
+                    round(lut[(0, cd[0])] + lut[(1, cd[1])], 6),
+                    v,
+                )
+                for v, cd in code_of.items()
+                if v != qid
+            ),
+            key=lambda t: (t[0], t[1]),
+        )[:3]
+        expected += [(qid, v, a, i + 1) for i, (a, v) in enumerate(cands)]
+    assert sorted(got) == sorted(expected)

@@ -2253,16 +2253,88 @@ def test_ivf_drift_vs_pure_python(spark, sf_dir):
         n, sm = stats.get(key, (0, 0))
         stats[key] = (n + 1, sm + round(d2(vecs[i], cents[cl]) * 1e6))
 
-    for r in queries()["sim_ivf_drift"](spark, sf_dir).collect():
+    rows = queries()["sim_ivf_drift"](spark, sf_dir).collect()
+    # full-outer completeness (r15): every populated cell — base-only,
+    # delta-only, or both — appears exactly once
+    assert sorted(r["cell"] for r in rows) == sorted(
+        {cl for cl, _is_base in stats}
+    )
+    for r in rows:
         nb, sb = stats.get((r["cell"], True), (0, 0))
         nd, sd = stats.get((r["cell"], False), (0, 0))
         assert r["n_base"] == nb and r["n_delta"] == nd
-        assert r["base_mean_dist"] == pytest.approx(
-            sb / (nb * 1e6), abs=1.1e-6
-        )
+        if nb:
+            assert r["base_mean_dist"] == pytest.approx(
+                sb / (nb * 1e6), abs=1.1e-6
+            )
+        else:
+            assert r["base_mean_dist"] is None
         if nd:
             assert r["delta_mean_dist"] == pytest.approx(
                 sd / (nd * 1e6), abs=1.1e-6
             )
         else:
             assert r["delta_mean_dist"] is None
+
+
+def test_incremental_pq_vs_pure_python(spark, sf_dir):
+    """Third implementation of the resumable-PQ quantization (r15): the
+    Spark query and its DuckDB oracle deliberately replay the SAME
+    per-subspace 6dp-lattice Lloyd recursion, so this recomputes it
+    with plain dict loops over the raw parquet — per 32-dim slice:
+    first-k init, per-dim means rounded to 6dp each round (math.fsum),
+    assignment by round-6 squared L2 with cell-id tie-break, codebooks
+    FROZEN after training on the base batch (ids ≤ the 80th id
+    percentile), delta slices assigned against the frozen centroids —
+    and compares the per-(subspace, cell) counts and id checksums
+    EXACTLY (integer outputs; the float lattice only steers the
+    discrete assignment)."""
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.itertuples()
+    }
+    mx = max(vecs)
+    cut = mx * 4 // 5
+    base_ids = sorted(i for i in vecs if i <= cut)
+
+    def d2(v, c):
+        return round(math.fsum((a - b) * (a - b) for a, b in zip(v, c)), 6)
+
+    expected = {}
+    for j in (0, 1):
+        sl = {i: v[j * 32 : (j + 1) * 32] for i, v in vecs.items()}
+        cents = {i: [round(x, 6) for x in sl[i]] for i in base_ids[:4]}
+        for _ in range(2):
+            assign = {
+                i: min(cents, key=lambda cl: (d2(sl[i], cents[cl]), cl))
+                for i in base_ids
+            }
+            cents = {
+                cl: [
+                    round(math.fsum(col) / len(members), 6)
+                    for col in zip(*members)
+                ]
+                for cl in set(assign.values())
+                for members in [
+                    [sl[i] for i in base_ids if assign[i] == cl]
+                ]
+            }
+        final = {
+            i: min(cents, key=lambda cl: (d2(sl[i], cents[cl]), cl))
+            for i in sl
+        }
+        for cl in set(final.values()):
+            b = [i for i, c in final.items() if c == cl and i <= cut]
+            d = [i for i, c in final.items() if c == cl and i > cut]
+            expected[(j, cl)] = (len(b), len(d), sum(b), sum(d))
+
+    got = {
+        (r["subspace"], r["cell"]): (
+            r["n_base"], r["n_delta"], r["id_sum_base"], r["id_sum_delta"]
+        )
+        for r in queries()["sim_incremental_pq"](spark, sf_dir).collect()
+    }
+    assert got == expected

@@ -868,6 +868,135 @@ def main() -> None:
     for d in vidx_dirs:
         _shutil.rmtree(d, ignore_errors=True)
 
+    # r15: the resumable PQ index (operators/similarity.py:
+    # apply_pq_index) — the same flat-resume claim as the IVF twin: a
+    # delta quantization touches only the frozen m·k-row codebooks, so
+    # a fixed delta resumed against a 10x-indexed corpus must be FLAT
+    # (~1.0). The ADC search row documents the complementary trade: PQ
+    # is a scan-the-codes design (every candidate's m-int code row is
+    # scored via broadcast LUT probes), so the search legitimately
+    # grows ~Nx with the code table — the point of PQ is the CONSTANT
+    # per-candidate cost (m LUT adds, never 64-dim vector math), not a
+    # pruned candidate set; compose with IVF routing when pruning is
+    # wanted.
+    from gisaid_pipeline_functions_spark.operators.similarity import (
+        apply_pq_index,
+        build_pq_index,
+        pq_index_adc_topk,
+    )
+
+    pidx_dirs = []
+    for tag, base in (("1x", emb1), (f"{n}x", embN)):
+        d = _tempfile.mkdtemp(prefix=f"pq_idx_{tag}_")
+        pidx_dirs.append(d)
+        cb, codes = build_pq_index(base, m=2, sub_dim=32, k=4, iterations=2)
+        cb.write.mode("overwrite").parquet(f"{d}/codebooks")
+        codes.write.mode("overwrite").parquet(f"{d}/codes")
+
+    def _pq_resume(idx_dir):
+        def run(delta):
+            return apply_pq_index(
+                spark.read.parquet(f"{idx_dir}/codebooks"),
+                delta,
+                m=2,
+                sub_dim=32,
+            )
+
+        return run
+
+    t1 = timed(_pq_resume(pidx_dirs[0]), vdelta)
+    tn = timed(_pq_resume(pidx_dirs[1]), vdelta)
+    print(f"{'pq_resume_fixed_delta':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (fixed delta vs frozen m·k-row codebooks — index size never enters the plan)")
+
+    def _pq_search(idx_dir):
+        def run(queries):
+            return pq_index_adc_topk(
+                spark.read.parquet(f"{idx_dir}/codebooks"),
+                spark.read.parquet(f"{idx_dir}/codes"),
+                queries,
+                m=2,
+                sub_dim=32,
+                topk=10,
+            )
+
+        return run
+
+    t1 = timed(_pq_search(pidx_dirs[0]), vq)
+    tn = timed(_pq_search(pidx_dirs[1]), vq)
+    print(f"{'pq_adc_index_search':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (code table grows {n}x — ADC scans codes by design; ~{n}x expected)")
+    for d in pidx_dirs:
+        _shutil.rmtree(d, ignore_errors=True)
+
+    # r15: dedup-index deletion (operators/dedup.py:
+    # delete_from_{exact_dedup,lsh_band}_index). A FIXED delete batch
+    # against 10x postings/index: the affected-bucket set is
+    # delete-sized (broadcast), the re-election agg touches only
+    # affected buckets, but the pass-through anti-join and the
+    # postings prune scan grow 10x — so ~Nx-or-less is healthy and a
+    # super-linear ratio means the broadcast prune regressed to a
+    # corpus-shuffle. Artifacts pre-persisted untimed (build cost is
+    # the build row's business).
+    from gisaid_pipeline_functions_spark.operators.dedup import (
+        delete_from_exact_dedup_index,
+        delete_from_lsh_band_index,
+        exact_dedup_postings,
+        lsh_band_stack,
+    )
+
+    del_batch = (
+        docs1.select("doc_id").orderBy("doc_id").limit(20)
+        .localCheckpoint(eager=True)
+    )
+    ddirs = []
+    for tag, base in (("1x", docs1), (f"{n}x", docsN)):
+        d = _tempfile.mkdtemp(prefix=f"del_idx_{tag}_")
+        ddirs.append(d)
+        xp = exact_dedup_postings(base).persist()
+        xp.write.mode("overwrite").parquet(f"{d}/xpost")
+        xp.groupBy("fingerprint").agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        ).write.mode("overwrite").parquet(f"{d}/xidx")
+        xp.unpersist()
+        lp = lsh_band_stack(base).persist()
+        lp.write.mode("overwrite").parquet(f"{d}/lpost")
+        lp.groupBy("band", "sig").agg(
+            F.min("doc_id").alias("keeper")
+        ).write.mode("overwrite").parquet(f"{d}/lidx")
+        lp.unpersist()
+
+    def _exact_delete(idx_dir):
+        def run(dels):
+            upd, _post = delete_from_exact_dedup_index(
+                spark.read.parquet(f"{idx_dir}/xidx"),
+                spark.read.parquet(f"{idx_dir}/xpost"),
+                dels,
+            )
+            return upd
+
+        return run
+
+    def _lsh_delete(idx_dir):
+        def run(dels):
+            upd, _post = delete_from_lsh_band_index(
+                spark.read.parquet(f"{idx_dir}/lidx"),
+                spark.read.parquet(f"{idx_dir}/lpost"),
+                dels,
+            )
+            return upd
+
+        return run
+
+    for name, mk in (
+        ("exact_index_delete", _exact_delete),
+        ("lsh_index_delete", _lsh_delete),
+    ):
+        t1 = timed(mk(ddirs[0]), del_batch)
+        tn = timed(mk(ddirs[1]), del_batch)
+        print(f"{name:22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (fixed 20-id delete batch, postings/index grow {n}x — anti-join scan grows, re-election stays delete-sized)")
+    for d in ddirs:
+        _shutil.rmtree(d, ignore_errors=True)
+
     # r12 (VERDICT r10 #6): the block_cumsum riders. agg_ks_test and
     # agg_spearman_rho run block-prefix running sums over VALUE
     # HISTOGRAMS whose distinct-value count grows with the corpus (price
