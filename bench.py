@@ -96,6 +96,15 @@ EXTENDED = [
     # hash) — the vector member of the persisted-index triad; ~2.7 s
     # raw in its first sf0.1 sweep row
     "sim_incremental_ivf",
+    # r15 representatives: the resumable PQ index (frozen codebooks +
+    # parquet persist + delta quantization; 3.3 s raw first sweep row),
+    # dedup-index deletion with keeper re-election (the banded twin —
+    # band-stack fold + broadcast-pruned re-election; 3.1 s raw), and
+    # the IVF-PQ ADC read path (coarse train + residual PQ + LUT
+    # search; 4.3 s min-of-2 at commit)
+    "sim_incremental_pq",
+    "dedup_index_delete_lsh",
+    "sim_ivfpq_adc_search",
 ]
 
 # Idle-machine anchor for the self-normalizing `calibrated_value` field

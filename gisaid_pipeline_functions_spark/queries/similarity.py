@@ -217,6 +217,7 @@ def _kmeans_ctes(
     prefix: str = "",
     vexpr: str = "CAST(embedding AS DOUBLE[])",
     where: str = "",
+    from_table: str = "embeddings",
 ) -> str:
     """CTE chain (no leading WITH) replaying the exact Lloyd iterations of
     ``kmeans_assign`` (6dp-rounded centroids put every round on a shared
@@ -227,14 +228,17 @@ def _kmeans_ctes(
     ``vexpr`` slice of the vector). ``where`` restricts the TRAINING
     corpus (r14: the incremental-IVF oracle trains on the base batch
     only; the trained centroids remain available as ``{prefix}c{
-    iterations}`` for assigning rows outside the restriction)."""
+    iterations}`` for assigning rows outside the restriction).
+    ``from_table`` (r15) points the chain at a preceding CTE instead of
+    the embeddings view — the IVF-PQ oracle trains its PQ chains on a
+    derived residual table."""
     p = prefix
     d2 = (
         f"round(list_sum(list_transform(list_zip({p}e.v, cc.c), "
         "p -> (p[1]-p[2])*(p[1]-p[2]))), 6)"
     )
     parts = [
-        f"{p}e AS (SELECT vec_id, {vexpr} AS v FROM embeddings {where})",
+        f"{p}e AS (SELECT vec_id, {vexpr} AS v FROM {from_table} {where})",
         f"{p}c0 AS (SELECT vec_id AS cell, list_transform(v, x -> round(x, 6)) AS c "
         f"FROM {p}e ORDER BY vec_id LIMIT {k})",
     ]
@@ -2010,4 +2014,142 @@ def streaming_ivf_append_hash(spark, sf_dir):
         F.sum(F.when(~is_base, F.col("vec_id")).otherwise(0))
         .cast("long")
         .alias("id_sum_delta"),
+    )
+
+
+_IVFPQ_CHAINS = (
+    # coarse 64-dim chain over the full corpus (e, c0..c2, fin), then
+    # the residual table, then one PQ chain per residual subspace —
+    # trained FROM the derived residual CTE via the r15 from_table hook
+    _kmeans_ctes(k=4, iterations=2, dim=64)
+    + """,
+    res AS (
+      SELECT e.vec_id, f.cell,
+             list_transform(list_zip(e.v, cc.c), p -> p[1]-p[2]) AS rv
+      FROM e JOIN fin f ON e.vec_id = f.vec_id
+      JOIN c2 cc ON cc.cell = f.cell
+    ),
+    """
+    + _kmeans_ctes(k=4, iterations=2, dim=32, prefix="p0_",
+                   vexpr="rv[1:32]", from_table="res")
+    + ",\n    "
+    + _kmeans_ctes(k=4, iterations=2, dim=32, prefix="p1_",
+                   vexpr="rv[33:64]", from_table="res")
+)
+
+
+@register(
+    "sim_ivfpq_codes",
+    # IVF-PQ residual encoding (r15 — the FAISS IndexIVFPQ composition):
+    # coarse Lloyd chain routes every vector, the PQ chains train on
+    # the RESIDUALS v − c_cell (element-wise IEEE subtract of a raw
+    # double and a 6dp-lattice double — order-free, bit-identical
+    # cross-engine), and the output is the (cell, subspace, pq_cell)
+    # code triple per vector with the residual assignment distance.
+    "WITH "
+    + _IVFPQ_CHAINS
+    + """
+    SELECT r.vec_id, r.cell, s.subspace, s.pq_cell, s.dist
+    FROM res r JOIN (
+      SELECT vec_id, CAST(0 AS BIGINT) AS subspace, cell AS pq_cell, dist
+      FROM p0_fin
+      UNION ALL
+      SELECT vec_id, CAST(1 AS BIGINT) AS subspace, cell AS pq_cell, dist
+      FROM p1_fin
+    ) s ON r.vec_id = s.vec_id
+    """,
+)
+def sim_ivfpq_codes(spark, sf_dir):
+    from ..operators.similarity import ivfpq_residual_codes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_residual_codes(
+        emb, k_coarse=4, m=2, sub_dim=32, k_pq=4, iterations=2
+    )
+
+
+@register(
+    "sim_ivfpq_adc_search",
+    # The IVF-PQ read path (r15): route each query to its nearest
+    # coarse cell by the SAME rounded-L2 argmin the corpus was assigned
+    # under, compute the query residual PER ROUTED CELL (residual LUTs
+    # are cell-dependent — the defining IVF-PQ subtlety), LUT against
+    # the per-subspace residual codebooks (the pq_adc_topk recompute
+    # convention: 6dp means OF the final assignment), and score ONLY
+    # the routed cell's members: adc = d0 + d1 over the stored codes.
+    "WITH "
+    + _IVFPQ_CHAINS
+    + """,
+    codes AS (
+      SELECT a.vec_id, r.cell, a.cell AS pc0, b.cell AS pc1
+      FROM p0_fin a
+      JOIN p1_fin b ON a.vec_id = b.vec_id
+      JOIN res r ON r.vec_id = a.vec_id
+    ),
+    cent0 AS (
+      SELECT pc0, list(mu ORDER BY pos) AS cent FROM (
+        SELECT f.cell AS pc0, i AS pos, round(avg(e.v[i]), 6) AS mu
+        FROM p0_e e JOIN p0_fin f ON e.vec_id = f.vec_id,
+             LATERAL unnest(generate_series(1, 32)) t(i)
+        GROUP BY f.cell, i
+      ) GROUP BY pc0
+    ),
+    cent1 AS (
+      SELECT pc1, list(mu ORDER BY pos) AS cent FROM (
+        SELECT f.cell AS pc1, i AS pos, round(avg(e.v[i]), 6) AS mu
+        FROM p1_e e JOIN p1_fin f ON e.vec_id = f.vec_id,
+             LATERAL unnest(generate_series(1, 32)) t(i)
+        GROUP BY f.cell, i
+      ) GROUP BY pc1
+    ),
+    q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
+    qrouted AS (
+      SELECT query_id, cell, qres FROM (
+        SELECT q.query_id, cc.cell,
+               list_transform(list_zip(q.v, cc.c), p -> p[1]-p[2]) AS qres,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_sum(list_transform(
+                            list_zip(q.v, cc.c),
+                            p -> (p[1]-p[2])*(p[1]-p[2]))), 6), cc.cell
+               ) AS rn
+        FROM q CROSS JOIN c2 cc
+      ) WHERE rn <= 1
+    ),
+    lut0 AS (
+      SELECT qr.query_id, qr.cell, c.pc0,
+             round(list_sum(list_transform(list_zip(qr.qres[1:32], c.cent),
+                   p -> (p[1]-p[2])*(p[1]-p[2]))), 6) AS d0
+      FROM qrouted qr CROSS JOIN cent0 c
+    ),
+    lut1 AS (
+      SELECT qr.query_id, qr.cell, c.pc1,
+             round(list_sum(list_transform(list_zip(qr.qres[33:64], c.cent),
+                   p -> (p[1]-p[2])*(p[1]-p[2]))), 6) AS d1
+      FROM qrouted qr CROSS JOIN cent1 c
+    ),
+    scored AS (
+      SELECT l0.query_id, cd.vec_id AS cand_id, cd.cell,
+             round(l0.d0 + l1.d1, 6) AS adc
+      FROM codes cd
+      JOIN lut0 l0 ON cd.cell = l0.cell AND cd.pc0 = l0.pc0
+      JOIN lut1 l1 ON l1.query_id = l0.query_id
+                  AND cd.cell = l1.cell AND cd.pc1 = l1.pc1
+      WHERE cd.vec_id <> l0.query_id
+    )
+    SELECT query_id, cand_id, cell, adc, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def sim_ivfpq_adc_search(spark, sf_dir):
+    from ..operators.similarity import ivfpq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_adc_topk(
+        emb, emb.filter(F.col("vec_id") < 5),
+        k_coarse=4, m=2, sub_dim=32, k_pq=4, iterations=2,
+        topk=3, probe=1,
     )

@@ -82,6 +82,11 @@ _RECHECK_FIRST = frozenset({
     # stream, promoted from pytest to a hash-gated driver row
     # (VERDICT r14 #5)
     "streaming_ivf_append_hash",
+    # new registrations: IVF-PQ residual encoding + ADC search (the
+    # FAISS IndexIVFPQ composition — coarse routing, PQ over the
+    # residuals, cell-dependent query LUTs)
+    "sim_ivfpq_codes",
+    "sim_ivfpq_adc_search",
     # code change: ivf_index_topk now prunes postings to probed cells
     # BEFORE the vector fetch (ADVICE r14 #1) — these two transit it
     "sim_incremental_ivf_search",

@@ -2338,3 +2338,72 @@ def test_incremental_pq_vs_pure_python(spark, sf_dir):
         for r in queries()["sim_incremental_pq"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_ivfpq_codes_vs_pure_python(spark, sf_dir):
+    """Third implementation of the IVF-PQ residual encoding (r15): the
+    Spark query and its DuckDB oracle deliberately replay the SAME
+    Lloyd recursions (coarse 64-dim, then per-subspace over the
+    residuals), so this recomputes the whole composition with plain
+    dict loops — coarse first-k init / 6dp-lattice rounds / round-6
+    L2 assignment, residual = raw double − 6dp-lattice centroid
+    (element-wise IEEE subtract, no summation → order-free), then the
+    identical recursion per 32-dim residual slice — and compares every
+    (vec_id, cell, subspace, pq_cell) EXACTLY plus the residual
+    assignment distances to the 6dp lattice unit."""
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.itertuples()
+    }
+
+    def d2(v, c):
+        return round(math.fsum((a - b) * (a - b) for a, b in zip(v, c)), 6)
+
+    def lloyd(points, k=4, iterations=2):
+        """points: {id: vector}; returns the trained centroid dict."""
+        ids = sorted(points)
+        cents = {i: [round(x, 6) for x in points[i]] for i in ids[:k]}
+        for _ in range(iterations):
+            assign = {
+                i: min(cents, key=lambda cl: (d2(points[i], cents[cl]), cl))
+                for i in ids
+            }
+            cents = {
+                cl: [
+                    round(math.fsum(col) / len(members), 6)
+                    for col in zip(*members)
+                ]
+                for cl in set(assign.values())
+                for members in [
+                    [points[i] for i in ids if assign[i] == cl]
+                ]
+            }
+        return cents
+
+    coarse = lloyd(vecs, k=4, iterations=2)
+    cell_of = {
+        i: min(coarse, key=lambda cl: (d2(vecs[i], coarse[cl]), cl))
+        for i in vecs
+    }
+    res = {
+        i: [x - y for x, y in zip(vecs[i], coarse[cell_of[i]])]
+        for i in vecs
+    }
+
+    expected = {}
+    for j in (0, 1):
+        sl = {i: r[j * 32 : (j + 1) * 32] for i, r in res.items()}
+        cb = lloyd(sl, k=4, iterations=2)
+        for i in sl:
+            pq = min(cb, key=lambda cl: (d2(sl[i], cb[cl]), cl))
+            expected[(i, j)] = (cell_of[i], pq, d2(sl[i], cb[pq]))
+
+    rows = queries()["sim_ivfpq_codes"](spark, sf_dir).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        cell, pq, dist = expected[(r["vec_id"], r["subspace"])]
+        assert r["cell"] == cell and r["pq_cell"] == pq
+        assert r["dist"] == pytest.approx(dist, abs=1.1e-6)
