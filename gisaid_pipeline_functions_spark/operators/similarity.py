@@ -1869,3 +1869,272 @@ def ivfpq_adc_topk(
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).filter(F.col("rank") <= topk)
+
+
+def _frozen_codes_on_routed(
+    routed: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    sub_dim: int,
+) -> DataFrame:
+    """Assign an already-routed residual frame ``(vec_id, cell, rv)``
+    against FROZEN per-subspace codebooks → ``(vec_id, cell, subspace,
+    pq_cell)``. The slice assignment is ``_nearest_cell`` against the
+    broadcast m·k_pq codebook rows; the coarse cell rides back on via
+    the id join."""
+    out = None
+    for j in range(m):
+        sub = routed.select(
+            "vec_id",
+            F.slice(F.col("rv"), j * sub_dim + 1, sub_dim).alias("v"),
+        )
+        cbj = codebooks.filter(F.col("subspace") == j).select(
+            F.col("pq_cell").alias("cell"), F.col("cent").alias("c")
+        )
+        a = _nearest_cell(sub, cbj).select(
+            "vec_id",
+            F.lit(j).cast("long").alias("subspace"),
+            F.col("cell").alias("pq_cell"),
+        )
+        out = a if out is None else out.unionByName(a)
+    return routed.select("vec_id", "cell").join(out, "vec_id").select(
+        "vec_id", "cell", "subspace", "pq_cell"
+    )
+
+
+def _assign_ivfpq_codes(
+    coarse: DataFrame,
+    codebooks: DataFrame,
+    df: DataFrame,
+    m: int = 2,
+    sub_dim: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors against a FROZEN IVF-PQ quantizer pair: route each
+    vector to its nearest coarse cell (rounded squared-L2, cell-id
+    tie-break — the ``_nearest_cell`` contract), form the residual
+    ``v − c_cell``, and assign every ``sub_dim``-wide residual slice to
+    its nearest frozen per-subspace codebook centroid → long form
+    ``(vec_id, cell, subspace, pq_cell)``.
+
+    Both quantizer tables broadcast (k_coarse rows + m·k_pq rows), so
+    cost is rows × (k_coarse + m·k_pq) regardless of how much history
+    the index holds — the persisted-index family's delta-cost
+    contract. The routed frame feeds m subspace assignments plus the
+    final cell re-attach, so it is eagerly pinned (re-running the
+    residual zip_with m+1 times otherwise)."""
+    base = df.select(
+        F.col(id_col).alias("vec_id"), _to_double(F.col(vec_col)).alias("v")
+    )
+    routed = (
+        _nearest_cell(base, coarse)
+        .select("vec_id", "cell", "v")
+        .join(F.broadcast(coarse), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with(F.col("v"), F.col("c"), lambda x, y: x - y).alias(
+                "rv"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return _frozen_codes_on_routed(routed, codebooks, m, sub_dim)
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    k_coarse: int = 4,
+    m: int = 2,
+    sub_dim: int = 32,
+    k_pq: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Resumable IVF-PQ index, build step: ``(coarse, codebooks,
+    codes)`` — the composed member of the persisted-index family
+    (exact-hash, LSH-band, IVF, PQ, now IVF-PQ). ``coarse`` is the
+    frozen routing quantizer (``cell``, ``c``); ``codebooks`` is the
+    frozen per-subspace RESIDUAL quantizer (``subspace``, ``pq_cell``,
+    ``cent``) — trained on ``v − c_cell`` exactly like
+    ``ivfpq_residual_codes`` (Jégou et al., TPAMI 2011 §IV, the FAISS
+    IndexIVFPQ composition); ``codes`` is one ``(vec_id, cell,
+    subspace, pq_cell)`` row per (base vector, subspace). All three
+    parquet-persist; resuming NEVER retrains either quantizer
+    (retraining the coarse would re-route every stored residual,
+    retraining a codebook would re-lattice every stored code — a
+    DOUBLE invalidation, which is why FAISS freezes both at add()
+    time).
+
+    ``codes`` comes from ``_assign_ivfpq_codes`` against the frozen
+    quantizers — the SAME path every future delta takes — rather than
+    the training pass's own final assignment; ``kmeans_centroids``
+    returns the generation ``kmeans_assign`` ranks against, so the two
+    coincide (asserted by the resume-equals-from-scratch tests) and
+    the build/apply split point is provably arbitrary.
+
+    100 TB: one coarse Lloyd train + one broadcast routing pass, m
+    residual Lloyd trains over ``sub_dim``-wide slices, and the
+    persisted codes are 1+m small ints per vector — the scan artifact
+    ANN reads stream instead of raw vectors."""
+    coarse, routed = _ivfpq_route_residuals(
+        corpus, k_coarse, iterations, id_col, vec_col
+    )
+    cb = None
+    for j in range(m):
+        sub = routed.select(
+            "vec_id",
+            F.slice(F.col("rv"), j * sub_dim + 1, sub_dim).alias("sub"),
+        )
+        cj = kmeans_centroids(
+            sub, k=k_pq, iterations=iterations, id_col="vec_id",
+            vec_col="sub",
+        ).select(
+            F.lit(j).cast("long").alias("subspace"),
+            F.col("cell").alias("pq_cell"),
+            F.col("c").alias("cent"),
+        )
+        cb = cj if cb is None else cb.unionByName(cj)
+    cb = cb.localCheckpoint(eager=True)
+    # the build reuses ITS OWN routed frame (already pinned) instead of
+    # re-routing through _assign_ivfpq_codes — routing against the
+    # frozen coarse is deterministic, so the result is identical and
+    # the coarse broadcast-argmin pass runs once, not twice
+    codes = _frozen_codes_on_routed(routed, cb, m, sub_dim)
+    return coarse, cb, codes
+
+
+def apply_ivfpq_index(
+    coarse: DataFrame,
+    codebooks: DataFrame,
+    delta: DataFrame,
+    m: int = 2,
+    sub_dim: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Resume an IVF-PQ index from its persisted frozen quantizers:
+    route + residual-encode a delta batch against them and return the
+    delta codes — append to the saved codes to get the updated index.
+    Assignment is per-vector against broadcast quantizers, so resume ≡
+    from-scratch encoding for ANY arrival order or batch split; cost is
+    delta × (k_coarse + m·k_pq), independent of indexed history."""
+    return _assign_ivfpq_codes(
+        coarse, codebooks, delta, m, sub_dim, id_col, vec_col
+    )
+
+
+def ivfpq_index_adc_topk(
+    coarse: DataFrame,
+    codebooks: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    m: int = 2,
+    sub_dim: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    topk: int = 3,
+    probe: int = 1,
+) -> DataFrame:
+    """Search a persisted ``(coarse, codebooks, codes)`` IVF-PQ index —
+    the read path after any number of ``apply_ivfpq_index`` appends:
+    route each query to its ``probe`` nearest coarse cells by the SAME
+    rounded-L2 argmin the corpus was assigned under, compute the query
+    residual PER PROBED CELL (residual LUTs are cell-dependent — the
+    defining IVF-PQ subtlety), LUT against the FROZEN residual
+    codebooks, and score only the probed cells' stored codes: adc =
+    Σ_j LUT[cell, j, code_j]; global (adc asc, id asc) top-k per query
+    across probed cells.
+
+    Differs from ``ivfpq_adc_topk`` exactly where a persisted index
+    should (the ``pq_index_adc_topk`` / ``ivf_index_topk`` convention):
+    LUTs use the frozen quantizers the stored codes were assigned
+    under — never centroid means recomputed from current assignments,
+    which drift as deltas append.
+
+    100 TB: candidates stream (cell, m codes) per vector; the probed-
+    cell pruning is the broadcast LUT join on cell (only probed cells
+    have LUT rows, so the join drops every unprobed cell map-side),
+    LUTs are queries × probe × m × k_pq rows and BROADCAST, and no
+    candidate's raw vector is ever touched."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+    )
+    qdist = F.round(
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    wq = Window.partitionBy("query_id").orderBy("qd", "cell")
+    qrouted = (
+        q.join(F.broadcast(coarse))
+        .select(
+            "query_id",
+            "cell",
+            qdist.alias("qd"),
+            F.zip_with(F.col("qv"), F.col("c"), lambda x, y: x - y).alias(
+                "qres"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= probe)
+        .select("query_id", "cell", "qres")
+    )
+    wide = None
+    luts = []
+    for j in range(m):
+        cj = codes.filter(F.col("subspace") == j).select(
+            "vec_id",
+            F.col("cell"),
+            F.col("pq_cell").alias(f"c{j}"),
+        )
+        wide = cj if wide is None else wide.join(cj.drop("cell"), "vec_id")
+        cents = codebooks.filter(F.col("subspace") == j).select(
+            F.col("pq_cell").alias(f"c{j}"), F.col("cent")
+        )
+        qsub = qrouted.select(
+            "query_id",
+            "cell",
+            F.slice(F.col("qres"), j * sub_dim + 1, sub_dim).alias("qs"),
+        )
+        d2 = F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("qs"), F.col("cent"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        luts.append(
+            qsub.join(F.broadcast(cents)).select(
+                "query_id", "cell", f"c{j}", d2.alias(f"d{j}")
+            )
+        )
+    scored = wide  # (vec_id, cell, c0..c{m-1})
+    for j, lut in enumerate(luts):
+        keys = (
+            ["cell", f"c{j}"] if j == 0 else ["query_id", "cell", f"c{j}"]
+        )
+        scored = scored.join(F.broadcast(lut), keys)
+    adc = F.round(
+        sum(F.col(f"d{j}") for j in range(1, m)) + F.col("d0"), 6
+    )
+    scored = scored.filter(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        "cell",
+        adc.alias("adc"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("cand_id"))
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= topk)

@@ -1407,6 +1407,7 @@ def _ivf_delta_ctes(
     iterations: int = 2,
     prefix: str = "",
     vexpr: str = "CAST(embedding AS DOUBLE[])",
+    from_table: str = "embeddings",
 ) -> str:
     """Delta-assignment CTE block for the resumable-index oracles:
     assign the post-cutoff vectors against the TRAINED centroid
@@ -1415,13 +1416,16 @@ def _ivf_delta_ctes(
     postings. The centroid CTE name is DERIVED from ``iterations``
     (ADVICE r14: a hardcoded ``c2`` would silently assign the delta
     against a stale generation if a register() call ever changed its
-    iteration count); ``prefix``/``vexpr`` compose per-subspace chains
-    for the product-quantization twin (r15), mirroring
-    ``_kmeans_ctes``' own hooks."""
+    iteration count); ``prefix``/``vexpr``/``from_table`` compose
+    per-subspace chains for the product-quantization twins (r15),
+    mirroring ``_kmeans_ctes``' own hooks — the IVF-PQ incremental
+    oracle points ``from_table`` at a derived delta-residual CTE
+    (already post-cutoff, so the id guard is redundant-but-true
+    there)."""
     p = prefix
     return f"""
     {p}delta AS (
-      SELECT vec_id, {vexpr} AS v FROM embeddings
+      SELECT vec_id, {vexpr} AS v FROM {from_table}
       WHERE vec_id > {_IVF_CUT}
     ),
     {p}dassign AS (
@@ -2152,4 +2156,253 @@ def sim_ivfpq_adc_search(spark, sf_dir):
         emb, emb.filter(F.col("vec_id") < 5),
         k_coarse=4, m=2, sub_dim=32, k_pq=4, iterations=2,
         topk=3, probe=1,
+    )
+
+
+_IVFPQ_INCR_CHAINS = (
+    # coarse chain trained on the BASE batch only (the `where` hook),
+    # base residuals from its final assignment, residual PQ chains
+    # trained FROM those (the `from_table` hook), then the delta routed
+    # against the FROZEN coarse c2 and residual-encoded against the
+    # FROZEN p{j}_c2 generations via the derived-name delta blocks
+    _kmeans_ctes(
+        k=4, iterations=2, dim=64,
+        where=f"WHERE vec_id <= {_IVF_CUT}",
+    )
+    + """,
+    res AS (
+      SELECT e.vec_id, f.cell,
+             list_transform(list_zip(e.v, cc.c), p -> p[1]-p[2]) AS rv
+      FROM e JOIN fin f ON e.vec_id = f.vec_id
+      JOIN c2 cc ON cc.cell = f.cell
+    ),
+    """
+    + _kmeans_ctes(k=4, iterations=2, dim=32, prefix="p0_",
+                   vexpr="rv[1:32]", from_table="res")
+    + ",\n    "
+    + _kmeans_ctes(k=4, iterations=2, dim=32, prefix="p1_",
+                   vexpr="rv[33:64]", from_table="res")
+    + f""",
+    dvec AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id > {_IVF_CUT}
+    ),
+    dres AS (
+      SELECT vec_id, cell,
+             list_transform(list_zip(v, c), p -> p[1]-p[2]) AS rv
+      FROM (
+        SELECT d.vec_id, cc.cell, d.v, cc.c,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY round(list_sum(list_transform(
+                            list_zip(d.v, cc.c),
+                            p -> (p[1]-p[2])*(p[1]-p[2]))), 6), cc.cell
+               ) AS rn
+        FROM dvec d CROSS JOIN c2 cc
+      ) WHERE rn = 1
+    ),
+    """
+    + _ivf_delta_ctes(
+        iterations=2, prefix="p0_", vexpr="rv[1:32]", from_table="dres"
+    )
+    + ","
+    + _ivf_delta_ctes(
+        iterations=2, prefix="p1_", vexpr="rv[33:64]", from_table="dres"
+    )
+    + """,
+    allcell AS (
+      SELECT vec_id, cell FROM res
+      UNION ALL SELECT vec_id, cell FROM dres
+    )"""
+)
+
+
+@register(
+    "sim_incremental_ivfpq",
+    # Resumable IVF-PQ index (r15 — composing the r14/r15 IVF and PQ
+    # freezes into the FAISS IndexIVFPQ persistence contract): the
+    # Spark side trains the coarse quantizer AND the per-subspace
+    # residual codebooks on the first ~80% of the id space, PERSISTS
+    # all three artifacts (coarse, codebooks, codes) to parquet, then
+    # resumes from the ON-DISK artifacts to route + residual-encode the
+    # delta against BOTH frozen quantizers — while the oracle replays
+    # the base-restricted coarse Lloyd, derives the base residuals,
+    # trains the residual chains on them, and assigns the delta
+    # residuals against each chain's frozen final centroids. Per-
+    # (coarse cell, subspace, pq_cell) counts + id checksums hash EVERY
+    # code's full (cell, pq_cell) coordinate on both sides: equality
+    # proves the double freeze (neither quantizer retrains on resume —
+    # retraining coarse would re-route every stored residual,
+    # retraining a codebook would re-lattice every stored code), the
+    # parquet round-trip of both float lattices, and the code merge.
+    "WITH cut AS (SELECT (max(vec_id)*4)//5 AS c FROM embeddings),\n    "
+    + _IVFPQ_INCR_CHAINS
+    + f""",
+    allcodes AS (
+      SELECT vec_id, CAST(0 AS BIGINT) AS subspace, cell AS pq_cell
+      FROM p0_merged
+      UNION ALL
+      SELECT vec_id, CAST(1 AS BIGINT) AS subspace, cell AS pq_cell
+      FROM p1_merged
+    )
+    SELECT ac.cell, s.subspace, s.pq_cell,
+      CAST(sum(CASE WHEN s.vec_id <= {_IVF_CUT} THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_base,
+      CAST(sum(CASE WHEN s.vec_id > {_IVF_CUT} THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_delta,
+      CAST(sum(CASE WHEN s.vec_id <= {_IVF_CUT} THEN s.vec_id ELSE 0 END)
+        AS BIGINT) AS id_sum_base,
+      CAST(sum(CASE WHEN s.vec_id > {_IVF_CUT} THEN s.vec_id ELSE 0 END)
+        AS BIGINT) AS id_sum_delta
+    FROM allcodes s JOIN allcell ac ON s.vec_id = ac.vec_id
+    GROUP BY ac.cell, s.subspace, s.pq_cell
+    """,
+)
+def sim_incremental_ivfpq(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import apply_ivfpq_index, build_ivfpq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # append-only ingest split at the ~80th id percentile (1-row anchor
+    # collect, the persisted-index family contract)
+    cutoff = emb.agg(F.max("vec_id").alias("m")).first()["m"] * 4 // 5
+    base = emb.filter(F.col("vec_id") <= cutoff)
+    delta = emb.filter(F.col("vec_id") > cutoff)
+
+    # batch 1: train coarse + residual codebooks, encode the base,
+    # persist ALL THREE index artifacts
+    coarse, cb, base_codes = build_ivfpq_index(
+        base, k_coarse=4, m=2, sub_dim=32, k_pq=4, iterations=2
+    )
+    tmp = tempfile.mkdtemp(prefix="gisaid_ivfpq_index_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    coarse.write.mode("overwrite").parquet(f"{tmp}/coarse")
+    cb.write.mode("overwrite").parquet(f"{tmp}/codebooks")
+    base_codes.write.mode("overwrite").parquet(f"{tmp}/codes")
+
+    # batch 2: resume from the ON-DISK artifacts — the delta routes and
+    # quantizes against BOTH frozen quantizers (delta × (k_coarse +
+    # m·k_pq) cost); historical vectors are never re-read, the codes
+    # only appended to
+    saved_coarse = spark.read.parquet(f"{tmp}/coarse")
+    saved_cb = spark.read.parquet(f"{tmp}/codebooks")
+    saved_codes = spark.read.parquet(f"{tmp}/codes")
+    delta_codes = apply_ivfpq_index(
+        saved_coarse, saved_cb, delta, m=2, sub_dim=32
+    )
+
+    merged = saved_codes.unionByName(delta_codes)
+    is_base = F.col("vec_id") <= F.lit(cutoff)
+    return merged.groupBy("cell", "subspace", "pq_cell").agg(
+        F.sum(F.when(is_base, 1).otherwise(0)).cast("long").alias("n_base"),
+        F.sum(F.when(~is_base, 1).otherwise(0)).cast("long").alias("n_delta"),
+        F.sum(F.when(is_base, F.col("vec_id")).otherwise(0))
+        .cast("long")
+        .alias("id_sum_base"),
+        F.sum(F.when(~is_base, F.col("vec_id")).otherwise(0))
+        .cast("long")
+        .alias("id_sum_delta"),
+    )
+
+
+@register(
+    "sim_incremental_ivfpq_search",
+    # The read path after an IVF-PQ resume, MULTIPROBE over the
+    # persisted index: each query routes to its 2 nearest frozen coarse
+    # cells, the query residual is computed PER PROBED CELL (residual
+    # LUTs are cell-dependent — the defining IVF-PQ subtlety), LUTs go
+    # against the FROZEN residual codebooks (never centroid means
+    # recomputed from current assignments, which drift as deltas
+    # append — the pq_index_adc_topk convention), and only the probed
+    # cells' stored codes are scored: adc = d0 + d1. Candidates
+    # spanning both batches prove appended vectors are searchable
+    # immediately.
+    "WITH cut AS (SELECT (max(vec_id)*4)//5 AS c FROM embeddings),\n    "
+    + _IVFPQ_INCR_CHAINS
+    + """,
+    codes AS (
+      SELECT a.vec_id, ac.cell, a.cell AS pc0, b.cell AS pc1
+      FROM p0_merged a
+      JOIN p1_merged b ON a.vec_id = b.vec_id
+      JOIN allcell ac ON ac.vec_id = a.vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id < 5),
+    qrouted AS (
+      SELECT query_id, cell, qres FROM (
+        SELECT q.query_id, cc.cell,
+               list_transform(list_zip(q.v, cc.c), p -> p[1]-p[2]) AS qres,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_sum(list_transform(
+                            list_zip(q.v, cc.c),
+                            p -> (p[1]-p[2])*(p[1]-p[2]))), 6), cc.cell
+               ) AS rn
+        FROM q CROSS JOIN c2 cc
+      ) WHERE rn <= 2
+    ),
+    lut0 AS (
+      SELECT qr.query_id, qr.cell, c.cell AS pc0,
+             round(list_sum(list_transform(list_zip(qr.qres[1:32], c.c),
+                   p -> (p[1]-p[2])*(p[1]-p[2]))), 6) AS d0
+      FROM qrouted qr CROSS JOIN p0_c2 c
+    ),
+    lut1 AS (
+      SELECT qr.query_id, qr.cell, c.cell AS pc1,
+             round(list_sum(list_transform(list_zip(qr.qres[33:64], c.c),
+                   p -> (p[1]-p[2])*(p[1]-p[2]))), 6) AS d1
+      FROM qrouted qr CROSS JOIN p1_c2 c
+    ),
+    scored AS (
+      SELECT l0.query_id, cd.vec_id AS cand_id, cd.cell,
+             round(l0.d0 + l1.d1, 6) AS adc
+      FROM codes cd
+      JOIN lut0 l0 ON cd.cell = l0.cell AND cd.pc0 = l0.pc0
+      JOIN lut1 l1 ON l1.query_id = l0.query_id
+                  AND cd.cell = l1.cell AND cd.pc1 = l1.pc1
+      WHERE cd.vec_id <> l0.query_id
+    )
+    SELECT query_id, cand_id, cell, adc, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def sim_incremental_ivfpq_search(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import (
+        apply_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_index_adc_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cutoff = emb.agg(F.max("vec_id").alias("m")).first()["m"] * 4 // 5
+    base = emb.filter(F.col("vec_id") <= cutoff)
+    delta = emb.filter(F.col("vec_id") > cutoff)
+
+    coarse, cb, base_codes = build_ivfpq_index(
+        base, k_coarse=4, m=2, sub_dim=32, k_pq=4, iterations=2
+    )
+    tmp = tempfile.mkdtemp(prefix="gisaid_ivfpq_search_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    coarse.write.mode("overwrite").parquet(f"{tmp}/coarse")
+    cb.write.mode("overwrite").parquet(f"{tmp}/codebooks")
+    base_codes.write.mode("overwrite").parquet(f"{tmp}/codes")
+
+    saved_coarse = spark.read.parquet(f"{tmp}/coarse")
+    saved_cb = spark.read.parquet(f"{tmp}/codebooks")
+    merged = spark.read.parquet(f"{tmp}/codes").unionByName(
+        apply_ivfpq_index(saved_coarse, saved_cb, delta, m=2, sub_dim=32)
+    )
+    return ivfpq_index_adc_topk(
+        saved_coarse, saved_cb, merged, emb.filter(F.col("vec_id") < 5),
+        m=2, sub_dim=32, topk=3, probe=2,
     )

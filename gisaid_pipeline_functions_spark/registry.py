@@ -87,6 +87,11 @@ _RECHECK_FIRST = frozenset({
     # residuals, cell-dependent query LUTs)
     "sim_ivfpq_codes",
     "sim_ivfpq_adc_search",
+    # new registrations: the RESUMABLE IVF-PQ index (both quantizers
+    # frozen + persisted, delta routed/encoded at delta cost) and its
+    # multiprobe ADC read path over the merged persisted codes
+    "sim_incremental_ivfpq",
+    "sim_incremental_ivfpq_search",
     # code change: ivf_index_topk now prunes postings to probed cells
     # BEFORE the vector fetch (ADVICE r14 #1) — these two transit it
     "sim_incremental_ivf_search",

@@ -2407,3 +2407,88 @@ def test_ivfpq_codes_vs_pure_python(spark, sf_dir):
         cell, pq, dist = expected[(r["vec_id"], r["subspace"])]
         assert r["cell"] == cell and r["pq_cell"] == pq
         assert r["dist"] == pytest.approx(dist, abs=1.1e-6)
+
+
+def test_incremental_ivfpq_vs_pure_python(spark, sf_dir):
+    """Third implementation of the resumable IVF-PQ encoding (r15): the
+    Spark query and its DuckDB oracle deliberately replay the SAME
+    composition (base-restricted coarse Lloyd → base residuals →
+    per-subspace residual Lloyd → delta routed and encoded against
+    BOTH frozen quantizers), so this recomputes it with plain dict
+    loops over the raw parquet and compares the per-(coarse cell,
+    subspace, pq_cell) counts and id checksums EXACTLY (integer
+    outputs; the float lattices only steer the discrete codes)."""
+    from gisaid_pipeline_functions_spark.registry import queries
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.itertuples()
+    }
+    mx = max(vecs)
+    cut = mx * 4 // 5
+    base_ids = sorted(i for i in vecs if i <= cut)
+
+    def d2(v, c):
+        return round(math.fsum((a - b) * (a - b) for a, b in zip(v, c)), 6)
+
+    def lloyd(points, ids, k=4, iterations=2):
+        """Train on ``ids`` only; returns the trained centroid dict."""
+        ids = sorted(ids)
+        cents = {i: [round(x, 6) for x in points[i]] for i in ids[:k]}
+        for _ in range(iterations):
+            assign = {
+                i: min(cents, key=lambda cl: (d2(points[i], cents[cl]), cl))
+                for i in ids
+            }
+            cents = {
+                cl: [
+                    round(math.fsum(col) / len(members), 6)
+                    for col in zip(*members)
+                ]
+                for cl in set(assign.values())
+                for members in [
+                    [points[i] for i in ids if assign[i] == cl]
+                ]
+            }
+        return cents
+
+    # coarse quantizer trained on the BASE batch, frozen; EVERY vector
+    # (base and delta) routes against it and yields a residual
+    coarse = lloyd(vecs, base_ids, k=4, iterations=2)
+    cell_of = {
+        i: min(coarse, key=lambda cl: (d2(vecs[i], coarse[cl]), cl))
+        for i in vecs
+    }
+    res = {
+        i: [x - y for x, y in zip(vecs[i], coarse[cell_of[i]])]
+        for i in vecs
+    }
+
+    # residual codebooks trained on the BASE residuals, frozen; every
+    # residual slice (base and delta) assigns against them
+    expected: dict[tuple[int, int, int], tuple[int, int, int, int]] = {}
+    for j in (0, 1):
+        sl = {i: r[j * 32 : (j + 1) * 32] for i, r in res.items()}
+        cb = lloyd(sl, base_ids, k=4, iterations=2)
+        code = {
+            i: min(cb, key=lambda cl: (d2(sl[i], cb[cl]), cl)) for i in sl
+        }
+        for (cell, pq) in {(cell_of[i], code[i]) for i in sl}:
+            b = [
+                i for i in sl
+                if cell_of[i] == cell and code[i] == pq and i <= cut
+            ]
+            d = [
+                i for i in sl
+                if cell_of[i] == cell and code[i] == pq and i > cut
+            ]
+            expected[(cell, j, pq)] = (len(b), len(d), sum(b), sum(d))
+
+    got = {
+        (r["cell"], r["subspace"], r["pq_cell"]): (
+            r["n_base"], r["n_delta"], r["id_sum_base"], r["id_sum_delta"]
+        )
+        for r in queries()["sim_incremental_ivfpq"](spark, sf_dir).collect()
+    }
+    assert got == expected

@@ -927,6 +927,68 @@ def main() -> None:
     for d in pidx_dirs:
         _shutil.rmtree(d, ignore_errors=True)
 
+    # r15: the resumable IVF-PQ index (operators/similarity.py:
+    # apply_ivfpq_index / ivfpq_index_adc_topk) — the composed freeze:
+    # a delta encode touches only the frozen k_coarse-row coarse table
+    # plus the frozen m·k_pq-row codebooks (both broadcast), so a fixed
+    # delta resumed against a 10x-indexed corpus must be FLAT (~1.0).
+    # The multiprobe ADC search scans probe/k_coarse of a 10x code
+    # table — sub-Nx expected (the IVF pruning composed with PQ's
+    # constant per-candidate cost).
+    from gisaid_pipeline_functions_spark.operators.similarity import (
+        apply_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_index_adc_topk,
+    )
+
+    qidx_dirs = []
+    for tag, base in (("1x", emb1), (f"{n}x", embN)):
+        d = _tempfile.mkdtemp(prefix=f"ivfpq_idx_{tag}_")
+        qidx_dirs.append(d)
+        coarse, cb, codes = build_ivfpq_index(
+            base, k_coarse=4, m=2, sub_dim=32, k_pq=4, iterations=2
+        )
+        coarse.write.mode("overwrite").parquet(f"{d}/coarse")
+        cb.write.mode("overwrite").parquet(f"{d}/codebooks")
+        codes.write.mode("overwrite").parquet(f"{d}/codes")
+
+    def _ivfpq_resume(idx_dir):
+        def run(delta):
+            return apply_ivfpq_index(
+                spark.read.parquet(f"{idx_dir}/coarse"),
+                spark.read.parquet(f"{idx_dir}/codebooks"),
+                delta,
+                m=2,
+                sub_dim=32,
+            )
+
+        return run
+
+    t1 = timed(_ivfpq_resume(qidx_dirs[0]), vdelta)
+    tn = timed(_ivfpq_resume(qidx_dirs[1]), vdelta)
+    print(f"{'ivfpq_resume_fixed_delta':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (fixed delta vs BOTH frozen quantizers — index size never enters the plan)")
+
+    def _ivfpq_search(idx_dir):
+        def run(queries):
+            return ivfpq_index_adc_topk(
+                spark.read.parquet(f"{idx_dir}/coarse"),
+                spark.read.parquet(f"{idx_dir}/codebooks"),
+                spark.read.parquet(f"{idx_dir}/codes"),
+                queries,
+                m=2,
+                sub_dim=32,
+                topk=10,
+                probe=2,
+            )
+
+        return run
+
+    t1 = timed(_ivfpq_search(qidx_dirs[0]), vq)
+    tn = timed(_ivfpq_search(qidx_dirs[1]), vq)
+    print(f"{'ivfpq_index_search':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (probed cells' codes grow {n}x at fixed k_coarse=4 — IVF pruning x PQ constant cost)")
+    for d in qidx_dirs:
+        _shutil.rmtree(d, ignore_errors=True)
+
     # r15: dedup-index deletion (operators/dedup.py:
     # delete_from_{exact_dedup,lsh_band}_index). A FIXED delete batch
     # against 10x postings/index: the affected-bucket set is
