@@ -1871,6 +1871,34 @@ def ivfpq_adc_topk(
     ).filter(F.col("rank") <= topk)
 
 
+def delete_from_vector_index(
+    rows: DataFrame,
+    deletes: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Retract vectors from a persisted ANN index — the vector twin of
+    the dedup-index deletion (r15, completing the persisted-index
+    family's CRUD surface: build / apply / search / delete for every
+    member). Works uniformly on IVF postings ``(vec_id, cell)``, PQ
+    codes ``(vec_id, subspace, cell)`` and IVF-PQ codes ``(vec_id,
+    cell, subspace, pq_cell)`` because ANN index rows are PER-VECTOR:
+    unlike the dedup indexes there is no keeper to re-elect and no
+    compaction to repair — retraction is exactly "this vector's rows
+    disappear", and the result equals a from-scratch encode of
+    corpus-minus-deleted under the same frozen quantizers (assignment
+    is per-vector, so removing one vector cannot move another's code).
+
+    100 TB shape: the delete batch is tiny relative to the corpus, so
+    its id set BROADCASTS and the index scan is one map-side anti-join
+    — no shuffle of the index, no read of any raw vector. Deleting ids
+    absent from the index is a no-op (idempotent retraction). The
+    frozen quantizers are untouched: deletion never justifies a
+    retrain any more than an append does (the drift monitor
+    ``ivf_assignment_drift`` is the retrain signal either way)."""
+    del_ids = deletes.select(F.col(id_col).alias("vec_id")).distinct()
+    return rows.join(F.broadcast(del_ids), "vec_id", "left_anti")
+
+
 def _frozen_codes_on_routed(
     routed: DataFrame,
     codebooks: DataFrame,

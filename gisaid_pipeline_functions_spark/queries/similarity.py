@@ -2406,3 +2406,82 @@ def sim_incremental_ivfpq_search(spark, sf_dir):
         saved_coarse, saved_cb, merged, emb.filter(F.col("vec_id") < 5),
         m=2, sub_dim=32, topk=3, probe=2,
     )
+
+
+@register(
+    "sim_ivf_index_delete",
+    # Retraction for the persisted VECTOR indexes (r15 — the vector
+    # twin of dedup_index_delete_{exact,lsh}, completing the
+    # persisted-index family's CRUD surface): after a build + resume
+    # cycle, every id ≡ 0 (mod 7) — spanning BOTH batches — is deleted
+    # from the merged postings via one broadcast anti-join. ANN index
+    # rows are per-vector, so there is no keeper re-election: the
+    # survivors must equal a from-scratch assignment of
+    # corpus-minus-deleted under the SAME frozen base-trained quantizer
+    # (which the oracle replays as merged-minus-deleted — per-vector
+    # assignment makes the two formulations identical). The per-cell
+    # counts + id checksums hash every surviving posting; cells whose
+    # members are all deleted must disappear entirely.
+    "WITH cut AS (SELECT (max(vec_id)*4)//5 AS c FROM embeddings),\n    "
+    + _kmeans_ctes(
+        k=4, iterations=2, dim=64,
+        where=f"WHERE vec_id <= {_IVF_CUT}",
+    )
+    + ","
+    + _ivf_delta_ctes(iterations=2)
+    + f"""
+    SELECT cell,
+      CAST(sum(CASE WHEN vec_id <= {_IVF_CUT} THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_base,
+      CAST(sum(CASE WHEN vec_id > {_IVF_CUT} THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_delta,
+      CAST(sum(CASE WHEN vec_id <= {_IVF_CUT} THEN vec_id ELSE 0 END) AS BIGINT)
+        AS id_sum_base,
+      CAST(sum(CASE WHEN vec_id > {_IVF_CUT} THEN vec_id ELSE 0 END) AS BIGINT)
+        AS id_sum_delta
+    FROM merged WHERE vec_id % 7 <> 0 GROUP BY cell
+    """,
+)
+def sim_ivf_index_delete(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import (
+        apply_ivf_index,
+        build_ivf_index,
+        delete_from_vector_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cutoff = emb.agg(F.max("vec_id").alias("m")).first()["m"] * 4 // 5
+    base = emb.filter(F.col("vec_id") <= cutoff)
+    delta = emb.filter(F.col("vec_id") > cutoff)
+
+    # the full lifecycle: build on the base, persist, resume the delta
+    # from the ON-DISK artifacts...
+    cents, base_post = build_ivf_index(base, k=4, iterations=2)
+    tmp = tempfile.mkdtemp(prefix="gisaid_ivf_delete_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    cents.write.mode("overwrite").parquet(f"{tmp}/centroids")
+    base_post.write.mode("overwrite").parquet(f"{tmp}/postings")
+    saved_cents = spark.read.parquet(f"{tmp}/centroids")
+    saved_post = spark.read.parquet(f"{tmp}/postings")
+    merged = saved_post.unionByName(apply_ivf_index(saved_cents, delta))
+
+    # ...then retract a batch spanning both ingest generations; the
+    # quantizer is untouched (deletion never retrains — the drift
+    # monitor is the retrain signal)
+    dels = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    kept = delete_from_vector_index(merged, dels)
+    is_base = F.col("vec_id") <= F.lit(cutoff)
+    return kept.groupBy("cell").agg(
+        F.sum(F.when(is_base, 1).otherwise(0)).cast("long").alias("n_base"),
+        F.sum(F.when(~is_base, 1).otherwise(0)).cast("long").alias("n_delta"),
+        F.sum(F.when(is_base, F.col("vec_id")).otherwise(0))
+        .cast("long")
+        .alias("id_sum_base"),
+        F.sum(F.when(~is_base, F.col("vec_id")).otherwise(0))
+        .cast("long")
+        .alias("id_sum_delta"),
+    )

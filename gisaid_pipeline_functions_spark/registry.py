@@ -92,6 +92,10 @@ _RECHECK_FIRST = frozenset({
     # multiprobe ADC read path over the merged persisted codes
     "sim_incremental_ivfpq",
     "sim_incremental_ivfpq_search",
+    # new registration: retraction for the persisted vector indexes
+    # (broadcast anti-join; no keeper re-election — per-vector rows),
+    # completing the family's CRUD surface
+    "sim_ivf_index_delete",
     # code change: ivf_index_topk now prunes postings to probed cells
     # BEFORE the vector fetch (ADVICE r14 #1) — these two transit it
     "sim_incremental_ivf_search",

@@ -422,3 +422,78 @@ def test_pq_index_search_matches_python_adc(spark, sf_dir, tmp_path):
         )[:3]
         expected += [(qid, v, a, i + 1) for i, (a, v) in enumerate(cands)]
     assert sorted(got) == sorted(expected)
+
+
+def test_vector_index_delete_equals_frozen_scratch_minus_deleted(
+    spark, sf_dir, tmp_path
+):
+    """Deleting a batch from the merged IVF postings equals a
+    from-scratch assignment of corpus-minus-deleted under the same
+    frozen quantizer — per-vector rows mean retraction cannot move any
+    survivor's cell (no keeper re-election, unlike the dedup twins)."""
+    from gisaid_pipeline_functions_spark.operators.similarity import (
+        delete_from_vector_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mx = emb.agg(F.max("vec_id").alias("m")).first()["m"]
+    cut = mx * 4 // 5
+    base = emb.filter(F.col("vec_id") <= cut)
+    delta = emb.filter(F.col("vec_id") > cut)
+
+    cents, base_post = build_ivf_index(base, k=4, iterations=2)
+    cpath = str(tmp_path / "centroids")
+    cents.write.parquet(cpath)
+    saved = spark.read.parquet(cpath)
+    merged = base_post.unionByName(apply_ivf_index(saved, delta))
+
+    dels = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    kept = {
+        (r["vec_id"], r["cell"])
+        for r in delete_from_vector_index(merged, dels).collect()
+    }
+    # from-scratch under the SAME frozen quantizer, corpus minus deleted
+    survivors = emb.filter(F.col("vec_id") % 7 != 0)
+    want = {
+        (r["vec_id"], r["cell"])
+        for r in apply_ivf_index(saved, survivors).collect()
+    }
+    assert kept == want
+    assert kept and all(v % 7 != 0 for v, _c in kept)
+
+
+def test_vector_index_delete_idempotent_and_composes(spark, sf_dir):
+    """Unknown-id retraction is a no-op; delete-then-append equals
+    append-then-delete (the anti-join and the per-vector append
+    commute when the sets are disjoint)."""
+    from gisaid_pipeline_functions_spark.operators.similarity import (
+        delete_from_vector_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mx = emb.agg(F.max("vec_id").alias("m")).first()["m"]
+    cut = mx * 4 // 5
+    base = emb.filter(F.col("vec_id") <= cut)
+    delta = emb.filter(F.col("vec_id") > cut)
+
+    cents, base_post = build_ivf_index(base, k=4, iterations=2)
+
+    # unknown ids (beyond the corpus) delete nothing
+    ghost = spark.range(mx + 100, mx + 120).select(
+        F.col("id").alias("vec_id")
+    )
+    same = delete_from_vector_index(base_post, ghost)
+    assert same.count() == base_post.count()
+
+    # delete base ids ≡ 0 (mod 7), then append the delta — vs append
+    # first, delete after: identical posting sets
+    dels = base.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    d_then_a = delete_from_vector_index(base_post, dels).unionByName(
+        apply_ivf_index(cents, delta)
+    )
+    a_then_d = delete_from_vector_index(
+        base_post.unionByName(apply_ivf_index(cents, delta)), dels
+    )
+    lhs = {(r["vec_id"], r["cell"]) for r in d_then_a.collect()}
+    rhs = {(r["vec_id"], r["cell"]) for r in a_then_d.collect()}
+    assert lhs == rhs
