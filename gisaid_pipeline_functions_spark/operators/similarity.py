@@ -1996,8 +1996,11 @@ def build_ivfpq_index(
     DOUBLE invalidation, which is why FAISS freezes both at add()
     time).
 
-    ``codes`` comes from ``_assign_ivfpq_codes`` against the frozen
-    quantizers — the SAME path every future delta takes — rather than
+    ``codes`` comes from ``_frozen_codes_on_routed`` against the frozen
+    codebooks — the SAME slice-assignment every future delta takes
+    (``apply_ivfpq_index`` = route + that helper; the build skips the
+    re-route because it already holds the pinned routed frame and
+    routing against the frozen coarse is deterministic) — rather than
     the training pass's own final assignment; ``kmeans_centroids``
     returns the generation ``kmeans_assign`` ranks against, so the two
     coincide (asserted by the resume-equals-from-scratch tests) and

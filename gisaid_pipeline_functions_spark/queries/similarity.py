@@ -2420,8 +2420,10 @@ def sim_incremental_ivfpq_search(spark, sf_dir):
     # corpus-minus-deleted under the SAME frozen base-trained quantizer
     # (which the oracle replays as merged-minus-deleted — per-vector
     # assignment makes the two formulations identical). The per-cell
-    # counts + id checksums hash every surviving posting; cells whose
-    # members are all deleted must disappear entirely.
+    # counts + id checksums hash every surviving posting. (A mod-7
+    # batch never empties a whole cell at driver scales — the
+    # empty-cell-disappears case is forced separately by
+    # tests/test_sim_incremental.py::test_vector_index_delete_empties_cell.)
     "WITH cut AS (SELECT (max(vec_id)*4)//5 AS c FROM embeddings),\n    "
     + _kmeans_ctes(
         k=4, iterations=2, dim=64,

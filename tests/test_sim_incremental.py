@@ -497,3 +497,28 @@ def test_vector_index_delete_idempotent_and_composes(spark, sf_dir):
     lhs = {(r["vec_id"], r["cell"]) for r in d_then_a.collect()}
     rhs = {(r["vec_id"], r["cell"]) for r in a_then_d.collect()}
     assert lhs == rhs
+
+
+def test_vector_index_delete_empties_cell(spark, sf_dir):
+    """Deleting EVERY member of a cell removes the cell from the
+    postings entirely (the groupBy consumer sees no ghost rows), and
+    every other cell is untouched — the vector-index analog of the
+    dedup twins' bucket-emptied case."""
+    from gisaid_pipeline_functions_spark.operators.similarity import (
+        delete_from_vector_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _cents, post = build_ivf_index(emb, k=4, iterations=2)
+    post = post.localCheckpoint(eager=True)
+    target = post.groupBy("cell").count().orderBy("count", "cell").first()[
+        "cell"
+    ]
+    dels = post.filter(F.col("cell") == target).select("vec_id")
+    kept = delete_from_vector_index(post, dels).collect()
+    assert all(r["cell"] != target for r in kept)
+    want = {
+        (r["vec_id"], r["cell"])
+        for r in post.filter(F.col("cell") != target).collect()
+    }
+    assert {(r["vec_id"], r["cell"]) for r in kept} == want
