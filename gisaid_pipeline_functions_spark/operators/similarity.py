@@ -1888,15 +1888,21 @@ def delete_from_vector_index(
     corpus-minus-deleted under the same frozen quantizers (assignment
     is per-vector, so removing one vector cannot move another's code).
 
-    100 TB shape: the delete batch is tiny relative to the corpus, so
-    its id set BROADCASTS and the index scan is one map-side anti-join
-    — no shuffle of the index, no read of any raw vector. Deleting ids
-    absent from the index is a no-op (idempotent retraction). The
-    frozen quantizers are untouched: deletion never justifies a
-    retrain any more than an append does (the drift monitor
-    ``ivf_assignment_drift`` is the retrain signal either way)."""
+    100 TB shape: one anti-join, no read of any raw vector. The id set
+    is NOT hint-broadcast — the batch is caller-controlled (the
+    registered query deliberately feeds a corpus-proportional one), so
+    AQE picks from RUNTIME sizes: a routine retraction batch broadcasts
+    into a map-side anti-join, while an oversized one degrades to a
+    shuffle join instead of an 8 GB broadcast abort (the semdedup
+    drop-set convention; contrast the dedup delete twins, whose
+    re-election machinery documents and relies on a delete-sized
+    broadcast contract). Deleting ids absent from the index is a no-op
+    (idempotent retraction). The frozen quantizers are untouched:
+    deletion never justifies a retrain any more than an append does
+    (the drift monitor ``ivf_assignment_drift`` is the retrain signal
+    either way)."""
     del_ids = deletes.select(F.col(id_col).alias("vec_id")).distinct()
-    return rows.join(F.broadcast(del_ids), "vec_id", "left_anti")
+    return rows.join(del_ids, "vec_id", "left_anti")
 
 
 def _frozen_codes_on_routed(
