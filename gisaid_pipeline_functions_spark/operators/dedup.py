@@ -1207,24 +1207,27 @@ def delete_from_exact_dedup_index(
     equivalence the driver oracle hashes (incl. the re-election case)
     and tests/test_dedup_incremental.py proves.
 
-    100 TB shape: the delete batch is tiny relative to the corpus, so
-    its id set and the affected-fingerprint set both BROADCAST; the
-    postings scan is pruned map-side to affected buckets before the
-    re-election aggregation, and the untouched index rows pass through
-    an anti-join against the same broadcast set. Corpus text is never
-    read — that is what the postings artifact is for. Deleting ids
-    absent from the postings is a no-op (idempotent retraction)."""
+    100 TB shape: a routine retraction batch is tiny, so AQE
+    broadcasts its id set and the affected-fingerprint set from
+    RUNTIME sizes (no forced hint — the batch is caller-controlled,
+    and the registered driver query deliberately feeds a
+    corpus-proportional one; forcing the broadcast would abort at the
+    8 GB cap where a hint-free plan degrades to shuffle joins — the
+    r15 review fix, same as delete_from_vector_index); the postings
+    scan is pruned to affected buckets before the re-election
+    aggregation, and the untouched index rows pass through an
+    anti-join against the same set. Corpus text is never read — that
+    is what the postings artifact is for. Deleting ids absent from
+    the postings is a no-op (idempotent retraction)."""
     del_ids = deletes.select(F.col(id_col).alias("doc_id")).distinct()
     affected = (
-        postings.join(F.broadcast(del_ids), "doc_id")
+        postings.join(del_ids, "doc_id")
         .select("fingerprint")
         .distinct()
     )
-    updated_postings = postings.join(
-        F.broadcast(del_ids), "doc_id", "left_anti"
-    )
+    updated_postings = postings.join(del_ids, "doc_id", "left_anti")
     recomputed = (
-        updated_postings.join(F.broadcast(affected), "fingerprint")
+        updated_postings.join(affected, "fingerprint")
         .groupBy("fingerprint")
         .agg(
             F.min("doc_id").alias("keeper_id"),
@@ -1232,7 +1235,7 @@ def delete_from_exact_dedup_index(
         )
     )
     updated_index = index.join(
-        F.broadcast(affected), "fingerprint", "left_anti"
+        affected, "fingerprint", "left_anti"
     ).unionByName(recomputed)
     return updated_index, updated_postings
 
@@ -1252,25 +1255,24 @@ def delete_from_lsh_band_index(
     disappear; the result equals ``build_lsh_band_index`` over
     corpus-minus-deleted exactly.
 
-    Same scale shape as the exact twin: broadcast delete ids →
-    broadcast affected (band, sig) set → map-side-pruned postings
-    re-aggregation + pass-through anti-join; no shingle fold, no text
-    scan, idempotent for unknown ids."""
+    Same scale shape as the exact twin: delete ids → affected
+    (band, sig) set → pruned postings re-aggregation + pass-through
+    anti-join, all joins AQE-sized rather than hint-broadcast (the
+    r15 review fix — see delete_from_exact_dedup_index); no shingle
+    fold, no text scan, idempotent for unknown ids."""
     del_ids = deletes.select(F.col(id_col).alias("doc_id")).distinct()
     affected = (
-        postings.join(F.broadcast(del_ids), "doc_id")
+        postings.join(del_ids, "doc_id")
         .select("band", "sig")
         .distinct()
     )
-    updated_postings = postings.join(
-        F.broadcast(del_ids), "doc_id", "left_anti"
-    )
+    updated_postings = postings.join(del_ids, "doc_id", "left_anti")
     recomputed = (
-        updated_postings.join(F.broadcast(affected), ["band", "sig"])
+        updated_postings.join(affected, ["band", "sig"])
         .groupBy("band", "sig")
         .agg(F.min("doc_id").alias("keeper"))
     )
     updated_index = index.join(
-        F.broadcast(affected), ["band", "sig"], "left_anti"
+        affected, ["band", "sig"], "left_anti"
     ).unionByName(recomputed)
     return updated_index, updated_postings
