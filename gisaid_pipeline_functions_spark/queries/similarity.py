@@ -2414,7 +2414,10 @@ def sim_incremental_ivfpq_search(spark, sf_dir):
     # twin of dedup_index_delete_{exact,lsh}, completing the
     # persisted-index family's CRUD surface): after a build + resume
     # cycle, every id ≡ 0 (mod 7) — spanning BOTH batches — is deleted
-    # from the merged postings via one broadcast anti-join. ANN index
+    # from the merged postings via one AQE-sized anti-join (broadcasts
+    # only when the runtime batch size is small: the mod-7 batch is
+    # corpus-proportional, so forcing a broadcast hint here would be
+    # the r6 OOM class — ADVICE r15 #2). ANN index
     # rows are per-vector, so there is no keeper re-election: the
     # survivors must equal a from-scratch assignment of
     # corpus-minus-deleted under the SAME frozen base-trained quantizer

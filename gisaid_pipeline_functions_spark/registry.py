@@ -63,52 +63,20 @@ def register(name: str, sql: str | None = None):
 # the round the change was made in — forced to the front until a green
 # driver row from that round (or later) exists, then they rotate back
 # into the normal staleness order automatically.
-_RECHECK_ROUND = 15
-# the round's new registrations: force them into THIS round's driver
-# window (never-driven queries already sort first, but the never-driven
-# cohort drained to zero in r11, so tie-breaking alone would still put a
-# new registration behind 49 stale-evidence names — CLAUDE.md rule from
-# the r10 catch)
-_RECHECK_FIRST = frozenset({
-    # new registrations this round: the resumable PQ index (frozen
-    # codebooks + delta append — VERDICT r14 #3) and its ADC read path
-    "sim_incremental_pq",
-    "sim_incremental_pq_search",
-    # new registrations: deletion/retraction with keeper re-election
-    # for the persisted dedup indexes (VERDICT r14 #4)
-    "dedup_index_delete_exact",
-    "dedup_index_delete_lsh",
-    # new registration: the foreachBatch IVF append driven as a real
-    # stream, promoted from pytest to a hash-gated driver row
-    # (VERDICT r14 #5)
-    "streaming_ivf_append_hash",
-    # new registrations: IVF-PQ residual encoding + ADC search (the
-    # FAISS IndexIVFPQ composition — coarse routing, PQ over the
-    # residuals, cell-dependent query LUTs)
-    "sim_ivfpq_codes",
-    "sim_ivfpq_adc_search",
-    # new registrations: the RESUMABLE IVF-PQ index (both quantizers
-    # frozen + persisted, delta routed/encoded at delta cost) and its
-    # multiprobe ADC read path over the merged persisted codes
-    "sim_incremental_ivfpq",
-    "sim_incremental_ivfpq_search",
-    # new registration: retraction for the persisted vector indexes
-    # (broadcast anti-join; no keeper re-election — per-vector rows),
-    # completing the family's CRUD surface
-    "sim_ivf_index_delete",
-    # code change: ivf_index_topk now prunes postings to probed cells
-    # BEFORE the vector fetch (ADVICE r14 #1) — these two transit it
-    "sim_incremental_ivf_search",
-    "sim_ivf_index_multiprobe",
-    # code change: ivf_assignment_drift base/delta stats combine FULL
-    # OUTER on cell (ADVICE r14 #2; oracle updated in lockstep)
-    "sim_ivf_drift",
-    # oracle-side refactor only (byte-identical generated SQL, asserted
-    # in tests/test_queries_oracle.py conventions): _ivf_delta_ctes now
-    # derives its centroid CTE name (ADVICE r14 #3) — fresh row per the
-    # any-change convention
-    "sim_incremental_ivf",
-})
+_RECHECK_ROUND = 16
+# DELIBERATELY EMPTY in r16: no new registrations (registry held at the
+# ≤335 soft-freeze bound — VERDICT r15 #3) and no query-implementation
+# code changes this round, so every one of the 50 driver-window slots is
+# free to drain the 48-name r9-stale rotation cohort (VERDICT r15 #2 —
+# the window covers it exactly; all 14 r15 recheck names greened in
+# CORRECTNESS_r15, verified name-by-name before clearing this set).
+# ADVICE r15 #1 (subspace-order ADC fold — bit-exact at the shipped m=2,
+# a future-proofing change only) is deferred to r17 for exactly this
+# arithmetic: it would force 4 recheck rows (sim_pq_adc_topk,
+# sim_incremental_pq_search, sim_ivfpq_adc_search,
+# sim_incremental_ivfpq_search) ahead of the stale cohort and push 2
+# r9-stale names past the window.
+_RECHECK_FIRST = frozenset()
 
 
 def _evidence() -> tuple[dict[str, int], dict[str, int]]:
