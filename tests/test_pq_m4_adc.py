@@ -6,10 +6,21 @@ IEEE commutativity. ADVICE r15 #1 asks for a subspace-order fold so
 m>2 can't drift by association order; that change lands in r17 (it
 forces 4 driver recheck rows the r16 window can't spare — see
 COVERAGE.md). This module pins the m=4 semantics TODAY with a third
-implementation (pure-Python replay, the test_ivfpq.py convention), so
-the r17 re-association has a value-level regression gate: tolerant on
-adc (±2e-6 — two 6dp roundings of differently-associated IEEE sums),
-exact on membership and on the (adc, cand_id) ranking order.
+implementation (pure-Python replay, the test_ivfpq.py convention) so
+the r17 re-association has a value-level regression gate.
+
+Tolerance design (r16 review findings): the replay computes centroid
+means with exact ``math.fsum`` while the operator uses engine-ordered
+``F.avg`` — a member mean landing on a .5e-7 decimal boundary can
+round to a 6dp centroid differing by 1e-6, shifting a LUT entry by up
+to ~1e-5 (the r9 anova/chi2 engine-ordered-sum trap class), on top of
+the two 6dp roundings of differently-associated adc sums. So the gate
+is TOLERANT, not exact: adc within ±5e-5 per matched candidate, and
+top-k membership up to near-ties within the same band (a candidate
+may swap in/out only if its replay adc is within the band of the
+replay's k-th distance). A real fold bug (dropped/duplicated
+subspace, wrong LUT key) errs at lattice scale (>>1e-3) and still
+fails; a legitimate near-tie reorder after a testdata regen does not.
 
 Reference for the PQ recipe: Jégou et al., TPAMI 2011 (the operator's
 own citation at operators/similarity.py pq_codes docstring).
@@ -25,15 +36,18 @@ from gisaid_pipeline_functions_spark.operators.similarity import (
     pq_adc_topk,
     pq_codes,
 )
+from gisaid_pipeline_functions_spark.sources.tables import load_table
 
 M, SUB_DIM, K, ITERS, TOPK = 4, 16, 4, 2, 3
+TOL = 5e-5
 
 
-def _python_adc_topk(spark, sf_dir):
-    """Pure-Python replay of pq_adc_topk at m=4: collected codes →
+def _python_adc_all(spark, sf_dir):
+    """Pure-Python replay of the m=4 ADC scoring: collected codes →
     recomputed 6dp-mean centroids → per-query LUTs (sequential
-    position-order fold, matching F.aggregate) → subspace-order sum."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    position-order fold, matching F.aggregate) → subspace-order sum.
+    Returns {query_id: {cand_id: adc}} over ALL candidates."""
+    emb = load_table(spark, sf_dir, "embeddings")
     vecs = {
         r["vec_id"]: [float(x) for x in r["embedding"]]
         for r in emb.collect()
@@ -69,26 +83,25 @@ def _python_adc_topk(spark, sf_dir):
             acc += d * d
         return round(acc, 6)
 
-    out: dict[int, list[tuple[float, int]]] = {}
+    out: dict[int, dict[int, float]] = {}
     for qid, qv in vecs.items():
         if qid >= 5:
             continue
-        scored = []
+        scored: dict[int, float] = {}
         for cid in vecs:
             if cid == qid:
                 continue
             total = 0.0
             for j in range(M):  # subspace order — the r17 target fold
                 total += lut(qv, j, code_of[cid][j])
-            scored.append((round(total, 6), cid))
-        scored.sort()
-        out[qid] = scored[:TOPK]
+            scored[cid] = round(total, 6)
+        out[qid] = scored
     return out
 
 
 def test_pq_adc_m4_matches_python_replay(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    got = {}
+    emb = load_table(spark, sf_dir, "embeddings")
+    got: dict[int, list[tuple[int, int, float]]] = {}
     for r in pq_adc_topk(
         emb,
         emb.filter(F.col("vec_id") < 5),
@@ -101,24 +114,39 @@ def test_pq_adc_m4_matches_python_replay(spark, sf_dir):
         got.setdefault(r["query_id"], []).append(
             (r["rank"], r["cand_id"], r["adc"])
         )
-    want = _python_adc_topk(spark, sf_dir)
+    want = _python_adc_all(spark, sf_dir)
 
     assert set(got) == set(want)
     for qid, rows in got.items():
         rows.sort()
-        assert [c for _, c, _ in rows] == [c for _, c in want[qid]], (
-            f"query {qid}: ranking diverged — {rows} vs {want[qid]}"
-        )
-        for (_, _, adc_spark), (adc_py, _) in zip(rows, want[qid]):
-            # ±2e-6: both sides round(.,6) a differently-associated
-            # IEEE sum (spark folds (d1+d2+d3)+d0 until the r17 fix)
-            assert abs(adc_spark - adc_py) <= 2e-6, (
-                f"query {qid}: adc {adc_spark} vs {adc_py}"
+        scored = sorted((adc, cid) for cid, adc in want[qid].items())
+        kth = scored[TOPK - 1][0]
+        # every returned candidate matches its replay adc within TOL…
+        for rank, cand, adc_spark in rows:
+            assert cand in want[qid]
+            assert abs(adc_spark - want[qid][cand]) <= TOL, (
+                f"query {qid} cand {cand}: adc {adc_spark} vs "
+                f"{want[qid][cand]}"
             )
+        # …is inside the near-tie band of the replay's k-th distance…
+        allowed = {cid for adc, cid in scored if adc <= kth + TOL}
+        assert {c for _, c, _ in rows} <= allowed, (
+            f"query {qid}: candidate outside the top-{TOPK} near-tie "
+            f"band — {rows} vs replay {scored[: TOPK + 2]}"
+        )
+        # …every clear (non-near-tie) replay winner is present…
+        must = {cid for adc, cid in scored if adc < kth - TOL}
+        assert must <= {c for _, c, _ in rows}, (
+            f"query {qid}: clear winner missing — {rows} vs replay "
+            f"{scored[: TOPK + 2]}"
+        )
+        # …and spark's own ranking is non-decreasing in adc
+        adcs = [a for _, _, a in rows]
+        assert adcs == sorted(adcs)
 
 
 def test_pq_adc_m4_ranks_are_dense_and_bounded(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_table(spark, sf_dir, "embeddings")
     df = pq_adc_topk(
         emb,
         emb.filter(F.col("vec_id") < 5),
