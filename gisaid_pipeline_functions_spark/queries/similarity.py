@@ -2490,3 +2490,181 @@ def sim_ivf_index_delete(spark, sf_dir):
         .cast("long")
         .alias("id_sum_delta"),
     )
+
+
+# Shared CTE block for the SQ8 persisted-index oracles: the per-dim
+# (lo, hi) grid trained on the BASE batch only (frozen quantizer), then
+# saturated uint8 codes for EVERY vector against that frozen grid — the
+# same formula as sim_quantize_int8's oracle plus the [0, 255] clamp
+# (delta values outside the base-trained range saturate, which is what
+# makes the freeze sound). Long form (vec_id, pos, q); all-integer.
+_SQ8_CODES_CTES = f"""
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    grid AS (
+      SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
+      FROM e, LATERAL unnest(generate_series(1, 64)) t(i)
+      WHERE vec_id <= {_IVF_CUT}
+      GROUP BY i
+    ),
+    sq8codes AS (
+      SELECT e.vec_id, CAST(g.i - 1 AS BIGINT) AS pos,
+             CASE WHEN (g.hi - g.lo) > 0
+                  THEN GREATEST(CAST(0 AS BIGINT), LEAST(CAST(255 AS BIGINT),
+                       CAST(floor((e.v[g.i] - g.lo) * 255.0 / (g.hi - g.lo)
+                            + 0.5) AS BIGINT)))
+                  ELSE CAST(0 AS BIGINT) END AS q
+      FROM e CROSS JOIN grid g
+    )"""
+
+
+@register(
+    "sim_incremental_sq8",
+    # Resumable SQ8 scalar-quantization index (r17 — VERDICT r16 #2,
+    # completing the FAISS staple set IVF/PQ/IVF-PQ/SQ in the
+    # persisted-index family): the Spark side trains the per-dim
+    # min/max grid on the first ~80% of the id space, PERSISTS
+    # (grid, codes) to parquet, resumes from the ON-DISK artifacts to
+    # encode the delta against the FROZEN grid (saturating at the
+    # uint8 boundary for out-of-range delta values), then retracts
+    # every id ≡ 0 (mod 7) — spanning both batches — via
+    # delete_from_vector_index (per-vector rows, no keeper
+    # re-election). The oracle replays the base-trained grid and the
+    # clamped encode from scratch. Per-dimension integer checksums
+    # (code sums + id-weighted code sums, split base/delta) hash EVERY
+    # surviving code value on both sides: equality proves the freeze
+    # (no grid retrain on resume), the grid's parquet round-trip, the
+    # saturation behavior, and the retraction.
+    "WITH cut AS (SELECT (max(vec_id)*4)//5 AS c FROM embeddings),\n    "
+    + _SQ8_CODES_CTES
+    + f"""
+    SELECT pos,
+      CAST(sum(CASE WHEN vec_id <= {_IVF_CUT} THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_base,
+      CAST(sum(CASE WHEN vec_id > {_IVF_CUT} THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_delta,
+      CAST(sum(CASE WHEN vec_id <= {_IVF_CUT} THEN q ELSE 0 END) AS BIGINT)
+        AS qsum_base,
+      CAST(sum(CASE WHEN vec_id > {_IVF_CUT} THEN q ELSE 0 END) AS BIGINT)
+        AS qsum_delta,
+      CAST(sum(CASE WHEN vec_id <= {_IVF_CUT} THEN vec_id * q ELSE 0 END)
+        AS BIGINT) AS idq_sum_base,
+      CAST(sum(CASE WHEN vec_id > {_IVF_CUT} THEN vec_id * q ELSE 0 END)
+        AS BIGINT) AS idq_sum_delta
+    FROM sq8codes WHERE vec_id % 7 <> 0 GROUP BY pos
+    """,
+)
+def sim_incremental_sq8(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import (
+        apply_sq8_index,
+        build_sq8_index,
+        delete_from_vector_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # append-only ingest split at the ~80th id percentile (1-row anchor
+    # collect, the persisted-index family contract)
+    cutoff = emb.agg(F.max("vec_id").alias("m")).first()["m"] * 4 // 5
+    base = emb.filter(F.col("vec_id") <= cutoff)
+    delta = emb.filter(F.col("vec_id") > cutoff)
+
+    # batch 1: train the min/max grid + encode the base, persist BOTH
+    # index artifacts (the grid is ONE dimension-sized row)
+    grid, base_codes = build_sq8_index(base)
+    tmp = tempfile.mkdtemp(prefix="gisaid_sq8_index_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    grid.write.mode("overwrite").parquet(f"{tmp}/grid")
+    base_codes.write.mode("overwrite").parquet(f"{tmp}/codes")
+
+    # batch 2: resume from the ON-DISK artifacts — the delta encodes
+    # against the frozen grid (delta-only cost, saturating clamp);
+    # historical vectors are never re-read, the codes only appended to
+    saved_grid = spark.read.parquet(f"{tmp}/grid")
+    saved_codes = spark.read.parquet(f"{tmp}/codes")
+    merged = saved_codes.unionByName(apply_sq8_index(saved_grid, delta))
+
+    # ...then retract a batch spanning both ingest generations; the
+    # grid is untouched (deletion never retrains, same as append)
+    dels = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    kept = delete_from_vector_index(merged, dels)
+
+    exploded = kept.select("vec_id", F.posexplode("q").alias("pos", "q"))
+    is_base = F.col("vec_id") <= F.lit(cutoff)
+    return exploded.groupBy(F.col("pos").cast("long").alias("pos")).agg(
+        F.sum(F.when(is_base, 1).otherwise(0)).cast("long").alias("n_base"),
+        F.sum(F.when(~is_base, 1).otherwise(0)).cast("long").alias("n_delta"),
+        F.sum(F.when(is_base, F.col("q")).otherwise(0))
+        .cast("long")
+        .alias("qsum_base"),
+        F.sum(F.when(~is_base, F.col("q")).otherwise(0))
+        .cast("long")
+        .alias("qsum_delta"),
+        F.sum(F.when(is_base, F.col("vec_id") * F.col("q")).otherwise(0))
+        .cast("long")
+        .alias("idq_sum_base"),
+        F.sum(F.when(~is_base, F.col("vec_id") * F.col("q")).otherwise(0))
+        .cast("long")
+        .alias("idq_sum_delta"),
+    )
+
+
+@register(
+    "sim_incremental_sq8_search",
+    # The read path after an SQ8 resume: symmetric quantized top-3
+    # over the MERGED codes (base + delta candidates) — queries encode
+    # against the SAME frozen grid the stored codes were quantized
+    # under (never a grid recomputed from the current corpus, which
+    # drifts as deltas append), then rank by the INTEGER code dot
+    # product. All-integer scoring end-to-end, so the ranking is exact
+    # cross-engine with no float rounding anywhere; candidates
+    # spanning both batches prove appended vectors are searchable
+    # immediately.
+    "WITH cut AS (SELECT (max(vec_id)*4)//5 AS c FROM embeddings),\n    "
+    + _SQ8_CODES_CTES
+    + """,
+    q AS (SELECT vec_id AS query_id, pos, q AS qq FROM sq8codes
+          WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+             CAST(sum(q.qq * c.q) AS BIGINT) AS qscore
+      FROM q JOIN sq8codes c ON q.pos = c.pos AND c.vec_id <> q.query_id
+      GROUP BY q.query_id, c.vec_id
+    )
+    SELECT query_id, cand_id, qscore, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY qscore DESC, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def sim_incremental_sq8_search(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import (
+        apply_sq8_index,
+        build_sq8_index,
+        sq8_index_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cutoff = emb.agg(F.max("vec_id").alias("m")).first()["m"] * 4 // 5
+    base = emb.filter(F.col("vec_id") <= cutoff)
+    delta = emb.filter(F.col("vec_id") > cutoff)
+
+    grid, base_codes = build_sq8_index(base)
+    tmp = tempfile.mkdtemp(prefix="gisaid_sq8_search_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    grid.write.mode("overwrite").parquet(f"{tmp}/grid")
+    base_codes.write.mode("overwrite").parquet(f"{tmp}/codes")
+
+    saved_grid = spark.read.parquet(f"{tmp}/grid")
+    saved_codes = spark.read.parquet(f"{tmp}/codes")
+    merged = saved_codes.unionByName(apply_sq8_index(saved_grid, delta))
+    return sq8_index_topk(
+        saved_grid, merged, emb.filter(F.col("vec_id") < 5), topk=3
+    )

@@ -63,20 +63,34 @@ def register(name: str, sql: str | None = None):
 # the round the change was made in — forced to the front until a green
 # driver row from that round (or later) exists, then they rotate back
 # into the normal staleness order automatically.
-_RECHECK_ROUND = 16
-# DELIBERATELY EMPTY in r16: no new registrations (registry held at the
-# ≤335 soft-freeze bound — VERDICT r15 #3) and no query-implementation
-# code changes this round, so every one of the 50 driver-window slots is
-# free to drain the 48-name r9-stale rotation cohort (VERDICT r15 #2 —
-# the window covers it exactly; all 14 r15 recheck names greened in
-# CORRECTNESS_r15, verified name-by-name before clearing this set).
-# ADVICE r15 #1 (subspace-order ADC fold — bit-exact at the shipped m=2,
-# a future-proofing change only) is deferred to r17 for exactly this
-# arithmetic: it would force 4 recheck rows (sim_pq_adc_topk,
-# sim_incremental_pq_search, sim_ivfpq_adc_search,
-# sim_incremental_ivfpq_search) ahead of the stale cohort and push 2
-# r9-stale names past the window.
-_RECHECK_FIRST = frozenset()
+_RECHECK_ROUND = 17
+# Membership rule (stated once per ADVICE r16 #2, superseding the r14
+# any-change precedent): a query enters _RECHECK_FIRST when its
+# IMPLEMENTATION changes — its own function body, its oracle SQL, or any
+# operator code it transits. Pure comment/docstring edits do NOT force a
+# recheck row (the compiled plan is byte-identical); when in doubt, diff
+# the generated plan and treat any non-comment source-line change as a
+# code change. New registrations always enter (they have no driver
+# evidence at all).
+#
+# r17 cohort (6 names, VERDICT r16 #1+#2):
+# - the four ADC-fold transit queries: operators/similarity.py's
+#   candidate-distance fold changed from `sum(d1..d{m-1}) + d0` to the
+#   strict subspace-order left fold `_adc_fold` (pre-validated in r16,
+#   commit bef9b94 — bit-exact at the shipped m=2, so these must stay
+#   hash-green with NO oracle change);
+# - the two new SQ8 persisted scalar-quantization registrations
+#   (explicit budget grant: registry bound 335 -> 337).
+_RECHECK_FIRST = frozenset(
+    {
+        "sim_pq_adc_topk",
+        "sim_incremental_pq_search",
+        "sim_ivfpq_adc_search",
+        "sim_incremental_ivfpq_search",
+        "sim_incremental_sq8",
+        "sim_incremental_sq8_search",
+    }
+)
 
 
 def _evidence() -> tuple[dict[str, int], dict[str, int]]:

@@ -989,6 +989,86 @@ def main() -> None:
     for d in qidx_dirs:
         _shutil.rmtree(d, ignore_errors=True)
 
+    # r17: the resumable SQ8 index (operators/similarity.py:
+    # apply_sq8_index / sq8_index_topk) — the cheapest member of the
+    # staple set: the frozen quantizer is ONE dimension-sized row, so a
+    # fixed delta resumed against a 10x-indexed corpus must be FLAT
+    # (~1.0) and the build is a min/max agg plus one linear encode pass
+    # (~Nx). Like PQ, the search is scan-the-codes by design (~Nx with
+    # the code table at constant per-candidate integer cost); delete is
+    # one anti-join over the codes (~Nx-or-less, no re-election).
+    from gisaid_pipeline_functions_spark.operators.similarity import (
+        apply_sq8_index,
+        build_sq8_index,
+        delete_from_vector_index,
+        sq8_index_topk,
+    )
+
+    def _sq8_build(base):
+        def run(_ignored):
+            _grid, codes = build_sq8_index(base)
+            return codes
+
+        return run
+
+    t1 = timed(_sq8_build(emb1), vq)
+    tn = timed(_sq8_build(embN), vq)
+    print(f"{'sq8_build':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (min/max agg + one linear encode pass — ~{n}x expected, no training)")
+
+    sidx_dirs = []
+    for tag, base in (("1x", emb1), (f"{n}x", embN)):
+        d = _tempfile.mkdtemp(prefix=f"sq8_idx_{tag}_")
+        sidx_dirs.append(d)
+        grid, codes = build_sq8_index(base)
+        grid.write.mode("overwrite").parquet(f"{d}/grid")
+        codes.write.mode("overwrite").parquet(f"{d}/codes")
+
+    def _sq8_resume(idx_dir):
+        def run(delta):
+            return apply_sq8_index(
+                spark.read.parquet(f"{idx_dir}/grid"), delta
+            )
+
+        return run
+
+    t1 = timed(_sq8_resume(sidx_dirs[0]), vdelta)
+    tn = timed(_sq8_resume(sidx_dirs[1]), vdelta)
+    print(f"{'sq8_resume_fixed_delta':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (fixed delta vs the frozen 1-row grid — index size never enters the plan)")
+
+    def _sq8_search(idx_dir):
+        def run(queries):
+            return sq8_index_topk(
+                spark.read.parquet(f"{idx_dir}/grid"),
+                spark.read.parquet(f"{idx_dir}/codes"),
+                queries,
+                topk=10,
+            )
+
+        return run
+
+    t1 = timed(_sq8_search(sidx_dirs[0]), vq)
+    tn = timed(_sq8_search(sidx_dirs[1]), vq)
+    print(f"{'sq8_index_search':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (code table grows {n}x — SQ scans codes by design at integer per-candidate cost; ~{n}x expected)")
+
+    vdel_batch = (
+        emb1.select("vec_id").orderBy("vec_id").limit(20)
+        .localCheckpoint(eager=True)
+    )
+
+    def _sq8_delete(idx_dir):
+        def run(dels):
+            return delete_from_vector_index(
+                spark.read.parquet(f"{idx_dir}/codes"), dels
+            )
+
+        return run
+
+    t1 = timed(_sq8_delete(sidx_dirs[0]), vdel_batch)
+    tn = timed(_sq8_delete(sidx_dirs[1]), vdel_batch)
+    print(f"{'sq8_index_delete':22s} {t1:8.2f} {tn:8.2f} {tn / t1:7.2f}  (fixed 20-id delete batch, codes grow {n}x — one AQE-sized anti-join, no re-election)")
+    for d in sidx_dirs:
+        _shutil.rmtree(d, ignore_errors=True)
+
     # r15: dedup-index deletion (operators/dedup.py:
     # delete_from_{exact_dedup,lsh_band}_index). A FIXED delete batch
     # against 10x postings/index: the affected-bucket set is
