@@ -255,24 +255,66 @@ def ivf_topk(
 def _nearest_cell(base: DataFrame, cents: DataFrame) -> DataFrame:
     """Assign each vector to its nearest centroid by squared L2, rounded
     to 6dp before the argmin (sum-order differences between engines must
-    not flip an assignment), ties broken by cell id."""
-    from pyspark.sql import Window
+    not flip an assignment), ties broken by cell id.
 
-    dist = F.round(
+    Map-side argmin (r17): the centroid table collapses to ONE
+    broadcast array row and the per-vector argmin is an in-row
+    ``array_sort`` over ``(dist, cell)`` structs — ``array_sort`` on
+    structs orders by field position, so (dist asc, cell asc) is
+    EXACTLY the old ``row_number() over (dist, cell)`` tie-break and
+    the picked row is value-identical (the dist expression itself is
+    unchanged: same zip_with/aggregate fold, same 6dp round). The old
+    shape joined base × k centroid rows and ran a vec_id window over
+    the expansion — even with WindowGroupLimit's partial pass that
+    sorts N·k rows per partition and shuffles one row per vector PER
+    ASSIGNMENT PASS (every Lloyd iteration of every train). This shape
+    evaluates the same N·k distance folds but sorts only k-element
+    in-row arrays and shuffles NOTHING — assignment fuses into the
+    consumer's map stage (guide §2.4: remove shuffles outright).
+    Measured (interleaved A/B/A/B min-of-3, local[32], sf0.1, together
+    with the r17 ADC pivot/one-pass-recompute changes that share the
+    transit set): sim_ivf_learned 2.74 → 2.24 s (0.82×), sim_semdedup
+    5.14 → 4.73 (0.92×), sim_incremental_ivf 2.40 → 2.21 (0.92×),
+    sim_pq_adc_topk 3.65 → 3.27 (0.90×); the rest of the family within
+    ±2% — at toy scale these shapes are job-latency-bound, the win is
+    the per-pass Exchange+double-sort that no longer exists (at corpus
+    scale that is one shuffled row per vector per Lloyd pass plus an
+    N·k-row sort, every iteration). Empty-``cents`` input would
+    yield a NULL pick instead of the old empty join (unreachable from
+    every registered query: Lloyd init takes k≥1 smallest ids of a
+    non-empty corpus and persisted centroid tables are non-empty by
+    construction)."""
+    ca = cents.agg(F.collect_list(F.struct("cell", "c")).alias("_ca"))
+    dist_of = lambda s: F.round(  # noqa: E731
         F.aggregate(
-            F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+            F.zip_with(
+                F.col("v"), s["c"], lambda x, y: (x - y) * (x - y)
+            ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         ),
         6,
     )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
+    picked = F.element_at(
+        F.array_sort(
+            F.transform(
+                F.col("_ca"),
+                lambda s: F.struct(
+                    dist_of(s).alias("dist"), s["cell"].alias("cell")
+                ),
+            )
+        ),
+        1,
+    )
     return (
-        base.join(F.broadcast(cents))
-        .select("vec_id", "v", "cell", dist.alias("dist"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        base.crossJoin(F.broadcast(ca))
+        .select("vec_id", "v", picked.alias("_p"))
+        .select(
+            "vec_id",
+            "v",
+            F.col("_p.cell").alias("cell"),
+            F.col("_p.dist").alias("dist"),
+        )
     )
 
 
@@ -904,30 +946,63 @@ def pq_adc_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
     )
-    wide = None
-    luts = []
-    for j in range(m):
-        cj = codes.filter(F.col("subspace") == j).select(
-            "vec_id", F.col("cell").alias(f"c{j}")
-        )
-        wide = cj if wide is None else wide.join(cj, "vec_id")
-        sub = corpus.select(
+    # Wide code row via ONE conditional-aggregation pivot (r17): codes
+    # has exactly one row per (vec_id, subspace), so max(when(subspace=j,
+    # cell)) IS the subspace-j code — integer-exact, and one map-side-
+    # combinable exchange replaces the old m-filtered-scan + (m-1)
+    # vec_id self-join chain (each join an Exchange+Sort+SMJ; the codes
+    # table was scanned m times). Guide §2.4.
+    wide = codes.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("subspace") == j, F.col("cell"))).alias(
+                f"c{j}"
+            )
+            for j in range(m)
+        ]
+    )
+    # Centroid recompute for ALL subspaces in ONE corpus ⋈ codes pass
+    # (r17): the old loop joined the sliced corpus to the subspace-j
+    # codes and exploded it once PER SUBSPACE — m corpus scans, m joins,
+    # m aggregation trees (each LUT's broadcast build re-executed its
+    # own). Same groups, same member values, same round(avg, 6): group
+    # (subspace=j, cell, pos) holds exactly the old (c_j, pos) members.
+    # The tiny result (m·k·sub_dim doubles) is pinned so the m per-
+    # subspace LUT builds read it instead of replaying the corpus pass.
+    sub_all = (
+        corpus.select(
             F.col(id_col).alias("vec_id"),
-            F.slice(
-                _to_double(F.col(vec_col)), j * sub_dim + 1, sub_dim
-            ).alias("sv"),
+            _to_double(F.col(vec_col)).alias("v"),
         )
-        per_dim = (
-            sub.join(cj, "vec_id")
-            .select(f"c{j}", F.posexplode("sv").alias("pos", "x"))
-            .groupBy(f"c{j}", "pos")
-            .agg(F.round(F.avg("x"), 6).alias("mu"))
+        .join(codes.select("vec_id", "subspace", "cell"), "vec_id")
+        .select(
+            "subspace",
+            "cell",
+            F.posexplode(
+                F.slice(
+                    F.col("v"),
+                    (F.col("subspace") * sub_dim + 1).cast("int"),
+                    sub_dim,
+                )
+            ).alias("pos", "x"),
         )
-        cents = per_dim.groupBy(f"c{j}").agg(
+    )
+    per_dim = sub_all.groupBy("subspace", "cell", "pos").agg(
+        F.round(F.avg("x"), 6).alias("mu")
+    )
+    cents_all = (
+        per_dim.groupBy("subspace", "cell")
+        .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "mu"))),
                 lambda s: s["mu"],
             ).alias("cent")
+        )
+        .localCheckpoint(eager=True)
+    )
+    luts = []
+    for j in range(m):
+        cents = cents_all.filter(F.col("subspace") == j).select(
+            F.col("cell").alias(f"c{j}"), "cent"
         )
         qsub = q.select(
             "query_id", F.slice(F.col("qv"), j * sub_dim + 1, sub_dim).alias("qs")
@@ -1110,13 +1185,20 @@ def pq_index_adc_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
     )
-    wide = None
+    # Wide code row via ONE conditional-aggregation pivot (r17): codes
+    # is one row per (vec_id, subspace), so max(when(...)) is exact; one
+    # exchange replaces the (m-1) vec_id self-joins AND the persisted
+    # code table is scanned once instead of m times (guide §2.4).
+    wide = codes.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("subspace") == j, F.col("cell"))).alias(
+                f"c{j}"
+            )
+            for j in range(m)
+        ]
+    )
     luts = []
     for j in range(m):
-        cj = codes.filter(F.col("subspace") == j).select(
-            "vec_id", F.col("cell").alias(f"c{j}")
-        )
-        wide = cj if wide is None else wide.join(cj, "vec_id")
         cents = codebooks.filter(F.col("subspace") == j).select(
             F.col("cell").alias(f"c{j}"), F.col("cent")
         )
@@ -1918,38 +2000,63 @@ def ivfpq_adc_topk(
         .filter(F.col("rn") <= probe)
         .select("query_id", "cell", "qres")
     )
-    wide = None
-    luts = []
-    for j in range(m):
-        cj = codes.filter(F.col("subspace") == j).select(
-            "vec_id", F.col("pq_cell").alias(f"c{j}")
+    # Wide code row via ONE conditional-aggregation pivot + ONE join to
+    # re-attach the coarse cell (r17) — replaces the m-step vec_id join
+    # chain that scanned the pinned codes RDD m times (guide §2.4).
+    wide = routed_corpus.select("vec_id", "cell").join(
+        codes.groupBy("vec_id").agg(
+            *[
+                F.max(
+                    F.when(F.col("subspace") == j, F.col("pq_cell"))
+                ).alias(f"c{j}")
+                for j in range(m)
+            ]
+        ),
+        "vec_id",
+    )
+    # residual codebooks for the LUTs: per (subspace, pq_cell)
+    # 6dp-rounded means of the member residual slices — the
+    # ``pq_adc_topk`` recompute convention (means OF the final
+    # assignment, i.e. what generation it+1 would train; NOT the
+    # generation the assignment ranked against), which the oracle
+    # replays with the same cent CTEs as sim_pq_adc_topk. r17: ALL
+    # subspaces in one routed ⋈ codes pass (the old loop exploded the
+    # residual frame once per subspace — m scans, m joins, and each
+    # LUT's broadcast build re-executed its own aggregation tree);
+    # groups and member values are unchanged, and the tiny result
+    # (m·k·sub_dim doubles) is pinned for the m LUT builds.
+    sub_all = (
+        routed_corpus.select("vec_id", "rv")
+        .join(codes.select("vec_id", "subspace", "pq_cell"), "vec_id")
+        .select(
+            "subspace",
+            "pq_cell",
+            F.posexplode(
+                F.slice(
+                    F.col("rv"),
+                    (F.col("subspace") * sub_dim + 1).cast("int"),
+                    sub_dim,
+                )
+            ).alias("pos", "x"),
         )
-        if wide is None:
-            wide = routed_corpus.select("vec_id", "cell").join(cj, "vec_id")
-        else:
-            wide = wide.join(cj, "vec_id")
-        # residual codebooks for the LUTs: per (subspace, pq_cell)
-        # 6dp-rounded means of the member residual slices — the
-        # ``pq_adc_topk`` recompute convention (means OF the final
-        # assignment, i.e. what generation it+1 would train; NOT the
-        # generation the assignment ranked against), which the oracle
-        # replays with the same cent CTEs as sim_pq_adc_topk
-        per_dim = (
-            routed_corpus.select(
-                "vec_id",
-                F.posexplode(
-                    F.slice(F.col("rv"), j * sub_dim + 1, sub_dim)
-                ).alias("pos", "x"),
-            )
-            .join(cj, "vec_id")
-            .groupBy(f"c{j}", "pos")
-            .agg(F.round(F.avg("x"), 6).alias("mu"))
-        )
-        cents = per_dim.groupBy(f"c{j}").agg(
+    )
+    per_dim = sub_all.groupBy("subspace", "pq_cell", "pos").agg(
+        F.round(F.avg("x"), 6).alias("mu")
+    )
+    cents_all = (
+        per_dim.groupBy("subspace", "pq_cell")
+        .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "mu"))),
                 lambda s: s["mu"],
             ).alias("cent")
+        )
+        .localCheckpoint(eager=True)
+    )
+    luts = []
+    for j in range(m):
+        cents = cents_all.filter(F.col("subspace") == j).select(
+            F.col("pq_cell").alias(f"c{j}"), "cent"
         )
         qsub = qrouted.select(
             "query_id",
@@ -2243,15 +2350,22 @@ def ivfpq_index_adc_topk(
         .filter(F.col("rn") <= probe)
         .select("query_id", "cell", "qres")
     )
-    wide = None
+    # Wide code row via ONE conditional-aggregation pivot (r17): the
+    # stored codes are one row per (vec_id, subspace) with a constant
+    # coarse cell per vec_id, so max() recovers both exactly; one
+    # exchange replaces the (m-1) vec_id self-joins and the persisted
+    # code table is scanned once instead of m times (guide §2.4).
+    wide = codes.groupBy("vec_id").agg(
+        F.max("cell").alias("cell"),
+        *[
+            F.max(F.when(F.col("subspace") == j, F.col("pq_cell"))).alias(
+                f"c{j}"
+            )
+            for j in range(m)
+        ],
+    )
     luts = []
     for j in range(m):
-        cj = codes.filter(F.col("subspace") == j).select(
-            "vec_id",
-            F.col("cell"),
-            F.col("pq_cell").alias(f"c{j}"),
-        )
-        wide = cj if wide is None else wide.join(cj.drop("cell"), "vec_id")
         cents = codebooks.filter(F.col("subspace") == j).select(
             F.col("pq_cell").alias(f"c{j}"), F.col("cent")
         )

@@ -2415,8 +2415,16 @@ def agg_bootstrap_ab_diff(spark, sf_dir):
     )
     # the orders file is one input split at bench scale — spread the
     # 32x md5 expansion across cores before it happens (the SCALING.md
-    # rule: repartition CPU-bound stages, don't shrink maxPartitionBytes)
-    reps = cents.repartition(32).withColumn(
+    # rule: repartition CPU-bound stages, don't shrink maxPartitionBytes).
+    # r17: CONDITIONAL, to defaultParallelism (the span_surgery guard
+    # shape) — the old unconditional repartition(32) would SHRINK a
+    # multi-split corpus to 32 partitions at scale and over-partitions
+    # the driver's lower-core bench runs; a no-op whenever the scan
+    # already has enough splits.
+    target = spark.sparkContext.defaultParallelism
+    if cents.rdd.getNumPartitions() < target:
+        cents = cents.repartition(target)
+    reps = cents.withColumn(
         "b", F.explode(F.sequence(F.lit(1), F.lit(32)))
     )
     u = hex_uniform_u32(

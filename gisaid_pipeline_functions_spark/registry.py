@@ -73,22 +73,45 @@ _RECHECK_ROUND = 17
 # code change. New registrations always enter (they have no driver
 # evidence at all).
 #
-# r17 cohort (6 names, VERDICT r16 #1+#2):
-# - the four ADC-fold transit queries: operators/similarity.py's
-#   candidate-distance fold changed from `sum(d1..d{m-1}) + d0` to the
-#   strict subspace-order left fold `_adc_fold` (pre-validated in r16,
-#   commit bef9b94 — bit-exact at the shipped m=2, so these must stay
-#   hash-green with NO oracle change);
+# r17 cohort (21 names):
 # - the two new SQ8 persisted scalar-quantization registrations
-#   (explicit budget grant: registry bound 335 -> 337).
+#   (explicit budget grant, VERDICT r16 #2: registry bound 335 -> 337);
+# - the r17 build's four ADC-fold transit queries (VERDICT r16 #1) are
+#   subsumed by the optimization-phase set below;
+# - the r17 OPTIMIZATION cohort: operators/similarity.py's
+#   `_nearest_cell` became a map-side array-fold argmin (value-identical
+#   tie-break, zero exchanges), the four ADC scoring sites pivot the
+#   wide code row via one conditional aggregation instead of (m-1)
+#   vec_id self-joins, and the two recompute variants build all
+#   per-subspace centroids in one corpus ⋈ codes pass — every
+#   registered query transiting those functions (18 names, computed by
+#   code-only closure over operators+queries similarity modules), plus
+#   agg_bootstrap_ab_diff (its repartition(32) became the conditional
+#   defaultParallelism guard). All 19 re-driven hash-green at sf0.01
+#   via tools/check_queries.py before commit, with NO oracle change.
 _RECHECK_FIRST = frozenset(
     {
-        "sim_pq_adc_topk",
-        "sim_incremental_pq_search",
-        "sim_ivfpq_adc_search",
-        "sim_incremental_ivfpq_search",
         "sim_incremental_sq8",
         "sim_incremental_sq8_search",
+        "sim_centroid_outlier",
+        "sim_incremental_ivf",
+        "sim_incremental_ivf_search",
+        "sim_incremental_ivfpq",
+        "sim_incremental_ivfpq_search",
+        "sim_incremental_pq",
+        "sim_incremental_pq_search",
+        "sim_ivf_drift",
+        "sim_ivf_index_delete",
+        "sim_ivf_index_multiprobe",
+        "sim_ivf_learned",
+        "sim_ivfpq_adc_search",
+        "sim_ivfpq_codes",
+        "sim_kmeans_cells",
+        "sim_pq_adc_topk",
+        "sim_pq_codes",
+        "sim_semdedup",
+        "streaming_ivf_append_hash",
+        "agg_bootstrap_ab_diff",
     }
 )
 
