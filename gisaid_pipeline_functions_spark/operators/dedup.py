@@ -128,6 +128,27 @@ def lsh_candidate_pairs(
     Collision threshold ≈ (1/B)^(1/R) — B=2, R=4 targets jaccard ≳ 0.84,
     i.e. true near-duplicates, keeping the candidate set tiny relative to
     n² even at 10⁹ documents.
+
+    r17 (guide §2.4): pairs come from a bucket groupBy + in-row ordered
+    pair generation, NOT the former ``stacked ⋈ stacked`` self-join on
+    (band, sig). The self-join evaluated the whole shingle→md5→minhash
+    pipeline TWICE (once per join side — the r16 final-plan audit showed
+    0 ReusedExchange because the build side is a BroadcastExchange and
+    the probe side a shuffle, which never unify), and its build side was
+    a corpus-growing frame handed to the static planner's estimate. Now
+    the pipeline is evaluated once: group ids per (band, sig) bucket
+    (``array_sort(collect_list)``), then posexplode each bucket and
+    explode the per-position tail slice — (ids[i], ids[j]) for i < j is
+    EXACTLY the old ``a.id < b.id`` join condition on the same bucket
+    members, so the pair set and per-pair band counts are identical
+    (proven value-identical at sf0.01 and sf0.1 before the swap). The
+    two-step explode keeps memory O(bucket) per row where a single
+    flatten would materialize the O(bucket²) pair array in one row; a
+    degenerate hot bucket degrades exactly like the old join did (one
+    reducer task streams the quadratic pair output). Interleaved
+    min-of-3 at sf0.1/local[32]: 1.045 → 0.981 s on the pair subplan —
+    the real win is 2× off the dominant map CPU (one signature pipeline
+    instead of two) plus no broadcast build of a corpus-growing frame.
     """
     bands = []
     for b in range(n_bands):
@@ -142,17 +163,20 @@ def lsh_candidate_pairs(
     stacked = bands[0]
     for df in bands[1:]:
         stacked = stacked.unionByName(df)
-    a = stacked.alias("a")
-    b = stacked.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    buckets = (
+        stacked.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    lefts = buckets.select(F.posexplode("ids").alias("i", "id_a"), "ids")
+    pairs = lefts.select(
+        "id_a",
+        F.explode(
+            F.slice(F.col("ids"), F.col("i") + F.lit(2), F.size("ids"))
+        ).alias("id_b"),
+    )
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_shared_bands")
     )
 
 

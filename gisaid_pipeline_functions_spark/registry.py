@@ -73,7 +73,7 @@ _RECHECK_ROUND = 17
 # code change. New registrations always enter (they have no driver
 # evidence at all).
 #
-# r17 cohort (21 names):
+# r17 cohort (30 names):
 # - the two new SQ8 persisted scalar-quantization registrations
 #   (explicit budget grant, VERDICT r16 #2: registry bound 335 -> 337);
 # - the r17 build's four ADC-fold transit queries (VERDICT r16 #1) are
@@ -89,8 +89,27 @@ _RECHECK_ROUND = 17
 #   agg_bootstrap_ab_diff (its repartition(32) became the conditional
 #   defaultParallelism guard). All 19 re-driven hash-green at sf0.01
 #   via tools/check_queries.py before commit, with NO oracle change.
+# - the r17 optimization batch 2: operators/dedup.py
+#   `lsh_candidate_pairs` generates ordered pairs from per-(band, sig)
+#   buckets in-row (posexplode + tail-slice explode over the sorted
+#   member list) instead of the stacked ⋈ stacked self-join, which
+#   evaluated the whole shingle→minhash pipeline once per join side.
+#   Pair set and band counts are value-identical (same bucket members,
+#   i < j ≡ a.id < b.id; proven identical at sf0.01 AND sf0.1 before
+#   the swap). The 9 transiting batch queries below re-driven
+#   hash-green at sf0.01 before commit, with NO oracle change
+#   (streaming_lsh_dedup_hash does NOT transit it — map-side own path).
 _RECHECK_FIRST = frozenset(
     {
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_connected_components",
+        "dedup_cc_large_star",
+        "dedup_near_keep_first",
+        "dedup_cluster_keep_first",
+        "dedup_containment",
+        "dedup_cluster_size_histogram",
+        "dedup_lsh_pr_eval",
         "sim_incremental_sq8",
         "sim_incremental_sq8_search",
         "sim_centroid_outlier",
