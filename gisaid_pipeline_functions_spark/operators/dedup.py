@@ -742,12 +742,14 @@ def prefix_filter_pairs(tokens: DataFrame, threshold: float) -> DataFrame:
       FIRST common token always passes, so the filter is lossless.
     - The doc-frequency table and the prefix frame both GROW WITH THE
       CORPUS (Heaps'-law vocabulary / one row per doc×prefix-token), so
-      their joins carry explicit ``merge`` hints — the inverse of the r4
-      forced-broadcast anti-pattern: a frame that grows without bound
-      must never be broadcast, and the static planner's post-explode
-      size estimates are unreliable enough that it WILL try (the 10×
-      scale probe caught exactly that: a driver-OOM broadcast build of
-      the doc-frequency side at 10× sf0.1 under a 1 GiB driver).
+      every remaining join over them carries an explicit ``merge`` hint —
+      the inverse of the r4 forced-broadcast anti-pattern: a frame that
+      grows without bound must never be broadcast, and the static
+      planner's post-explode size estimates are unreliable enough that
+      it WILL try (the 10× scale probe caught exactly that: a
+      driver-OOM broadcast build of the doc-frequency side at 10×
+      sf0.1 under a 1 GiB driver). The candidate generation itself is
+      join-free since r17 (bucket groupBy — see below).
     """
     tok = tokens.select("id", F.xxhash64("token").alias("h")).distinct()
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
@@ -776,20 +778,45 @@ def prefix_filter_pairs(tokens: DataFrame, threshold: float) -> DataFrame:
         )
         .select("id", "sz", "pos", F.col("t.h").alias("h"))
     )
-    pa, pb = prefixes.alias("pa"), prefixes.hint("merge").alias("pb")
+    # r17 (guide §2.4/§3): candidates come from a per-prefix-token bucket
+    # groupBy + in-row ordered pair generation (the lsh_candidate_pairs
+    # pattern), NOT the former ``prefixes ⋈ prefixes`` merge self-join on
+    # ``h``. The self-join evaluated the whole tok→doc_freq→rank→prefix
+    # pipeline once per side; a bucket holds exactly the docs whose
+    # prefix contains token ``h`` (one entry per doc — ``tok`` is
+    # distinct per (id, h)), sorted by struct order = (id, sz, pos) =
+    # ascending id since ids are unique, so (mem[i], mem[j]) for i < j
+    # is exactly the old ``pa.id < pb.id`` condition on the same
+    # collisions, per token, filters included. Prefix tokens are the
+    # RAREST tokens of each doc, so buckets are small by construction; a
+    # hot token degrades exactly as the old join's hot key did, and the
+    # two-step explode keeps per-row memory O(bucket).
     tau = F.lit(float(threshold))
+    pbuckets = (
+        prefixes.groupBy("h")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("id", "sz", "pos"))).alias(
+                "mem"
+            )
+        )
+        .filter(F.size("mem") >= 2)
+    )
+    plefts = pbuckets.select(F.posexplode("mem").alias("i", "a"), "mem")
+    ppairs = plefts.select(
+        "a",
+        F.explode(
+            F.slice(F.col("mem"), F.col("i") + F.lit(2), F.size("mem"))
+        ).alias("b"),
+    )
     # equivalent-overlap requirement: jaccard ≥ τ  ⇔  |A∩B| ≥ τ/(1+τ)·(|A|+|B|)
     alpha = F.ceil(
-        F.round(tau / (F.lit(1.0) + tau) * (F.col("pa.sz") + F.col("pb.sz")), 9)
+        F.round(tau / (F.lit(1.0) + tau) * (F.col("a.sz") + F.col("b.sz")), 9)
     )
-    ubound = F.least(F.col("pa.pos"), F.col("pb.pos")) + F.least(
-        F.col("pa.sz") - F.col("pa.pos"), F.col("pb.sz") - F.col("pb.pos")
+    ubound = F.least(F.col("a.pos"), F.col("b.pos")) + F.least(
+        F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
     )
     candidates = (
-        pa.join(
-            pb,
-            (F.col("pa.h") == F.col("pb.h"))
-            & (F.col("pa.id") < F.col("pb.id"))
+        ppairs.filter(
             # length filter: jaccard ≥ τ forces τ·|A| ≤ |B| ≤ |A|/τ.
             # Compare against the 9dp-rounded product — the same IEEE
             # over-representation as the prefix ceiling (τ=0.28, |A|=25
@@ -797,12 +824,12 @@ def prefix_filter_pairs(tokens: DataFrame, threshold: float) -> DataFrame:
             # would otherwise drop a true pair at exactly-threshold
             # jaccard. Rounding can only ADMIT borderline candidates,
             # and every candidate is exact-verified below.
-            & (F.col("pb.sz") >= F.round(tau * F.col("pa.sz"), 9))
-            & (F.col("pa.sz") >= F.round(tau * F.col("pb.sz"), 9))
+            (F.col("b.sz") >= F.round(tau * F.col("a.sz"), 9))
+            & (F.col("a.sz") >= F.round(tau * F.col("b.sz"), 9))
             # PPJoin positional filter
-            & (ubound >= alpha),
+            & (ubound >= alpha)
         )
-        .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
     # Verify with the exact intersection. Unlike ``jaccard_pairs`` (whose

@@ -120,19 +120,35 @@ def edit_distance_one_pairs(df: DataFrame, col: str) -> DataFrame:
     overgenerated pairs (e.g. transposition-distance-2 strings that
     share a variant).
 
-    Why it scales to 100 TB: the join input is ``n·(L+1)`` variant rows
-    (L = string length) on a near-unique hash key, versus the ``n²``
-    cross join a naive fuzzy match needs; the verify is bounded by
-    actual key collisions. The variants are generated map-side with a
-    higher-order ``transform`` — no UDF, no shuffle until the equi-join —
-    and the join key is ``xxhash64(variant)``: the shuffle carries fixed
-    8-byte keys instead of length-(L−1) strings (SymSpell's hashing
-    refinement), and a hash collision can only OVERgenerate a candidate,
-    which the ``levenshtein`` verify then drops. The verify runs BEFORE
-    the pair ``distinct`` — a native per-row expression is far cheaper
-    than shuffling the overgenerated pairs (on sequential-ID data ~72%
-    of variant collisions are ed=2 shift pairs; filtering first cut the
+    Why it scales to 100 TB: the candidate generation is ``n·(L+1)``
+    variant rows (L = string length) on a near-unique hash key, versus
+    the ``n²`` cross join a naive fuzzy match needs; the verify is
+    bounded by actual key collisions. The variants are generated
+    map-side with a higher-order ``transform`` — no UDF, no shuffle
+    until the bucket groupBy — and the bucket key is
+    ``xxhash64(variant)``: the shuffle carries fixed 8-byte keys instead
+    of length-(L−1) strings (SymSpell's hashing refinement), and a hash
+    collision can only OVERgenerate a candidate, which the
+    ``levenshtein`` verify then drops. The verify runs BEFORE the pair
+    ``distinct`` — a native per-row expression is far cheaper than
+    shuffling the overgenerated pairs (on sequential-ID data ~72% of
+    variant collisions are ed=2 shift pairs; filtering first cut the
     dedup shuffle ~4×).
+
+    r17 (guide §2.4/§3): pairs come from a per-variant bucket groupBy +
+    in-row ordered pair generation (the ``lsh_candidate_pairs``
+    pattern), NOT the former ``variants ⋈ variants`` self-join on ``v``.
+    The self-join evaluated the name→distinct→explode pipeline once per
+    side (r17 final-plan audit: 3 parquet scans, only 1 ReusedExchange)
+    and let the static planner BROADCAST one side — a frame that grows
+    with the corpus, the r4 anti-pattern. Bucket members are distinct
+    strings (``array_union`` dedups each name's variant set, so a name
+    contributes each ``v`` at most once), and ``array_sort`` uses the
+    same binary string ordering as the old ``va.s < vb.s`` predicate, so
+    (ss[i], ss[j]) for i < j is exactly the old pair multiset, verify
+    included. The two-step explode keeps per-row memory O(bucket); a
+    degenerate hot variant degrades exactly as the old join's hot key
+    did.
     """
     names = df.select(F.col(col).cast("string").alias("s")).distinct()
     s = F.col("s")
@@ -151,13 +167,19 @@ def edit_distance_one_pairs(df: DataFrame, col: str) -> DataFrame:
             )
         ).alias("v"),
     )
-    va, vb = variants.alias("va"), variants.alias("vb")
+    buckets = (
+        variants.groupBy("v")
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    lefts = buckets.select(F.posexplode("ss").alias("i", "name_a"), "ss")
     return (
-        va.join(
-            vb,
-            (F.col("va.v") == F.col("vb.v")) & (F.col("va.s") < F.col("vb.s")),
+        lefts.select(
+            "name_a",
+            F.explode(
+                F.slice(F.col("ss"), F.col("i") + F.lit(2), F.size("ss"))
+            ).alias("name_b"),
         )
-        .select(F.col("va.s").alias("name_a"), F.col("vb.s").alias("name_b"))
         # thresholded levenshtein runs the BANDED O(L·k) DP and
         # early-exits with -1 past the bound — measured 5.7s → ~0.6s on
         # ~1M candidate pairs vs the full O(L²) form

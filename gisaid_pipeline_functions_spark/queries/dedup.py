@@ -1059,14 +1059,32 @@ def dedup_lsh_pr_eval(spark, sf_dir):
     cand = lsh_candidate_pairs(
         minhash_signatures(sh, n_hashes=8), n_bands=2, rows_per_band=4
     ).select("id_a", "id_b")
-    tp = truth.join(cand.hint("merge"), ["id_a", "id_b"]).agg(
-        F.count(F.lit(1)).alias("n_tp")
+    # r17 (guide §2.4): the former shape consumed truth TWICE (tp join +
+    # n_truth count) and cand TWICE (tp join + n_cand count), and the
+    # count consumers' single-partition aggs never unify with the join's
+    # pair-keyed exchanges — the AQE final plan re-executed both heavy
+    # pair pipelines (28 parquet scans at runtime, only 10 reused
+    # exchanges). Both pair sets are distinct per (id_a, id_b) (each ends
+    # in a groupBy on the pair), so union-with-markers + one pair-keyed
+    # aggregation computes all three counts from ONE evaluation of each
+    # subtree and eliminates the truth⋈cand merge join outright:
+    # n_tp = pairs holding both markers ≡ the old inner-join count.
+    marks = (
+        truth.select("id_a", "id_b", F.lit(1).alias("t"), F.lit(0).alias("c"))
+        .unionByName(
+            cand.select("id_a", "id_b", F.lit(0).alias("t"), F.lit(1).alias("c"))
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.max("t").alias("t"), F.max("c").alias("c"))
     )
-    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
-    nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
     return (
-        nt.crossJoin(F.broadcast(nc))
-        .crossJoin(F.broadcast(tp))
+        marks.agg(
+            F.count(F.when(F.col("t") == 1, F.lit(1))).alias("n_truth"),
+            F.count(F.when(F.col("c") == 1, F.lit(1))).alias("n_cand"),
+            F.count(
+                F.when((F.col("t") == 1) & (F.col("c") == 1), F.lit(1))
+            ).alias("n_tp"),
+        )
         .select(
             "n_truth",
             "n_cand",

@@ -99,6 +99,16 @@ _RECHECK_ROUND = 17
 #   the swap). The 9 transiting batch queries below re-driven
 #   hash-green at sf0.01 before commit, with NO oracle change
 #   (streaming_lsh_dedup_hash does NOT transit it — map-side own path).
+# - the r17 optimization batch 3: (a) dedup_lsh_pr_eval's own body —
+#   union-with-markers + one pair-keyed aggregation replaces the
+#   truth⋈cand merge join and the two separate count consumers (each
+#   heavy pair pipeline now evaluated ONCE; single-row output proven
+#   value-identical at sf0.01 AND sf0.1); (b) operators/joins.py
+#   edit_distance_one_pairs — per-variant bucket groupBy + in-row
+#   ordered pair generation replaces the variants self-join (the
+#   lsh_candidate_pairs pattern; full rowset proven identical at sf0.01
+#   AND sf0.1), transited only by join_edit_distance_fuzzy. Both
+#   re-driven hash-green at sf0.01 after the swap, NO oracle change.
 _RECHECK_FIRST = frozenset(
     {
         "dedup_minhash_lsh",
@@ -131,6 +141,7 @@ _RECHECK_FIRST = frozenset(
         "sim_semdedup",
         "streaming_ivf_append_hash",
         "agg_bootstrap_ab_diff",
+        "join_edit_distance_fuzzy",
     }
 )
 
