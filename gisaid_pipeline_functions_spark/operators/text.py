@@ -483,6 +483,20 @@ def classifier_train(
     model: returns ``(wt, bias_row)`` — the ≤ n_buckets-row weight table
     and the 1-row bias — both legitimate broadcasts (fixed-size model)."""
     gb = classifier_features(df, id_col, text_col, n_buckets)
+    return _classifier_train_from_features(gb, df, text_col, n_buckets)
+
+
+def _classifier_train_from_features(
+    gb: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    n_buckets: int,
+) -> tuple[DataFrame, DataFrame]:
+    """NB log-odds weights from an already-built feature stream — split
+    out (r17) so ``classifier_score`` can feed the SAME persisted gram
+    stream to both the count pass and the scoring probe instead of
+    re-running the explode+md5 pipeline per consumer. Expressions are
+    unchanged from the r7 shape — only the gb plumbing moved."""
     pos_i = F.col("pos").cast("int")
     cnt = gb.groupBy("b").agg(
         F.sum(pos_i).alias("np"), F.sum(1 - pos_i).alias("nn")
@@ -590,9 +604,19 @@ def classifier_score(
     against the batch-trained model; this composition is value-identical
     (the bias aggregate now dedups (id, pos) from the gram stream instead
     of reading the pre-explode frame — pos is functionally dependent on
-    id, so the counts are the same)."""
-    wt, bias_row = classifier_train(df, id_col, text_col, n_buckets)
-    gb = classifier_features(df, id_col, text_col, n_buckets)
+    id, so the counts are the same).
+
+    r17 (guide §2.4/§5): ONE persisted feature stream feeds both the
+    training count pass and the scoring probe. The gram build
+    (explode + md5 over unigrams+bigrams, the dominant map CPU) sits
+    DOWNSTREAM of the repartition exchange, so AQE exchange reuse never
+    deduplicated it — the pipeline ran once under the weight table's
+    broadcast build and again on the probe side (the dsir_resample
+    gram-stream precedent; same documented cache lifetime). The bias
+    pass stays a direct words+label scan by design (see
+    _classifier_train_from_features)."""
+    gb = classifier_features(df, id_col, text_col, n_buckets).persist()
+    wt, bias_row = _classifier_train_from_features(gb, df, text_col, n_buckets)
     return classifier_apply(gb, wt, bias_row)
 
 
@@ -1011,11 +1035,18 @@ def langid_ngram_profiles(
             lambda i: F.substring(t, i, F.lit(3)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # r17 (guide §2.4/§5): persist the trigram stream — its two consumers
+    # shuffle by DIFFERENT keys ((lbl, gram) for the profile build, which
+    # then broadcasts, and (doc_id, gram) for the doc ranks), so AQE
+    # exchange reuse never unifies them and the char-trigram explode (the
+    # dominant map CPU) ran once per consumer. The classifier_score /
+    # dsir_resample gram-stream precedent; same documented cache
+    # lifetime.
     g = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(label_col).alias("lbl"),
         F.explode(grams_arr).alias("gram"),
-    )
+    ).persist()
     lp = (
         g.groupBy("lbl", "gram")
         .agg(F.count(F.lit(1)).alias("c"))

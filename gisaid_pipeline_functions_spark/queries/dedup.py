@@ -250,18 +250,32 @@ def dedup_mllib_minhash(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     sh = word_shingles(docs, "doc_id", "text", k=3)
-    # one-pass truth generator, mirroring the oracle: the shingle
-    # self-join groups STRAIGHT into per-pair intersection counts — no
-    # distinct-pairs materialization and no second two-sided shingle
-    # join (the old shape re-joined shingles per candidate pair; this
-    # halves the truth side's wall at sf0.1). The ≥ 0.5 band is filtered
-    # on the UNROUNDED ratio, exactly as the oracle's WHERE clause.
+    # one-pass truth generator, mirroring the oracle: per-pair
+    # intersection counts come from a per-shingle bucket groupBy +
+    # in-row ordered pair generation (the r17 lsh_candidate_pairs
+    # pattern), NOT a sh ⋈ sh self-join — the join evaluated the
+    # doc→split→explode→distinct shingle pipeline once per side and
+    # shuffled both. Bucket members are distinct ids (sh is distinct per
+    # (id, shingle)), array_sort is ascending id, so (ids[i], ids[j])
+    # for i < j is exactly the old ``a.id < b.id`` join condition per
+    # shared shingle; counting pair occurrences across buckets IS the
+    # intersection count. The ≥ 0.5 band is filtered on the UNROUNDED
+    # ratio, exactly as the oracle's WHERE clause.
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    shb = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        shb.select(F.posexplode("ids").alias("i", "id_a"), "ids")
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + F.lit(2), F.size("ids"))
+            ).alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     ratio = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))

@@ -109,6 +109,19 @@ _RECHECK_ROUND = 17
 #   lsh_candidate_pairs pattern; full rowset proven identical at sf0.01
 #   AND sf0.1), transited only by join_edit_distance_fuzzy. Both
 #   re-driven hash-green at sf0.01 after the swap, NO oracle change.
+# - the r17 optimization batch 4: (a) dedup_mllib_minhash's truth
+#   generator — per-shingle bucket pair generation replaces the sh ⋈ sh
+#   self-join (rowset identical at sf0.01 AND sf0.1); (b)
+#   operators/text.py classifier_score — ONE persisted feature stream
+#   feeds the NB count pass and the scoring probe (the broadcast model
+#   build never exchange-unified with the probe, so the gram md5
+#   pipeline ran twice; classifier_train now delegates to
+#   _classifier_train_from_features with unchanged expressions —
+#   transits text_classifier_score, text_calibration_curve,
+#   streaming_classifier_score); (c) operators/text.py
+#   langid_ngram_profiles — the char-trigram stream is persisted (its
+#   two consumers shuffle by different keys). All five transit queries
+#   re-driven hash-green at sf0.01 after the swaps, NO oracle change.
 _RECHECK_FIRST = frozenset(
     {
         "dedup_minhash_lsh",
@@ -142,6 +155,11 @@ _RECHECK_FIRST = frozenset(
         "streaming_ivf_append_hash",
         "agg_bootstrap_ab_diff",
         "join_edit_distance_fuzzy",
+        "dedup_mllib_minhash",
+        "text_classifier_score",
+        "text_calibration_curve",
+        "streaming_classifier_score",
+        "text_langid_profiles",
     }
 )
 
