@@ -73,7 +73,7 @@ _RECHECK_ROUND = 17
 # code change. New registrations always enter (they have no driver
 # evidence at all).
 #
-# r17 cohort (30 names):
+# r17 cohort (36 names):
 # - the two new SQ8 persisted scalar-quantization registrations
 #   (explicit budget grant, VERDICT r16 #2: registry bound 335 -> 337);
 # - the r17 build's four ADC-fold transit queries (VERDICT r16 #1) are
