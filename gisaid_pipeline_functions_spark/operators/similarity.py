@@ -385,6 +385,140 @@ def kmeans_assign(
     return _nearest_cell(base, cents).select("vec_id", "cell", "dist")
 
 
+def _subspace_slices(base: DataFrame, m: int, sub_dim: int) -> DataFrame:
+    """Fan ``(vec_id, v)`` out into its m contiguous ``sub_dim``-wide
+    subspace slices in ONE pass → ``(vec_id, subspace, v)`` with
+    ``subspace`` 0..m-1 as BIGINT. Each output row's ``v`` equals
+    ``slice(v, j*sub_dim+1, sub_dim)`` exactly (the posexplode position
+    IS the subspace id), so consumers see the same per-subspace rows the
+    old m-branch union loops built — from ONE scan of the input instead
+    of m (guide §2.4: per-subspace branches re-scanned the base frame
+    once per subspace; scans never exchange-reuse across union arms)."""
+    return base.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("v"), j * sub_dim + 1, sub_dim)
+                    for j in range(m)
+                ]
+            )
+        ).alias("subspace", "v"),
+    ).select("vec_id", F.col("subspace").cast("long").alias("subspace"), "v")
+
+
+def _nearest_cell_per_subspace(
+    slices: DataFrame, cents: DataFrame
+) -> DataFrame:
+    """``_nearest_cell`` for a subspace-tagged slice stream: the m
+    per-subspace centroid tables collapse to m broadcast array rows
+    (one per subspace, via a broadcast hash join on ``subspace`` instead
+    of ``_nearest_cell``'s one-row crossJoin) and each slice row argmins
+    over ITS subspace's array with the identical in-row ``array_sort``
+    over ``(dist, cell)`` structs — the same zip_with/aggregate squared-
+    L2 fold rounded to 6dp, the same (dist asc, cell asc) tie-break — so
+    every per-row pick is bit-identical to running ``_nearest_cell``
+    once per subspace. Still zero Exchange, zero Window: the join build
+    side is m tiny array rows."""
+    ca = cents.groupBy("subspace").agg(
+        F.collect_list(F.struct("cell", "c")).alias("_ca")
+    )
+    dist_of = lambda s: F.round(  # noqa: E731
+        F.aggregate(
+            F.zip_with(
+                F.col("v"), s["c"], lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    picked = F.element_at(
+        F.array_sort(
+            F.transform(
+                F.col("_ca"),
+                lambda s: F.struct(
+                    dist_of(s).alias("dist"), s["cell"].alias("cell")
+                ),
+            )
+        ),
+        1,
+    )
+    return (
+        slices.join(F.broadcast(ca), "subspace")
+        .select("subspace", "vec_id", "v", picked.alias("_p"))
+        .select(
+            "subspace",
+            "vec_id",
+            "v",
+            F.col("_p.cell").alias("cell"),
+            F.col("_p.dist").alias("dist"),
+        )
+    )
+
+
+def _subspace_kmeans_centroids(
+    base: DataFrame, m: int, sub_dim: int, k: int, iterations: int
+) -> DataFrame:
+    """All m per-subspace Lloyd trains fused into ONE chain over the
+    subspace-tagged slice stream → ``(subspace, cell, c)`` (r17
+    optimization round, carried item #1: the m independent
+    ``kmeans_centroids`` trees each re-scanned the corpus every
+    iteration — m·(iterations+1) scans, 2·m exchanges per iteration —
+    and none of that duplication is exchange-reusable because the
+    chains' aggregations key differently per subspace only by accident
+    of the union).
+
+    Value identity with m separate ``kmeans_centroids`` chains over
+    ``slice(v, j*sub_dim+1, sub_dim)``:
+    - init: the k smallest ``vec_id``s of the slice frame are the k
+      smallest of ``base`` (same id set per subspace), sliced and
+      6dp-rounded per element — element-wise round commutes with slice;
+    - assignment: ``_nearest_cell_per_subspace`` is bit-identical per
+      row (same fold, same tie-break, same centroid array per subspace);
+    - recompute: group (subspace=j, cell, pos) holds exactly the old
+      chain-j (cell, pos) members, and ``round(avg, 6)`` lands on the
+      same 6dp lattice both engines (and both groupings) agree on — the
+      same order-tolerance the DuckDB oracle replay already relies on.
+    Proven by full-rowset old-vs-new compares at sf0.001/sf0.01/sf0.1
+    before the swap (see OPTIMIZATION_r17.md batch 5)."""
+    init = base.orderBy("vec_id").limit(k)
+    cents = _subspace_slices(init, m, sub_dim).select(
+        "subspace",
+        F.col("vec_id").alias("cell"),
+        F.transform("v", lambda x: F.round(x, 6)).alias("c"),
+    )
+    slices = _subspace_slices(base, m, sub_dim)
+    for _ in range(iterations):
+        assigned = _nearest_cell_per_subspace(slices, cents)
+        per_dim = assigned.select(
+            "subspace", "cell", F.posexplode("v").alias("pos", "x")
+        ).groupBy("subspace", "cell", "pos").agg(
+            F.round(F.avg("x"), 6).alias("m")
+        )
+        cents = per_dim.groupBy("subspace", "cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("c")
+        )
+    return cents
+
+
+def _subspace_kmeans_assign(
+    base: DataFrame, m: int, sub_dim: int, k: int, iterations: int
+) -> DataFrame:
+    """Fused train + final assignment over all m subspaces → long form
+    ``(vec_id, subspace, cell, dist)`` — the one-chain equivalent of m
+    ``kmeans_assign`` calls over the subspace slices (same composed
+    tree shape as the single-space original: training +
+    one final nearest-cell pass)."""
+    cents = _subspace_kmeans_centroids(base, m, sub_dim, k, iterations)
+    return _nearest_cell_per_subspace(
+        _subspace_slices(base, m, sub_dim), cents
+    ).select("vec_id", "subspace", "cell", "dist")
+
+
 def build_ivf_index(
     corpus: DataFrame,
     k: int = 4,
@@ -890,25 +1024,17 @@ def pq_codes(
 
     A PQ code is m small integers per vector — k^m distinct composite
     cells from only m·k learned centroids; at 100 TB the codes column is
-    what downstream ANN scans stream, never the vectors."""
-    out = None
-    for j in range(m):
-        sub = corpus.select(
-            F.col(id_col).alias("vec_id"),
-            F.slice(
-                _to_double(F.col(vec_col)), j * sub_dim + 1, sub_dim
-            ).alias("sub"),
-        )
-        a = kmeans_assign(
-            sub, k=k, iterations=iterations, id_col="vec_id", vec_col="sub"
-        ).select(
-            "vec_id",
-            F.lit(j).cast("long").alias("subspace"),
-            "cell",
-            "dist",
-        )
-        out = a if out is None else out.unionByName(a)
-    return out
+    what downstream ANN scans stream, never the vectors.
+
+    r17: the m per-subspace ``kmeans_assign`` chains are fused into one
+    ``_subspace_kmeans_assign`` train over the subspace-tagged slice
+    stream — one corpus scan per Lloyd pass instead of m, one
+    aggregation pair per iteration instead of m (value identity argued
+    and rowset-proven at `_subspace_kmeans_centroids`)."""
+    base = corpus.select(
+        F.col(id_col).alias("vec_id"), _to_double(F.col(vec_col)).alias("v")
+    )
+    return _subspace_kmeans_assign(base, m, sub_dim, k, iterations)
 
 
 def pq_adc_topk(
@@ -1055,24 +1181,16 @@ def pq_codebooks(
     ``sub_dim`` doubles — trivially parquet-sized, broadcastable
     forever after. Retraining would re-lattice every stored code, the
     exact invalidation the IVF freeze (``build_ivf_index``) exists to
-    prevent; the PQ twin freezes for the same reason."""
-    out = None
-    for j in range(m):
-        sub = corpus.select(
-            F.col(id_col).alias("vec_id"),
-            F.slice(
-                _to_double(F.col(vec_col)), j * sub_dim + 1, sub_dim
-            ).alias("sub"),
-        )
-        cj = kmeans_centroids(
-            sub, k=k, iterations=iterations, id_col="vec_id", vec_col="sub"
-        ).select(
-            F.lit(j).cast("long").alias("subspace"),
-            "cell",
-            F.col("c").alias("cent"),
-        )
-        out = cj if out is None else out.unionByName(cj)
-    return out
+    prevent; the PQ twin freezes for the same reason.
+
+    r17: one fused ``_subspace_kmeans_centroids`` chain replaces the m
+    independent Lloyd trees (one corpus scan per pass instead of m)."""
+    base = corpus.select(
+        F.col(id_col).alias("vec_id"), _to_double(F.col(vec_col)).alias("v")
+    )
+    return _subspace_kmeans_centroids(base, m, sub_dim, k, iterations).select(
+        "subspace", "cell", F.col("c").alias("cent")
+    )
 
 
 def _assign_pq_codes(
@@ -1087,23 +1205,18 @@ def _assign_pq_codes(
     codebook centroid (rounded squared L2, cell-id tie-break — the
     ``_nearest_cell`` contract) → long-form codes ``(vec_id, subspace,
     cell)``. Per-vector against a broadcast m·k-row codebook, so cost
-    is rows × m·k regardless of how much history the index holds."""
-    out = None
-    for j in range(m):
-        sub = df.select(
-            F.col(id_col).alias("vec_id"),
-            F.slice(
-                _to_double(F.col(vec_col)), j * sub_dim + 1, sub_dim
-            ).alias("v"),
-        )
-        cb = codebooks.filter(F.col("subspace") == j).select(
-            "cell", F.col("cent").alias("c")
-        )
-        a = _nearest_cell(sub, cb).select(
-            "vec_id", F.lit(j).cast("long").alias("subspace"), "cell"
-        )
-        out = a if out is None else out.unionByName(a)
-    return out
+    is rows × m·k regardless of how much history the index holds.
+
+    r17: the m per-subspace broadcast-argmin passes (each a full scan
+    of ``df``) fuse into ONE ``_nearest_cell_per_subspace`` pass over
+    the subspace-tagged slice stream — per-row picks bit-identical."""
+    base = df.select(
+        F.col(id_col).alias("vec_id"), _to_double(F.col(vec_col)).alias("v")
+    )
+    cb = codebooks.select("subspace", "cell", F.col("cent").alias("c"))
+    return _nearest_cell_per_subspace(
+        _subspace_slices(base, m, sub_dim), cb
+    ).select("vec_id", "subspace", "cell")
 
 
 def build_pq_index(
@@ -1866,26 +1979,17 @@ def _ivfpq_subspace_codes(
     k_pq: int,
     iterations: int,
 ) -> DataFrame:
-    """Per-subspace residual PQ: one ``kmeans_assign`` Lloyd train per
-    ``sub_dim``-wide slice of the routed residuals → long form
-    ``(vec_id, subspace, pq_cell, dist)``."""
-    out = None
-    for j in range(m):
-        sub = routed.select(
-            "vec_id",
-            F.slice(F.col("rv"), j * sub_dim + 1, sub_dim).alias("sub"),
-        )
-        a = kmeans_assign(
-            sub, k=k_pq, iterations=iterations, id_col="vec_id",
-            vec_col="sub",
-        ).select(
-            "vec_id",
-            F.lit(j).cast("long").alias("subspace"),
-            F.col("cell").alias("pq_cell"),
-            "dist",
-        )
-        out = a if out is None else out.unionByName(a)
-    return out
+    """Per-subspace residual PQ → long form ``(vec_id, subspace,
+    pq_cell, dist)``. r17: the m per-slice ``kmeans_assign`` Lloyd
+    chains fuse into one ``_subspace_kmeans_assign`` train over the
+    subspace-tagged residual slice stream — one scan of the (pinned)
+    routed frame per Lloyd pass instead of m."""
+    return _subspace_kmeans_assign(
+        routed.select("vec_id", F.col("rv").alias("v")),
+        m, sub_dim, k_pq, iterations,
+    ).select(
+        "vec_id", "subspace", F.col("cell").alias("pq_cell"), "dist"
+    )
 
 
 def ivfpq_residual_codes(
@@ -2139,24 +2243,22 @@ def _frozen_codes_on_routed(
 ) -> DataFrame:
     """Assign an already-routed residual frame ``(vec_id, cell, rv)``
     against FROZEN per-subspace codebooks → ``(vec_id, cell, subspace,
-    pq_cell)``. The slice assignment is ``_nearest_cell`` against the
-    broadcast m·k_pq codebook rows; the coarse cell rides back on via
-    the id join."""
-    out = None
-    for j in range(m):
-        sub = routed.select(
-            "vec_id",
-            F.slice(F.col("rv"), j * sub_dim + 1, sub_dim).alias("v"),
-        )
-        cbj = codebooks.filter(F.col("subspace") == j).select(
-            F.col("pq_cell").alias("cell"), F.col("cent").alias("c")
-        )
-        a = _nearest_cell(sub, cbj).select(
-            "vec_id",
-            F.lit(j).cast("long").alias("subspace"),
-            F.col("cell").alias("pq_cell"),
-        )
-        out = a if out is None else out.unionByName(a)
+    pq_cell)``. The slice assignment is the broadcast in-row argmin
+    against the m·k_pq codebook rows; the coarse cell rides back on via
+    the id join.
+
+    r17: the m per-subspace ``_nearest_cell`` passes (each a scan of
+    the routed frame) fuse into ONE ``_nearest_cell_per_subspace`` pass
+    — per-row picks bit-identical."""
+    cb = codebooks.select(
+        "subspace", F.col("pq_cell").alias("cell"), F.col("cent").alias("c")
+    )
+    out = _nearest_cell_per_subspace(
+        _subspace_slices(
+            routed.select("vec_id", F.col("rv").alias("v")), m, sub_dim
+        ),
+        cb,
+    ).select("vec_id", "subspace", F.col("cell").alias("pq_cell"))
     return routed.select("vec_id", "cell").join(out, "vec_id").select(
         "vec_id", "cell", "subspace", "pq_cell"
     )
@@ -2245,22 +2347,17 @@ def build_ivfpq_index(
     coarse, routed = _ivfpq_route_residuals(
         corpus, k_coarse, iterations, id_col, vec_col
     )
-    cb = None
-    for j in range(m):
-        sub = routed.select(
-            "vec_id",
-            F.slice(F.col("rv"), j * sub_dim + 1, sub_dim).alias("sub"),
-        )
-        cj = kmeans_centroids(
-            sub, k=k_pq, iterations=iterations, id_col="vec_id",
-            vec_col="sub",
-        ).select(
-            F.lit(j).cast("long").alias("subspace"),
-            F.col("cell").alias("pq_cell"),
-            F.col("c").alias("cent"),
-        )
-        cb = cj if cb is None else cb.unionByName(cj)
-    cb = cb.localCheckpoint(eager=True)
+    # r17: one fused _subspace_kmeans_centroids chain over the pinned
+    # routed residuals replaces the m independent kmeans_centroids
+    # trees (one routed scan per Lloyd pass instead of m)
+    cb = _subspace_kmeans_centroids(
+        routed.select("vec_id", F.col("rv").alias("v")),
+        m, sub_dim, k_pq, iterations,
+    ).select(
+        "subspace",
+        F.col("cell").alias("pq_cell"),
+        F.col("c").alias("cent"),
+    ).localCheckpoint(eager=True)
     # the build reuses ITS OWN routed frame (already pinned) instead of
     # re-routing through _assign_ivfpq_codes — routing against the
     # frozen coarse is deterministic, so the result is identical and
