@@ -541,23 +541,14 @@ def crossdoc_shingle_overlap(
     )
 
 
-def _cross_doc_keys(frame: DataFrame, key_col: str, id_col: str = "id") -> DataFrame:
-    """Keys carried by ≥ 2 DISTINCT documents — the duplicated-key rule
-    shared by ``span_surgery`` and ``exactsubstr_chars`` — computed as
-    ``min(id) != max(id)`` instead of ``count_distinct(id) >= 2``. The
-    two are algebraically identical on any input (a second distinct id
-    exists iff the id extremes differ), but min/max is a plain two-long
-    map-side-combinable partial aggregate, while the planner rewrites a
-    distinct aggregate into a two-phase (key, id) dedup that carries
-    every distinct pair through the shuffle. Measured 0.83× on the
-    span-surgery dup subplan (interleaved min-of-3 noop writes at
-    local[32]/sf0.1: 1.148 → 0.955 s, identical 12,235-key output)."""
-    return (
-        frame.groupBy(key_col)
-        .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
-        .filter(F.col("_lo") != F.col("_hi"))
-        .select(key_col)
-    )
+# The duplicated-key rule shared by span_surgery and exactsubstr_chars —
+# "carried by >= 2 DISTINCT documents" ≡ min(id) != max(id) (a second
+# distinct id exists iff the id extremes differ; the r13 `_cross_doc_keys`
+# helper's rule, 0.83× vs a count_distinct>=2 two-phase rewrite) — is
+# computed since r17 as an unbounded min/max WINDOW over the key
+# partition at each call site, which replaced the helper's groupBy →
+# join-back shape (one fold evaluation and one exchange instead of two
+# of each; A/B numbers at the call sites).
 
 
 def span_surgery(
@@ -634,35 +625,48 @@ def span_surgery(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:long,h:string>>"))
-    # TWO consumers (the dup groupBy and the positions join back) and no
-    # runtime ReusedExchange between them (audited r13: the final AQE
-    # plan replays the md5 shingle fold on both sides) — but deliberately
-    # NOT persisted: an interleaved A/B measured persist() 1.09× SLOWER
-    # here, because materializing the exploded rows blocks the fold from
-    # fusing into each consumer's map-side partial aggregation, which is
-    # cheaper than the replay once the under-split guard spreads the
-    # fold. (The r6 persist rule applies to fingerprints feeding a
-    # SELF-JOIN's pair predicate, where replay multiplies per-pair.)
+    # ONE consumer (r17 optimization round): the duplicated-shingle mark
+    # is a window aggregate over the hash partition instead of the old
+    # groupBy(h) → join-back pair. The old shape evaluated the md5
+    # shingle fold TWICE (the dup groupBy's map side and the join's
+    # probe side — no runtime ReusedExchange between them, audited r13;
+    # persist() was measured 1.09× SLOWER because materializing the
+    # exploded rows blocks the fold from fusing into the map stage).
+    # One unbounded min/max window over partitionBy(h) computes the
+    # identical per-key extremes from ONE fold evaluation and ONE
+    # exchange — at corpus scale that is half the dominant map CPU and
+    # one full (id, pos, h) shuffle + dup-side shuffle removed. Trade
+    # recorded: a pathologically hot shingle is one window task, while
+    # the old SMJ probe could AQE-skew-split above 256 MB — both forms
+    # concentrate the hot key on one reducer, the window just lacks the
+    # oversized-partition escape hatch (guide §2.5); doc-frequency-
+    # bounded shingle keys make that the right trade.
     sh = base.select("id", F.explode(starts).alias("s")).select(
         "id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h")
     )
+    from pyspark.sql import Window as _W
+
+    wh = _W.partitionBy("h")
     # cross_doc_only=True: a shingle is duplicated when >= 2 DISTINCT
-    # docs carry it (within-doc repeats alone don't flag) — computed via
-    # the min!=max extremes rule (_cross_doc_keys). False = the
-    # paper's full ExactSubstr semantics: ANY second occurrence counts,
-    # including a repeat inside the same document — both copies of an
-    # internally-repeated span are then removed (the repeated span is
-    # the memorization risk, whichever document carries the repeat).
+    # docs carry it (within-doc repeats alone don't flag) — the min!=max
+    # extremes rule (algebraically _cross_doc_keys, windowed). False =
+    # the paper's full ExactSubstr semantics: ANY second occurrence
+    # counts, including a repeat inside the same document — both copies
+    # of an internally-repeated span are then removed (the repeated span
+    # is the memorization risk, whichever document carries the repeat).
     if cross_doc_only:
-        dup = _cross_doc_keys(sh, "h")
-    else:
-        dup = (
-            sh.groupBy("h")
-            .agg(F.count(F.lit(1)).alias("nd"))
-            .filter(F.col("nd") >= 2)
-            .select("h")
+        ds = (
+            sh.withColumn("_lo", F.min("id").over(wh))
+            .withColumn("_hi", F.max("id").over(wh))
+            .filter(F.col("_lo") != F.col("_hi"))
+            .select("id", "pos")
         )
-    ds = sh.join(dup, "h").select("id", "pos")
+    else:
+        ds = (
+            sh.withColumn("_nd", F.count(F.lit(1)).over(wh))
+            .filter(F.col("_nd") >= 2)
+            .select("id", "pos")
+        )
 
     from pyspark.sql import Window
 
@@ -941,6 +945,8 @@ def exactsubstr_chars(
     staged = base.select("id", "text", grams.alias("h"))
     h = F.col("h")
 
+    from pyspark.sql import Window
+
     if prefilter:
         winmins = (
             F.when(
@@ -956,9 +962,19 @@ def exactsubstr_chars(
         anch = staged.select(
             "id", F.explode(F.array_distinct(winmins)).alias("ah")
         )
-        dupa = _cross_doc_keys(anch, "ah")
+        # r17: candidacy via ONE window pass over the anchor-hash
+        # partition (min!=max extremes ≡ _cross_doc_keys) instead of the
+        # groupBy → merge-hinted semi-join pair — the old shape
+        # evaluated the gram fold + winnow fold TWICE (the dup groupBy's
+        # map side and the semi-join's probe side; no ReusedExchange),
+        # and the anchor set's corpus-growing merge hint disappears with
+        # the join itself. Identical id set: a doc is a candidate iff
+        # any of its anchors has differing id extremes.
+        wah = Window.partitionBy("ah")
         cand = (
-            anch.join(dupa.hint("merge"), "ah", "semi")
+            anch.withColumn("_lo", F.min("id").over(wah))
+            .withColumn("_hi", F.max("id").over(wah))
+            .filter(F.col("_lo") != F.col("_hi"))
             .select("id")
             .distinct()
             .persist()
@@ -967,18 +983,22 @@ def exactsubstr_chars(
     else:
         heavy = staged
 
-    # TWO consumers (dup groupBy + positions join), fold replayed on
-    # both sides (no runtime ReusedExchange; r13 audit) — deliberately
-    # NOT persisted: the interleaved A/B measured persist() 1.08× SLOWER
-    # (materializing the exploded grams defeats the fold's fusion into
-    # each consumer's map-side partial agg; see span_surgery's note).
+    # r17: duplicated-gram mark via ONE window pass over the gram-hash
+    # partition (min!=max ≡ _cross_doc_keys) — the old groupBy + join
+    # replayed the md5 gram fold on both consumers (no ReusedExchange,
+    # r13 audit; persist() measured 1.08× SLOWER — it defeats the
+    # fold's fusion into the map stage). One fold evaluation, one
+    # exchange; the hot-gram trade is recorded at span_surgery.
     sh = heavy.select(
         "id", F.posexplode(h).alias("pos", "gh")
     ).select("id", F.col("pos").cast("long").alias("pos"), "gh")
-    dup = _cross_doc_keys(sh, "gh")
-    ds = sh.join(dup, "gh").select("id", "pos")
-
-    from pyspark.sql import Window
+    wgh = Window.partitionBy("gh")
+    ds = (
+        sh.withColumn("_lo", F.min("id").over(wgh))
+        .withColumn("_hi", F.max("id").over(wgh))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .select("id", "pos")
+    )
 
     win = Window.partitionBy("id").orderBy("pos")
     runs = (

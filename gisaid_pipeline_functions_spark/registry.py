@@ -122,8 +122,32 @@ _RECHECK_ROUND = 17
 #   langid_ngram_profiles — the char-trigram stream is persisted (its
 #   two consumers shuffle by different keys). All five transit queries
 #   re-driven hash-green at sf0.01 after the swaps, NO oracle change.
+# - the r17 optimization batch 5: operators/similarity.py — the m
+#   per-subspace Lloyd/assignment loops (pq_codes, pq_codebooks,
+#   _assign_pq_codes, _ivfpq_subspace_codes, _frozen_codes_on_routed,
+#   build_ivfpq_index) fused into one subspace-tagged chain
+#   (_subspace_kmeans_centroids/_subspace_kmeans_assign/
+#   _nearest_cell_per_subspace) — one base scan per Lloyd pass instead
+#   of m. Full rowsets proven bit-identical old-vs-new at sf0.001,
+#   sf0.01 AND sf0.1; all 8 transit queries (sim_pq_codes,
+#   sim_pq_adc_topk, sim_incremental_pq, sim_incremental_pq_search,
+#   sim_ivfpq_codes, sim_ivfpq_adc_search, sim_incremental_ivfpq,
+#   sim_incremental_ivfpq_search — already recheck rows from the build
+#   round) re-driven hash-green at sf0.01, NO oracle change.
+# - the r17 optimization batch 6: operators/dedup.py — span_surgery and
+#   exactsubstr_chars duplicated-key marking (and the exactsubstr anchor
+#   candidacy) rewritten from the _cross_doc_keys groupBy → join-back
+#   pair to ONE unbounded min/max window over the key partition (the
+#   old shape evaluated the dominant md5 fold once per consumer; no
+#   runtime ReusedExchange, r13 audit). Rowsets identical at all three
+#   SFs; dedup_span_surgery, dedup_span_surgery_within,
+#   dedup_exactsubstr_chars re-driven hash-green at sf0.01, NO oracle
+#   change.
 _RECHECK_FIRST = frozenset(
     {
+        "dedup_span_surgery",
+        "dedup_span_surgery_within",
+        "dedup_exactsubstr_chars",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
         "dedup_connected_components",
