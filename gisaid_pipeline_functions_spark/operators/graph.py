@@ -196,8 +196,8 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
 
     Scale shape:
     - Each round is ONE edge-keyed equi-join (labels ⋈ edges on src) +
-      a groupBy(dst, label) vote count + a per-dst window argmax — the
-      window is PARTITIONED by dst (parallel per-vertex), never global.
+      a groupBy(dst, label) vote count + a per-dst min(struct) argmax —
+      both aggregations map-side-combinable, never a global sort.
     - The both-direction edge list is shuffled ONCE to
       hash-partitioning(src) and persisted; every round's merge join
       streams it from cache with Exchange and Sort elided, shuffling
@@ -208,8 +208,6 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
       votes fan in via map-side partial counts, and AQE handles hub
       skew on dst.
     """
-    from pyspark.sql import Window
-
     directed = (
         edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionByName(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
@@ -222,7 +220,6 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
         .distinct()
         .select("vertex", F.col("vertex").alias("label"))
     )
-    w = Window.partitionBy("dst").orderBy(F.desc("c"), F.asc("label"))
     for _ in range(iterations):
         votes = (
             directed.join(
@@ -232,10 +229,23 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
             .groupBy("dst", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        # r17: per-dst argmax as a map-side-combinable min(struct)
+        # aggregation — min over (-c, label) struct order ≡ the old
+        # row_number window's (c DESC, label ASC) pick exactly (integer
+        # negation is exact; (dst, label) vote rows are unique so no
+        # further tie exists). The window form sorted the vote stream
+        # twice per round (WindowGroupLimit partial + final both require
+        # sorted input); the aggregate form is two hash passes.
         labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("dst").alias("vertex"), "label")
+            votes.groupBy("dst")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label"))
+                ).alias("p")
+            )
+            .select(
+                F.col("dst").alias("vertex"), F.col("p.label").alias("label")
+            )
         )
     return labels
 

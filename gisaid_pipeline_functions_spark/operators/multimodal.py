@@ -929,11 +929,9 @@ def aspect_bucket_assign(dims: DataFrame) -> DataFrame:
 
     Scale shape: the bucket table is a FIXED literal array (7 entries)
     — exploded map-side, so the per-image argmin is one projection +
-    one partitioned window; no join, no shuffle beyond the final
+    one partial-aggregated argmin; no join, no shuffle beyond the final
     7-group aggregate. The exact-integer argmin key is documented at
     ``ASPECT_BUCKETS``."""
-    from pyspark.sql import Window
-
     bk = F.array(
         *[
             F.struct(
@@ -967,9 +965,22 @@ def aspect_bucket_assign(dims: DataFrame) -> DataFrame:
             * F.col("b.scale")
         ).alias("key"),
     )
-    w = Window.partitionBy("media_id").orderBy("key", "idx")
-    best = scored.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
+    # r17: per-image argmin as a map-side-combinable min(struct) — the
+    # (key ASC, idx ASC) struct order ≡ the old row_number window's pick
+    # exactly (key is exact-integer, (key, idx) unique per media_id; the
+    # trailing payload fields ride along un-compared). The 7-way explode
+    # collapses back to one row per image IN THE MAP STAGE'S partial agg
+    # instead of surviving to a sorted window pass.
+    best = (
+        scored.groupBy("media_id")
+        .agg(
+            F.min(
+                F.struct(
+                    "key", "idx", "bucket", "bw", "bh", "width", "height"
+                )
+            ).alias("p")
+        )
+        .select("media_id", F.col("p.*"))
     )
     return best.groupBy("idx", "bucket", "bw", "bh").agg(
         F.count(F.lit(1)).alias("n_images"),

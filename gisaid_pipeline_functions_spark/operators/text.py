@@ -1085,14 +1085,17 @@ def langid_ngram_profiles(
             ).alias("dist")
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.asc("dist"), F.asc("cand_lbl"))
+    # r17: per-doc argmin as a map-side-combinable min(struct) — struct
+    # order (dist ASC, cand_lbl ASC) ≡ the old row_number window's pick
+    # exactly (integer dist; (doc_id, cand_lbl) rows unique). Replaces
+    # the window's two sorted passes with two hash passes.
     pred = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        scored.groupBy("doc_id")
+        .agg(F.min(F.struct("dist", "cand_lbl")).alias("p"))
         .select(
             "doc_id",
-            F.col("cand_lbl").alias("pred_lang"),
-            F.col("dist").cast("long").alias("dist"),
+            F.col("p.cand_lbl").alias("pred_lang"),
+            F.col("p.dist").cast("long").alias("dist"),
         )
     )
     truth = df.select(F.col(id_col).alias("doc_id"), F.col(label_col).alias("lang"))
@@ -1677,11 +1680,24 @@ def naive_bayes_confusion(
             ).alias("score"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("label"))
+    # r17: per-doc argmax as a map-side-combinable min(struct) — min
+    # over (-score, label) ≡ the old (score DESC, label ASC) window pick
+    # (IEEE negation is exact and order-reversing, -0.0 < 0.0 keeps the
+    # 0-tie orientation; (doc_id, label) rows unique). Two hash passes
+    # instead of the window's two sorted passes.
     pred = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("actual", F.col("label").alias("predicted"))
+        scored.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("score")).alias("ns"), F.col("label"), F.col("actual")
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.actual").alias("actual"),
+            F.col("p.label").alias("predicted"),
+        )
     )
     return pred.groupBy("actual", "predicted").agg(
         F.count(F.lit(1)).alias("n_docs")

@@ -143,11 +143,26 @@ _RECHECK_ROUND = 17
 #   SFs; dedup_span_surgery, dedup_span_surgery_within,
 #   dedup_exactsubstr_chars re-driven hash-green at sf0.01, NO oracle
 #   change.
+# - the r17 optimization batch 7: the rank-1-window argmin/argmax sites
+#   (graph.py label_propagation per-round vote pick, text.py langid
+#   predict + naive_bayes_confusion predict, multimodal.py
+#   aspect_bucket_assign) rewritten to a min(struct(ordering, payload))
+#   aggregation — struct order ≡ the old (orderBy, tie-break) pick
+#   row-for-row (integer keys, or exact IEEE negation for score DESC;
+#   every ordering tuple unique within its group). Rowsets identical at
+#   all three SFs; graph_label_propagation, graph_modularity,
+#   text_langid_profiles, text_naive_bayes_confusion,
+#   multimodal_aspect_bucket re-driven hash-green at sf0.01, NO oracle
+#   change.
 _RECHECK_FIRST = frozenset(
     {
         "dedup_span_surgery",
         "dedup_span_surgery_within",
         "dedup_exactsubstr_chars",
+        "graph_label_propagation",
+        "graph_modularity",
+        "text_naive_bayes_confusion",
+        "multimodal_aspect_bucket",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
         "dedup_connected_components",
