@@ -1065,6 +1065,14 @@ def agg_poisson_bootstrap_ci(spark, sf_dir):
         "event_id",
         F.floor(F.col("value") * 1000000.0 + 0.5).cast("long").alias("vu"),
     )
+    # the events file is one input split at bench scale — spread the
+    # 50x md5 expansion across cores before it happens (r17: the same
+    # conditional defaultParallelism guard as agg_bootstrap_ab_diff /
+    # span_surgery; a no-op whenever the scan already has enough
+    # splits, and value-free — the md5 draw is per-(event_id, b))
+    target = spark.sparkContext.defaultParallelism
+    if ev.rdd.getNumPartitions() < target:
+        ev = ev.repartition(target)
     rep = ev.withColumn(
         "b", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))
     )

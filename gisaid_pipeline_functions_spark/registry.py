@@ -154,8 +154,15 @@ _RECHECK_ROUND = 17
 #   text_langid_profiles, text_naive_bayes_confusion,
 #   multimodal_aspect_bucket re-driven hash-green at sf0.01, NO oracle
 #   change.
+# - the r17 optimization batch 8: agg_poisson_bootstrap_ci gets the
+#   conditional defaultParallelism repartition guard before its 50×
+#   md5 replica explode (the agg_bootstrap_ab_diff / span_surgery
+#   guard shape; the events scan is one input split at bench scale).
+#   Value-free (per-(event_id, b) md5 draw; exact-integer sums are
+#   order-independent); re-driven hash-green at sf0.01.
 _RECHECK_FIRST = frozenset(
     {
+        "agg_poisson_bootstrap_ci",
         "dedup_span_surgery",
         "dedup_span_surgery_within",
         "dedup_exactsubstr_chars",
