@@ -120,6 +120,92 @@ def minhash_signatures(shingles: DataFrame, n_hashes: int = 8) -> DataFrame:
     return seeded.groupBy("id").agg(*aggs)
 
 
+# Hot-bucket guard threshold for the bucket pair-generators (r18,
+# guide §2.5; VERDICT r17 #1): a (band,sig)/variant/prefix-token bucket
+# above this size is positionally CHUNKED so (a) no generated row's
+# left-chunk slice exceeds this many elements and (b) a hot bucket's
+# quadratic pair output is spread over ceil(n/cap) round-robin-scattered
+# tasks instead of ONE. Sized so the guard never fires on
+# doc-frequency-bounded corpora (test SFs peak at bucket sizes in the
+# hundreds) while a degenerate exact-duplicate-heavy corpus at 100 TB
+# (10⁶–10⁸ ids in one bucket — the normal case for dedup!) no longer
+# funnels the whole pair expansion through a single straggler task.
+_PAIR_BUCKET_CAP = 100_000
+
+
+def bucket_pair_rows(
+    buckets: DataFrame,
+    ids_col: str,
+    a_name: str,
+    b_name: str,
+    cap: int = _PAIR_BUCKET_CAP,
+) -> DataFrame:
+    """All ordered element pairs ``(arr[i], arr[j]), i < j`` of each
+    bucket's sorted array — the r17 two-step-explode pair generator,
+    shared by the four bucket sites (LSH bands, PPJoin prefix tokens,
+    deletion variants, mllib truth shingles), now with a hot-bucket
+    guard.
+
+    Normal buckets (size ≤ cap) run the r17 shape unchanged:
+    ``posexplode`` the array, ``explode`` the per-position tail slice.
+    A bucket LARGER than cap is split into ⌈n/cap⌉ positional chunk
+    rows (chunk u owns source positions [u·cap, (u+1)·cap)); a keyless
+    round-robin repartition scatters the chunk rows across the cluster,
+    and each chunk row generates exactly the pairs whose LEFT element
+    falls in its chunk — the same tail slice, started at the global
+    position u·cap + i. The union over chunks partitions the i-range of
+    the single-row generator, so the pair multiset is IDENTICAL (pair
+    order is irrelevant: every consumer groups or distincts downstream).
+
+    What the guard bounds and what it doesn't: pair-generation row
+    memory (each hot row explodes a ≤cap left chunk) and pair-generation
+    parallelism (⌈n/cap⌉ tasks, per-task output within 2× of the mean —
+    the triangular tail skew). The ``collect_list`` aggregation buffer
+    upstream still holds the full bucket in one task (O(n) memory, ~16 MB
+    at 10⁶ ids); splitting THAT would need a pre-aggregation count pass
+    that re-evaluates the upstream pipeline — the exact 2× map CPU the
+    r17 bucket rewrite removed — so it stays, documented, as the
+    residual O(bucket-size) term. Both branches consume the same
+    bucket-groupBy exchange (runtime ReusedExchange), so the upstream
+    pipeline is still evaluated once.
+    """
+    arr = F.col(ids_col)
+    n = F.size(arr)
+    normal = buckets.filter(n <= F.lit(cap))
+    lefts = normal.select(F.posexplode(ids_col).alias("_i", a_name), ids_col)
+    normal_pairs = lefts.select(
+        a_name,
+        F.explode(
+            F.slice(F.col(ids_col), F.col("_i") + F.lit(2), F.size(ids_col))
+        ).alias(b_name),
+    ).select(a_name, b_name)
+    # hot branch: empty on doc-frequency-bounded data (filters to zero
+    # rows right after the reused exchange — no extra pipeline pass)
+    nchunks = F.floor((n - F.lit(1)) / F.lit(cap)).cast("int")
+    hot = buckets.filter(n > F.lit(cap)).select(
+        F.explode(F.sequence(F.lit(0), nchunks)).alias("_u"), ids_col
+    )
+    hot = hot.repartition(buckets.sparkSession.sparkContext.defaultParallelism)
+    hlefts = hot.select(
+        (F.col("_u") * F.lit(cap)).alias("_off"),
+        F.posexplode(
+            F.slice(F.col(ids_col), F.col("_u") * F.lit(cap) + F.lit(1), cap)
+        ).alias("_i", a_name),
+        ids_col,
+    )
+    hot_pairs = hlefts.select(
+        a_name,
+        F.explode(
+            F.slice(
+                F.col(ids_col),
+                F.col("_off") + F.col("_i") + F.lit(2),
+                F.size(ids_col),
+            )
+        ).alias(b_name),
+    ).select(a_name, b_name)
+    return normal_pairs.unionByName(hot_pairs)
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, n_bands: int = 2, rows_per_band: int = 4
 ) -> DataFrame:
@@ -143,12 +229,12 @@ def lsh_candidate_pairs(
     members, so the pair set and per-pair band counts are identical
     (proven value-identical at sf0.01 and sf0.1 before the swap). The
     two-step explode keeps memory O(bucket) per row where a single
-    flatten would materialize the O(bucket²) pair array in one row; a
-    degenerate hot bucket degrades exactly like the old join did (one
-    reducer task streams the quadratic pair output). Interleaved
-    min-of-3 at sf0.1/local[32]: 1.045 → 0.981 s on the pair subplan —
-    the real win is 2× off the dominant map CPU (one signature pipeline
-    instead of two) plus no broadcast build of a corpus-growing frame.
+    flatten would materialize the O(bucket²) pair array in one row.
+    Interleaved min-of-3 at sf0.1/local[32]: 1.045 → 0.981 s on the pair
+    subplan — the real win is 2× off the dominant map CPU (one signature
+    pipeline instead of two) plus no broadcast build of a corpus-growing
+    frame. r18: pair generation moved to ``bucket_pair_rows``, which adds
+    the hot-bucket chunking guard (see its docstring).
     """
     bands = []
     for b in range(n_bands):
@@ -168,13 +254,7 @@ def lsh_candidate_pairs(
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    lefts = buckets.select(F.posexplode("ids").alias("i", "id_a"), "ids")
-    pairs = lefts.select(
-        "id_a",
-        F.explode(
-            F.slice(F.col("ids"), F.col("i") + F.lit(2), F.size("ids"))
-        ).alias("id_b"),
-    )
+    pairs = bucket_pair_rows(buckets, "ids", "id_a", "id_b")
     return pairs.groupBy("id_a", "id_b").agg(
         F.count(F.lit(1)).alias("n_shared_bands")
     )
@@ -793,8 +873,8 @@ def prefix_filter_pairs(tokens: DataFrame, threshold: float) -> DataFrame:
     # is exactly the old ``pa.id < pb.id`` condition on the same
     # collisions, per token, filters included. Prefix tokens are the
     # RAREST tokens of each doc, so buckets are small by construction; a
-    # hot token degrades exactly as the old join's hot key did, and the
-    # two-step explode keeps per-row memory O(bucket).
+    # hot token is chunked by the r18 ``bucket_pair_rows`` guard, and the
+    # two-step explode keeps per-row memory O(min(bucket, cap)).
     tau = F.lit(float(threshold))
     pbuckets = (
         prefixes.groupBy("h")
@@ -805,13 +885,7 @@ def prefix_filter_pairs(tokens: DataFrame, threshold: float) -> DataFrame:
         )
         .filter(F.size("mem") >= 2)
     )
-    plefts = pbuckets.select(F.posexplode("mem").alias("i", "a"), "mem")
-    ppairs = plefts.select(
-        "a",
-        F.explode(
-            F.slice(F.col("mem"), F.col("i") + F.lit(2), F.size("mem"))
-        ).alias("b"),
-    )
+    ppairs = bucket_pair_rows(pbuckets, "mem", "a", "b")
     # equivalent-overlap requirement: jaccard ≥ τ  ⇔  |A∩B| ≥ τ/(1+τ)·(|A|+|B|)
     alpha = F.ceil(
         F.round(tau / (F.lit(1.0) + tau) * (F.col("a.sz") + F.col("b.sz")), 9)

@@ -146,9 +146,9 @@ def edit_distance_one_pairs(df: DataFrame, col: str) -> DataFrame:
     contributes each ``v`` at most once), and ``array_sort`` uses the
     same binary string ordering as the old ``va.s < vb.s`` predicate, so
     (ss[i], ss[j]) for i < j is exactly the old pair multiset, verify
-    included. The two-step explode keeps per-row memory O(bucket); a
-    degenerate hot variant degrades exactly as the old join's hot key
-    did.
+    included. The two-step explode keeps per-row memory
+    O(min(bucket, cap)); a degenerate hot variant is chunked by the r18
+    ``bucket_pair_rows`` guard (see its docstring in operators/dedup.py).
     """
     names = df.select(F.col(col).cast("string").alias("s")).distinct()
     s = F.col("s")
@@ -167,19 +167,15 @@ def edit_distance_one_pairs(df: DataFrame, col: str) -> DataFrame:
             )
         ).alias("v"),
     )
+    from .dedup import bucket_pair_rows
+
     buckets = (
         variants.groupBy("v")
         .agg(F.array_sort(F.collect_list("s")).alias("ss"))
         .filter(F.size("ss") >= 2)
     )
-    lefts = buckets.select(F.posexplode("ss").alias("i", "name_a"), "ss")
     return (
-        lefts.select(
-            "name_a",
-            F.explode(
-                F.slice(F.col("ss"), F.col("i") + F.lit(2), F.size("ss"))
-            ).alias("name_b"),
-        )
+        bucket_pair_rows(buckets, "ss", "name_a", "name_b")
         # thresholded levenshtein runs the BANDED O(L·k) DP and
         # early-exits with -1 past the bound — measured 5.7s → ~0.6s on
         # ~1M candidate pairs vs the full O(L²) form

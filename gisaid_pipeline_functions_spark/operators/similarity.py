@@ -481,7 +481,15 @@ def _subspace_kmeans_centroids(
       same 6dp lattice both engines (and both groupings) agree on — the
       same order-tolerance the DuckDB oracle replay already relies on.
     Proven by full-rowset old-vs-new compares at sf0.001/sf0.01/sf0.1
-    before the swap (see OPTIMIZATION_r17.md batch 5)."""
+    before the swap (see OPTIMIZATION_r17.md batch 5).
+
+    ADVICE r17 exposure note: the fused recompute sums each
+    (subspace, cell, pos) group under a DIFFERENT physical grouping than
+    the m separate chains did, so the pre-round double can differ in sum
+    order; identity rests on round(avg, 6) never landing on a .5e-7
+    midpoint (the r9 lattice-midpoint exposure class) plus the empirical
+    full-rowset compares above — re-run that compare harness whenever the
+    test corpora change."""
     init = base.orderBy("vec_id").limit(k)
     cents = _subspace_slices(init, m, sub_dim).select(
         "subspace",

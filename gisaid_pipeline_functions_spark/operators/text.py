@@ -1685,6 +1685,11 @@ def naive_bayes_confusion(
     # (IEEE negation is exact and order-reversing, -0.0 < 0.0 keeps the
     # 0-tie orientation; (doc_id, label) rows unique). Two hash passes
     # instead of the window's two sorted passes.
+    # ADVICE r17: this identity additionally RELIES ON score never being
+    # NaN — min(struct) sorts NaN greatest so a NaN-scored label would
+    # never win, while the old row_number over desc(score) picked it
+    # first. Unreachable today (score = round(prior + finite log terms)),
+    # but any score-expression change must re-run the recheck reasoning.
     pred = (
         scored.groupBy("doc_id")
         .agg(

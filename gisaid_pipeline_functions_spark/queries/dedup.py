@@ -261,6 +261,8 @@ def dedup_mllib_minhash(spark, sf_dir):
     # shared shingle; counting pair occurrences across buckets IS the
     # intersection count. The ≥ 0.5 band is filtered on the UNROUNDED
     # ratio, exactly as the oracle's WHERE clause.
+    from ..operators.dedup import bucket_pair_rows
+
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     shb = (
         sh.groupBy("shingle")
@@ -268,13 +270,7 @@ def dedup_mllib_minhash(spark, sf_dir):
         .filter(F.size("ids") >= 2)
     )
     inter = (
-        shb.select(F.posexplode("ids").alias("i", "id_a"), "ids")
-        .select(
-            "id_a",
-            F.explode(
-                F.slice(F.col("ids"), F.col("i") + F.lit(2), F.size("ids"))
-            ).alias("id_b"),
-        )
+        bucket_pair_rows(shb, "ids", "id_a", "id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

@@ -63,7 +63,7 @@ def register(name: str, sql: str | None = None):
 # the round the change was made in — forced to the front until a green
 # driver row from that round (or later) exists, then they rotate back
 # into the normal staleness order automatically.
-_RECHECK_ROUND = 17
+_RECHECK_ROUND = 18
 # Membership rule (stated once per ADVICE r16 #2, superseding the r14
 # any-change precedent): a query enters _RECHECK_FIRST when its
 # IMPLEMENTATION changes — its own function body, its oracle SQL, or any
@@ -160,16 +160,23 @@ _RECHECK_ROUND = 17
 #   guard shape; the events scan is one input split at bench scale).
 #   Value-free (per-(event_id, b) md5 draw; exact-integer sums are
 #   order-independent); re-driven hash-green at sf0.01.
+#
+# r18 cohort (OPTIMIZATION round 2): the r17 names below were all
+# driver-green in CORRECTNESS_r17 and would rotate out on their own;
+# the kept/added members are this round's touched set:
+# - r18 batch B (hot-bucket guard, VERDICT r17 #1): the four bucket
+#   pair-generators route through operators/dedup.py bucket_pair_rows,
+#   which chunks buckets above _PAIR_BUCKET_CAP. Pair multiset identical
+#   (unit-tested across chunk boundaries in
+#   tests/test_bucket_pair_guard.py); all 12 transit queries re-driven
+#   hash-green at sf0.01 after the swap, NO oracle change:
+#   the 9 lsh_candidate_pairs consumers, dedup_prefix_filter_join (also
+#   the VERDICT r17 #3 bookkeeping fix — it transits the r17 batch-3c
+#   prefix rewrite and was missing from the r17 cohort),
+#   join_edit_distance_fuzzy, dedup_mllib_minhash.
 _RECHECK_FIRST = frozenset(
     {
-        "agg_poisson_bootstrap_ci",
-        "dedup_span_surgery",
-        "dedup_span_surgery_within",
-        "dedup_exactsubstr_chars",
-        "graph_label_propagation",
-        "graph_modularity",
-        "text_naive_bayes_confusion",
-        "multimodal_aspect_bucket",
+        "dedup_prefix_filter_join",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
         "dedup_connected_components",
@@ -179,33 +186,8 @@ _RECHECK_FIRST = frozenset(
         "dedup_containment",
         "dedup_cluster_size_histogram",
         "dedup_lsh_pr_eval",
-        "sim_incremental_sq8",
-        "sim_incremental_sq8_search",
-        "sim_centroid_outlier",
-        "sim_incremental_ivf",
-        "sim_incremental_ivf_search",
-        "sim_incremental_ivfpq",
-        "sim_incremental_ivfpq_search",
-        "sim_incremental_pq",
-        "sim_incremental_pq_search",
-        "sim_ivf_drift",
-        "sim_ivf_index_delete",
-        "sim_ivf_index_multiprobe",
-        "sim_ivf_learned",
-        "sim_ivfpq_adc_search",
-        "sim_ivfpq_codes",
-        "sim_kmeans_cells",
-        "sim_pq_adc_topk",
-        "sim_pq_codes",
-        "sim_semdedup",
-        "streaming_ivf_append_hash",
-        "agg_bootstrap_ab_diff",
         "join_edit_distance_fuzzy",
         "dedup_mllib_minhash",
-        "text_classifier_score",
-        "text_calibration_curve",
-        "streaming_classifier_score",
-        "text_langid_profiles",
     }
 )
 

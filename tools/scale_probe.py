@@ -58,6 +58,49 @@ def main() -> None:
     docs1 = docs1.repartition(cpus).localCheckpoint(eager=True)
     print(f"rows: 1x={base_n}  {n}x={docsN.count()}")
 
+    # Hot-key canary (ADVICE r17): the windowed dup-marking in
+    # span_surgery / exactsubstr_chars concentrates each gram/anchor key
+    # on ONE window task (no AQE skew split for windows), a trade
+    # justified by doc-frequency-bounded keys; and the r18 pair-generator
+    # hot-bucket guard chunks buckets above ~1e5 members. Report the max
+    # per-key row count for the two marking key families on the Nx
+    # corpus so a corpus that breaks the bounded assumption is caught
+    # BEFORE a window task OOMs or straggles. The anchor stream (ah) is a
+    # winnowed SUBSET of the char-gram occurrences, so the char-gram max
+    # upper-bounds the per-key anchor count too.
+    w5 = F.split(F.col("text"), " ")
+    word_keys = docsN.select(
+        F.explode(
+            F.when(
+                F.size(w5) >= 5,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w5) - 5),
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[F.element_at(w5, (i + j + 1).cast("int")) for j in range(5)],
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("k")
+    )
+    t25 = F.col("text")
+    char_keys = docsN.select(
+        F.explode(
+            F.when(
+                F.length(t25) >= 25,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t25) - 24),
+                    lambda i: t25.substr(i.cast("int"), F.lit(25)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("k")
+    )
+    for label, keyed in (("word-5gram (span_surgery h)", word_keys),
+                         ("char-25gram (exactsubstr gh, bounds ah)", char_keys)):
+        mx = keyed.groupBy("k").count().agg(F.max("count")).collect()[0][0]
+        flag = "  ** EXCEEDS 1e5 window/bucket assumption **" if (mx or 0) > 100_000 else ""
+        print(f"hot-key canary {label:42s}: max per-key rows = {mx}{flag}")
+
     from gisaid_pipeline_functions_spark.operators.dedup import span_surgery
     from gisaid_pipeline_functions_spark.operators.multimodal import (
         media_with_header,
