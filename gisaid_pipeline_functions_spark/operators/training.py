@@ -278,34 +278,33 @@ def select_to_token_budget(
     The running total over a global ordering is the same shape as
     pagination's global rank, and gets the same scale-safe plan (the
     block-prefix trick, operators/topk.py:paginate / sources/fasta.py:82):
-    ~B approximate range cut points of ``order_col`` are embedded as
-    LITERALS (deterministic under recomputation), giving range buckets
+    ~B approximate range cut points of ``order_col`` give range buckets
     whose order REFINES the global order exactly (bucket(v) counts cuts
     strictly above v, so every value in bucket b outranks every value in
     bucket b+1); per-bucket token sums become prefix offsets via a
     triangular join over the B-row counts table; the cumulative sum
     inside each bucket is a PARTITIONED window. No single-partition
-    stage anywhere.
+    stage anywhere. r18: cuts are an inline broadcast
+    ``percentile_approx`` row — one subtree evaluation instead of the
+    eager approxQuantile job's two, and still deterministic under
+    recomputation (see operators/topk.py:_with_approx_range_bucket).
+
+    NULL order keys go to the LAST bucket (the walk is DESC NULLS LAST;
+    a raw NULL bucket would be dropped by the equi-join below), where
+    the partitioned desc window already orders them after every real
+    value.
 
     ``df`` must carry ``budget_col`` (a per-row constant, typically
     crossJoined from a 1-row aggregate). Emits ``cum_tokens`` for
     auditability.
     """
+    from .topk import _with_approx_range_bucket
+
     spark = df.sparkSession
     n = num_buckets or spark.sparkContext.defaultParallelism
-    try:
-        qs = [i / n for i in range(1, n)]
-        cuts = sorted(set(df.stat.approxQuantile(order_col, qs, 0.001))) if n > 1 else []
-    except Exception:
-        cuts = []
-    bucket = F.lit(0)
-    for c in cuts:
-        bucket = bucket + (F.col(order_col) < F.lit(c)).cast("int")
-    # NULL order keys: (NULL < cut) is NULL → NULL _bkt → the equi-join
-    # below would drop the row from the walk entirely. The walk is DESC
-    # (NULLS LAST), so NULLs belong in the LAST bucket, where the
-    # partitioned desc window already orders them after every real value.
-    parts = df.withColumn("_bkt", F.coalesce(bucket, F.lit(len(cuts))))
+    parts = _with_approx_range_bucket(
+        df, order_col, n, descending=True, null_bucket="last"
+    )
     counts = parts.groupBy("_bkt").agg(F.sum(token_col).alias("_tok"))
     prefixes = (
         counts.alias("a")
